@@ -1,38 +1,94 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` smoke-runs the flagship query; ``queries()`` maps each
+implemented operator (SURVEY.md §2) to a (spark, sf_dir) -> DataFrame
+callable; ``oracle_sql()`` gives the DuckDB-equivalent ANSI SQL the
+driver compares against (row-count + schema + order-insensitive
+value-hash).
+
+Column-name discipline: every computed column is aliased identically in
+the Spark plan and the oracle SQL. Money aggregates are rounded to 2
+decimals at the aggregate edge in BOTH engines so double sums compare
+stably.
 """
 
 from __future__ import annotations
 
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, "/root/repo")
+
+from sales_data_etl_pipeline_spark.plans import analytics
+from sales_data_etl_pipeline_spark.sources.tables import load_testdata
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query: revenue per supplier (A1 shape) on sf0.001.
+
+    Exercises the engine spine: parquet scan -> partial hash agg ->
+    shuffle on key -> final agg -> broadcast dimension join -> top-order.
+    """
+    return analytics.td_sales_by_employee(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    """One entry per implemented operator from SURVEY.md §2."""
+    return {
+        # §2.4/2.6 analytics layer (reference save_data_pdf_report.py:64-222)
+        "sales_by_employee": analytics.td_sales_by_employee,
+        "average_ticket_by_product": analytics.td_average_ticket_by_product,
+        "sales_by_category": analytics.td_sales_by_category,
+        "top5_employees": analytics.td_top5_employees,
+        "sales_by_period": analytics.td_sales_by_period,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
+    """DuckDB-runnable ANSI SQL equivalents, same aliases as queries()."""
+    revenue = "l_extendedprice * (1 - l_discount)"
+    sales_by_employee = f"""
+        SELECT s.s_suppkey AS id_empregado,
+               s.s_name AS nome,
+               COALESCE(ROUND(SUM({revenue}), 2), 0.0) AS valor_total
+        FROM lineitem l
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        GROUP BY s.s_suppkey, s.s_name
+        ORDER BY valor_total DESC, id_empregado ASC
     """
-    return {}
+    return {
+        "sales_by_employee": sales_by_employee,
+        "average_ticket_by_product": f"""
+            SELECT p.p_partkey AS id_produto,
+                   p.p_name AS nome,
+                   COALESCE(ROUND(SUM({revenue}) / COUNT(*), 2), 0.0) AS ticket_medio
+            FROM lineitem l
+            JOIN part p ON l.l_partkey = p.p_partkey
+            GROUP BY p.p_partkey, p.p_name
+            ORDER BY TRY_CAST(regexp_extract(p.p_name, '(\\d+)', 1) AS BIGINT) ASC NULLS LAST
+        """,
+        "sales_by_category": """
+            SELECT p.p_type AS categoria,
+                   COUNT(*) AS quantidade_vendas
+            FROM lineitem l
+            JOIN part p ON l.l_partkey = p.p_partkey
+            GROUP BY p.p_type
+            ORDER BY quantidade_vendas DESC, categoria ASC
+        """,
+        "top5_employees": f"""
+            SELECT * FROM ({sales_by_employee}) t
+            ORDER BY valor_total DESC, id_empregado ASC
+            LIMIT 5
+        """,
+        "sales_by_period": f"""
+            SELECT strftime(l_shipdate, '%Y-%m') AS periodo,
+                   COUNT(*) AS quantidade_vendas,
+                   ROUND(SUM({revenue}), 2) AS valor_total
+            FROM lineitem
+            WHERE l_shipdate IS NOT NULL
+            GROUP BY periodo
+            ORDER BY periodo
+        """,
+    }

@@ -1,0 +1,221 @@
+"""The analytics query layer.
+
+Re-expresses the reference's 5 PostgreSQL analytics queries
+(reference ``save-data/save_data_pdf_report.py:64-222``) as lazy Catalyst
+plans, in two forms:
+
+1. **Sales-schema form** — pure ``DataFrame -> DataFrame`` functions over
+   the ``vendas``/``produtos``/``empregados`` star schema (reference
+   parity surface).
+2. **Testdata form** — the same query shapes over the driver's TPC-H-ish
+   tables (``lineitem``/``orders``/``part``/``supplier``/...), used by
+   the DuckDB-oracle correctness gate and the benchmark.
+
+Scale design notes (the part that matters at 100 TB):
+
+- Every query is fact-side partial-aggregation first: Catalyst plans
+  ``HashAggregate(partial) -> shuffle on group key -> HashAggregate(final)``,
+  so the shuffle carries one row per (partition, group), not per fact row.
+- Dimension joins broadcast: ``supplier``/``part`` are orders of magnitude
+  smaller than ``lineitem``; we hint ``F.broadcast`` so the fact table is
+  never shuffled for the join. At cluster scale with huge dims, drop the
+  hint and let AQE pick sort-merge; the group-by shuffle is then the only
+  fact shuffle.
+- Where the aggregation key IS the join key (revenue per supplier), we
+  aggregate the fact table *before* the join — the join then runs on
+  |suppliers| rows instead of |lineitems| rows. This is the manual form
+  of a "partial aggregation pushdown" that Catalyst does not do through
+  a join.
+- Top-K is ``orderBy + limit`` ⇒ ``TakeOrderedAndProject``: each partition
+  keeps K rows, driver merges — no global sort.
+- Money sums are rounded to 2 decimals at the query edge (matches the
+  reference's NUMERIC(10,2) display semantics and keeps double sums
+  comparable across engines).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sales_data_etl_pipeline_spark.sources.tables import load_testdata
+
+# ---------------------------------------------------------------------------
+# 1. Sales-schema form (reference parity)
+# ---------------------------------------------------------------------------
+
+
+def sales_by_employee(vendas: DataFrame, empregados: DataFrame) -> DataFrame:
+    """A1 — total sales per employee, descending.
+
+    Reference: ``save_data_pdf_report.py:64-89``
+    (INNER JOIN + COALESCE(SUM,0) + ORDER BY DESC).
+    """
+    return (
+        vendas.join(F.broadcast(empregados), "id_empregado", "inner")
+        .groupBy("id_empregado", "nome")
+        .agg(F.coalesce(F.round(F.sum("valor_total"), 2), F.lit(0.0)).alias("valor_total"))
+        .orderBy(F.desc("valor_total"), F.asc("id_empregado"))
+    )
+
+
+def average_ticket_by_product(vendas: DataFrame, produtos: DataFrame) -> DataFrame:
+    """A2 — SUM(valor_total)/COUNT(id_venda) per product.
+
+    Reference: ``save_data_pdf_report.py:92-122``. Implemented literally as
+    sum/count, NOT ``avg``: COUNT(id_venda) counts all join rows, so a NULL
+    ``valor_total`` lowers the ticket where ``avg`` would skip it
+    (SURVEY.md §7.4 item 7). Client-side re-sort by the number embedded in
+    the product name (reference ``extract_product_number``,
+    :116-139) is the ``orderBy(regexp_extract...)`` at the end — non-matching
+    names sink to the end via NULLS LAST.
+    """
+    return (
+        vendas.join(F.broadcast(produtos), "id_produto", "inner")
+        .groupBy("id_produto", "nome")
+        .agg(
+            F.coalesce(
+                F.round(F.sum("valor_total") / F.count("id_venda"), 2), F.lit(0.0)
+            ).alias("ticket_medio")
+        )
+        .orderBy(F.regexp_extract("nome", r"(\d+)", 1).try_cast("long").asc_nulls_last())
+    )
+
+
+def sales_by_category(vendas: DataFrame, produtos: DataFrame) -> DataFrame:
+    """A3 — sale count per product category, descending.
+
+    Reference: ``save_data_pdf_report.py:142-166``.
+    """
+    return (
+        vendas.join(F.broadcast(produtos.select("id_produto", "categoria")), "id_produto")
+        .groupBy("categoria")
+        .agg(F.count("id_venda").alias("quantidade_vendas"))
+        .orderBy(F.desc("quantidade_vendas"))
+    )
+
+
+def top5_employees(vendas: DataFrame, empregados: DataFrame) -> DataFrame:
+    """A4 — A1 + LIMIT 5 (TakeOrderedAndProject).
+
+    Reference: ``save_data_pdf_report.py:169-195``. Deterministic ties via
+    id ascending.
+    """
+    return sales_by_employee(vendas, empregados).limit(5)
+
+
+def sales_by_period(vendas: DataFrame) -> DataFrame:
+    """A5 — monthly count + sum time series.
+
+    Reference: ``save_data_pdf_report.py:198-222``
+    (``TO_CHAR(data,'YYYY-MM')`` → ``date_format(..., 'yyyy-MM')``).
+    At 100 TB with month-partitioned storage this group key is the
+    partition key, so the agg is partition-local after pruning.
+    """
+    return (
+        vendas.filter(F.col("data").isNotNull())
+        .groupBy(F.date_format("data", "yyyy-MM").alias("periodo"))
+        .agg(
+            F.count("id_venda").alias("quantidade_vendas"),
+            F.round(F.sum("valor_total"), 2).alias("valor_total"),
+        )
+        .orderBy("periodo")
+    )
+
+
+# ---------------------------------------------------------------------------
+# 2. Testdata form (driver correctness gate + bench)
+# ---------------------------------------------------------------------------
+# Mapping (FIXTURES.md §2): vendas→lineitem, produtos→part, empregados→
+# supplier, valor_total→l_extendedprice*(1-l_discount), data→l_shipdate.
+
+def _revenue():
+    """Unrounded per-row revenue: rounding happens ONCE at the aggregate edge.
+
+    (Per-row double rounding is engine-dependent at .xx5 boundaries — Spark
+    rounds the shortest decimal repr via BigDecimal HALF_UP, DuckDB rounds
+    the binary value — so rounding each row would accumulate cross-engine
+    divergence; rounding only the sum keeps the disagreement window ~1e-9.)
+    Lazy because Column construction needs an active session.
+    """
+    return F.col("l_extendedprice") * (1 - F.col("l_discount"))
+
+
+def td_sales_by_employee(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 on testdata: revenue per supplier.
+
+    Pre-aggregates the fact table on the join key before the dimension
+    join, so the join input is |suppliers| rows.
+    """
+    t = load_testdata(spark, sf_dir, ("lineitem", "supplier"))
+    per_supp = (
+        t["lineitem"]
+        .groupBy("l_suppkey")
+        .agg(F.round(F.sum(_revenue()), 2).alias("valor_total"))
+    )
+    return (
+        per_supp.join(F.broadcast(t["supplier"]), per_supp.l_suppkey == t["supplier"].s_suppkey)
+        .select(
+            F.col("s_suppkey").alias("id_empregado"),
+            F.col("s_name").alias("nome"),
+            F.coalesce("valor_total", F.lit(0.0)).alias("valor_total"),
+        )
+        .orderBy(F.desc("valor_total"), F.asc("id_empregado"))
+    )
+
+
+def td_average_ticket_by_product(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 on testdata: SUM(revenue)/COUNT(rows) per part (literal sum/count)."""
+    t = load_testdata(spark, sf_dir, ("lineitem", "part"))
+    per_part = (
+        t["lineitem"]
+        .groupBy("l_partkey")
+        .agg(
+            F.sum(_revenue()).alias("_sum"),
+            F.count(F.lit(1)).alias("_cnt"),
+        )
+    )
+    return (
+        per_part.join(F.broadcast(t["part"]), per_part.l_partkey == t["part"].p_partkey)
+        .select(
+            F.col("p_partkey").alias("id_produto"),
+            F.col("p_name").alias("nome"),
+            F.coalesce(F.round(F.col("_sum") / F.col("_cnt"), 2), F.lit(0.0)).alias(
+                "ticket_medio"
+            ),
+        )
+        .orderBy(F.regexp_extract("nome", r"(\d+)", 1).try_cast("long").asc_nulls_last())
+    )
+
+
+def td_sales_by_category(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 on testdata: sale count per p_type."""
+    t = load_testdata(spark, sf_dir, ("lineitem", "part"))
+    return (
+        t["lineitem"]
+        .join(F.broadcast(t["part"].select("p_partkey", "p_type")),
+              F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy(F.col("p_type").alias("categoria"))
+        .agg(F.count(F.lit(1)).alias("quantidade_vendas"))
+        .orderBy(F.desc("quantidade_vendas"), F.asc("categoria"))
+    )
+
+
+def td_top5_employees(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 on testdata: top-5 suppliers by revenue (deterministic ties)."""
+    return td_sales_by_employee(spark, sf_dir).limit(5)
+
+
+def td_sales_by_period(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 on testdata: monthly revenue series over l_shipdate."""
+    t = load_testdata(spark, sf_dir, ("lineitem",))
+    return (
+        t["lineitem"]
+        .filter(F.col("l_shipdate").isNotNull())
+        .groupBy(F.date_format("l_shipdate", "yyyy-MM").alias("periodo"))
+        .agg(
+            F.count(F.lit(1)).alias("quantidade_vendas"),
+            F.round(F.sum(_revenue()), 2).alias("valor_total"),
+        )
+        .orderBy("periodo")
+    )

@@ -1,0 +1,62 @@
+"""CSV source with a stable file-order ordinal.
+
+Re-expresses the reference's CSV scan (S1, reference
+``extract-transform-data/et_produtos.py:46-63``: ``pd.read_csv(sep=';')``)
+as a schema'd Spark CSV read, plus the engine convention SURVEY.md §7.4
+item 1 calls for: a ``_row_ordinal`` column capturing file order so that
+order-sensitive operators (keep-first dedup W1, sequential ID backfill W2)
+are deterministic under distributed reads.
+
+Scale note: file order only exists per file. For a single input file we
+zip an ordinal over a single partition (cheap at dimension-table size —
+the only place the reference semantics need it); for many-file/100 TB
+inputs order-sensitive cleaning should key on an explicit ordering column
+instead, which every operator in ``operators.cleaning`` accepts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+ROW_ORDINAL = "_row_ordinal"
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    *,
+    sep: str = ";",
+    header: bool = True,
+    encoding: str = "UTF-8",
+) -> DataFrame:
+    """Plain schema'd CSV scan (no inference — see schemas module)."""
+    return (
+        spark.read.option("sep", sep)
+        .option("header", header)
+        .option("encoding", encoding)
+        .schema(schema)
+        .csv(path)
+    )
+
+
+def read_csv_with_ordinal(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    *,
+    sep: str = ";",
+    header: bool = True,
+    encoding: str = "UTF-8",
+) -> DataFrame:
+    """CSV scan + ``_row_ordinal`` = 0-based position in file order.
+
+    Uses a single-partition read so ``monotonically_increasing_id`` is the
+    literal file order (the id is monotonic *within* a partition; one
+    partition ⇒ global order). Intended for dimension-scale inputs where
+    the reference's keep-first semantics must be reproduced exactly.
+    """
+    df = read_csv(spark, path, schema, sep=sep, header=header, encoding=encoding)
+    return df.coalesce(1).withColumn(ROW_ORDINAL, F.monotonically_increasing_id())
