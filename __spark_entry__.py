@@ -21,8 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 sys.path.insert(0, "/root/repo")
 
-from sales_data_etl_pipeline_spark.plans import analytics
-from sales_data_etl_pipeline_spark.sources.tables import load_testdata
+from sales_data_etl_pipeline_spark.plans import analytics, cleaning_demo
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -43,6 +42,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sales_by_category": analytics.td_sales_by_category,
         "top5_employees": analytics.td_top5_employees,
         "sales_by_period": analytics.td_sales_by_period,
+        # §2.2/2.5 cleaning layer (reference extract-transform-data/et_*.py)
+        **cleaning_demo.QUERIES,
     }
 
 
@@ -59,6 +60,7 @@ def oracle_sql() -> dict[str, str]:
         ORDER BY valor_total DESC, id_empregado ASC
     """
     return {
+        **cleaning_demo.ORACLES,
         "sales_by_employee": sales_by_employee,
         "average_ticket_by_product": f"""
             SELECT p.p_partkey AS id_produto,
