@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 sys.path.insert(0, "/root/repo")
 
-from sales_data_etl_pipeline_spark.plans import analytics, cleaning_demo
+from sales_data_etl_pipeline_spark.plans import analytics, cleaning_demo, llm_demo
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -44,6 +44,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sales_by_period": analytics.td_sales_by_period,
         # §2.2/2.5 cleaning layer (reference extract-transform-data/et_*.py)
         **cleaning_demo.QUERIES,
+        # extension layer: text analysis / dedup / similarity / event windows
+        **llm_demo.QUERIES,
     }
 
 
@@ -61,6 +63,7 @@ def oracle_sql() -> dict[str, str]:
     """
     return {
         **cleaning_demo.ORACLES,
+        **llm_demo.ORACLES,
         "sales_by_employee": sales_by_employee,
         "average_ticket_by_product": f"""
             SELECT p.p_partkey AS id_produto,

@@ -1,0 +1,293 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash,
+embedding-cosine near-dup (extension layer — training-data pipeline ops).
+
+Cross-engine determinism convention: shingle/token ids come from a
+*corpus-derived dictionary* (dense rank over the sorted distinct shingle
+strings), and the MinHash/SimHash mixers are plain integer arithmetic on
+those ids. This keeps the DuckDB oracle bit-identical without sharing a
+hash implementation. At 100 TB the dictionary rank (a sort) would be
+replaced by ``xxhash64(shingle)`` — same plan shape minus the dictionary
+join; the LSH/banding structure is unchanged.
+
+Scale shapes:
+
+- Exact dedup: hash-aggregate on md5(text) — one shuffle on the digest.
+- MinHash+LSH: per-doc signature (narrow) → explode to (band, sig) →
+  self-join per band bucket. Candidate generation touches only docs that
+  collide in a band — this is the subquadratic scale path.
+- n-gram Jaccard (exact): candidate pairs via shared-shingle join —
+  quadratic in hot shingles; kept as the verification/oracle primitive
+  and for small corpora. LSH is the scale path.
+- SimHash: 64→32-bit fingerprints; pairwise hamming here (small corpus),
+  multi-index banding at scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from sales_data_etl_pipeline_spark.operators.text import TOKENIZE
+
+#: MinHash mixer constants: h_k(sid) = ((2k+1)·sid + (3k+7)) mod P.
+MINHASH_P = 1_000_003
+
+
+def shingles(text_col: str = "text", n: int = 3) -> Column:
+    """Distinct word n-gram shingle strings for one document."""
+    toks = TOKENIZE.format(col=text_col)
+    return F.expr(
+        f"array_distinct(transform(sequence(1, greatest(size({toks}) - {n - 1}, 0)),"
+        f" i -> concat_ws(' ', slice({toks}, i, {n}))))"
+    )
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Exact dedup: keep the smallest doc_id per identical text (md5 key).
+
+    groupBy on the 128-bit digest, not the text: the shuffle carries 32
+    bytes + id per row regardless of document size.
+    """
+    return (
+        df.withColumn("_h", F.md5(F.col(text_col)))
+        .groupBy("_h")
+        .agg(F.min("doc_id").alias("doc_id"), F.count(F.lit(1)).alias("n_copies"))
+        .drop("_h")
+    )
+
+
+def shingle_sets(df: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
+    """Exploded distinct (doc_id, shingle) pairs."""
+    return df.select("doc_id", F.explode(shingles(text_col, n)).alias("sh"))
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame, *, n: int = 3, threshold: float = 0.6, text_col: str = "text"
+) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs (a < b, jaccard ≥ threshold).
+
+    Candidates = pairs sharing ≥1 shingle; |A∩B| from the join, sizes
+    from per-doc counts, jaccard = inter / (|A|+|B|−inter).
+    """
+    sh = shingle_sets(df, text_col, n)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, F.col("a.sh") == F.col("b.sh"))
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sza = sizes.select(F.col("doc_id").alias("id_a"), F.col("sz").alias("sz_a"))
+    szb = sizes.select(F.col("doc_id").alias("id_b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(F.broadcast(sza), "id_a")
+        .join(F.broadcast(szb), "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 6
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def _shingle_dictionary(sh: DataFrame) -> DataFrame:
+    """Dense rank over sorted distinct shingles → sid (1-based).
+
+    Cross-engine-reproducible id assignment; at scale replace with
+    ``xxhash64(sh)`` (no sort, no dictionary join).
+    """
+    w = Window.orderBy("sh")
+    return sh.select("sh").distinct().withColumn("sid", F.row_number().over(w))
+
+
+def minhash_signatures(
+    df: DataFrame, *, num_hashes: int = 16, n: int = 3, text_col: str = "text"
+) -> DataFrame:
+    """Per-doc MinHash signature: (doc_id, k, minhash) for k in [0, K)."""
+    sh = shingle_sets(df, text_col, n)
+    ids = sh.join(_shingle_dictionary(sh), "sh").select("doc_id", "sid")
+    hashed = ids.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {num_hashes - 1}),"
+                f" k -> struct(k, pmod((2*k + 1) * sid + (3*k + 7), {MINHASH_P}) AS h))"
+            )
+        ).alias("kh"),
+    ).select("doc_id", F.col("kh.k").alias("k"), F.col("kh.h").alias("h"))
+    return hashed.groupBy("doc_id", "k").agg(F.min("h").alias("minhash"))
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    *,
+    num_hashes: int = 16,
+    bands: int = 4,
+    n: int = 3,
+    threshold: float = 0.5,
+    text_col: str = "text",
+) -> DataFrame:
+    """MinHash+LSH near-dup pairs: band → bucket-join candidates → exact
+    Jaccard verification (a < b, jaccard ≥ threshold).
+
+    Banding: K hashes split into ``bands`` bands of K/bands rows; docs
+    agreeing on ALL rows of any band become candidates. With K=16, b=4,
+    r=4 the candidate probability is 1-(1-j^4)^4 — steep around j≈0.5.
+    """
+    rows = num_hashes // bands
+    sig = minhash_signatures(df, num_hashes=num_hashes, n=n, text_col=text_col)
+    band_sig = (
+        sig.withColumn("band", (F.col("k") / rows).cast("int"))
+        .groupBy("doc_id", "band")
+        .agg(
+            F.concat_ws(
+                ",",
+                F.expr("transform(sort_array(collect_list(struct(k, minhash))), s -> s.minhash)"),
+            ).alias("sig")
+        )
+    )
+    a, b = band_sig.alias("a"), band_sig.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band")) & (F.col("a.sig") == F.col("b.sig")),
+        )
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .distinct()
+    )
+    # exact-Jaccard verification restricted to candidates
+    sh = shingle_sets(df, text_col, n)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    inter = (
+        candidates.join(sh.alias("sa"), F.col("id_a") == F.col("sa.doc_id"))
+        .join(
+            sh.alias("sb"),
+            (F.col("id_b") == F.col("sb.doc_id")) & (F.col("sa.sh") == F.col("sb.sh")),
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        inter.join(
+            F.broadcast(sizes.select(F.col("doc_id").alias("id_a"), F.col("sz").alias("sz_a"))),
+            "id_a",
+        )
+        .join(
+            F.broadcast(sizes.select(F.col("doc_id").alias("id_b"), F.col("sz").alias("sz_b"))),
+            "id_b",
+        )
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 6
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def simhash_fingerprints(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """32-bit SimHash per doc from dictionary token ids.
+
+    Token id → Knuth multiplicative hash h = (tid·2654435761) mod 2³²;
+    fingerprint bit j is the sign of Σ(2·bit_j(h) − 1) over the doc's
+    distinct tokens.
+    """
+    toks = df.select(
+        "doc_id", F.explode(F.array_distinct(F.expr(TOKENIZE.format(col=text_col)))).alias("tok")
+    )
+    w = Window.orderBy("tok")
+    dictionary = toks.select("tok").distinct().withColumn("tid", F.row_number().over(w))
+    hashed = toks.join(dictionary, "tok").withColumn(
+        "h", F.expr("pmod(tid * 2654435761, 4294967296)")
+    )
+    bits = hashed.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(31))).alias("j"),
+        F.col("h"),
+    ).withColumn("contrib", F.expr("2 * (shiftright(h, j) % 2) - 1"))
+    return (
+        bits.groupBy("doc_id", "j")
+        .agg(F.sum("contrib").alias("s"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.when(F.col("s") > 0, F.expr("shiftleft(1L, j)")).otherwise(F.lit(0))
+            ).alias("simhash")
+        )
+    )
+
+
+def simhash_pairs(
+    df: DataFrame, *, max_hamming: int = 6, text_col: str = "text"
+) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance ≤ ``max_hamming``.
+
+    Pairwise here (small corpus); the scale path indexes each fingerprint
+    under C(bands) masks so candidates share a masked prefix.
+    """
+    fp = simhash_fingerprints(df, text_col)
+    a, b = fp.alias("a"), fp.alias("b")
+    return (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .withColumn(
+            "hamming", F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            "hamming",
+        )
+    )
+
+
+def embedding_near_dup_pairs(
+    emb: DataFrame,
+    *,
+    threshold: float = 0.99,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs (a < b, cosine ≥ threshold).
+
+    Cosine via a sequential double fold (deterministic order → identical
+    IEEE result across engines). Brute-force pairwise; the scale path is
+    the IVF/LSH bucketing in ``operators.similarity``.
+    """
+    dot = (
+        "aggregate(zip_with(transform(a.{v}, x -> cast(x as double)),"
+        " transform(b.{v}, x -> cast(x as double)), (x, y) -> x * y),"
+        " 0D, (acc, x) -> acc + x)"
+    ).format(v=vec_col)
+    norm = (
+        "sqrt(aggregate(transform({side}.{v}, x -> cast(x as double)),"
+        " 0D, (acc, x) -> acc + x * x))"
+    )
+    a, b = emb.alias("a"), emb.alias("b")
+    return (
+        a.join(b, F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .withColumn(
+            "cosine",
+            F.round(
+                F.expr(dot)
+                / (
+                    F.expr(norm.format(side="a", v=vec_col))
+                    * F.expr(norm.format(side="b", v=vec_col))
+                ),
+                6,
+            ),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            "cosine",
+        )
+    )

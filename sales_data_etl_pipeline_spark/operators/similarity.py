@@ -1,0 +1,155 @@
+"""Similarity search over an embedding column (extension layer).
+
+Baseline: brute-force cosine top-k (exact). Scale path: IVF — coarse
+quantization into centroid buckets, probe the closest ``n_probe``
+buckets only. Both are pure DataFrame plans; the arithmetic is a
+sequential double fold (``aggregate(zip_with(...))``) so results are
+deterministic and cross-engine reproducible.
+
+At 100 TB: the corpus side partitions by bucket (IVF list), queries
+broadcast, and each bucket's scan is an independent narrow task — the
+canonical distributed-ANN layout. Brute force stays useful as the
+ground-truth oracle on samples.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a: str, b: str) -> str:
+    return (
+        f"aggregate(zip_with(transform({a}, x -> cast(x as double)),"
+        f" transform({b}, x -> cast(x as double)), (x, y) -> x * y),"
+        " 0D, (acc, x) -> acc + x)"
+    )
+
+
+def _norm(v: str) -> str:
+    return (
+        f"sqrt(aggregate(transform({v}, x -> cast(x as double)),"
+        " 0D, (acc, x) -> acc + x * x))"
+    )
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact brute-force cosine top-k per query (self-matches excluded).
+
+    Queries broadcast against the corpus; rank by rounded cosine
+    (6 dp) descending with corpus-id tiebreak → fully deterministic.
+    """
+    q = queries.select(
+        F.col(id_col).alias(query_id_col), F.col(vec_col).alias("_qvec")
+    )
+    scored = (
+        corpus.crossJoin(F.broadcast(q))
+        .filter(F.col(id_col) != F.col(query_id_col))
+        .withColumn(
+            "cosine",
+            F.round(
+                F.expr(_dot("_qvec", vec_col))
+                / (F.expr(_norm("_qvec")) * F.expr(_norm(vec_col))),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.desc("cosine"), F.asc(id_col)
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, F.col(id_col).alias("neighbor_id"), "cosine", "rank")
+    )
+
+
+def assign_ivf_buckets(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_id_col: str = "centroid_id",
+) -> DataFrame:
+    """Assign every vector to its max-cosine centroid (ties → smallest
+    centroid id). Centroids broadcast; one narrow pass over the corpus."""
+    c = centroids.select(
+        F.col(id_col).alias(centroid_id_col), F.col(vec_col).alias("_cvec")
+    )
+    scored = corpus.crossJoin(F.broadcast(c)).withColumn(
+        "_sim",
+        F.round(
+            F.expr(_dot("_cvec", vec_col))
+            / (F.expr(_norm("_cvec")) * F.expr(_norm(vec_col))),
+            6,
+        ),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("_sim"), F.asc(centroid_id_col))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(id_col, vec_col, centroid_id_col)
+    )
+
+
+def cosine_topk_ivf(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    *,
+    k: int = 5,
+    n_probe: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """IVF approximate top-k: search only the ``n_probe`` buckets whose
+    centroids are closest to the query.
+
+    Deterministic given deterministic centroids (callers pass a
+    data-derived centroid set, e.g. the first N vectors; at scale:
+    k-means|| via MLlib, then freeze the centroid table).
+    """
+    bucketed = assign_ivf_buckets(
+        corpus, centroids, id_col=id_col, vec_col=vec_col
+    )
+    # which buckets each query probes
+    probes = cosine_topk(
+        centroids,
+        queries,
+        k=n_probe,
+        id_col=id_col,
+        vec_col=vec_col,
+        query_id_col=query_id_col,
+    ).select(query_id_col, F.col("neighbor_id").alias("centroid_id"))
+    q = queries.select(
+        F.col(id_col).alias(query_id_col), F.col(vec_col).alias("_qvec")
+    )
+    candidates = (
+        bucketed.join(probes, "centroid_id")
+        .join(F.broadcast(q), query_id_col)
+        .filter(F.col(id_col) != F.col(query_id_col))
+        .withColumn(
+            "cosine",
+            F.round(
+                F.expr(_dot("_qvec", vec_col))
+                / (F.expr(_norm("_qvec")) * F.expr(_norm(vec_col))),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.asc(id_col))
+    return (
+        candidates.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, F.col(id_col).alias("neighbor_id"), "cosine", "rank")
+    )

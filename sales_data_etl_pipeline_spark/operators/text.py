@@ -1,0 +1,148 @@
+"""Text-analysis operators over a document corpus (extension layer).
+
+The reference has no text operators; these are the training-data-pipeline
+extensions (BASELINE.json north star) over the ``documents`` table
+(``doc_id, text, lang, source, n_chars``).
+
+Everything here is JVM-side SQL expressions — higher-order array
+functions (``transform``/``filter``/``aggregate``), not Python UDFs — so
+the hot path stays inside whole-stage codegen and scales linearly with
+executors. At 100 TB the per-doc work is embarrassingly parallel: no
+shuffles at all except where an operator aggregates corpus statistics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: Tokenization convention shared with the DuckDB oracles: lowercase,
+#: split on non-alphanumeric runs, drop empties.
+TOKENIZE = "filter(split(lower({col}), '[^a-z0-9]+'), x -> x != '')"
+
+
+def tokens(col: str = "text") -> Column:
+    return F.expr(TOKENIZE.format(col=col))
+
+
+#: Tiny per-language stopword sets for the n-gram/stopword language-ID
+#: heuristic. Deliberately small and embedded: the operator is a
+#: deterministic heuristic, not a model.
+STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "it", "that", "for"],
+    "pt": ["o", "a", "de", "e", "que", "em", "um", "para", "com", "nao"],
+    "es": ["el", "la", "de", "y", "que", "en", "un", "para", "con", "los"],
+    "fr": ["le", "la", "de", "et", "que", "en", "un", "pour", "les", "des"],
+    "de": ["der", "die", "das", "und", "zu", "in", "ein", "mit", "von", "den"],
+}
+
+
+def token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Token counting: total, unique, mean token length, whitespace-word
+    count (the "BPE-ish regex + whitespace" pair of counters)."""
+    t = tokens(text_col)
+    return df.select(
+        "doc_id",
+        F.size(t).alias("n_tokens"),
+        F.size(F.array_distinct(t)).alias("n_unique_tokens"),
+        F.size(F.expr(f"filter(split({text_col}, '\\\\s+'), x -> x != '')")).alias(
+            "n_ws_words"
+        ),
+        F.round(
+            F.expr(
+                f"aggregate(transform({TOKENIZE.format(col=text_col)}, x -> length(x)),"
+                " 0L, (acc, x) -> acc + x)"
+            )
+            / F.size(t),
+            4,
+        ).alias("mean_token_len"),
+    )
+
+
+def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Stopword-overlap language ID.
+
+    Score per language = |distinct tokens ∩ stopwords(lang)|; the argmax
+    wins, ties broken by language code order, zero overlap → 'und'
+    (undetermined). Deterministic by construction.
+    """
+    t = F.array_distinct(tokens(text_col))
+    scores = {
+        lang: F.size(
+            F.array_intersect(t, F.array(*[F.lit(w) for w in words]))
+        )
+        for lang, words in sorted(STOPWORDS.items())
+    }
+    best = None
+    for lang, score in scores.items():  # alphabetical → deterministic ties
+        best = score if best is None else F.greatest(best, score)
+    pred = F.lit("und")
+    for lang in sorted(STOPWORDS, reverse=True):
+        pred = F.when(scores[lang] == best, F.lit(lang)).otherwise(pred)
+    pred = F.when(best > 0, pred).otherwise(F.lit("und"))
+    out = df.select(
+        "doc_id",
+        *[scores[lang].alias(f"score_{lang}") for lang in sorted(STOPWORDS)],
+        pred.alias("lang_pred"),
+    )
+    return out
+
+
+def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Document quality heuristics: length, punctuation ratio, stopword
+    ratio, mean word length → composite score in [0, 1].
+
+    Mirrors the shape of public quality filters (C4/Gopher-style rules):
+    too-short docs, symbol-heavy docs, and stopword-free docs score low.
+    """
+    t = tokens(text_col)
+    n_chars = F.length(text_col)
+    n_tokens = F.size(t)
+    alnum = F.length(F.regexp_replace(text_col, "[^a-zA-Z0-9 ]", ""))
+    punct_ratio = F.round((n_chars - alnum) / n_chars, 6)
+    stop_ratio = F.round(
+        F.size(
+            F.expr(
+                f"filter({TOKENIZE.format(col=text_col)},"
+                " x -> x IN ('the','a','of','and','to','in','is','it','that','for'))"
+            )
+        )
+        / n_tokens,
+        6,
+    )
+    len_score = F.least(n_tokens / F.lit(100.0), F.lit(1.0))
+    # floor(x·1e6 + 0.5)/1e6 instead of round(x, 6): pure IEEE arithmetic,
+    # so the DuckDB oracle gets the bit-identical value even when x lands
+    # exactly on a .5 rounding boundary (observed once per ~500 docs).
+    raw = 0.4 * len_score + 0.3 * (1 - punct_ratio) + 0.3 * F.least(
+        stop_ratio * 5, F.lit(1.0)
+    )
+    composite = F.floor(raw * 1000000 + 0.5) / 1000000
+    return df.select(
+        "doc_id",
+        n_chars.alias("n_chars_obs"),
+        n_tokens.alias("n_tokens"),
+        punct_ratio.alias("punct_ratio"),
+        stop_ratio.alias("stopword_ratio"),
+        composite.alias("quality"),
+    )
+
+
+def fingerprint(df: DataFrame, text_col: str = "text", *, kgram: int = 32) -> DataFrame:
+    """Document fingerprinting: whole-text MD5 plus a winnowing-style
+    min-hash over character k-grams (the minimum MD5 of all ``kgram``-char
+    windows — a rolling-hash fingerprint robust to suffix edits).
+
+    MD5 is used (rather than xxhash64) because it is bit-identical across
+    engines — the DuckDB oracle computes the same fingerprints. At scale
+    swap in xxhash64 (cheaper, same plan shape).
+    """
+    min_kgram = F.expr(
+        f"array_min(transform(sequence(1, greatest(length({text_col}) - {kgram - 1}, 1)),"
+        f" i -> md5(substring({text_col}, i, {kgram}))))"
+    )
+    return df.select(
+        "doc_id",
+        F.md5(F.col(text_col)).alias("md5_full"),
+        min_kgram.alias("min_kgram_md5"),
+    )

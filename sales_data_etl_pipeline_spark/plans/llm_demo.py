@@ -1,0 +1,475 @@
+"""LLM-data-pipeline operators on the driver testdata (oracle-checked).
+
+Text analysis / dedup / similarity / event-window demos over
+``documents``, ``embeddings`` and ``events``. Where the corpus has no
+duplicates, deterministic near-dup dirt is injected (same expression in
+Spark and the DuckDB oracle — see cleaning_demo for the convention).
+
+Each function: ``(spark, sf_dir) -> DataFrame``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sales_data_etl_pipeline_spark.operators import dedup, similarity, text
+from sales_data_etl_pipeline_spark.sources.tables import load_testdata
+
+
+def _docs(spark, sf_dir) -> DataFrame:
+    return load_testdata(spark, sf_dir, ("documents",))["documents"]
+
+
+def _emb(spark, sf_dir) -> DataFrame:
+    return load_testdata(spark, sf_dir, ("embeddings",))["embeddings"]
+
+
+def _events(spark, sf_dir) -> DataFrame:
+    return load_testdata(spark, sf_dir, ("events",))["events"]
+
+
+def _docs_with_near_dups(spark, sf_dir) -> DataFrame:
+    """documents ∪ truncated copies of every 20th doc (id+10000)."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    copies = (
+        docs.filter(F.col("doc_id") % 20 == 0)
+        .select(
+            (F.col("doc_id") + 10000).alias("doc_id"),
+            F.expr("substring(text, 1, greatest(length(text) - 30, 1))").alias("text"),
+        )
+    )
+    return docs.unionByName(copies)
+
+
+def _docs_with_exact_dups(spark, sf_dir) -> DataFrame:
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    copies = docs.filter(F.col("doc_id") % 20 == 0).select(
+        (F.col("doc_id") + 10000).alias("doc_id"), "text"
+    )
+    return docs.unionByName(copies)
+
+
+def _emb_with_near_dups(spark, sf_dir) -> DataFrame:
+    """embeddings ∪ perturbed copies of every 25th vector (id+10000)."""
+    emb = _emb(spark, sf_dir).select("vec_id", "embedding")
+    copies = emb.filter(F.col("vec_id") % 25 == 0).select(
+        (F.col("vec_id") + 10000).alias("vec_id"),
+        F.expr(
+            "concat(array(cast(element_at(embedding, 1) + 0.05 as float)),"
+            " slice(embedding, 2, 63))"
+        ).alias("embedding"),
+    )
+    return emb.unionByName(copies)
+
+
+# --- text analysis ----------------------------------------------------------
+
+
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.token_stats(_docs(spark, sf_dir))
+
+
+def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.language_id(_docs(spark, sf_dir))
+
+
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.quality_score(_docs(spark, sf_dir))
+
+
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.fingerprint(_docs(spark, sf_dir))
+
+
+# --- dedup ------------------------------------------------------------------
+
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.exact_dedup(_docs_with_exact_dups(spark, sf_dir))
+
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.ngram_jaccard_pairs(
+        _docs_with_near_dups(spark, sf_dir), threshold=0.5
+    )
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.minhash_lsh_pairs(
+        _docs_with_near_dups(spark, sf_dir), threshold=0.5
+    )
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.simhash_pairs(_docs_with_near_dups(spark, sf_dir), max_hamming=6)
+
+
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.embedding_near_dup_pairs(
+        _emb_with_near_dups(spark, sf_dir), threshold=0.99
+    )
+
+
+# --- similarity search ------------------------------------------------------
+
+
+def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 10)
+    return similarity.cosine_topk(emb, queries, k=5)
+
+
+def similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 10)
+    centroids = emb.filter(F.col("vec_id") % 50 == 0)
+    return similarity.cosine_topk_ivf(emb, queries, centroids, k=5, n_probe=3)
+
+
+# --- event windows (batch form of the streaming surface) --------------------
+
+
+def events_windowed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour window per event_type: count + sum(value).
+
+    Batch form of the Structured Streaming aggregation in
+    ``streaming.events`` — identical grouping semantics.
+    """
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy(
+            F.window("ts", "1 hour").getField("start").alias("window_start"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .orderBy("window_start", "event_type")
+    )
+
+
+def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity): sessions per user.
+
+    lag + cumulative-sum window — the batch sessionization idiom (the
+    streaming path uses ``session_window``).
+    """
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    sessions = (
+        ev.withColumn("_prev", F.lag("ts").over(w))
+        .withColumn(
+            "_new_session",
+            (
+                F.col("_prev").isNull()
+                | (
+                    (F.col("ts").cast("double") - F.col("_prev").cast("double"))
+                    > 1800.0
+                )
+            ).cast("long"),
+        )
+    )
+    return (
+        sessions.groupBy("user_id")
+        .agg(
+            F.sum("_new_session").alias("n_sessions"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("user_id")
+    )
+
+
+QUERIES = {
+    "text_token_stats": text_token_stats,
+    "text_language_id": text_language_id,
+    "text_quality_score": text_quality_score,
+    "text_fingerprint": text_fingerprint,
+    "dedup_exact": dedup_exact,
+    "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "dedup_minhash_lsh": dedup_minhash_lsh,
+    "dedup_simhash": dedup_simhash,
+    "dedup_embedding_cosine": dedup_embedding_cosine,
+    "similarity_topk": similarity_topk,
+    "similarity_topk_ivf": similarity_topk_ivf,
+    "events_windowed_agg": events_windowed_agg,
+    "events_sessionization": events_sessionization,
+}
+
+# ---------------------------------------------------------------------------
+# DuckDB oracles
+# ---------------------------------------------------------------------------
+
+_TOKS = "list_filter(string_split_regex(lower({col}), '[^a-z0-9]+'), x -> x <> '')"
+
+_SHINGLES = (
+    "list_distinct(list_transform(generate_series(1, greatest(len({t}) - 2, 0)),"
+    " i -> array_to_string(list_slice({t}, i, i + 2), ' ')))"
+).format(t=_TOKS.format(col="text"))
+
+_NEAR_DUP_DOCS = """
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 10000 AS doc_id,
+           substring(text, 1, greatest(length(text) - 30, 1)) AS text
+    FROM documents WHERE doc_id % 20 = 0
+"""
+
+_EXACT_DUP_DOCS = """
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 10000 AS doc_id, text
+    FROM documents WHERE doc_id % 20 = 0
+"""
+
+_NEAR_DUP_EMB = """
+    SELECT vec_id, embedding FROM embeddings
+    UNION ALL
+    SELECT vec_id + 10000 AS vec_id,
+           list_prepend(CAST(embedding[1] + 0.05 AS FLOAT), embedding[2:64])
+               AS embedding
+    FROM embeddings WHERE vec_id % 25 = 0
+"""
+
+_DOT = (
+    "list_aggregate(list_transform(generate_series(1, 64),"
+    " i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)), 'sum')"
+)
+_NORM = (
+    "sqrt(list_aggregate(list_transform({v},"
+    " x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))"
+)
+
+_STOP_EN = "('the','a','of','and','to','in','is','it','that','for')"
+
+ORACLES = {
+    "text_token_stats": f"""
+        WITH t AS (SELECT doc_id, {_TOKS.format(col='text')} AS toks,
+                          list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS ws
+                   FROM documents)
+        SELECT doc_id,
+               len(toks) AS n_tokens,
+               len(list_distinct(toks)) AS n_unique_tokens,
+               len(ws) AS n_ws_words,
+               ROUND(CAST(list_aggregate(list_transform(toks, x -> length(x)), 'sum')
+                          AS DOUBLE) / len(toks), 4) AS mean_token_len
+        FROM t
+    """,
+    "text_language_id": None,  # built dynamically below
+    "text_quality_score": f"""
+        WITH t AS (
+            SELECT doc_id, text, {_TOKS.format(col='text')} AS toks,
+                   length(text) AS n_chars,
+                   length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS alnum
+            FROM documents)
+        SELECT doc_id,
+               n_chars AS n_chars_obs,
+               len(toks) AS n_tokens,
+               ROUND(CAST(n_chars - alnum AS DOUBLE) / n_chars, 6) AS punct_ratio,
+               ROUND(CAST(len(list_filter(toks, x -> x IN {_STOP_EN})) AS DOUBLE)
+                     / len(toks), 6) AS stopword_ratio,
+               floor((0.4 * least(len(toks) / 100.0, 1.0)
+                      + 0.3 * (1 - ROUND(CAST(n_chars - alnum AS DOUBLE) / n_chars, 6))
+                      + 0.3 * least(ROUND(CAST(len(list_filter(toks, x -> x IN {_STOP_EN}))
+                                               AS DOUBLE) / len(toks), 6) * 5, 1.0))
+                     * 1000000 + 0.5) / 1000000 AS quality
+        FROM t
+    """,
+    "text_fingerprint": """
+        SELECT doc_id,
+               md5(text) AS md5_full,
+               list_min(list_transform(
+                   generate_series(1, greatest(length(text) - 31, 1)),
+                   i -> md5(substring(text, i, 32)))) AS min_kgram_md5
+        FROM documents
+    """,
+    "dedup_exact": f"""
+        WITH d AS ({_EXACT_DUP_DOCS})
+        SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
+        FROM d GROUP BY md5(text)
+    """,
+    "dedup_ngram_jaccard": f"""
+        WITH d AS ({_NEAR_DUP_DOCS}),
+        sh AS (SELECT doc_id, UNNEST({_SHINGLES}) AS sh FROM d),
+        sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+        inter AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+            FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+            GROUP BY 1, 2)
+        SELECT id_a, id_b,
+               ROUND(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 6) AS jaccard
+        FROM inter
+        JOIN sz sa ON sa.doc_id = id_a
+        JOIN sz sb ON sb.doc_id = id_b
+        WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.5
+    """,
+    "dedup_minhash_lsh": f"""
+        WITH d AS ({_NEAR_DUP_DOCS}),
+        sh AS (SELECT doc_id, UNNEST({_SHINGLES}) AS sh FROM d),
+        dict AS (SELECT sh, row_number() OVER (ORDER BY sh) AS sid
+                 FROM (SELECT DISTINCT sh FROM sh)),
+        ids AS (SELECT s.doc_id, dict.sid FROM sh s JOIN dict USING (sh)),
+        hashed AS (
+            SELECT doc_id, k, ((2*k + 1) * sid + (3*k + 7)) % {dedup.MINHASH_P} AS h
+            FROM ids, UNNEST(generate_series(0, 15)) AS u(k)),
+        sig AS (SELECT doc_id, k, MIN(h) AS minhash FROM hashed GROUP BY 1, 2),
+        band_sig AS (
+            SELECT doc_id, CAST(k / 4 AS INT) AS band,
+                   string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY k) AS sig
+            FROM sig GROUP BY 1, 2),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM band_sig a JOIN band_sig b
+              ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+        sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+        inter AS (
+            SELECT c.id_a, c.id_b, COUNT(*) AS inter
+            FROM cand c
+            JOIN sh sa ON sa.doc_id = c.id_a
+            JOIN sh sb ON sb.doc_id = c.id_b AND sa.sh = sb.sh
+            GROUP BY 1, 2)
+        SELECT id_a, id_b,
+               ROUND(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 6) AS jaccard
+        FROM inter
+        JOIN sz sa ON sa.doc_id = id_a
+        JOIN sz sb ON sb.doc_id = id_b
+        WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.5
+    """,
+    "dedup_simhash": f"""
+        WITH d AS ({_NEAR_DUP_DOCS}),
+        toks AS (SELECT doc_id,
+                        UNNEST(list_distinct({_TOKS.format(col='text')})) AS tok
+                 FROM d),
+        dict AS (SELECT tok, row_number() OVER (ORDER BY tok) AS tid
+                 FROM (SELECT DISTINCT tok FROM toks)),
+        hashed AS (SELECT t.doc_id, (dict.tid * 2654435761) % 4294967296 AS h
+                   FROM toks t JOIN dict USING (tok)),
+        bits AS (
+            SELECT doc_id, j, SUM(2 * ((h >> j) & 1) - 1) AS s
+            FROM hashed, UNNEST(generate_series(0, 31)) AS u(j)
+            GROUP BY 1, 2),
+        fp AS (
+            SELECT doc_id,
+                   SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END)
+                       AS simhash
+            FROM bits GROUP BY 1)
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               bit_count(xor(a.simhash, b.simhash)) AS hamming
+        FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
+    """,
+    "dedup_embedding_cosine": f"""
+        WITH e AS ({_NEAR_DUP_EMB})
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               ROUND({_DOT.format(a='a.embedding', b='b.embedding')}
+                     / ({_NORM.format(v='a.embedding')}
+                        * {_NORM.format(v='b.embedding')}), 6) AS cosine
+        FROM e a JOIN e b ON a.vec_id < b.vec_id
+        WHERE ROUND({_DOT.format(a='a.embedding', b='b.embedding')}
+                    / ({_NORM.format(v='a.embedding')}
+                       * {_NORM.format(v='b.embedding')}), 6) >= 0.99
+    """,
+    "similarity_topk": f"""
+        WITH q AS (SELECT vec_id AS query_id, embedding AS qvec
+                   FROM embeddings WHERE vec_id < 10),
+        scored AS (
+            SELECT q.query_id, e.vec_id AS neighbor_id,
+                   ROUND({_DOT.format(a='q.qvec', b='e.embedding')}
+                         / ({_NORM.format(v='q.qvec')}
+                            * {_NORM.format(v='e.embedding')}), 6) AS cosine
+            FROM embeddings e, q WHERE e.vec_id <> q.query_id),
+        ranked AS (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+            FROM scored)
+        SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 5
+    """,
+    "similarity_topk_ivf": f"""
+        WITH cent AS (SELECT vec_id AS centroid_id, embedding AS cvec
+                      FROM embeddings WHERE vec_id % 50 = 0),
+        assigned AS (
+            SELECT vec_id, embedding, centroid_id FROM (
+                SELECT e.vec_id, e.embedding, c.centroid_id,
+                       row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                           ROUND({_DOT.format(a='c.cvec', b='e.embedding')}
+                                 / ({_NORM.format(v='c.cvec')}
+                                    * {_NORM.format(v='e.embedding')}), 6) DESC,
+                           c.centroid_id) AS rn
+                FROM embeddings e, cent c) WHERE rn = 1),
+        q AS (SELECT vec_id AS query_id, embedding AS qvec
+              FROM embeddings WHERE vec_id < 10),
+        probes AS (
+            SELECT query_id, centroid_id FROM (
+                SELECT q.query_id, c.centroid_id,
+                       row_number() OVER (PARTITION BY q.query_id ORDER BY
+                           ROUND({_DOT.format(a='q.qvec', b='c.cvec')}
+                                 / ({_NORM.format(v='q.qvec')}
+                                    * {_NORM.format(v='c.cvec')}), 6) DESC,
+                           c.centroid_id) AS rank
+                FROM cent c, q WHERE c.centroid_id <> q.query_id)
+            WHERE rank <= 3),
+        cand AS (
+            SELECT q.query_id, a.vec_id AS neighbor_id,
+                   ROUND({_DOT.format(a='q.qvec', b='a.embedding')}
+                         / ({_NORM.format(v='q.qvec')}
+                            * {_NORM.format(v='a.embedding')}), 6) AS cosine
+            FROM assigned a
+            JOIN probes p ON a.centroid_id = p.centroid_id
+            JOIN q ON q.query_id = p.query_id
+            WHERE a.vec_id <> q.query_id),
+        ranked AS (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+            FROM cand)
+        SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 5
+    """,
+    "events_windowed_agg": """
+        SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+               event_type,
+               COUNT(*) AS n_events,
+               ROUND(SUM(value), 2) AS total_value
+        FROM events
+        GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    "events_sessionization": """
+        WITH g AS (
+            SELECT user_id,
+                   CASE WHEN prev IS NULL
+                             OR (epoch(ts) - epoch(prev)) > 1800.0
+                        THEN 1 ELSE 0 END AS new_session
+            FROM (SELECT user_id, ts,
+                         lag(ts) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) AS prev
+                  FROM events))
+        SELECT user_id, SUM(new_session) AS n_sessions, COUNT(*) AS n_events
+        FROM g GROUP BY user_id ORDER BY user_id
+    """,
+}
+
+
+def _lang_oracle() -> str:
+    toks = f"list_distinct({_TOKS.format(col='text')})"
+    score_cols = []
+    for lang, words in sorted(text.STOPWORDS.items()):
+        arr = "[" + ", ".join(f"'{w}'" for w in words) + "]"
+        score_cols.append(
+            f"len(list_intersect({toks}, {arr})) AS score_{lang}"
+        )
+    langs = sorted(text.STOPWORDS)
+    best = "greatest(" + ", ".join(f"score_{lang}" for lang in langs) + ")"
+    pred = "CASE"
+    for lang in langs:
+        pred += f" WHEN score_{lang} = {best} THEN '{lang}'"
+    pred += " END"
+    return f"""
+        WITH s AS (SELECT doc_id, {", ".join(score_cols)} FROM documents)
+        SELECT doc_id, {", ".join(f"score_{lang}" for lang in langs)},
+               CASE WHEN {best} > 0 THEN {pred} ELSE 'und' END AS lang_pred
+        FROM s
+    """
+
+
+ORACLES["text_language_id"] = _lang_oracle()

@@ -11,6 +11,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from sales_data_etl_pipeline_spark.schemas import TESTDATA_TABLES
 
@@ -34,7 +35,20 @@ def load_testdata(
     out: dict[str, DataFrame] = {}
     for name in tables:
         path = os.path.join(sf_dir, f"{name}.parquet")
-        if os.path.exists(path):
+        if not os.path.exists(path):
+            continue
+        if name == "events":
+            # events.parquet carries TIMESTAMP(NANOS) which Spark's parquet
+            # reader rejects; read nanos as long and rebuild a (microsecond)
+            # timestamp column.
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+            df = spark.read.parquet(path)
+            if dict(df.dtypes).get("ts") == "bigint":
+                df = df.withColumn(
+                    "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+                )
+            out[name] = df
+        else:
             out[name] = spark.read.parquet(path)
     return out
 
