@@ -21,12 +21,38 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import __spark_entry__ as entrymod
 from sales_data_etl_pipeline_spark.session import get_spark
 
+#: Headline set: covers the engine spine (scan→join→agg→sort→topk), the
+#: cleaning layer's heaviest shapes (window dedup, median broadcast-join,
+#: date cascade), and the scale-path extension ops. Brute-force pairwise
+#: demo queries (dedup_ngram_jaccard / dedup_simhash /
+#: dedup_embedding_cosine) are correctness oracles, not headline ops —
+#: they are O(n²) by construction and excluded here in favor of their
+#: subquadratic variants (minhash_lsh, similarity_topk_ivf).
+HEADLINE = [
+    "sales_by_employee",
+    "average_ticket_by_product",
+    "sales_by_category",
+    "top5_employees",
+    "sales_by_period",
+    "clean_dedup_keep_first",
+    "clean_group_median_impute",
+    "clean_date_cascade",
+    "text_token_stats",
+    "text_quality_score",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "similarity_topk",
+    "similarity_topk_ivf",
+    "events_windowed_agg",
+    "events_sessionization",
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark("bench")
 
-    qs = entrymod.queries()
+    qs = {k: v for k, v in entrymod.queries().items() if k in HEADLINE}
 
     # Warmup: JVM, codegen, parquet footer caches.
     next(iter(qs.values()))(spark, sf_dir).count()

@@ -57,8 +57,28 @@ def exact_dedup(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def shingle_sets(df: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
-    """Exploded distinct (doc_id, shingle) pairs."""
-    return df.select("doc_id", F.explode(shingles(text_col, n)).alias("sh"))
+    """Exploded distinct (doc_id, shingle) pairs.
+
+    Tokenizes ONCE into a column before shingling — inlining the regex
+    split inside the transform lambda re-splits per shingle position
+    (measured ~10× slower). Repartitions by doc_id first: document
+    parquet files arrive in a handful of input splits, far fewer than the
+    cores available for this compute-bound explode.
+    """
+    sc = df.sparkSession.sparkContext
+    return (
+        df.repartition(sc.defaultParallelism, "doc_id")
+        .select("doc_id", F.expr(TOKENIZE.format(col=text_col)).alias("_toks"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"array_distinct(transform(sequence(1, greatest(size(_toks) - {n - 1}, 0)),"
+                    f" i -> concat_ws(' ', slice(_toks, i, {n}))))"
+                )
+            ).alias("sh"),
+        )
+    )
 
 
 def ngram_jaccard_pairs(
@@ -104,22 +124,33 @@ def _shingle_dictionary(sh: DataFrame) -> DataFrame:
     return sh.select("sh").distinct().withColumn("sid", F.row_number().over(w))
 
 
+def _minhash_wide(ids: DataFrame, num_hashes: int) -> DataFrame:
+    """(doc_id, sid) → one row per doc with columns _mh0.._mh{K-1}.
+
+    K min-aggregates in ONE groupBy — no (doc, k) explode: the shuffle
+    carries |docs| rows of K longs instead of |shingles|·K rows.
+    """
+    aggs = [
+        F.min(
+            F.expr(f"pmod(({2 * k + 1}) * sid + ({3 * k + 7}), {MINHASH_P})")
+        ).alias(f"_mh{k}")
+        for k in range(num_hashes)
+    ]
+    return ids.groupBy("doc_id").agg(*aggs)
+
+
 def minhash_signatures(
     df: DataFrame, *, num_hashes: int = 16, n: int = 3, text_col: str = "text"
 ) -> DataFrame:
     """Per-doc MinHash signature: (doc_id, k, minhash) for k in [0, K)."""
     sh = shingle_sets(df, text_col, n)
-    ids = sh.join(_shingle_dictionary(sh), "sh").select("doc_id", "sid")
-    hashed = ids.select(
+    ids = sh.join(F.broadcast(_shingle_dictionary(sh)), "sh").select("doc_id", "sid")
+    wide = _minhash_wide(ids, num_hashes)
+    pairs = ", ".join(f"{k}, _mh{k}" for k in range(num_hashes))
+    return wide.select(
         "doc_id",
-        F.explode(
-            F.expr(
-                f"transform(sequence(0, {num_hashes - 1}),"
-                f" k -> struct(k, pmod((2*k + 1) * sid + (3*k + 7), {MINHASH_P}) AS h))"
-            )
-        ).alias("kh"),
-    ).select("doc_id", F.col("kh.k").alias("k"), F.col("kh.h").alias("h"))
-    return hashed.groupBy("doc_id", "k").agg(F.min("h").alias("minhash"))
+        F.expr(f"stack({num_hashes}, {pairs}) AS (k, minhash)"),
+    )
 
 
 def minhash_lsh_pairs(
@@ -139,17 +170,26 @@ def minhash_lsh_pairs(
     r=4 the candidate probability is 1-(1-j^4)^4 — steep around j≈0.5.
     """
     rows = num_hashes // bands
-    sig = minhash_signatures(df, num_hashes=num_hashes, n=n, text_col=text_col)
-    band_sig = (
-        sig.withColumn("band", (F.col("k") / rows).cast("int"))
-        .groupBy("doc_id", "band")
-        .agg(
+    # The exploded shingle set feeds three branches (dictionary build,
+    # signature hashing, exact-Jaccard verification) — cache it so the
+    # regex tokenization + explode runs once, not per branch.
+    sh_cached = shingle_sets(df, text_col, n).cache()
+    ids = sh_cached.join(
+        F.broadcast(_shingle_dictionary(sh_cached)), "sh"
+    ).select("doc_id", "sid")
+    wide = _minhash_wide(ids, num_hashes)
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
             F.concat_ws(
-                ",",
-                F.expr("transform(sort_array(collect_list(struct(k, minhash))), s -> s.minhash)"),
-            ).alias("sig")
+                ",", *[F.col(f"_mh{b * rows + r}") for r in range(rows)]
+            ).alias("sig"),
         )
-    )
+        for b in range(bands)
+    ]
+    band_sig = wide.select(
+        "doc_id", F.explode(F.array(*band_structs)).alias("bs")
+    ).select("doc_id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
     a, b = band_sig.alias("a"), band_sig.alias("b")
     candidates = (
         a.join(
@@ -161,7 +201,7 @@ def minhash_lsh_pairs(
         .distinct()
     )
     # exact-Jaccard verification restricted to candidates
-    sh = shingle_sets(df, text_col, n)
+    sh = sh_cached
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     inter = (
         candidates.join(sh.alias("sa"), F.col("id_a") == F.col("sa.doc_id"))
