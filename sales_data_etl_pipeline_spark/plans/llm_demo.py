@@ -183,6 +183,71 @@ def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- streaming (real Structured Streaming run, memory sink) -----------------
+
+
+def streaming_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runs the actual Structured Streaming windowed aggregation to
+    completion (memory sink) and returns the result table — the oracle is
+    the same SQL as the batch form, so this gate checks the streaming
+    path end-to-end."""
+    from sales_data_etl_pipeline_spark.streaming import events as streaming
+
+    stream = streaming.stream_events(spark, sf_dir)
+    return streaming.run_stream_to_memory(
+        streaming.windowed_counts(stream),
+        "q_stream_windowed",
+        output_mode="complete",
+    )
+
+
+# --- multimodal plumbing (mapInPandas; payloads synthesized from text) ------
+
+
+def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary payload plumbing: encode text → binary, mapInPandas decode
+    stub → typed dims. The decode arithmetic is length-derived, so the
+    oracle reproduces it in SQL — what's being checked is the Arrow
+    batch plumbing (schema, fan-in/fan-out, partitioning)."""
+    from sales_data_etl_pipeline_spark.operators import multimodal
+
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").alias("media_id"),
+        F.encode("text", "UTF-8").alias("payload"),
+    )
+    return multimodal.decode_images(docs)
+
+
+# --- profile stats (A11–A16) -------------------------------------------------
+
+
+def stats_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's logged statistics block (A11 max, A12 count-distinct,
+    A13 value_counts, A14 mean/median, A15 conditional count, A16 coalesce)
+    as one aggregate over orders."""
+    orders = load_testdata(spark, sf_dir, ("orders",))["orders"]
+    return orders.agg(
+        F.max("o_orderkey").alias("max_id"),
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.round(F.avg("o_totalprice"), 2).alias("mean_price"),
+        F.round(F.expr("percentile(o_totalprice, 0.5D)"), 2).alias("median_price"),
+        F.sum(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)).alias(
+            "n_finished"
+        ),
+        F.coalesce(F.round(F.sum("o_totalprice"), 2), F.lit(0.0)).alias("total_price"),
+    )
+
+
+def stats_value_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A13 — value_counts of o_orderpriority (frequency table, desc)."""
+    orders = load_testdata(spark, sf_dir, ("orders",))["orders"]
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("o_orderpriority"))
+    )
+
+
 QUERIES = {
     "text_token_stats": text_token_stats,
     "text_language_id": text_language_id,
@@ -197,6 +262,10 @@ QUERIES = {
     "similarity_topk_ivf": similarity_topk_ivf,
     "events_windowed_agg": events_windowed_agg,
     "events_sessionization": events_sessionization,
+    "streaming_windowed_counts": streaming_windowed_counts,
+    "multimodal_decode": multimodal_decode,
+    "stats_profile": stats_profile,
+    "stats_value_counts": stats_value_counts,
 }
 
 # ---------------------------------------------------------------------------
@@ -433,6 +502,35 @@ ORACLES = {
                ROUND(SUM(value), 2) AS total_value
         FROM events
         GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    "streaming_windowed_counts": """
+        SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+               event_type,
+               COUNT(*) AS n_events,
+               ROUND(SUM(value), 2) AS total_value
+        FROM events
+        GROUP BY 1, 2
+    """,
+    "multimodal_decode": """
+        SELECT doc_id AS media_id,
+               64 + octet_length(encode(text)) % 512 AS width,
+               64 + (octet_length(encode(text)) * 7) % 512 AS height,
+               3 AS channels
+        FROM documents
+    """,
+    "stats_profile": """
+        SELECT MAX(o_orderkey) AS max_id,
+               COUNT(DISTINCT o_custkey) AS n_customers,
+               ROUND(AVG(o_totalprice), 2) AS mean_price,
+               ROUND(quantile_cont(o_totalprice, 0.5), 2) AS median_price,
+               SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_finished,
+               COALESCE(ROUND(SUM(o_totalprice), 2), 0.0) AS total_price
+        FROM orders
+    """,
+    "stats_value_counts": """
+        SELECT o_orderpriority, COUNT(*) AS n
+        FROM orders GROUP BY o_orderpriority
+        ORDER BY n DESC, o_orderpriority
     """,
     "events_sessionization": """
         WITH g AS (

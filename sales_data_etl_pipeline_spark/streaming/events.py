@@ -1,0 +1,139 @@
+"""Structured Streaming over the events table.
+
+The reference is strictly batch (SURVEY.md §2.9); this is the engine's
+streaming extension: file-source stream → watermark → tumbling-window /
+session-window aggregations → sink. The aggregation logic is shared with
+the batch forms in ``plans.llm_demo`` (same grouping expressions), so
+batch results are the oracle for the streaming path.
+
+Scale design: watermark bounds state (late rows beyond the watermark are
+dropped instead of keeping windows open forever); tumbling windows shard
+state by (window, key) across executors; ``foreachBatch`` is the
+exactly-once sink adapter for non-idempotent targets.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+#: events.parquet carries ns timestamps; the stream reads them as long
+#: (spark.sql.legacy.parquet.nanosAsLong) and rebuilds a µs timestamp.
+EVENTS_RAW_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType(), True),
+        T.StructField("ts", T.LongType(), True),  # ns since epoch
+        T.StructField("user_id", T.LongType(), True),
+        T.StructField("event_type", T.StringType(), True),
+        T.StructField("value", T.DoubleType(), True),
+        T.StructField("props", T.StringType(), True),
+    ]
+)
+
+
+def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream of the events table (one-file directory stream).
+
+    In production this is a Kafka source; the file source exercises the
+    identical plan surface (watermarks, stateful aggs, sinks).
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (
+        spark.readStream.format("parquet")
+        .schema(EVENTS_RAW_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_dir)
+    )
+    return raw.withColumn(
+        "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+    )
+
+
+def windowed_counts(
+    events: DataFrame,
+    *,
+    window: str = "1 hour",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Tumbling-window count + sum per event_type with late-data watermark.
+
+    Identical grouping semantics to the batch ``events_windowed_agg`` —
+    the batch result is the correctness oracle for this stream.
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def session_counts(
+    events: DataFrame,
+    *,
+    gap: str = "30 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Session-window aggregation (30-min inactivity gap) per user —
+    the streaming form of the batch lag+cumsum sessionization."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "user_id",
+            "n_events",
+        )
+    )
+
+
+def run_stream_to_memory(
+    agg: DataFrame, query_name: str, *, output_mode: str = "complete"
+) -> DataFrame:
+    """Drive a (bounded) stream to completion through a memory sink and
+    return the result table. For tests/smoke: ``processAllAvailable``
+    makes the run synchronous."""
+    q = (
+        agg.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return agg.sparkSession.table(query_name)
+
+
+def stream_to_parquet(
+    agg: DataFrame,
+    path: str,
+    checkpoint: str,
+    *,
+    output_mode: str = "append",
+) -> "object":
+    """Continuous parquet sink with checkpointing (exactly-once file sink).
+
+    Returns the StreamingQuery handle; callers manage lifecycle.
+    """
+    return (
+        agg.writeStream.outputMode(output_mode)
+        .format("parquet")
+        .option("path", path)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )

@@ -1,0 +1,53 @@
+"""Multimodal plumbing tests (payloads synthesized from document text)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from sales_data_etl_pipeline_spark.operators import multimodal
+from sales_data_etl_pipeline_spark.sources.tables import load_testdata
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _media(spark):
+    docs = load_testdata(spark, SF_DIR, ("documents",))["documents"]
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode("text", "UTF-8").alias("payload"),
+    )
+
+
+def test_attach_metadata(spark):
+    m = multimodal.attach_metadata(_media(spark))
+    row = m.filter(F.col("media_id") == 0).select("meta.*", F.octet_length("payload").alias("n")).first()
+    assert row.media_type == "image" and row.n_bytes == row.n
+    assert [f.name for f in m.schema["meta"].dataType.fields] == [
+        f.name for f in multimodal.MEDIA_META_SCHEMA.fields
+    ]
+
+
+def test_decode_images_batchwise(spark):
+    m = _media(spark)
+    out = multimodal.decode_images(m)
+    assert out.count() == m.count()
+    r = out.filter(F.col("media_id") == 0).first()
+    assert r.channels == 3 and 64 <= r.width < 576 and 64 <= r.height < 576
+
+
+def test_extract_features_fixed_dim(spark):
+    out = multimodal.extract_features(_media(spark))
+    sizes = out.select(F.size("feature").alias("d")).distinct().collect()
+    assert [s.d for s in sizes] == [multimodal.FEATURE_DIM]
+    # histogram normalized: components sum to ≈1
+    s = out.select(
+        F.expr("aggregate(feature, 0D, (a, x) -> a + x)").alias("s")
+    ).agg(F.min("s"), F.max("s")).first()
+    assert 0.99 <= s[0] <= s[1] <= 1.01
+
+
+def test_sample_frames_fanout(spark):
+    out = multimodal.sample_frames(_media(spark), frame_bytes=64, every_nth=2)
+    assert out.count() > _media(spark).count()  # 1 → N fanout
+    r = out.filter(F.col("frame_idx") == 0).select(F.octet_length("frame").alias("n")).first()
+    assert 0 < r.n <= 64
