@@ -165,6 +165,7 @@ def fill_group_median(
     group_method: str = "mediana_grupo",
     global_method: str = "mediana_global",
     round_digits: int | None = None,
+    round_mode: str = "half_up",
     exact: bool = True,
 ) -> DataFrame:
     """A6/A7/A10 — impute NULLs with the per-group median of the
@@ -184,7 +185,11 @@ def fill_group_median(
 
     fill = F.coalesce(F.col("_grp_med"), F.col("_glob_med"))
     if round_digits is not None:
-        fill = F.round(fill, round_digits)
+        # half_even (bround) reproduces Python/pandas round() bit-for-bit
+        # (SURVEY.md §7.4 item 6: 747.685→747.68, 40.5→40); half_up is
+        # Spark/SQL convention and matches the DuckDB oracles.
+        rounder = F.bround if round_mode == "half_even" else F.round
+        fill = rounder(fill, round_digits)
 
     out = (
         df.join(F.broadcast(per_group), on=group_col, how="left")

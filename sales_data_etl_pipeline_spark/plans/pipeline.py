@@ -35,7 +35,9 @@ def extract_treat_produtos(raw: DataFrame) -> DataFrame:
     df = cleaning.canonical_name(df, "nome", "Produto", "id_produto")
     df = cleaning.fill_constant(df, "categoria", "Desconhecida")
     df = df.withColumn("preco", coerce_numeric("preco"))
-    df = cleaning.fill_group_median(df, "preco", "categoria", round_digits=2)
+    df = cleaning.fill_group_median(
+        df, "preco", "categoria", round_digits=2, round_mode="half_even"
+    )
     return df.select("id_produto", "nome", "preco", "categoria")
 
 
@@ -73,7 +75,9 @@ def extract_treat_vendas(
         "id_produto",
         "left",
     )
-    df = cleaning.fill_group_median(df, "valor_unitario", "categoria", round_digits=2)
+    df = cleaning.fill_group_median(
+        df, "valor_unitario", "categoria", round_digits=2, round_mode="half_even"
+    )
     df = df.drop("categoria")
 
     # --- total derivation (P6) --------------------------------------------
@@ -123,6 +127,7 @@ def extract_treat_empregados(raw: DataFrame) -> DataFrame:
         method_col="metodo_imputacao_idade",
         group_method="mediana_cargo",
         round_digits=0,
+        round_mode="half_even",
     )
     df = cleaning.clamp_range(df, "idade", 18, 70, flag_col="idade_ajustada")
     df = df.withColumn("idade", F.col("idade").cast("long"))
@@ -135,6 +140,17 @@ def extract_treat_empregados(raw: DataFrame) -> DataFrame:
         "metodo_imputacao_idade",
         "idade_ajustada",
     )
+
+
+def validate_inputs(*paths: str) -> None:
+    """S2 — input existence check (reference ``pipeline.py:41-48``,
+    ``et_produtos.py:32-43``): fail fast with a clear error before any
+    Spark job is launched."""
+    import os
+
+    missing = [p for p in paths if not os.path.exists(p)]
+    if missing:
+        raise FileNotFoundError(f"input file(s) not found: {', '.join(missing)}")
 
 
 def run_pipeline(
@@ -152,6 +168,8 @@ def run_pipeline(
     from sales_data_etl_pipeline_spark import schemas
     from sales_data_etl_pipeline_spark.sources.csv import read_csv_with_ordinal
     from sales_data_etl_pipeline_spark.sources.parquet import write_parquet
+
+    validate_inputs(produtos_csv, vendas_csv, empregados_csv)
 
     produtos = extract_treat_produtos(
         read_csv_with_ordinal(spark, produtos_csv, schemas.PRODUTOS_RAW)
@@ -173,3 +191,43 @@ def run_pipeline(
         cleaning.drop_audit_columns(empregados), f"{output_dir}/empregados.parquet"
     )
     return {"produtos": produtos, "vendas": vendas, "empregados": empregados}
+
+
+def main() -> None:
+    """CLI entry (reference ``python pipeline.py``): ET + sinks + report.
+
+    Usage: python -m sales_data_etl_pipeline_spark.plans.pipeline \
+        <produtos.csv> <vendas.csv> <empregados.csv> <output_dir>
+    """
+    import sys
+
+    from sales_data_etl_pipeline_spark import report
+    from sales_data_etl_pipeline_spark.catalog import timed_step
+    from sales_data_etl_pipeline_spark.plans import analytics
+    from sales_data_etl_pipeline_spark.session import get_spark
+
+    produtos_csv, vendas_csv, empregados_csv, out_dir = sys.argv[1:5]
+    spark = get_spark("sales-pipeline")
+    with timed_step("pipeline"):
+        dfs = run_pipeline(spark, produtos_csv, vendas_csv, empregados_csv, out_dir)
+        results = {
+            "sales_by_employee": analytics.sales_by_employee(
+                dfs["vendas"], dfs["empregados"]
+            ),
+            "average_ticket_by_product": analytics.average_ticket_by_product(
+                dfs["vendas"], dfs["produtos"]
+            ),
+            "sales_by_category": analytics.sales_by_category(
+                dfs["vendas"], dfs["produtos"]
+            ),
+            "top5_employees": analytics.top5_employees(
+                dfs["vendas"], dfs["empregados"]
+            ),
+            "sales_by_period": analytics.sales_by_period(dfs["vendas"]),
+        }
+        path = report.save_report(results, f"{out_dir}/relatorio-final")
+        print(f"report: {path}")
+
+
+if __name__ == "__main__":
+    main()
