@@ -1,0 +1,76 @@
+"""Property-based tests (hypothesis) for the cleaning operators.
+
+The reference's invariants (README.md:123-146 there; SURVEY.md §5) hold
+for ANY input, not just the fixture CSVs — hypothesis generates the
+inputs. One shared small Spark session keeps example counts practical.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from sales_data_etl_pipeline_spark.operators import cleaning
+
+SET = settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+rows = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=20),              # key
+        st.one_of(st.none(), st.floats(-1e6, 1e6, allow_nan=False)),  # value
+    ),
+    min_size=1,
+    max_size=60,
+)
+
+
+@given(data=rows)
+@SET
+def test_dedup_never_loses_keys_and_keeps_one_per_key(spark, data):
+    df = spark.createDataFrame(
+        [(k, v, i) for i, (k, v) in enumerate(data)], "k long, v double, ord long"
+    )
+    out = cleaning.dedup_keep_first(df, ["k"], "ord")
+    got = out.groupBy("k").count().collect()
+    assert all(r["count"] == 1 for r in got)
+    assert {r.k for r in got} == {k for k, _ in data}
+    # survivor is the first occurrence in ord order
+    firsts = {}
+    for i, (k, v) in enumerate(data):
+        firsts.setdefault(k, (v, i))
+    for r in out.collect():
+        assert (r.v, r.ord) == firsts[r.k]
+
+
+@given(data=rows, lo=st.integers(-100, 0), span=st.integers(1, 200))
+@SET
+def test_clamp_bounds_and_row_preservation(spark, data, lo, span):
+    hi = lo + span
+    df = spark.createDataFrame(
+        [(k, v) for k, v in data], "k long, v double"
+    )
+    out = cleaning.clamp_range(df, "v", lo, hi, flag_col="adj").collect()
+    assert len(out) == len(data)
+    for r in out:
+        if r.v is not None:
+            assert lo <= r.v <= hi
+
+
+@given(data=rows)
+@SET
+def test_group_median_fill_leaves_no_nulls_when_any_value_exists(spark, data):
+    df = spark.createDataFrame([(k, v) for k, v in data], "k long, v double")
+    any_value = any(v is not None for _, v in data)
+    out = cleaning.fill_group_median(df, "v", "k", flag_col="imp").collect()
+    assert len(out) == len(data)  # zero row loss
+    if any_value:
+        assert all(r.v is not None for r in out)
+    # non-null inputs never change
+    originals = [(k, v) for k, v in data if v is not None]
+    kept = sorted((r.k, r.v) for r in out if not r.imp and r.v is not None)
+    assert sorted(originals) == kept
