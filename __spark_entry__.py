@@ -42,6 +42,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sales_by_category": analytics.td_sales_by_category,
         "top5_employees": analytics.td_top5_employees,
         "sales_by_period": analytics.td_sales_by_period,
+        "sales_by_employee_sql": analytics.td_sales_by_employee_sql,
         # §2.2/2.5 cleaning layer (reference extract-transform-data/et_*.py)
         **cleaning_demo.QUERIES,
         # extension layer: text analysis / dedup / similarity / event windows
@@ -65,6 +66,7 @@ def oracle_sql() -> dict[str, str]:
         **cleaning_demo.ORACLES,
         **llm_demo.ORACLES,
         "sales_by_employee": sales_by_employee,
+        "sales_by_employee_sql": sales_by_employee,
         "average_ticket_by_product": f"""
             SELECT p.p_partkey AS id_produto,
                    p.p_name AS nome,

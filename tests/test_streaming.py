@@ -57,3 +57,22 @@ def test_stream_to_parquet_sink(spark, tmp_path):
     # source the final window may be withheld — check files exist & schema
     out = spark.read.parquet(str(tmp_path / "out"))
     assert set(out.columns) == {"window_start", "event_type", "n_events", "total_value"}
+
+
+def test_stateful_user_totals(spark):
+    stream = streaming.stream_events(spark, SF_DIR)
+    result = streaming.run_stream_to_memory(
+        streaming.stateful_user_totals(stream), "t_stateful", output_mode="update"
+    )
+    # with one input batch, the final state per user equals the batch agg
+    batch = (
+        llm_demo._events(spark, SF_DIR)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+    got = {(r.user_id, r.n_events, r.total_value) for r in result.collect()}
+    want = {(r.user_id, r.n_events, r.total_value) for r in batch.collect()}
+    assert got == want and len(want) > 0
