@@ -125,24 +125,47 @@ def assign_ivf_buckets(
     vec_col: str = "embedding",
     centroid_id_col: str = "centroid_id",
 ) -> DataFrame:
-    """Assign every vector to its max-cosine centroid (ties → smallest
-    centroid id). Centroids broadcast; one narrow pass over the corpus."""
-    c = centroids.select(
-        F.col(id_col).alias(centroid_id_col), F.col(vec_col).alias("_cvec")
+    """Assign every vector to its max-cosine centroid (ties at 6 dp →
+    smallest centroid id).
+
+    Centroids are collected to a small matrix and closed over by a
+    ``mapInPandas`` kernel: one (batch × dim)·(dim × n_centroids) matmul
+    + argmax per Arrow batch — one narrow pass over the corpus, no join.
+    (The interpreted SQL-fold equivalent was ~6× slower at 5k×100.)
+    """
+    import numpy as np
+    import pandas as pd
+
+    c_rows = sorted(
+        centroids.select(id_col, vec_col).collect(), key=lambda r: r[0]
     )
-    scored = corpus.crossJoin(F.broadcast(c)).withColumn(
-        "_sim",
-        F.round(
-            F.expr(_dot("_cvec", vec_col))
-            / (F.expr(_norm("_cvec")) * F.expr(_norm(vec_col))),
-            6,
-        ),
-    )
-    w = Window.partitionBy(id_col).orderBy(F.desc("_sim"), F.asc(centroid_id_col))
+    c_ids = np.array([r[0] for r in c_rows], dtype=np.int64)
+    C = np.array([r[1] for r in c_rows], dtype=np.float64)
+    Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+
+    def assign(batches):
+        for pdf in batches:
+            V = np.array(list(pdf[vec_col]), dtype=np.float64)
+            Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+            # round to 6 dp BEFORE argmax so tie-breaking (first index ==
+            # smallest centroid id) matches the rank-on-rounded oracle
+            S = np.round(Vn @ Cn.T, 6)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    vec_col: pdf[vec_col],
+                    centroid_id_col: c_ids[np.argmax(S, axis=1)],
+                }
+            )
+
+    sc = corpus.sparkSession.sparkContext
     return (
-        scored.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .select(id_col, vec_col, centroid_id_col)
+        corpus.select(id_col, vec_col)
+        .repartition(sc.defaultParallelism, id_col)
+        .mapInPandas(
+            assign,
+            f"{id_col} long, {vec_col} array<float>, {centroid_id_col} long",
+        )
     )
 
 

@@ -197,7 +197,55 @@ def clean_sequential_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cleaning.backfill_sequential_ids(dirty, "id_empregado", "nome")
 
 
+# --- composed ET chain (the §3.2 shape at testdata scale) -------------------
+
+
+def clean_et_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full vendas-ET composition on testdata: keep-first dedup →
+    date cascade → grouped unit-value median via dimension join → total
+    derivation. One lazy plan, mirroring ``plans.pipeline.extract_treat_
+    vendas`` — the chain the reference runs eagerly stage by stage
+    (``et_vendas.py:432-471``)."""
+    t = load_testdata(spark, sf_dir, ("lineitem", "part"))
+    li = t["lineitem"].select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_suppkey",
+        "l_partkey",
+        F.col("l_quantity").alias("quantidade"),
+        F.when(F.col("l_orderkey") % 13 == 0, F.lit(None))
+        .otherwise(F.col("l_shipdate").cast("date"))
+        .alias("data"),
+        F.when(F.col("l_orderkey") % 7 == 0, F.lit(None))
+        .otherwise(F.col("l_extendedprice") / F.col("l_quantity"))
+        .alias("valor_unitario"),
+        F.when(F.col("l_orderkey") % 7 == 0, F.lit(None))
+        .otherwise(F.col("l_extendedprice"))
+        .alias("valor_total"),
+    )
+    df = cleaning.dedup_keep_first(
+        li, ["l_orderkey"], ["l_linenumber", "l_partkey", "quantidade"]
+    )
+    df = cleaning.fill_date_cascade(df, "data", "l_suppkey", fallback_date="2000-01-01")
+    df = df.join(
+        F.broadcast(t["part"].select(F.col("p_partkey"), F.col("p_type"))),
+        df.l_partkey == F.col("p_partkey"),
+        "left",
+    ).drop("p_partkey")
+    df = cleaning.fill_group_median(df, "valor_unitario", "p_type", round_digits=2)
+    df = df.drop("p_type")
+    df = cleaning.derive_if_null(
+        df, "valor_total", F.round(F.col("quantidade") * F.col("valor_unitario"), 2)
+    )
+    return df.select(
+        "l_orderkey", "l_linenumber", "l_suppkey", "l_partkey",
+        "quantidade", "data", "valor_unitario", "valor_total",
+        "data_imputada", "metodo_imputacao",
+    )
+
+
 QUERIES = {
+    "clean_et_chain": clean_et_chain,
     "clean_dedup_keep_first": clean_dedup_keep_first,
     "clean_duplicate_keys": clean_duplicate_keys,
     "clean_fill_constant": clean_fill_constant,
@@ -213,6 +261,58 @@ QUERIES = {
 
 
 ORACLES = {
+    "clean_et_chain": """
+        WITH dirty AS (
+            SELECT l_orderkey, l_linenumber, l_suppkey, l_partkey,
+                   l_quantity AS quantidade,
+                   CASE WHEN l_orderkey % 13 = 0 THEN NULL
+                        ELSE CAST(l_shipdate AS DATE) END AS data,
+                   CASE WHEN l_orderkey % 7 = 0 THEN NULL
+                        ELSE l_extendedprice / l_quantity END AS valor_unitario,
+                   CASE WHEN l_orderkey % 7 = 0 THEN NULL
+                        ELSE l_extendedprice END AS valor_total
+            FROM lineitem),
+        dedup AS (
+            SELECT * FROM dirty
+            QUALIFY row_number() OVER (PARTITION BY l_orderkey
+                ORDER BY l_linenumber, l_partkey, quantidade) = 1),
+        dgrp AS (SELECT l_suppkey,
+                        median(date_diff('day', DATE '1970-01-01', data)) AS grp_days
+                 FROM dedup WHERE data IS NOT NULL GROUP BY 1),
+        dglob AS (SELECT median(date_diff('day', DATE '1970-01-01', data)) AS glob_days
+                  FROM dedup WHERE data IS NOT NULL),
+        dated AS (
+            SELECT d.*,
+                   CASE WHEN d.data IS NULL THEN
+                        COALESCE(DATE '1970-01-01' + CAST(floor(g.grp_days) AS INT),
+                                 DATE '1970-01-01' + CAST(floor(gl.glob_days) AS INT),
+                                 DATE '2000-01-01')
+                   ELSE d.data END AS data_f,
+                   (d.data IS NULL) AS data_imputada,
+                   CASE WHEN d.data IS NULL THEN
+                        CASE WHEN g.grp_days IS NOT NULL THEN 'mediana_empregado'
+                             WHEN gl.glob_days IS NOT NULL THEN 'mediana_global'
+                             ELSE 'data_atual' END
+                   END AS metodo_imputacao
+            FROM dedup d LEFT JOIN dgrp g USING (l_suppkey) CROSS JOIN dglob gl),
+        joined AS (SELECT dated.*, p.p_type
+                   FROM dated LEFT JOIN part p ON dated.l_partkey = p.p_partkey),
+        ugrp AS (SELECT p_type, median(valor_unitario) AS grp_med
+                 FROM joined GROUP BY 1),
+        uglob AS (SELECT median(valor_unitario) AS glob_med FROM joined),
+        unitfix AS (
+            SELECT j.*,
+                   CASE WHEN j.valor_unitario IS NULL
+                        THEN ROUND(COALESCE(g.grp_med, gl.glob_med), 2)
+                        ELSE j.valor_unitario END AS vu_f
+            FROM joined j LEFT JOIN ugrp g USING (p_type) CROSS JOIN uglob gl)
+        SELECT l_orderkey, l_linenumber, l_suppkey, l_partkey, quantidade,
+               data_f AS data, vu_f AS valor_unitario,
+               CASE WHEN valor_total IS NULL THEN ROUND(quantidade * vu_f, 2)
+                    ELSE valor_total END AS valor_total,
+               data_imputada, metodo_imputacao
+        FROM unitfix
+    """,
     "clean_dedup_keep_first": """
         SELECT l_orderkey, l_linenumber, l_partkey, l_quantity
         FROM lineitem
