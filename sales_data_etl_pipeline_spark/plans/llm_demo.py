@@ -183,6 +183,52 @@ def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- corpus dedup pipeline (the end-to-end training-data use case) ----------
+
+
+def corpus_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality filter → exact dedup → MinHash-LSH near-dup removal, as one
+    composition — the canonical 100 TB training-data pipeline.
+
+    Survivor policy: exact dups keep the smallest doc_id; near-dup pairs
+    (a < b, jaccard ≥ 0.5) drop every b (greedy keep-first — cluster-free
+    and deterministic). Returns surviving (doc_id, n_tokens).
+    """
+    base = _docs(spark, sf_dir).select("doc_id", "text")
+    dirty = base.filter(F.col("doc_id") % 20 == 0)
+    docs = (
+        base.unionByName(
+            dirty.select((F.col("doc_id") + 10000).alias("doc_id"), "text")
+        )
+        .unionByName(
+            dirty.select(
+                (F.col("doc_id") + 20000).alias("doc_id"),
+                F.expr("substring(text, 1, greatest(length(text) - 30, 1))").alias(
+                    "text"
+                ),
+            )
+        )
+        .withColumn("n_tokens", F.size(text.tokens("text")))
+        .filter(F.col("n_tokens") >= 20)
+    )
+    exact_keep = (
+        docs.groupBy(F.md5("text").alias("_h"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    docs = docs.join(exact_keep, "doc_id", "left_semi")
+    near_drop = (
+        dedup.minhash_lsh_pairs(docs, threshold=0.5)
+        .select(F.col("id_b").alias("doc_id"))
+        .distinct()
+    )
+    return (
+        docs.join(near_drop, "doc_id", "left_anti")
+        .select("doc_id", "n_tokens")
+        .orderBy("doc_id")
+    )
+
+
 # --- streaming (real Structured Streaming run, memory sink) -----------------
 
 
@@ -258,6 +304,7 @@ QUERIES = {
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_simhash": dedup_simhash,
     "dedup_embedding_cosine": dedup_embedding_cosine,
+    "corpus_dedup_pipeline": corpus_dedup_pipeline,
     "similarity_topk": similarity_topk,
     "similarity_topk_ivf": similarity_topk_ivf,
     "events_windowed_agg": events_windowed_agg,
@@ -386,7 +433,7 @@ ORACLES = {
             FROM ids, UNNEST(generate_series(0, 15)) AS u(k)),
         sig AS (SELECT doc_id, k, MIN(h) AS minhash FROM hashed GROUP BY 1, 2),
         band_sig AS (
-            SELECT doc_id, CAST(k / 4 AS INT) AS band,
+            SELECT doc_id, CAST(k // 4 AS INT) AS band,
                    string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY k) AS sig
             FROM sig GROUP BY 1, 2),
         cand AS (
@@ -429,6 +476,53 @@ ORACLES = {
                bit_count(xor(a.simhash, b.simhash)) AS hamming
         FROM fp a JOIN fp b ON a.doc_id < b.doc_id
         WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
+    """,
+    "corpus_dedup_pipeline": f"""
+        WITH base AS (
+            SELECT doc_id, text FROM documents
+            UNION ALL
+            SELECT doc_id + 10000, text FROM documents WHERE doc_id % 20 = 0
+            UNION ALL
+            SELECT doc_id + 20000,
+                   substring(text, 1, greatest(length(text) - 30, 1))
+            FROM documents WHERE doc_id % 20 = 0),
+        flt AS (
+            SELECT doc_id, text, len({_TOKS.format(col='text')}) AS n_tokens
+            FROM base
+            WHERE len({_TOKS.format(col='text')}) >= 20),
+        keep AS (SELECT MIN(doc_id) AS doc_id FROM flt GROUP BY md5(text)),
+        d AS (SELECT f.* FROM flt f JOIN keep USING (doc_id)),
+        sh AS (SELECT doc_id, UNNEST({_SHINGLES}) AS sh FROM d),
+        dict AS (SELECT sh, row_number() OVER (ORDER BY sh) AS sid
+                 FROM (SELECT DISTINCT sh FROM sh)),
+        ids AS (SELECT s.doc_id, dict.sid FROM sh s JOIN dict USING (sh)),
+        hashed AS (
+            SELECT doc_id, k, ((2*k + 1) * sid + (3*k + 7)) % {dedup.MINHASH_P} AS h
+            FROM ids, UNNEST(generate_series(0, 15)) AS u(k)),
+        sig AS (SELECT doc_id, k, MIN(h) AS minhash FROM hashed GROUP BY 1, 2),
+        band_sig AS (
+            SELECT doc_id, CAST(k // 4 AS INT) AS band,
+                   string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY k) AS sig
+            FROM sig GROUP BY 1, 2),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM band_sig a JOIN band_sig b
+              ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+        sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+        inter AS (
+            SELECT c.id_a, c.id_b, COUNT(*) AS inter
+            FROM cand c
+            JOIN sh sa ON sa.doc_id = c.id_a
+            JOIN sh sb ON sb.doc_id = c.id_b AND sa.sh = sb.sh
+            GROUP BY 1, 2),
+        pairs AS (
+            SELECT id_a, id_b FROM inter
+            JOIN sz sa ON sa.doc_id = id_a
+            JOIN sz sb ON sb.doc_id = id_b
+            WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.5)
+        SELECT doc_id, n_tokens FROM d
+        WHERE doc_id NOT IN (SELECT id_b FROM pairs)
+        ORDER BY doc_id
     """,
     "dedup_embedding_cosine": f"""
         WITH e AS ({_NEAR_DUP_EMB})
