@@ -43,6 +43,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top5_employees": analytics.td_top5_employees,
         "sales_by_period": analytics.td_sales_by_period,
         "sales_by_employee_sql": analytics.td_sales_by_employee_sql,
+        "sales_rollup": analytics.td_sales_rollup,
+        "sales_pivot": analytics.td_sales_pivot,
         # §2.2/2.5 cleaning layer (reference extract-transform-data/et_*.py)
         **cleaning_demo.QUERIES,
         # extension layer: text analysis / dedup / similarity / event windows
@@ -67,6 +69,22 @@ def oracle_sql() -> dict[str, str]:
         **llm_demo.ORACLES,
         "sales_by_employee": sales_by_employee,
         "sales_by_employee_sql": sales_by_employee,
+        "sales_rollup": f"""
+            SELECT COALESCE(p.p_brand, 'ALL') AS brand,
+                   COALESCE(p.p_type, 'ALL') AS tipo,
+                   ROUND(SUM({revenue}), 2) AS revenue
+            FROM lineitem l
+            JOIN part p ON l.l_partkey = p.p_partkey
+            GROUP BY ROLLUP (p.p_brand, p.p_type)
+            ORDER BY brand, tipo
+        """,
+        "sales_pivot": """
+            SELECT o_orderpriority,
+                   SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_f,
+                   SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS n_o,
+                   SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS n_p
+            FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+        """,
         "average_ticket_by_product": f"""
             SELECT p.p_partkey AS id_produto,
                    p.p_name AS nome,

