@@ -229,6 +229,52 @@ def corpus_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- temporal joins (as-of / range — operators Spark lacks natively) --------
+
+
+def events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For every purchase event: the user's most recent prior-or-equal
+    'view' event (backward as-of join). Oracle: DuckDB's native ASOF JOIN.
+    Timestamps are emitted as epoch millis to sidestep ns-vs-µs parquet
+    precision differences between engines."""
+    from sales_data_etl_pipeline_spark.operators.temporal import asof_join
+
+    ev = _events(spark, sf_dir)
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_event_id"), "user_id", "ts"
+    )
+    out = asof_join(
+        purchases, views, on="user_id", right_cols=["view_event_id"]
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.unix_millis("ts").alias("ts_ms"),
+        F.col("view_event_id_matched").alias("view_event_id"),
+    ).orderBy("event_id")
+
+
+def events_range_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For every purchase: how many 'view' events of the same user fell in
+    the preceding 30 minutes (bucketized range join)."""
+    from sales_data_etl_pipeline_spark.operators.temporal import range_join_count
+
+    ev = _events(spark, sf_dir)
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    views = ev.filter(F.col("event_type") == "view").select("user_id", "ts")
+    out = range_join_count(
+        purchases, views, on="user_id", range_seconds=1800, count_col="n_views_30m"
+    )
+    return out.select(
+        "event_id", "user_id", F.unix_millis("ts").alias("ts_ms"), "n_views_30m"
+    ).orderBy("event_id")
+
+
 # --- streaming (real Structured Streaming run, memory sink) -----------------
 
 
@@ -309,6 +355,8 @@ QUERIES = {
     "similarity_topk_ivf": similarity_topk_ivf,
     "events_windowed_agg": events_windowed_agg,
     "events_sessionization": events_sessionization,
+    "events_asof_join": events_asof_join,
+    "events_range_count": events_range_count,
     "streaming_windowed_counts": streaming_windowed_counts,
     "multimodal_decode": multimodal_decode,
     "stats_profile": stats_profile,
@@ -596,6 +644,27 @@ ORACLES = {
                ROUND(SUM(value), 2) AS total_value
         FROM events
         GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    "events_asof_join": """
+        WITH p AS (SELECT event_id, user_id, ts FROM events
+                   WHERE event_type = 'purchase'),
+             v AS (SELECT event_id AS view_event_id, user_id, ts FROM events
+                   WHERE event_type = 'view')
+        SELECT p.event_id, p.user_id, epoch_ms(p.ts) AS ts_ms, v.view_event_id
+        FROM p ASOF LEFT JOIN v
+          ON p.user_id = v.user_id AND p.ts >= v.ts
+        ORDER BY p.event_id
+    """,
+    "events_range_count": """
+        WITH p AS (SELECT event_id, user_id, ts FROM events
+                   WHERE event_type = 'purchase'),
+             v AS (SELECT user_id, ts FROM events WHERE event_type = 'view')
+        SELECT p.event_id, p.user_id, epoch_ms(p.ts) AS ts_ms,
+               (SELECT COUNT(*) FROM v
+                WHERE v.user_id = p.user_id
+                  AND epoch(v.ts) < epoch(p.ts)
+                  AND epoch(v.ts) >= epoch(p.ts) - 1800.0) AS n_views_30m
+        FROM p ORDER BY p.event_id
     """,
     "streaming_windowed_counts": """
         SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,

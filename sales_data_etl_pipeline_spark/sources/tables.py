@@ -45,7 +45,7 @@ def load_testdata(
             df = spark.read.parquet(path)
             if dict(df.dtypes).get("ts") == "bigint":
                 df = df.withColumn(
-                    "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+                    "ts", F.timestamp_micros(F.expr("ts div 1000"))
                 )
             out[name] = df
         else:

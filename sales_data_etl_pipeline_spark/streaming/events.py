@@ -48,7 +48,7 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .load(sf_dir)
     )
     return raw.withColumn(
-        "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+        "ts", F.timestamp_micros(F.expr("ts div 1000"))
     )
 
 
