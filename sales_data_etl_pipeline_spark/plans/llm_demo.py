@@ -275,6 +275,32 @@ def events_range_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_id")
 
 
+def events_multires_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous aggregate: hourly AND daily rollups of
+    the event stream in ONE pass (grouping sets share the partial
+    aggregates — the fact table shuffles once, not once per resolution).
+
+    At 100 TB this materializes the multi-resolution rollup a time-series
+    store would maintain incrementally; day-level rows have hour IS NULL.
+    """
+    ev = _events(spark, sf_dir)
+    bucketed = ev.select(
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        F.date_format("ts", "HH").alias("hour"),
+        "event_type",
+        "value",
+    )
+    return (
+        bucketed.rollup("day", "hour")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .filter(F.col("day").isNotNull())  # drop the grand-total row
+        .orderBy("day", F.col("hour").asc_nulls_first())
+    )
+
+
 # --- streaming (real Structured Streaming run, memory sink) -----------------
 
 
@@ -357,6 +383,7 @@ QUERIES = {
     "events_sessionization": events_sessionization,
     "events_asof_join": events_asof_join,
     "events_range_count": events_range_count,
+    "events_multires_rollup": events_multires_rollup,
     "streaming_windowed_counts": streaming_windowed_counts,
     "multimodal_decode": multimodal_decode,
     "stats_profile": stats_profile,
@@ -665,6 +692,15 @@ ORACLES = {
                   AND epoch(v.ts) < epoch(p.ts)
                   AND epoch(v.ts) >= epoch(p.ts) - 1800.0) AS n_views_30m
         FROM p ORDER BY p.event_id
+    """,
+    "events_multires_rollup": """
+        SELECT strftime(ts, '%Y-%m-%d') AS day,
+               strftime(ts, '%H') AS hour,
+               COUNT(*) AS n_events,
+               ROUND(SUM(value), 2) AS total_value
+        FROM events
+        GROUP BY GROUPING SETS ((day, hour), (day))
+        ORDER BY day, hour NULLS FIRST
     """,
     "streaming_windowed_counts": """
         SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
