@@ -356,6 +356,21 @@ def stats_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stats_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The approximate-aggregation toolkit for the 100 TB path:
+    HyperLogLog++ distinct counts and t-digest percentiles — single-pass,
+    mergeable sketches (no oracle entry: sketch internals differ across
+    engines by design; the driver records a rows-only check)."""
+    li = load_testdata(spark, sf_dir, ("lineitem",))["lineitem"]
+    return li.agg(
+        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.expr(
+            "approx_percentile(l_extendedprice, array(0.5D, 0.95D, 0.99D), 10000)"
+        ).alias("price_quantiles"),
+    )
+
+
 def stats_value_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A13 — value_counts of o_orderpriority (frequency table, desc)."""
     orders = load_testdata(spark, sf_dir, ("orders",))["orders"]
@@ -388,6 +403,8 @@ QUERIES = {
     "multimodal_decode": multimodal_decode,
     "stats_profile": stats_profile,
     "stats_value_counts": stats_value_counts,
+    # rows-only check by design (sketch internals are engine-specific)
+    "stats_approx_sketches": stats_approx_sketches,
 }
 
 # ---------------------------------------------------------------------------
