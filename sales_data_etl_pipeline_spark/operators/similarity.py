@@ -190,15 +190,32 @@ def cosine_topk_ivf(
     bucketed = assign_ivf_buckets(
         corpus, centroids, id_col=id_col, vec_col=vec_col
     )
-    # which buckets each query probes
-    probes = cosine_topk(
-        centroids,
-        queries,
-        k=n_probe,
-        id_col=id_col,
-        vec_col=vec_col,
-        query_id_col=query_id_col,
-    ).select(query_id_col, F.col("neighbor_id").alias("centroid_id"))
+    # which buckets each query probes — centroids and queries are both
+    # driver-resident already, so the probe ranking is a tiny numpy
+    # computation (ranked on 6dp-rounded cosine, centroid-id tiebreak,
+    # self-centroid excluded), not a Spark subplan.
+    import numpy as np
+
+    c_rows = sorted(centroids.select(id_col, vec_col).collect(), key=lambda r: r[0])
+    q_rows = sorted(queries.select(id_col, vec_col).collect(), key=lambda r: r[0])
+    C = np.array([r[1] for r in c_rows], dtype=np.float64)
+    Q = np.array([r[1] for r in q_rows], dtype=np.float64)
+    Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    S = np.round(Qn @ Cn.T, 6)
+    probe_rows = []
+    for qi, qr in enumerate(q_rows):
+        order = sorted(
+            (
+                (-S[qi, ci], c_rows[ci][0])
+                for ci in range(len(c_rows))
+                if c_rows[ci][0] != qr[0]
+            ),
+        )[:n_probe]
+        probe_rows += [(qr[0], cid) for _, cid in order]
+    probes = corpus.sparkSession.createDataFrame(
+        probe_rows, f"{query_id_col} long, centroid_id long"
+    )
     q = queries.select(
         F.col(id_col).alias(query_id_col), F.col(vec_col).alias("_qvec")
     )
