@@ -226,7 +226,13 @@ def clean_et_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = cleaning.dedup_keep_first(
         li, ["l_orderkey"], ["l_linenumber", "l_partkey", "quantidade"]
     )
+    # lazy pipeline-breaker: the imputation stages each read their input
+    # 3x (per-group agg, global agg, main branch); without this the dedup
+    # window re-executes per consumer (measured 2x slower). At cluster
+    # scale this is a stage-boundary write to reliable storage.
+    df = df.localCheckpoint(eager=False)
     df = cleaning.fill_date_cascade(df, "data", "l_suppkey", fallback_date="2000-01-01")
+    df = df.localCheckpoint(eager=False)
     df = df.join(
         F.broadcast(t["part"].select(F.col("p_partkey"), F.col("p_type"))),
         df.l_partkey == F.col("p_partkey"),
