@@ -338,3 +338,61 @@ def embedding_near_dup_pairs(
             "cosine",
         )
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    *,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Connected components over near-dup pairs: (doc_id, component)
+    where component = min doc_id reachable through the pair graph.
+
+    Iterative min-label propagation (large-star/small-star style): each
+    round every node adopts the smallest label among itself and its
+    neighbours; converges in O(log n) rounds for typical dedup graphs
+    (diameter is tiny — dup clusters are near-cliques). Each round is
+    one shuffle on node id; the driver only checks a 1-row convergence
+    count. This is the pairs→clusters step real dedup needs: survivors
+    are one doc per component, not pair-wise greedy drops.
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .unionByName(
+            pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
+        )
+        .distinct()
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("component", F.col("node"))
+    )
+    for _ in range(max_iterations):
+        neighbour_min = (
+            edges.join(labels, edges.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("component").alias("_nbr_min"))
+        )
+        updated = (
+            labels.join(neighbour_min, labels.node == neighbour_min.src, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("component"), F.coalesce("_nbr_min", F.col("component"))
+                ).alias("component"),
+            )
+            .localCheckpoint(eager=False)  # cut the growing lineage per round
+        )
+        changed = (
+            updated.alias("u")
+            .join(labels.alias("l"), "node")
+            .filter(F.col("u.component") != F.col("l.component"))
+            .count()
+        )
+        labels = updated
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias("doc_id"), "component")

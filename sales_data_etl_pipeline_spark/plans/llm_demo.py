@@ -183,6 +183,16 @@ def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs → connected components (min-label propagation);
+    the pairs→clusters step real dedup needs. Oracle: recursive-CTE
+    transitive closure in DuckDB."""
+    pairs = dedup.minhash_lsh_pairs(
+        _docs_with_near_dups(spark, sf_dir), threshold=0.5
+    )
+    return dedup.connected_components(pairs).orderBy("doc_id")
+
+
 # --- corpus dedup pipeline (the end-to-end training-data use case) ----------
 
 
@@ -391,6 +401,7 @@ QUERIES = {
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_simhash": dedup_simhash,
     "dedup_embedding_cosine": dedup_embedding_cosine,
+    "dedup_clusters": dedup_clusters,
     "corpus_dedup_pipeline": corpus_dedup_pipeline,
     "similarity_topk": similarity_topk,
     "similarity_topk_ivf": similarity_topk_ivf,
@@ -569,6 +580,7 @@ ORACLES = {
         FROM fp a JOIN fp b ON a.doc_id < b.doc_id
         WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
     """,
+    "dedup_clusters": None,  # assembled below from the minhash oracle
     "corpus_dedup_pipeline": f"""
         WITH base AS (
             SELECT doc_id, text FROM documents
@@ -787,3 +799,22 @@ def _lang_oracle() -> str:
 
 
 ORACLES["text_language_id"] = _lang_oracle()
+
+
+ORACLES["dedup_clusters"] = f"""
+    WITH RECURSIVE pairs AS (
+        SELECT id_a, id_b FROM ({ORACLES['dedup_minhash_lsh']})
+    ),
+    e AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION
+        SELECT id_b AS src, id_a AS dst FROM pairs
+    ),
+    reach(a, b) AS (
+        SELECT src, dst FROM e
+        UNION
+        SELECT r.a, e2.dst FROM reach r JOIN e e2 ON r.b = e2.src
+    )
+    SELECT a AS doc_id, LEAST(a, MIN(b)) AS component
+    FROM reach GROUP BY a ORDER BY doc_id
+"""
