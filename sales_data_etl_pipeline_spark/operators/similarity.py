@@ -238,3 +238,34 @@ def cosine_topk_ivf(
         .filter(F.col("rank") <= k)
         .select(query_id_col, F.col(id_col).alias("neighbor_id"), "cosine", "rank")
     )
+
+
+def train_ivf_centroids(
+    corpus: DataFrame,
+    *,
+    k: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    max_iter: int = 20,
+) -> DataFrame:
+    """Train IVF centroids with MLlib KMeans|| (the scale path for
+    building the coarse quantizer — parallel k-means++ init, Lloyd
+    iterations over the cluster).
+
+    Returns (vec_id, embedding) shaped like a centroid table for
+    ``cosine_topk_ivf`` (ids 0..k-1). Not oracle-checkable (float
+    iteration order is engine-specific) — covered by quality tests.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    featurized = corpus.select(
+        F.col(id_col), array_to_vector(F.col(vec_col)).alias("features")
+    )
+    model = KMeans(k=k, seed=seed, maxIter=max_iter).fit(featurized)
+    spark = corpus.sparkSession
+    rows = [
+        (i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
+    ]
+    return spark.createDataFrame(rows, f"{id_col} long, {vec_col} array<float>")

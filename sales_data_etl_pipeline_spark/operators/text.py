@@ -146,3 +146,57 @@ def fingerprint(df: DataFrame, text_col: str = "text", *, kgram: int = 32) -> Da
         F.md5(F.col(text_col)).alias("md5_full"),
         min_kgram.alias("min_kgram_md5"),
     )
+
+
+def term_frequencies(df: DataFrame, text_col: str = "text", *, top: int = 100) -> DataFrame:
+    """Corpus-level term statistics: term frequency + document frequency
+    for the ``top`` most frequent terms (count desc, term asc).
+
+    The explode→groupBy shape is the corpus half of TF-IDF; document
+    frequency comes from per-doc distinct tokens. One shuffle on term.
+    """
+    toks = df.select(
+        "doc_id", F.explode(F.expr(TOKENIZE.format(col=text_col))).alias("term")
+    )
+    return (
+        toks.groupBy("term")
+        .agg(
+            F.count(F.lit(1)).alias("tf"),
+            F.countDistinct("doc_id").alias("df"),
+        )
+        .orderBy(F.desc("tf"), F.asc("term"))
+        .limit(top)
+    )
+
+
+def tf_idf_top_terms(
+    df: DataFrame, text_col: str = "text", *, k: int = 3
+) -> DataFrame:
+    """Top-k characteristic terms per document by TF-IDF
+    (idf = ln((N+1)/(df+1)), smoothed; ties → term asc).
+
+    Per-doc term counts join a broadcast document-frequency table —
+    the fact side never shuffles on anything but the final window key.
+    """
+    toks = df.select(
+        "doc_id", F.explode(F.expr(TOKENIZE.format(col=text_col))).alias("term")
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    n_docs = df.count()
+    dfreq = toks.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    from pyspark.sql import Window
+
+    scored = tf.join(F.broadcast(dfreq), "term").withColumn(
+        "tfidf",
+        F.round(
+            F.col("tf") * F.log((F.lit(n_docs) + 1.0) / (F.col("df") + 1.0)), 6
+        ),
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("tfidf"), F.asc("term")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("doc_id", "term", "tfidf", "rank")
+    )

@@ -82,6 +82,14 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.fingerprint(_docs(spark, sf_dir))
 
 
+def text_term_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.term_frequencies(_docs(spark, sf_dir), top=100)
+
+
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.tf_idf_top_terms(_docs(spark, sf_dir), k=3)
+
+
 # --- dedup ------------------------------------------------------------------
 
 
@@ -396,6 +404,8 @@ QUERIES = {
     "text_language_id": text_language_id,
     "text_quality_score": text_quality_score,
     "text_fingerprint": text_fingerprint,
+    "text_term_frequencies": text_term_frequencies,
+    "text_tfidf_top_terms": text_tfidf_top_terms,
     "dedup_exact": dedup_exact,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_minhash_lsh": dedup_minhash_lsh,
@@ -504,6 +514,30 @@ ORACLES = {
                    generate_series(1, greatest(length(text) - 31, 1)),
                    i -> md5(substring(text, i, 32)))) AS min_kgram_md5
         FROM documents
+    """,
+    "text_term_frequencies": f"""
+        WITH toks AS (SELECT doc_id, UNNEST({_TOKS.format(col='text')}) AS term
+                      FROM documents)
+        SELECT term, COUNT(*) AS tf, COUNT(DISTINCT doc_id) AS df
+        FROM toks GROUP BY term
+        ORDER BY tf DESC, term ASC LIMIT 100
+    """,
+    "text_tfidf_top_terms": f"""
+        WITH toks AS (SELECT doc_id, UNNEST({_TOKS.format(col='text')}) AS term
+                      FROM documents),
+        tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+        dfreq AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+        n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        scored AS (
+            SELECT tf.doc_id, tf.term,
+                   ROUND(tf.tf * ln((n.n_docs + 1.0) / (dfreq.df + 1.0)), 6)
+                       AS tfidf
+            FROM tf JOIN dfreq USING (term) CROSS JOIN n),
+        ranked AS (
+            SELECT *, row_number() OVER (
+                PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS rank
+            FROM scored)
+        SELECT doc_id, term, tfidf, rank FROM ranked WHERE rank <= 3
     """,
     "dedup_exact": f"""
         WITH d AS ({_EXACT_DUP_DOCS})

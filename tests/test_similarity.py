@@ -1,0 +1,34 @@
+"""Similarity-search tests: IVF recall vs brute force, KMeans centroids."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from sales_data_etl_pipeline_spark.operators import similarity
+from sales_data_etl_pipeline_spark.sources.tables import load_testdata
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+def test_ivf_recall_vs_bruteforce(spark):
+    emb = load_testdata(spark, SF_DIR, ("embeddings",))["embeddings"]
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = similarity.cosine_topk(emb, queries, k=5)
+    centroids = emb.filter(F.col("vec_id") % 50 == 0)
+    approx = similarity.cosine_topk_ivf(emb, queries, centroids, k=5, n_probe=3)
+    e = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    a = {(r.query_id, r.neighbor_id) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.3  # 3/10 buckets probed on random data
+
+
+def test_kmeans_centroid_training(spark):
+    emb = load_testdata(spark, SF_DIR, ("embeddings",))["embeddings"]
+    cents = similarity.train_ivf_centroids(emb, k=8)
+    rows = cents.collect()
+    assert len(rows) == 8
+    assert all(len(r.embedding) == 64 for r in rows)
+    trained = similarity.assign_ivf_buckets(emb, cents)
+    assert trained.count() == emb.count()
+    # k-means buckets should all be populated on random data
+    assert trained.select("centroid_id").distinct().count() >= 4
