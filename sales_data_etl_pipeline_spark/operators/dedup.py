@@ -1,13 +1,13 @@
 """Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash,
 embedding-cosine near-dup (extension layer — training-data pipeline ops).
 
-Cross-engine determinism convention: shingle/token ids come from a
-*corpus-derived dictionary* (dense rank over the sorted distinct shingle
-strings), and the MinHash/SimHash mixers are plain integer arithmetic on
-those ids. This keeps the DuckDB oracle bit-identical without sharing a
-hash implementation. At 100 TB the dictionary rank (a sort) would be
-replaced by ``xxhash64(shingle)`` — same plan shape minus the dictionary
-join; the LSH/banding structure is unchanged.
+Cross-engine determinism convention: shingle/token ids are derived from
+``md5`` — both Spark and DuckDB produce the identical hex digest, so
+``sid = int(hex[:15]) mod P`` is bit-identical across engines with NO
+shared hash implementation, no corpus dictionary, no sort, and no join.
+This is also the real 100 TB path: id assignment is embarrassingly
+parallel (a projection), where the earlier dense-rank dictionary forced
+a global single-partition window.
 
 Scale shapes:
 
@@ -24,13 +24,33 @@ Scale shapes:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from sales_data_etl_pipeline_spark.operators.text import TOKENIZE
 
 #: MinHash mixer constants: h_k(sid) = ((2k+1)·sid + (3k+7)) mod P.
-MINHASH_P = 1_000_003
+#: P = 2³¹−1 (Mersenne prime): sid < P keeps (2k+1)·sid ≪ 2⁶³ (no ANSI
+#: overflow) and makes hash collisions between distinct shingles
+#: negligible (n²/2P even at millions of shingles per corpus).
+MINHASH_P = 2_147_483_647
+
+
+def hash_id_expr(col: str, mod: int) -> str:
+    """Spark SQL expr: deterministic id in [0, mod) from md5(col).
+
+    First 15 hex chars (60 bits, always fits a signed bigint) → integer.
+    Identical in DuckDB via :func:`hash_id_sql` — md5 is md5 everywhere.
+    """
+    return (
+        f"pmod(cast(conv(substring(md5({col}), 1, 15), 16, 10) as bigint),"
+        f" {mod}L)"
+    )
+
+
+def hash_id_sql(col: str, mod: int) -> str:
+    """DuckDB twin of :func:`hash_id_expr` (same value, same type)."""
+    return f"(CAST('0x' || substr(md5({col}), 1, 15) AS BIGINT) % {mod})"
 
 
 def _shingle_expr(toks: str, n: int) -> str:
@@ -119,14 +139,13 @@ def ngram_jaccard_pairs(
     )
 
 
-def _shingle_dictionary(sh: DataFrame) -> DataFrame:
-    """Dense rank over sorted distinct shingles → sid (1-based).
+def _shingle_ids(sh: DataFrame) -> DataFrame:
+    """(doc_id, sid): md5-derived shingle id in [0, MINHASH_P).
 
-    Cross-engine-reproducible id assignment; at scale replace with
-    ``xxhash64(sh)`` (no sort, no dictionary join).
+    A pure projection — no dictionary, no sort, no shuffle. Identical
+    ids in DuckDB (:func:`hash_id_sql`), so oracles stay bit-exact.
     """
-    w = Window.orderBy("sh")
-    return sh.select("sh").distinct().withColumn("sid", F.row_number().over(w))
+    return sh.select("doc_id", F.expr(hash_id_expr("sh", MINHASH_P)).alias("sid"))
 
 
 def _minhash_wide(ids: DataFrame, num_hashes: int) -> DataFrame:
@@ -149,8 +168,7 @@ def minhash_signatures(
 ) -> DataFrame:
     """Per-doc MinHash signature: (doc_id, k, minhash) for k in [0, K)."""
     sh = shingle_sets(df, text_col, n)
-    ids = sh.join(F.broadcast(_shingle_dictionary(sh)), "sh").select("doc_id", "sid")
-    wide = _minhash_wide(ids, num_hashes)
+    wide = _minhash_wide(_shingle_ids(sh), num_hashes)
     pairs = ", ".join(f"{k}, _mh{k}" for k in range(num_hashes))
     return wide.select(
         "doc_id",
@@ -175,16 +193,13 @@ def minhash_lsh_pairs(
     r=4 the candidate probability is 1-(1-j^4)^4 — steep around j≈0.5.
     """
     rows = num_hashes // bands
-    # The exploded shingle set feeds three branches (dictionary build,
-    # signature hashing, exact-Jaccard verification). Recomputing it per
-    # branch measured FASTER and steadier than .cache() — zip-slice
-    # shingling is ~0.3s/branch warm, while the cache added a
-    # materialization barrier + memory pressure (and leaked across calls).
+    # The exploded shingle set feeds the signature and exact-Jaccard
+    # verification branches. Recomputing it per branch measured FASTER
+    # and steadier than .cache() — zip-slice shingling is ~0.3s/branch
+    # warm, while the cache added a materialization barrier + memory
+    # pressure (and leaked across calls).
     sh_cached = shingle_sets(df, text_col, n)
-    ids = sh_cached.join(
-        F.broadcast(_shingle_dictionary(sh_cached)), "sh"
-    ).select("doc_id", "sid")
-    wide = _minhash_wide(ids, num_hashes)
+    wide = _minhash_wide(_shingle_ids(sh_cached), num_hashes)
     band_structs = [
         F.struct(
             F.lit(b).alias("band"),
@@ -240,20 +255,16 @@ def minhash_lsh_pairs(
 
 
 def simhash_fingerprints(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """32-bit SimHash per doc from dictionary token ids.
+    """32-bit SimHash per doc from md5-derived token hashes.
 
-    Token id → Knuth multiplicative hash h = (tid·2654435761) mod 2³²;
+    Token hash h = md5-id mod 2³² (uniform already — no extra mixing);
     fingerprint bit j is the sign of Σ(2·bit_j(h) − 1) over the doc's
-    distinct tokens.
+    distinct tokens. Hashing is a projection: no dictionary, no sort.
     """
     toks = df.select(
         "doc_id", F.explode(F.array_distinct(F.expr(TOKENIZE.format(col=text_col)))).alias("tok")
     )
-    w = Window.orderBy("tok")
-    dictionary = toks.select("tok").distinct().withColumn("tid", F.row_number().over(w))
-    hashed = toks.join(dictionary, "tok").withColumn(
-        "h", F.expr("pmod(tid * 2654435761, 4294967296)")
-    )
+    hashed = toks.withColumn("h", F.expr(hash_id_expr("tok", 4294967296)))
     bits = hashed.select(
         "doc_id",
         F.explode(F.sequence(F.lit(0), F.lit(31))).alias("j"),

@@ -562,9 +562,8 @@ ORACLES = {
     "dedup_minhash_lsh": f"""
         WITH d AS ({_NEAR_DUP_DOCS}),
         sh AS (SELECT doc_id, UNNEST({_SHINGLES}) AS sh FROM d),
-        dict AS (SELECT sh, row_number() OVER (ORDER BY sh) AS sid
-                 FROM (SELECT DISTINCT sh FROM sh)),
-        ids AS (SELECT s.doc_id, dict.sid FROM sh s JOIN dict USING (sh)),
+        ids AS (SELECT doc_id, {dedup.hash_id_sql('sh', dedup.MINHASH_P)} AS sid
+                FROM sh),
         hashed AS (
             SELECT doc_id, k, ((2*k + 1) * sid + (3*k + 7)) % {dedup.MINHASH_P} AS h
             FROM ids, UNNEST(generate_series(0, 15)) AS u(k)),
@@ -596,10 +595,8 @@ ORACLES = {
         toks AS (SELECT doc_id,
                         UNNEST(list_distinct({_TOKS.format(col='text')})) AS tok
                  FROM d),
-        dict AS (SELECT tok, row_number() OVER (ORDER BY tok) AS tid
-                 FROM (SELECT DISTINCT tok FROM toks)),
-        hashed AS (SELECT t.doc_id, (dict.tid * 2654435761) % 4294967296 AS h
-                   FROM toks t JOIN dict USING (tok)),
+        hashed AS (SELECT doc_id, {dedup.hash_id_sql('tok', 4294967296)} AS h
+                   FROM toks),
         bits AS (
             SELECT doc_id, j, SUM(2 * ((h >> j) & 1) - 1) AS s
             FROM hashed, UNNEST(generate_series(0, 31)) AS u(j)
@@ -631,9 +628,8 @@ ORACLES = {
         keep AS (SELECT MIN(doc_id) AS doc_id FROM flt GROUP BY md5(text)),
         d AS (SELECT f.* FROM flt f JOIN keep USING (doc_id)),
         sh AS (SELECT doc_id, UNNEST({_SHINGLES}) AS sh FROM d),
-        dict AS (SELECT sh, row_number() OVER (ORDER BY sh) AS sid
-                 FROM (SELECT DISTINCT sh FROM sh)),
-        ids AS (SELECT s.doc_id, dict.sid FROM sh s JOIN dict USING (sh)),
+        ids AS (SELECT doc_id, {dedup.hash_id_sql('sh', dedup.MINHASH_P)} AS sid
+                FROM sh),
         hashed AS (
             SELECT doc_id, k, ((2*k + 1) * sid + (3*k + 7)) % {dedup.MINHASH_P} AS h
             FROM ids, UNNEST(generate_series(0, 15)) AS u(k)),
