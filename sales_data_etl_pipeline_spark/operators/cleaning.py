@@ -43,19 +43,27 @@ def dedup_keep_first(
     """W1 — ``drop_duplicates(keep='first')`` (reference ``et_produtos.py:66-85``).
 
     With ``order_col`` (one column or a composite): deterministic
-    keep-first via row_number over the key partition ordered by it (one
-    shuffle on ``keys``). The composite must be unique within a key or
-    survivors are tie-broken arbitrarily. Without: ``dropDuplicates(keys)``
-    (arbitrary survivor — only valid for full-row duplicates).
+    keep-first via ``min(struct(order…, payload…))`` per key — struct
+    comparison is lexicographic with NULL fields first, exactly ASC
+    NULLS FIRST, and ties fall through to the payload columns (fully
+    deterministic even on order ties). The aggregate gets map-side
+    partial combine, so the shuffle carries ~|keys| rows instead of the
+    |rows| a window row_number would move — the difference between a
+    full-table sort and a hash-agg at 100 TB. Without ``order_col``:
+    ``dropDuplicates(keys)`` (arbitrary survivor — only valid for
+    full-row duplicates).
     """
     if order_col is None:
         return df.dropDuplicates(keys)
     order_cols = [order_col] if isinstance(order_col, str) else order_col
-    w = Window.partitionBy(*keys).orderBy(*[F.col(c).asc() for c in order_cols])
-    return (
-        df.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn")
+    struct_cols = [c for c in order_cols if c not in keys] + [
+        c for c in df.columns if c not in keys and c not in order_cols
+    ]
+    if not struct_cols:  # every column is a key: rows per key are identical
+        return df.dropDuplicates(keys)
+    out = df.groupBy(*keys).agg(F.min(F.struct(*struct_cols)).alias("_first"))
+    return out.select(
+        *[F.col(c) if c in keys else F.col(f"_first.{c}") for c in df.columns]
     )
 
 
