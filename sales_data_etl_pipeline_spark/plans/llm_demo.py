@@ -119,6 +119,15 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH near-dups — subquadratic scale path for
+    ``dedup_embedding_cosine`` (banded sign bits → bucket join →
+    exact-cosine verify)."""
+    return dedup.embedding_lsh_pairs(
+        _emb_with_near_dups(spark, sf_dir), threshold=0.8
+    )
+
+
 # --- similarity search ------------------------------------------------------
 
 
@@ -411,6 +420,7 @@ QUERIES = {
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_simhash": dedup_simhash,
     "dedup_embedding_cosine": dedup_embedding_cosine,
+    "dedup_embedding_lsh": dedup_embedding_lsh,
     "dedup_clusters": dedup_clusters,
     "corpus_dedup_pipeline": corpus_dedup_pipeline,
     "similarity_topk": similarity_topk,
@@ -829,6 +839,50 @@ def _lang_oracle() -> str:
 
 
 ORACLES["text_language_id"] = _lang_oracle()
+
+
+def _emb_lsh_oracle(planes: int = 32, bands: int = 4, dim: int = 64) -> str:
+    """DuckDB twin of ``dedup.embedding_lsh_pairs`` — same md5-derived
+    ±1 hyperplanes (driver-generated literals), same fold + 6dp-round
+    sign convention, same banding."""
+    R = dedup.hyperplane_signs(planes, dim)
+    rows = planes // bands
+
+    def bit(b: int) -> str:
+        # explicit left-associated sum == the Spark side's codegen'd sum
+        proj = " + ".join(
+            f"CAST(embedding[{i + 1}] AS DOUBLE) * {R[b][i]:.1f}"
+            for i in range(dim)
+        )
+        return f"CASE WHEN round({proj}, 6) >= 0 THEN '1' ELSE '0' END"
+
+    band_selects = " UNION ALL ".join(
+        f"SELECT vec_id, {b} AS band, "
+        + " || ".join(bit(b * rows + r) for r in range(rows))
+        + " AS sig FROM e"
+        for b in range(bands)
+    )
+    cos = (
+        f"ROUND({_DOT.format(a='ea.embedding', b='eb.embedding')}"
+        f" / ({_NORM.format(v='ea.embedding')}"
+        f" * {_NORM.format(v='eb.embedding')}), 6)"
+    )
+    return f"""
+        WITH e AS ({_NEAR_DUP_EMB}),
+        bs AS ({band_selects}),
+        cand AS (
+            SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+            FROM bs a JOIN bs b
+              ON a.band = b.band AND a.sig = b.sig AND a.vec_id < b.vec_id)
+        SELECT id_a, id_b, {cos} AS cosine
+        FROM cand
+        JOIN e ea ON ea.vec_id = id_a
+        JOIN e eb ON eb.vec_id = id_b
+        WHERE {cos} >= 0.8
+    """
+
+
+ORACLES["dedup_embedding_lsh"] = _emb_lsh_oracle()
 
 
 ORACLES["dedup_clusters"] = f"""

@@ -24,6 +24,7 @@ from sales_data_etl_pipeline_spark.session import get_spark
 #: Queries allowed to contain a cartesian/nested-loop product (pairwise or
 #: broadcast-scalar plans).
 CARTESIAN_OK = {
+    "clean_et_chain",  # 1-row global-median broadcast (fill_group_median)
     "dedup_ngram_jaccard",
     "dedup_simhash",
     "dedup_embedding_cosine",
