@@ -124,20 +124,28 @@ def assign_ivf_buckets(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     centroid_id_col: str = "centroid_id",
+    centroid_rows: list | None = None,
 ) -> DataFrame:
     """Assign every vector to its max-cosine centroid (ties at 6 dp →
     smallest centroid id).
 
     Centroids are collected to a small matrix and closed over by a
     ``mapInPandas`` kernel: one (batch × dim)·(dim × n_centroids) matmul
-    + argmax per Arrow batch — one narrow pass over the corpus, no join.
-    (The interpreted SQL-fold equivalent was ~6× slower at 5k×100.)
+    + argmax per Arrow batch — one narrow pass over the corpus, no
+    join, no shuffle. The corpus keeps its scan partitioning (at scale
+    the parquet scan already yields one task per split; forcing a
+    repartition here measured as pure overhead at every size tried).
+    ``centroid_rows`` lets callers that already collected the centroid
+    table skip the extra job.
     """
     import numpy as np
     import pandas as pd
 
     c_rows = sorted(
-        centroids.select(id_col, vec_col).collect(), key=lambda r: r[0]
+        centroid_rows
+        if centroid_rows is not None
+        else centroids.select(id_col, vec_col).collect(),
+        key=lambda r: r[0],
     )
     c_ids = np.array([r[0] for r in c_rows], dtype=np.int64)
     C = np.array([r[1] for r in c_rows], dtype=np.float64)
@@ -158,14 +166,9 @@ def assign_ivf_buckets(
                 }
             )
 
-    sc = corpus.sparkSession.sparkContext
-    return (
-        corpus.select(id_col, vec_col)
-        .repartition(sc.defaultParallelism, id_col)
-        .mapInPandas(
-            assign,
-            f"{id_col} long, {vec_col} array<float>, {centroid_id_col} long",
-        )
+    return corpus.select(id_col, vec_col).mapInPandas(
+        assign,
+        f"{id_col} long, {vec_col} array<float>, {centroid_id_col} long",
     )
 
 
@@ -183,27 +186,33 @@ def cosine_topk_ivf(
     """IVF approximate top-k: search only the ``n_probe`` buckets whose
     centroids are closest to the query.
 
+    Fused plan: centroids and queries are tiny, driver-resident tables —
+    collected ONCE each; probe ranking (6dp-rounded cosine, centroid-id
+    tiebreak, self-centroid excluded) is a driver-side numpy step. The
+    corpus is then scanned in a SINGLE narrow ``mapInPandas`` pass that
+    assigns each vector's bucket, masks it against the broadcast
+    bucket→queries probe map, and scores the surviving (vector, query)
+    pairs with one batch matmul — no shuffle, no join; the only exchange
+    left is the final top-k window over the (tiny) candidate set.
+
     Deterministic given deterministic centroids (callers pass a
     data-derived centroid set, e.g. the first N vectors; at scale:
     k-means|| via MLlib, then freeze the centroid table).
     """
-    bucketed = assign_ivf_buckets(
-        corpus, centroids, id_col=id_col, vec_col=vec_col
-    )
-    # which buckets each query probes — centroids and queries are both
-    # driver-resident already, so the probe ranking is a tiny numpy
-    # computation (ranked on 6dp-rounded cosine, centroid-id tiebreak,
-    # self-centroid excluded), not a Spark subplan.
     import numpy as np
+    import pandas as pd
 
     c_rows = sorted(centroids.select(id_col, vec_col).collect(), key=lambda r: r[0])
     q_rows = sorted(queries.select(id_col, vec_col).collect(), key=lambda r: r[0])
+    c_ids = np.array([r[0] for r in c_rows], dtype=np.int64)
+    q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
     C = np.array([r[1] for r in c_rows], dtype=np.float64)
     Q = np.array([r[1] for r in q_rows], dtype=np.float64)
     Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
     Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
     S = np.round(Qn @ Cn.T, 6)
-    probe_rows = []
+    # bucket id → boolean row over queries: does query j probe this bucket?
+    probe_mask = {int(cid): np.zeros(len(q_rows), dtype=bool) for cid in c_ids}
     for qi, qr in enumerate(q_rows):
         order = sorted(
             (
@@ -212,26 +221,32 @@ def cosine_topk_ivf(
                 if c_rows[ci][0] != qr[0]
             ),
         )[:n_probe]
-        probe_rows += [(qr[0], cid) for _, cid in order]
-    probes = corpus.sparkSession.createDataFrame(
-        probe_rows, f"{query_id_col} long, centroid_id long"
-    )
-    q = queries.select(
-        F.col(id_col).alias(query_id_col), F.col(vec_col).alias("_qvec")
-    )
-    candidates = (
-        bucketed.join(probes, "centroid_id")
-        .join(F.broadcast(q), query_id_col)
-        .filter(F.col(id_col) != F.col(query_id_col))
-        .withColumn(
-            "cosine",
-            F.round(
-                F.expr(_dot("_qvec", vec_col))
-                / (F.expr(_norm("_qvec")) * F.expr(_norm(vec_col))),
-                6,
-            ),
-        )
-    )
+        for _, cid in order:
+            probe_mask[int(cid)][qi] = True
+    out_schema = f"{query_id_col} long, {id_col} long, cosine double"
+
+    def score(batches):
+        for pdf in batches:
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            V = np.array(list(pdf[vec_col]), dtype=np.float64)
+            Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+            # same rounded-argmax assignment convention as assign_ivf_buckets
+            bucket = c_ids[np.argmax(np.round(Vn @ Cn.T, 6), axis=1)]
+            mask = np.vstack([probe_mask[int(b)] for b in bucket])
+            mask &= ids[:, None] != q_ids[None, :]
+            vi, qi = np.nonzero(mask)
+            if not len(vi):
+                continue
+            Sq = np.round(Vn @ Qn.T, 6)
+            yield pd.DataFrame(
+                {
+                    query_id_col: q_ids[qi],
+                    id_col: ids[vi],
+                    "cosine": Sq[vi, qi],
+                }
+            )
+
+    candidates = corpus.select(id_col, vec_col).mapInPandas(score, out_schema)
     w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.asc(id_col))
     return (
         candidates.withColumn("rank", F.row_number().over(w))
