@@ -193,15 +193,31 @@ def minhash_lsh_pairs(
     r=4 the candidate probability is 1-(1-j^4)^4 — steep around j≈0.5.
     """
     rows = num_hashes // bands
-    # The exploded shingle set feeds five plan branches (signature build
-    # ×2 via the band self-join, verification ×2, sizes). A lazy
-    # localCheckpoint materializes it once instead of re-scanning and
-    # re-shingling the corpus per branch (measured 2× faster at sf0.1;
-    # 12 parquet scans → 1). At cluster scale this is a stage-boundary
-    # write to reliable storage. (.cache() measured worse: eviction
-    # pressure and it leaked across calls.)
-    sh_cached = shingle_sets(df, text_col, n).localCheckpoint(eager=False)
-    wide = _minhash_wide(_shingle_ids(sh_cached), num_hashes)
+    # ONE groupBy(doc_id) computes everything per-doc downstream work
+    # needs: the K min-hashes, the distinct-shingle count, and the
+    # shingle set itself. The 2M-row exploded shingle table is shuffled
+    # exactly once; banding, the candidate self-join, and exact-Jaccard
+    # verification (array_intersect on the carried sets) all run on the
+    # |docs|-row result. The previous shape re-shuffled the full shingle
+    # table on (doc, shingle) for verification — the dominant exchange.
+    # The lazy localCheckpoint materializes the per-doc table once for
+    # its four consumers (band self-join ×2, verify ×2); at cluster
+    # scale this is a stage-boundary write to reliable storage.
+    sh = shingle_sets(df, text_col, n)
+    ids = sh.select(
+        "doc_id", "sh", F.expr(hash_id_expr("sh", MINHASH_P)).alias("sid")
+    )
+    mh_aggs = [
+        F.min(
+            F.expr(f"pmod(({2 * k + 1}) * sid + ({3 * k + 7}), {MINHASH_P})")
+        ).alias(f"_mh{k}")
+        for k in range(num_hashes)
+    ]
+    per_doc = ids.groupBy("doc_id").agg(
+        *mh_aggs,
+        F.count(F.lit(1)).alias("sz"),
+        F.collect_list("sh").alias("_shset"),
+    ).localCheckpoint(eager=False)
     band_structs = [
         F.struct(
             F.lit(b).alias("band"),
@@ -211,7 +227,7 @@ def minhash_lsh_pairs(
         )
         for b in range(bands)
     ]
-    band_sig = wide.select(
+    band_sig = per_doc.select(
         "doc_id", F.explode(F.array(*band_structs)).alias("bs")
     ).select("doc_id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
     a, b = band_sig.alias("a"), band_sig.alias("b")
@@ -224,27 +240,20 @@ def minhash_lsh_pairs(
         .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
         .distinct()
     )
-    # exact-Jaccard verification restricted to candidates
-    sh = sh_cached
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
-    inter = (
-        candidates.join(sh.alias("sa"), F.col("id_a") == F.col("sa.doc_id"))
-        .join(
-            sh.alias("sb"),
-            (F.col("id_b") == F.col("sb.doc_id")) & (F.col("sa.sh") == F.col("sb.sh")),
-        )
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("inter"))
+    va = per_doc.select(
+        F.col("doc_id").alias("id_a"),
+        F.col("sz").alias("sz_a"),
+        F.col("_shset").alias("_set_a"),
+    )
+    vb = per_doc.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("sz").alias("sz_b"),
+        F.col("_shset").alias("_set_b"),
     )
     return (
-        inter.join(
-            F.broadcast(sizes.select(F.col("doc_id").alias("id_a"), F.col("sz").alias("sz_a"))),
-            "id_a",
-        )
-        .join(
-            F.broadcast(sizes.select(F.col("doc_id").alias("id_b"), F.col("sz").alias("sz_b"))),
-            "id_b",
-        )
+        candidates.join(va, "id_a")
+        .join(vb, "id_b")
+        .withColumn("inter", F.size(F.array_intersect("_set_a", "_set_b")))
         .withColumn(
             "jaccard",
             F.round(
