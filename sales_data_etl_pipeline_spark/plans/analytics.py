@@ -189,14 +189,21 @@ def td_average_ticket_by_product(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def td_sales_by_category(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A3 on testdata: sale count per p_type."""
+    """A3 on testdata: sale count per p_type.
+
+    Pre-aggregates the fact table on the join key first: the shuffle
+    carries |parts| (long, long) rows instead of routing every fact row
+    (with its category string) through the join before aggregating.
+    """
     t = load_testdata(spark, sf_dir, ("lineitem", "part"))
+    per_part = t["lineitem"].groupBy("l_partkey").agg(
+        F.count(F.lit(1)).alias("_c")
+    )
     return (
-        t["lineitem"]
-        .join(F.broadcast(t["part"].select("p_partkey", "p_type")),
-              F.col("l_partkey") == F.col("p_partkey"))
+        per_part.join(F.broadcast(t["part"].select("p_partkey", "p_type")),
+                      F.col("l_partkey") == F.col("p_partkey"))
         .groupBy(F.col("p_type").alias("categoria"))
-        .agg(F.count(F.lit(1)).alias("quantidade_vendas"))
+        .agg(F.sum("_c").alias("quantidade_vendas"))
         .orderBy(F.desc("quantidade_vendas"), F.asc("categoria"))
     )
 
