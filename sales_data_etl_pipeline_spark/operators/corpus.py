@@ -1,0 +1,191 @@
+"""Corpus-management operators for training-data pipelines (extension
+layer): deterministic train/val/test splits, stratified sampling, and
+token-budget sharding via a distributed prefix sum.
+
+The reference has no corpus layer; these extend the engine toward the
+100 TB training-data use case alongside ``operators.dedup`` /
+``operators.text``.
+
+Determinism convention: assignment decisions derive from
+``md5(cast(id as string))`` buckets (see ``dedup.hash_id_expr``) — no
+RNG, no seed state, bit-identical in Spark and DuckDB, and stable under
+repartitioning / re-runs / incremental appends (a document keeps its
+split forever, which is exactly what train/test hygiene needs).
+
+Scale notes:
+
+- Splits and sampling are pure projections/filters — embarrassingly
+  parallel, no shuffle, fully inside whole-stage codegen.
+- Token-budget sharding needs a GLOBAL running total, which a naive
+  ``Window.orderBy(id)`` computes on a single partition — the classic
+  scale trap. ``shard_by_token_budget`` implements the textbook
+  distributed scan instead: range-repartition, per-partition totals to
+  the driver (|partitions| rows), broadcast offsets back, then a
+  partition-local window. Every stage is bounded by |partitions|, not
+  |rows|.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from sales_data_etl_pipeline_spark.operators.dedup import hash_id_expr, hash_id_sql
+
+#: Bucket granularity for split/sample fractions (resolution 0.01%).
+HASH_BUCKETS = 10_000
+
+
+def hash_bucket(id_col: str = "doc_id") -> Column:
+    """Deterministic bucket in [0, HASH_BUCKETS) from md5 of the id."""
+    return F.expr(hash_id_expr(f"cast({id_col} as string)", HASH_BUCKETS))
+
+
+def hash_bucket_sql(id_col: str = "doc_id") -> str:
+    """DuckDB twin of :func:`hash_bucket` (same value, same type)."""
+    return hash_id_sql(f"CAST({id_col} AS VARCHAR)", HASH_BUCKETS)
+
+
+def _cut_points(splits: dict[str, float]) -> list[tuple[str, int]]:
+    """(name, upper_bucket_bound) for every split but the last; the last
+    split takes the remainder so fractions need not sum to exactly 1."""
+    bounds, acc = [], 0.0
+    names = list(splits)
+    for name in names[:-1]:
+        acc += splits[name]
+        bounds.append((name, int(round(acc * HASH_BUCKETS))))
+    return bounds
+
+
+def hash_split(
+    df: DataFrame,
+    splits: dict[str, float],
+    *,
+    id_col: str = "doc_id",
+    split_col: str = "split",
+) -> DataFrame:
+    """Deterministic dataset split: adds ``split_col`` with the name of
+    the split the row's md5-bucket falls into.
+
+    ``splits`` is ordered ``{name: fraction}``; the last split absorbs
+    rounding remainder. A row's assignment depends only on its id, so
+    splits are stable across runs, engines, and data layout.
+    """
+    bucket = hash_bucket(id_col)
+    names = list(splits)
+    out: Column | None = None
+    for name, ub in _cut_points(splits):
+        cond = bucket < F.lit(ub)
+        out = F.when(cond, name) if out is None else out.when(cond, name)
+    assignment = F.lit(names[-1]) if out is None else out.otherwise(names[-1])
+    return df.withColumn(split_col, assignment)
+
+
+def hash_split_sql(
+    splits: dict[str, float], *, id_col: str = "doc_id", split_col: str = "split"
+) -> str:
+    """DuckDB CASE expression equivalent to :func:`hash_split`."""
+    b = hash_bucket_sql(id_col)
+    names = list(splits)
+    whens = " ".join(
+        f"WHEN {b} < {ub} THEN '{name}'" for name, ub in _cut_points(splits)
+    )
+    if not whens:
+        return f"'{names[-1]}' AS {split_col}"
+    return f"CASE {whens} ELSE '{names[-1]}' END AS {split_col}"
+
+
+def stratified_sample(
+    df: DataFrame,
+    fractions: dict[str, float],
+    *,
+    strata_col: str,
+    id_col: str = "doc_id",
+    default_fraction: float = 0.0,
+) -> DataFrame:
+    """Deterministic per-stratum sample: keep a row iff its md5-bucket is
+    below ``fraction[stratum] * HASH_BUCKETS``.
+
+    Exact in expectation per stratum, deterministic in fact — re-running
+    or appending data never flips a kept row to dropped. Strata absent
+    from ``fractions`` use ``default_fraction``.
+    """
+    thr: Column | None = None
+    for stratum, frac in fractions.items():
+        cond = F.col(strata_col) == stratum
+        ub = F.lit(int(round(frac * HASH_BUCKETS)))
+        thr = F.when(cond, ub) if thr is None else thr.when(cond, ub)
+    default_ub = F.lit(int(round(default_fraction * HASH_BUCKETS)))
+    thr = default_ub if thr is None else thr.otherwise(default_ub)
+    return df.filter(hash_bucket(id_col) < thr)
+
+
+def stratified_sample_sql(
+    fractions: dict[str, float],
+    *,
+    strata_col: str,
+    id_col: str = "doc_id",
+    default_fraction: float = 0.0,
+) -> str:
+    """DuckDB WHERE predicate equivalent to :func:`stratified_sample`."""
+    b = hash_bucket_sql(id_col)
+    whens = " ".join(
+        f"WHEN {strata_col} = '{s}' THEN {int(round(f * HASH_BUCKETS))}"
+        for s, f in fractions.items()
+    )
+    default_ub = int(round(default_fraction * HASH_BUCKETS))
+    case = f"CASE {whens} ELSE {default_ub} END" if whens else str(default_ub)
+    return f"{b} < ({case})"
+
+
+def shard_by_token_budget(
+    df: DataFrame,
+    budget: int,
+    *,
+    id_col: str = "doc_id",
+    tokens_col: str = "n_tokens",
+    shard_col: str = "shard_id",
+) -> DataFrame:
+    """Assign rows (in ``id_col`` order) to contiguous shards of roughly
+    ``budget`` tokens: ``shard = exclusive_prefix_sum(tokens) div budget``
+    — a document lands in the shard where its first token falls.
+
+    This is the deterministic sharding step before sequence packing in a
+    training-data pipeline. The global prefix sum runs as a distributed
+    scan (see module docstring): no stage touches more than
+    |partitions| driver-side rows, and no single-partition window exists
+    anywhere in the plan.
+    """
+    sc = df.sparkSession.sparkContext
+    d = (
+        df.select(id_col, tokens_col)
+        .repartitionByRange(sc.defaultParallelism, F.col(id_col))
+        .withColumn("_pid", F.spark_partition_id())
+        # pin the range partitioning: the totals job and the main job must
+        # see the SAME partition assignment (the range sampler is not
+        # contractually deterministic across jobs)
+        .localCheckpoint(eager=False)
+    )
+    totals = dict(
+        d.groupBy("_pid").agg(F.sum(tokens_col).alias("_t")).collect()
+    )
+    offsets, acc = {}, 0
+    for pid in sorted(totals):
+        offsets[pid] = acc
+        acc += totals[pid] or 0
+    off_map = F.create_map(
+        *[F.lit(x) for kv in sorted(offsets.items()) for x in kv]
+    )
+    w = (
+        Window.partitionBy("_pid")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    excl = F.coalesce(F.sum(tokens_col).over(w), F.lit(0)) + F.coalesce(
+        off_map[F.col("_pid")], F.lit(0)
+    )
+    return (
+        d.withColumn("_excl", excl)
+        .withColumn(shard_col, F.expr(f"_excl div {int(budget)}"))
+        .drop("_pid", "_excl")
+    )

@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from sales_data_etl_pipeline_spark.operators import dedup, similarity, text
+from sales_data_etl_pipeline_spark.operators import corpus, dedup, similarity, text
 from sales_data_etl_pipeline_spark.sources.tables import load_testdata
 
 
@@ -408,6 +408,43 @@ def stats_value_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- corpus management (splits / sampling / sharding) -----------------------
+
+#: Gate split spec: last split absorbs the rounding remainder.
+_SPLITS = {"train": 0.9, "val": 0.05, "test": 0.05}
+#: Gate per-language sample fractions; other langs use the default 5%.
+_SAMPLE_FRACTIONS = {"en": 0.5, "de": 0.25, "zh": 0.1}
+_SHARD_BUDGET = 4096
+
+
+def corpus_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic md5-bucket train/val/test assignment — stable across
+    runs, engines, and appends (a doc keeps its split forever)."""
+    return corpus.hash_split(
+        _docs(spark, sf_dir).select("doc_id", "lang"), _SPLITS
+    )
+
+
+def corpus_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-language downsampling (md5-bucket thresholds):
+    50% en, 25% de, 10% zh, 5% everything else."""
+    return corpus.stratified_sample(
+        _docs(spark, sf_dir).select("doc_id", "lang"),
+        _SAMPLE_FRACTIONS,
+        strata_col="lang",
+        default_fraction=0.05,
+    )
+
+
+def corpus_token_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget sharding via the distributed prefix-sum scan — the
+    deterministic sharding step before sequence packing."""
+    d = _docs(spark, sf_dir).select(
+        "doc_id", F.size(text.tokens()).alias("n_tokens")
+    )
+    return corpus.shard_by_token_budget(d, _SHARD_BUDGET)
+
+
 QUERIES = {
     "text_token_stats": text_token_stats,
     "text_language_id": text_language_id,
@@ -423,6 +460,9 @@ QUERIES = {
     "dedup_embedding_lsh": dedup_embedding_lsh,
     "dedup_clusters": dedup_clusters,
     "corpus_dedup_pipeline": corpus_dedup_pipeline,
+    "corpus_hash_split": corpus_hash_split,
+    "corpus_stratified_sample": corpus_stratified_sample,
+    "corpus_token_shards": corpus_token_shards,
     "similarity_topk": similarity_topk,
     "similarity_topk_ivf": similarity_topk_ivf,
     "events_windowed_agg": events_windowed_agg,
@@ -883,6 +923,30 @@ def _emb_lsh_oracle(planes: int = 32, bands: int = 4, dim: int = 64) -> str:
 
 
 ORACLES["dedup_embedding_lsh"] = _emb_lsh_oracle()
+
+
+ORACLES["corpus_hash_split"] = f"""
+    SELECT doc_id, lang, {corpus.hash_split_sql(_SPLITS)}
+    FROM documents
+"""
+
+
+ORACLES["corpus_stratified_sample"] = f"""
+    SELECT doc_id, lang FROM documents
+    WHERE {corpus.stratified_sample_sql(
+        _SAMPLE_FRACTIONS, strata_col='lang', default_fraction=0.05)}
+"""
+
+
+ORACLES["corpus_token_shards"] = f"""
+    WITH t AS (SELECT doc_id, len({_TOKS.format(col='text')}) AS n_tokens
+               FROM documents)
+    SELECT doc_id, n_tokens,
+           COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                    0) // {_SHARD_BUDGET} AS shard_id
+    FROM t
+"""
 
 
 ORACLES["dedup_clusters"] = f"""
