@@ -346,6 +346,24 @@ def streaming_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup with watermark-bounded state: the event
+    stream unioned with itself (every event duplicated) deduped back to
+    one row per event_id via ``dropDuplicatesWithinWatermark``. The
+    oracle is the plain events table — event_ids are unique, so the
+    deduped doubled stream must equal it exactly."""
+    from sales_data_etl_pipeline_spark.streaming import events as streaming
+
+    stream = streaming.stream_events(spark, sf_dir)
+    doubled = stream.unionByName(stream)
+    dd = streaming.dedup_within_watermark(doubled, watermark="24 hours")
+    return streaming.run_stream_to_memory(
+        dd.select("event_id", "user_id", "event_type"),
+        "q_stream_dedup",
+        output_mode="append",
+    )
+
+
 # --- multimodal plumbing (mapInPandas; payloads synthesized from text) ------
 
 
@@ -471,6 +489,7 @@ QUERIES = {
     "events_range_count": events_range_count,
     "events_multires_rollup": events_multires_rollup,
     "streaming_windowed_counts": streaming_windowed_counts,
+    "streaming_dedup": streaming_dedup,
     "multimodal_decode": multimodal_decode,
     "stats_profile": stats_profile,
     "stats_value_counts": stats_value_counts,
@@ -923,6 +942,11 @@ def _emb_lsh_oracle(planes: int = 32, bands: int = 4, dim: int = 64) -> str:
 
 
 ORACLES["dedup_embedding_lsh"] = _emb_lsh_oracle()
+
+
+ORACLES["streaming_dedup"] = """
+    SELECT event_id, user_id, event_type FROM events
+"""
 
 
 ORACLES["corpus_hash_split"] = f"""

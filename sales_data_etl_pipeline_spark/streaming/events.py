@@ -100,6 +100,26 @@ def session_counts(
     )
 
 
+def dedup_within_watermark(
+    events: DataFrame,
+    *,
+    keys: tuple[str, ...] = ("event_id",),
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact dedup with bounded state — the streaming form of
+    ``dedup.exact_dedup``.
+
+    ``dropDuplicatesWithinWatermark`` keeps per-key state only inside the
+    watermark horizon, so state is O(distinct keys per horizon) instead
+    of O(stream history) (a plain ``dropDuplicates`` on a stream never
+    expires state — the unbounded-state trap). Emits the first arrival
+    of each key; later copies inside the horizon are dropped.
+    """
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        list(keys)
+    )
+
+
 def run_stream_to_memory(
     agg: DataFrame, query_name: str, *, output_mode: str = "complete"
 ) -> DataFrame:

@@ -76,3 +76,24 @@ def test_stateful_user_totals(spark):
     got = {(r.user_id, r.n_events, r.total_value) for r in result.collect()}
     want = {(r.user_id, r.n_events, r.total_value) for r in batch.collect()}
     assert got == want and len(want) > 0
+
+
+def test_dedup_within_watermark_bounded_state(spark):
+    """A doubled stream deduped on event_id collapses back to the
+    original row count (exact streaming dedup, state bounded by the
+    watermark horizon)."""
+    from sales_data_etl_pipeline_spark.streaming import events as streaming
+
+    sf_dir = "/root/testdata/sf0.001"
+    stream = streaming.stream_events(spark, sf_dir)
+    doubled = stream.unionByName(stream)
+    out = streaming.run_stream_to_memory(
+        streaming.dedup_within_watermark(doubled, watermark="24 hours")
+        .select("event_id"),
+        "t_stream_dedup",
+        output_mode="append",
+    )
+    n_events = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    got = out.count()
+    assert got == n_events
+    assert out.select("event_id").distinct().count() == n_events
