@@ -79,10 +79,15 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY brand, tipo
         """,
         "sales_pivot": """
+            -- CAST AS BIGINT: DuckDB integer SUM is HUGEINT (float64 in
+            -- pandas), Spark's pivot-count is bigint — align the reprs.
             SELECT o_orderpriority,
-                   SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_f,
-                   SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS n_o,
-                   SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS n_p
+                   CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_f,
+                   CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_o,
+                   CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_p
             FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
         """,
         "average_ticket_by_product": f"""

@@ -389,15 +389,23 @@ def stats_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     A13 value_counts, A14 mean/median, A15 conditional count, A16 coalesce)
     as one aggregate over orders."""
     orders = load_testdata(spark, sf_dir, ("orders",))["orders"]
+
+    # floor(x·100 + 0.5)/100 instead of round(x, 2): pure IEEE arithmetic,
+    # bit-identical in Spark and DuckDB even at .xx5 double boundaries
+    # (Spark's round is HALF_UP on the BigDecimal repr; DuckDB rounds the
+    # binary value — they disagree exactly at those boundaries).
+    def _r2(c):
+        return F.floor(c * 100 + F.lit(0.5)) / 100
+
     return orders.agg(
         F.max("o_orderkey").alias("max_id"),
         F.countDistinct("o_custkey").alias("n_customers"),
-        F.round(F.avg("o_totalprice"), 2).alias("mean_price"),
-        F.round(F.expr("percentile(o_totalprice, 0.5D)"), 2).alias("median_price"),
+        _r2(F.avg("o_totalprice")).alias("mean_price"),
+        _r2(F.expr("percentile(o_totalprice, 0.5D)")).alias("median_price"),
         F.sum(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)).alias(
             "n_finished"
         ),
-        F.coalesce(F.round(F.sum("o_totalprice"), 2), F.lit(0.0)).alias("total_price"),
+        F.coalesce(_r2(F.sum("o_totalprice")), F.lit(0.0)).alias("total_price"),
     )
 
 
@@ -407,12 +415,17 @@ def stats_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     mergeable sketches (no oracle entry: sketch internals differ across
     engines by design; the driver records a rows-only check)."""
     li = load_testdata(spark, sf_dir, ("lineitem",))["lineitem"]
+    # One sketch, three scalar outputs: the array-valued approx_percentile
+    # column broke the driver's rows-only canonicalization (pandas can't
+    # sort list cells), so unpack p50/p95/p99 via element_at. The sketch is
+    # still built once — Catalyst dedups the identical aggregate expression.
+    q = "approx_percentile(l_extendedprice, array(0.5D, 0.95D, 0.99D), 10000)"
     return li.agg(
         F.approx_count_distinct("l_orderkey").alias("approx_orders"),
         F.approx_count_distinct("l_partkey").alias("approx_parts"),
-        F.expr(
-            "approx_percentile(l_extendedprice, array(0.5D, 0.95D, 0.99D), 10000)"
-        ).alias("price_quantiles"),
+        F.expr(f"element_at({q}, 1)").alias("price_p50"),
+        F.expr(f"element_at({q}, 2)").alias("price_p95"),
+        F.expr(f"element_at({q}, 3)").alias("price_p99"),
     )
 
 
@@ -846,12 +859,19 @@ ORACLES = {
         FROM documents
     """,
     "stats_profile": """
+        -- floor(x*100 + 0.5)/100 == the Spark side's IEEE round-2 composite;
+        -- CAST(SUM(int) AS BIGINT): DuckDB integer SUM is HUGEINT, which
+        -- pandas renders as float64 and the exact-hash gate sees as 2996.0
+        -- vs Spark's bigint 2996.
         SELECT MAX(o_orderkey) AS max_id,
                COUNT(DISTINCT o_custkey) AS n_customers,
-               ROUND(AVG(o_totalprice), 2) AS mean_price,
-               ROUND(quantile_cont(o_totalprice, 0.5), 2) AS median_price,
-               SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_finished,
-               COALESCE(ROUND(SUM(o_totalprice), 2), 0.0) AS total_price
+               floor(AVG(o_totalprice) * 100 + 0.5) / 100 AS mean_price,
+               floor(quantile_cont(o_totalprice, 0.5) * 100 + 0.5) / 100
+                   AS median_price,
+               CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_finished,
+               COALESCE(floor(SUM(o_totalprice) * 100 + 0.5) / 100, 0.0)
+                   AS total_price
         FROM orders
     """,
     "stats_value_counts": """
@@ -869,7 +889,9 @@ ORACLES = {
                          lag(ts) OVER (PARTITION BY user_id
                                        ORDER BY ts, event_id) AS prev
                   FROM events))
-        SELECT user_id, SUM(new_session) AS n_sessions, COUNT(*) AS n_events
+        SELECT user_id,
+               CAST(SUM(new_session) AS BIGINT) AS n_sessions,
+               COUNT(*) AS n_events
         FROM g GROUP BY user_id ORDER BY user_id
     """,
 }
@@ -966,9 +988,9 @@ ORACLES["corpus_token_shards"] = f"""
     WITH t AS (SELECT doc_id, len({_TOKS.format(col='text')}) AS n_tokens
                FROM documents)
     SELECT doc_id, n_tokens,
-           COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+           CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
-                    0) // {_SHARD_BUDGET} AS shard_id
+                    0) // {_SHARD_BUDGET} AS BIGINT) AS shard_id
     FROM t
 """
 

@@ -1,0 +1,87 @@
+"""JDBC round-trip against embedded Derby (ships in Spark's own jars).
+
+Exercises the reference's PostgreSQL load layer semantics
+(``load-data/l_vendas.py:92-125``: DROP+CREATE, bulk INSERT, ON CONFLICT
+DO NOTHING ≈ dedup-then-overwrite) with a real JDBC engine — no external
+server needed: Derby runs embedded in the Spark JVM.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from sales_data_etl_pipeline_spark.operators import cleaning
+from sales_data_etl_pipeline_spark.sources import jdbc
+
+DERBY_DRIVER = "org.apache.derby.iapi.jdbc.AutoloadedDriver"
+
+
+def _url(tmp_path, name: str) -> str:
+    return f"jdbc:derby:{tmp_path}/{name};create=true"
+
+
+def _props() -> dict[str, str]:
+    return {"driver": DERBY_DRIVER}
+
+
+@pytest.fixture(scope="module")
+def vendas(spark):
+    return spark.createDataFrame(
+        [
+            Row(id_venda=i, id_empregado=i % 7, valor=float(i) * 1.5)
+            for i in range(1, 201)
+        ]
+    )
+
+
+def test_write_read_roundtrip(spark, tmp_path, vendas):
+    url = _url(tmp_path, "rt")
+    jdbc.write_jdbc(vendas, url, "vendas", properties=_props())
+    back = jdbc.read_jdbc(spark, url, "vendas", properties=_props())
+    assert back.count() == 200
+    assert sorted(back.columns) == ["id_empregado", "id_venda", "valor"]
+    got = {(r.id_venda, r.id_empregado, r.valor) for r in back.collect()}
+    want = {(r.id_venda, r.id_empregado, r.valor) for r in vendas.collect()}
+    assert got == want
+
+
+def test_overwrite_is_drop_create(spark, tmp_path, vendas):
+    """mode='overwrite' == the reference's DROP+CREATE+INSERT."""
+    url = _url(tmp_path, "ow")
+    jdbc.write_jdbc(vendas, url, "vendas", properties=_props())
+    jdbc.write_jdbc(
+        vendas.filter(F.col("id_venda") <= 50), url, "vendas",
+        properties=_props(),
+    )
+    assert jdbc.read_jdbc(spark, url, "vendas", properties=_props()).count() == 50
+
+
+def test_dedup_then_overwrite_matches_on_conflict(spark, tmp_path, vendas):
+    """Reference's ON CONFLICT DO NOTHING after fresh CREATE keeps the
+    first row per key — dedup_keep_first before the bulk write."""
+    url = _url(tmp_path, "dd")
+    doubled = vendas.unionByName(vendas.withColumn("valor", F.col("valor") + 999))
+    deduped = cleaning.dedup_keep_first(
+        doubled, keys=["id_venda"], order_col="valor"
+    )
+    jdbc.write_jdbc(deduped, url, "vendas", properties=_props())
+    back = jdbc.read_jdbc(spark, url, "vendas", properties=_props())
+    assert back.count() == 200
+    assert back.agg(F.countDistinct("id_venda")).first()[0] == 200
+
+
+def test_partitioned_parallel_read(spark, tmp_path, vendas):
+    """The S4 parallel-scan path: partitionColumn/bounds/numPartitions
+    fan the read out across executor connections."""
+    url = _url(tmp_path, "pp")
+    jdbc.write_jdbc(vendas, url, "vendas", properties=_props())
+    back = jdbc.read_jdbc(
+        spark, url, "vendas",
+        partition_column="id_venda", lower_bound=1, upper_bound=201,
+        num_partitions=4, properties=_props(),
+    )
+    assert back.rdd.getNumPartitions() == 4
+    assert back.count() == 200
+    assert back.agg(F.sum("id_venda")).first()[0] == sum(range(1, 201))

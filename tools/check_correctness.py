@@ -1,9 +1,15 @@
 """Local stand-in for the driver's DuckDB-oracle correctness gate.
 
 Runs every ``queries()`` entry at sf0.01 on Spark AND the matching
-``oracle_sql()`` on DuckDB, then compares row count, column names, and an
-order-insensitive value comparison (sorted by all columns, element-wise,
-floats to 6 significant digits).
+``oracle_sql()`` on DuckDB, then compares row count, column names, and
+TWO value comparisons:
+
+- **exact** — pandas on both sides (``toPandas`` / ``fetchdf``), columns
+  sorted by name, rows sorted, every cell stringified. This emulates the
+  driver's exact value-hash, including dtype-repr gaps (DuckDB HUGEINT →
+  float64 ``2996.0`` vs Spark bigint ``2996``) and last-ulp float noise.
+- **6-sig** — the older tolerance check, reported when exact fails so the
+  failure class is obvious (repr gap vs real value gap).
 
 Usage: python tools/check_correctness.py [sf_dir] [query ...]
 """
@@ -41,6 +47,33 @@ def norm_rows(cols, rows):
     return [cols[i] for i in order], out
 
 
+def canon_pandas(pdf):
+    """Driver-style canonicalization: sorted column order, sorted rows,
+    every cell as its string repr (so int64 2996 != float64 2996.0)."""
+    pdf = pdf[sorted(pdf.columns)]
+    import datetime
+
+    import pandas as pd
+
+    def _cell(v):
+        if v is None:
+            return "<null>"
+        if isinstance(v, float) and v != v:  # NaN (guarded: not on arrays)
+            return "<null>"
+        # date vs timestamp-at-midnight compare equal under the driver's
+        # hash (Spark DATE → datetime.date, DuckDB DATE-ish → Timestamp)
+        if isinstance(v, (datetime.date, datetime.datetime, pd.Timestamp)):
+            return str(pd.Timestamp(v))
+        return str(v)
+
+    cells = [
+        tuple(_cell(v) for v in row)
+        for row in pdf.itertuples(index=False, name=None)
+    ]
+    cells.sort()
+    return cells
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
@@ -64,24 +97,33 @@ def main() -> int:
         try:
             sdf = fn(spark, sf_dir)
             scols = sdf.columns
+            spdf = sdf.toPandas()
             srows = [tuple(r) for r in sdf.collect()]
         except Exception as e:  # noqa: BLE001
             print(f"FAIL {name}: spark error: {e}")
             failures += 1
             continue
         if name not in oracles:
+            try:
+                canon_pandas(spdf)  # the driver's rows-only canon must not blow up
+                extra = ""
+            except Exception as e:  # noqa: BLE001
+                extra = f" [CANON ERROR: {e}]"
+                failures += 1
             print(f"OK?  {name}: rows-only check, {len(srows)} rows "
-                  f"({time.time()-t0:.1f}s) [no oracle]")
+                  f"({time.time()-t0:.1f}s) [no oracle]{extra}")
             continue
         try:
             res = con.execute(oracles[name])
             ocols = [d[0] for d in res.description]
-            orows = res.fetchall()
+            opdf = res.fetchdf()
+            orows = [tuple(r) for r in opdf.itertuples(index=False, name=None)]
         except Exception as e:  # noqa: BLE001
             print(f"FAIL {name}: duckdb error: {e}")
             failures += 1
             continue
         ok = True
+        exact = False
         msgs = []
         if len(srows) != len(orows):
             ok = False
@@ -90,12 +132,33 @@ def main() -> int:
             ok = False
             msgs.append(f"cols spark={sorted(scols)} oracle={sorted(ocols)}")
         if ok:
-            _, s = norm_rows(scols, srows)
-            _, o = norm_rows(ocols, orows)
-            if s != o:
-                ok = False
-                diffs = [(i, a, b) for i, (a, b) in enumerate(zip(s, o)) if a != b]
-                msgs.append(f"{len(diffs)} mismatched rows; first: {diffs[:3]}")
+            try:
+                se, oe = canon_pandas(spdf), canon_pandas(opdf)
+                exact = se == oe
+            except Exception as e:  # noqa: BLE001
+                msgs.append(f"canon error: {e}")
+            if not exact:
+                _, s = norm_rows(scols, srows)
+                _, o = norm_rows(ocols, orows)
+                if s != o:
+                    ok = False
+                    diffs = [
+                        (i, a, b) for i, (a, b) in enumerate(zip(s, o)) if a != b
+                    ]
+                    msgs.append(
+                        f"{len(diffs)} mismatched rows; first: {diffs[:3]}"
+                    )
+                else:
+                    ok = False
+                    ed = [
+                        (i, a, b)
+                        for i, (a, b) in enumerate(zip(se, oe))
+                        if a != b
+                    ]
+                    msgs.append(
+                        "EXACT-HASH MISMATCH (6-sig passes — repr/dtype gap); "
+                        f"first: {ed[:3]}"
+                    )
         status = "PASS" if ok else "FAIL"
         if not ok:
             failures += 1
