@@ -298,8 +298,9 @@ def simhash_pairs(
 ) -> DataFrame:
     """Near-dup pairs by SimHash hamming distance ≤ ``max_hamming``.
 
-    Pairwise here (small corpus); the scale path indexes each fingerprint
-    under C(bands) masks so candidates share a masked prefix.
+    All-pairs theta-join — kept ONLY as the verification oracle for
+    :func:`simhash_pairs_banded` (the scale path), which returns the
+    identical pair set through an equi-join.
     """
     fp = simhash_fingerprints(df, text_col)
     a, b = fp.alias("a"), fp.alias("b")
@@ -314,6 +315,59 @@ def simhash_pairs(
             F.col("b.doc_id").alias("id_b"),
             "hamming",
         )
+    )
+
+
+def simhash_pairs_banded(
+    df: DataFrame, *, max_hamming: int = 6, text_col: str = "text"
+) -> DataFrame:
+    """Exact SimHash near-dup pairs via multi-index block banding.
+
+    Pigeonhole: split the 32-bit fingerprint into ``max_hamming + 1``
+    contiguous blocks — a pair within the hamming budget differs in at
+    most ``max_hamming`` bit positions, so at least one block matches
+    EXACTLY. Index every doc under its (block_idx, block_value) keys and
+    equi-join on them: candidates are only docs sharing a block, then
+    ``bit_count`` verifies the full distance. Same output as the
+    all-pairs form (:func:`simhash_pairs`), but the shuffle is a hash
+    join on short keys instead of an O(n²) theta-join — the plan that
+    survives a 100× scale-up. Output: (id_a, id_b, hamming), a < b.
+    """
+    fp = simhash_fingerprints(df, text_col)
+    m = max_hamming + 1
+    base, rem = divmod(32, m)
+    widths = [base + 1 if i < rem else base for i in range(m)]
+    starts = [sum(widths[:i]) for i in range(m)]
+    blocks = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("blk"),
+                F.expr(
+                    f"shiftright(simhash, {starts[i]}) & {(1 << widths[i]) - 1}"
+                ).alias("val"),
+            )
+            for i in range(m)
+        ]
+    )
+    ex = fp.select(
+        "doc_id", "simhash", F.explode(blocks).alias("b")
+    ).select("doc_id", "simhash", "b.blk", "b.val")
+    a, b = ex.alias("a"), ex.alias("b")
+    return (
+        a.join(b, ["blk", "val"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .withColumn(
+            "hamming",
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            "hamming",
+        )
+        # a pair sharing k blocks appears k times — one shuffle dedups it
+        .distinct()
     )
 
 

@@ -110,7 +110,11 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dedup.simhash_pairs(_docs_with_near_dups(spark, sf_dir), max_hamming=6)
+    # banded (equi-join) form — identical pair set to the all-pairs
+    # simhash_pairs, which stays as the verification primitive
+    return dedup.simhash_pairs_banded(
+        _docs_with_near_dups(spark, sf_dir), max_hamming=6
+    )
 
 
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:

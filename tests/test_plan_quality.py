@@ -46,3 +46,17 @@ def test_monthly_groupby_has_single_fact_shuffle(spark):
     plan = _plan(analytics.td_sales_by_period(spark, SF_DIR))
     # one exchange for the groupBy, one for the final orderBy — no more
     assert len(re.findall(r"\bExchange\b", plan)) <= 2
+
+
+def test_banded_simhash_is_equi_join_not_theta(spark):
+    """The scale path for SimHash pairs must candidate-generate through a
+    hash equi-join on (block, value) keys — never an all-pairs
+    nested-loop/cartesian like the verification-oracle form."""
+    from sales_data_etl_pipeline_spark.plans import llm_demo
+
+    plan = _plan(llm_demo.dedup_simhash(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) or (
+        "BroadcastHashJoin" in plan
+    )

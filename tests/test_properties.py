@@ -74,3 +74,30 @@ def test_group_median_fill_leaves_no_nulls_when_any_value_exists(spark, data):
     originals = [(k, v) for k, v in data if v is not None]
     kept = sorted((r.k, r.v) for r in out if not r.imp and r.v is not None)
     assert sorted(originals) == kept
+
+
+def test_simhash_banded_matches_all_pairs(spark):
+    """Banding is exact (pigeonhole): identical pair set to the O(n²)
+    verification form, at several hamming budgets."""
+    from pyspark.sql import functions as F
+
+    from sales_data_etl_pipeline_spark.operators import dedup
+    from sales_data_etl_pipeline_spark.sources.tables import load_testdata
+
+    docs = (
+        load_testdata(spark, "/root/testdata/sf0.001", ("documents",))[
+            "documents"
+        ]
+        .select("doc_id", "text")
+        .limit(120)
+    )
+    for k in (2, 6, 11):
+        brute = {
+            (r.id_a, r.id_b, r.hamming)
+            for r in dedup.simhash_pairs(docs, max_hamming=k).collect()
+        }
+        banded = {
+            (r.id_a, r.id_b, r.hamming)
+            for r in dedup.simhash_pairs_banded(docs, max_hamming=k).collect()
+        }
+        assert banded == brute
