@@ -44,11 +44,64 @@ def test_observed_counts_ride_the_action(spark):
 
 
 def test_markdown_report(spark, tmp_path):
-    t = load_testdata(spark, SF_DIR, ("lineitem", "supplier", "part"))
     results = {
         "sales_by_employee": analytics.td_sales_by_employee(spark, SF_DIR),
         "sales_by_category": analytics.td_sales_by_category(spark, SF_DIR),
     }
-    path = report.save_report(results, str(tmp_path / "relatorio-final"))
+    path = report.save_report(results, str(tmp_path / "relatorio-final.md"))
     text = open(path, encoding="utf-8").read()
-    assert "Vendas por Funcionário" in text and "| id_empregado |" in text
+    assert "Total de vendas por funcionário" in text
+    assert "| id_empregado |" in text
+
+
+def _report_results(spark):
+    return {
+        "sales_by_employee": analytics.td_sales_by_employee(spark, SF_DIR),
+        "average_ticket_by_product": analytics.td_average_ticket_by_product(
+            spark, SF_DIR
+        ),
+        "sales_by_category": analytics.td_sales_by_category(spark, SF_DIR),
+        "top5_employees": analytics.td_top5_employees(spark, SF_DIR),
+        "sales_by_period": analytics.td_sales_by_period(spark, SF_DIR),
+    }
+
+
+def test_pdf_report_structure(spark, tmp_path):
+    """S9 parity: real PDF with all 5 sections, 3 vector charts, and the
+    date-imputation warning (reference save_data_pdf_report.py:480-745)."""
+    path = report.save_report(
+        _report_results(spark), str(tmp_path / "relatorio-final")
+    )
+    assert path.endswith(".pdf")
+    raw = open(path, "rb").read()
+    assert raw.startswith(b"%PDF-1.4")
+    assert raw.rstrip().endswith(b"%%EOF")
+    # content streams are uncompressed → section headings are greppable
+    body = raw.decode("latin-1")
+    for heading in [h for _k, h, *_ in report.SECTIONS]:
+        assert heading.encode("latin-1").decode("latin-1") in body
+    # the reference's layout: leading table pages, then one page opened
+    # per charted section (page count grows with table rows)
+    assert body.count("/Type /Page ") >= 4
+    for chart_title in (
+        "Vendas por Categoria de Produto",
+        "Top 5 Funcion\xe1rios - Volume de Vendas",
+        "Evolu\xe7\xe3o de Vendas por Per\xedodo",
+    ):
+        assert chart_title in body
+    assert "OBSERVA\xc7\xc3O IMPORTANTE" in body
+    # vector chart marks exist (filled rects for bars, polyline for the series)
+    assert body.count(" re B") > 20  # table grid + bars
+    assert " l S" in body  # polyline stroke
+
+
+def test_pdf_renders_with_empty_and_extra_sections(spark, tmp_path):
+    """Sink must not crash on missing sections or unknown extra keys."""
+    results = {
+        "sales_by_category": analytics.td_sales_by_category(spark, SF_DIR),
+        "custom_extra": analytics.td_top5_employees(spark, SF_DIR),
+    }
+    path = report.save_report(results, str(tmp_path / "partial"))
+    raw = open(path, "rb").read()
+    assert raw.startswith(b"%PDF-1.4")
+    assert b"custom_extra" in raw
