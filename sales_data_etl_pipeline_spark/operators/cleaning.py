@@ -235,12 +235,19 @@ def fill_date_cascade(
     flag_col: str = "data_imputada",
     method_col: str = "metodo_imputacao",
     exact: bool = True,
+    invalid_col: str | None = None,
 ) -> DataFrame:
     """A8/A9/F7 — the reference's 4-stage date cascade
     (``et_vendas.py:183-311``): NULL dates get (1) the median date of the
     same group's originally-valid dates, else (2) the global median date,
     else (3) a pinned fallback date (reference uses ``now()``; injectable
     here so tests are deterministic — SURVEY.md §7.4 item 5).
+
+    ``invalid_col`` (boolean) marks rows whose ORIGINAL string was
+    non-blank but unparseable: the reference's 4th stage
+    (``et_vendas.py:292-345``) skips the medians for those and assigns
+    the fallback date labeled ``formato_invalido``. They are excluded
+    from the median pools either way (their parsed value is NULL).
 
     Date median = percentile over day ordinals; the midpoint of an even
     count lands on ``d.5`` which floors to ``d`` — exactly pandas'
@@ -261,6 +268,7 @@ def fill_date_cascade(
         .crossJoin(F.broadcast(global_med))
     )
     was_null = F.col(date_col).isNull()
+    invalid = F.col(invalid_col) if invalid_col else F.lit(False)
     fallback = (
         F.lit(fallback_date).cast("date") if fallback_date else F.current_date()
     )
@@ -268,7 +276,7 @@ def fill_date_cascade(
         out.withColumn(flag_col, was_null)
         .withColumn(
             method_col,
-            F.when(
+            F.when(invalid, F.lit("formato_invalido")).when(
                 was_null,
                 F.when(F.col("_grp_days").isNotNull(), F.lit("mediana_empregado"))
                 .when(F.col("_glob_days").isNotNull(), F.lit("mediana_global"))
@@ -277,14 +285,16 @@ def fill_date_cascade(
         )
         .withColumn(
             date_col,
-            F.when(
+            F.when(invalid, fallback)
+            .when(
                 was_null,
                 F.coalesce(
                     to_date(F.col("_grp_days")),
                     to_date(F.col("_glob_days")),
                     fallback,
                 ),
-            ).otherwise(F.col(date_col)),
+            )
+            .otherwise(F.col(date_col)),
         )
     )
     return out.drop("_grp_days", "_glob_days")

@@ -58,15 +58,23 @@ def extract_treat_vendas(
     df = cleaning.dedup_keep_first(raw, ["id_venda"], order)
 
     # --- date cascade (A8/A9/F7 + re-parse stage F4) ----------------------
-    # Reference parses DD/MM/YYYY strings; invalid parses become NULL and
-    # join the cascade (the reference's 4th stage re-parse marks them
-    # 'formato_invalido'; since try_to_date already nulled them, they are
-    # indistinguishable from blanks here and get the same imputed values —
-    # we keep the method labels of the 3-stage cascade).
+    # Reference semantics, all four stages (et_vendas.py:137-345): BLANK
+    # dates cascade through mediana_empregado → mediana_global →
+    # data_atual; NON-blank unparseable strings skip the cascade and get
+    # the fallback date labeled 'formato_invalido'. Both populations are
+    # excluded from the median pools.
+    df = df.withColumn(
+        "_data_invalida", ~is_blank("data") & parse_date_br("data").isNull()
+    )
     df = df.withColumn("data", parse_date_br("data"))
     df = cleaning.fill_date_cascade(
-        df, "data", "id_empregado", fallback_date=fallback_date
+        df,
+        "data",
+        "id_empregado",
+        fallback_date=fallback_date,
+        invalid_col="_data_invalida",
     )
+    df = df.drop("_data_invalida")
 
     # --- unit-value imputation (J1 + A7) ----------------------------------
     df = df.withColumn("valor_unitario", coerce_numeric("valor_unitario"))

@@ -208,3 +208,46 @@ def test_full_pipeline_invariants(spark, dirty_csvs, tmp_path):
         "id_venda", "data", "id_produto", "id_empregado",
         "quantidade", "valor_unitario", "valor_total",
     }
+
+
+def test_formato_invalido_fourth_stage(spark, tmp_path):
+    """Reference et_vendas.py:292-345: non-blank unparseable dates skip the
+    median cascade and get the fallback date labeled formato_invalido;
+    blanks cascade; neither pollutes the median pools."""
+    rows = [
+        # 4 valid dates for empregado 1 → its median is 03/01 (midpoint floor)
+        "1;01/01/2025;1;1;1;10.0;10.0",
+        "2;02/01/2025;1;1;1;10.0;10.0",
+        "3;05/01/2025;1;1;1;10.0;10.0",
+        "4;09/01/2025;1;1;1;10.0;10.0",
+        "5;;1;1;1;10.0;10.0",              # blank → mediana_empregado
+        "6;99/99/9999;1;1;1;10.0;10.0",    # invalid → formato_invalido
+        "7;not-a-date;1;1;1;10.0;10.0",    # invalid → formato_invalido
+        "8;;1;2;1;10.0;10.0",              # blank, no emp-2 dates → mediana_global
+    ]
+    csv = tmp_path / "vendas.csv"
+    csv.write_text(
+        "id_venda;data;id_produto;id_empregado;quantidade;valor_unitario;valor_total\n"
+        + "\n".join(rows),
+        encoding="utf-8",
+    )
+    from sales_data_etl_pipeline_spark import schemas
+    from sales_data_etl_pipeline_spark.sources.csv import read_csv_with_ordinal
+
+    produtos = spark.createDataFrame(
+        [(1, "P", 10.0, "Cat")], "id_produto long, nome string, preco double, categoria string"
+    )
+    out = pipeline.extract_treat_vendas(
+        read_csv_with_ordinal(spark, str(csv), schemas.VENDAS_RAW),
+        produtos,
+        fallback_date="2025-06-30",
+    )
+    got = {r.id_venda: (str(r.data), r.data_imputada, r.metodo_imputacao)
+           for r in out.collect()}
+    assert got[1] == ("2025-01-01", False, None)
+    # emp-1 median of {01,02,05,09} = midpoint(02,05)=3.5 → floor → 03/01
+    assert got[5] == ("2025-01-03", True, "mediana_empregado")
+    assert got[6] == ("2025-06-30", True, "formato_invalido")
+    assert got[7] == ("2025-06-30", True, "formato_invalido")
+    # global median over the 4 valid dates only (invalids excluded)
+    assert got[8] == ("2025-01-03", True, "mediana_global")
