@@ -184,6 +184,7 @@ def minhash_lsh_pairs(
     n: int = 3,
     threshold: float = 0.5,
     text_col: str = "text",
+    verify: str = "sets",
 ) -> DataFrame:
     """MinHash+LSH near-dup pairs: band → bucket-join candidates → exact
     Jaccard verification (a < b, jaccard ≥ threshold).
@@ -191,7 +192,21 @@ def minhash_lsh_pairs(
     Banding: K hashes split into ``bands`` bands of K/bands rows; docs
     agreeing on ALL rows of any band become candidates. With K=16, b=4,
     r=4 the candidate probability is 1-(1-j^4)^4 — steep around j≈0.5.
+
+    ``verify`` picks the exact-Jaccard strategy (identical output):
+
+    - ``"sets"`` — carry each doc's shingle set through the per-doc
+      aggregate and ``array_intersect`` on candidate pairs. One shuffle
+      of the shingle table, but row width is O(doc shingle count):
+      right when documents are bounded (the default here).
+    - ``"join"`` — no ``collect_list`` anywhere; |A∩B| comes from
+      joining the candidate pairs back to the exploded shingle table
+      (the :func:`ngram_jaccard_pairs` counting form, but only over LSH
+      candidates). Bounded row width regardless of document size — the
+      100 TB setting when single docs can hold millions of shingles.
     """
+    if verify not in ("sets", "join"):
+        raise ValueError(f"verify must be 'sets' or 'join', got {verify!r}")
     rows = num_hashes // bands
     # ONE groupBy(doc_id) computes everything per-doc downstream work
     # needs: the K min-hashes, the distinct-shingle count, and the
@@ -213,11 +228,12 @@ def minhash_lsh_pairs(
         ).alias(f"_mh{k}")
         for k in range(num_hashes)
     ]
-    per_doc = ids.groupBy("doc_id").agg(
-        *mh_aggs,
-        F.count(F.lit(1)).alias("sz"),
-        F.collect_list("sh").alias("_shset"),
-    ).localCheckpoint(eager=False)
+    per_doc_aggs = [*mh_aggs, F.count(F.lit(1)).alias("sz")]
+    if verify == "sets":
+        per_doc_aggs.append(F.collect_list("sh").alias("_shset"))
+    per_doc = (
+        ids.groupBy("doc_id").agg(*per_doc_aggs).localCheckpoint(eager=False)
+    )
     band_structs = [
         F.struct(
             F.lit(b).alias("band"),
@@ -240,21 +256,46 @@ def minhash_lsh_pairs(
         .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
         .distinct()
     )
-    va = per_doc.select(
-        F.col("doc_id").alias("id_a"),
-        F.col("sz").alias("sz_a"),
-        F.col("_shset").alias("_set_a"),
-    )
-    vb = per_doc.select(
-        F.col("doc_id").alias("id_b"),
-        F.col("sz").alias("sz_b"),
-        F.col("_shset").alias("_set_b"),
-    )
+    if verify == "sets":
+        va = per_doc.select(
+            F.col("doc_id").alias("id_a"),
+            F.col("sz").alias("sz_a"),
+            F.col("_shset").alias("_set_a"),
+        )
+        vb = per_doc.select(
+            F.col("doc_id").alias("id_b"),
+            F.col("sz").alias("sz_b"),
+            F.col("_shset").alias("_set_b"),
+        )
+        verified = (
+            candidates.join(va, "id_a")
+            .join(vb, "id_b")
+            .withColumn("inter", F.size(F.array_intersect("_set_a", "_set_b")))
+        )
+    else:
+        # candidate-join counting: route only the candidate docs' shingles
+        # through the intersect join — row width stays O(1)
+        sh_a = sh.select(
+            F.col("doc_id").alias("id_a"), F.col("sh").alias("_sh")
+        )
+        sh_b = sh.select(
+            F.col("doc_id").alias("id_b"), F.col("sh").alias("_sh")
+        )
+        inter = (
+            candidates.join(sh_a, "id_a")
+            .join(sh_b, ["id_b", "_sh"])
+            .groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).alias("inter"))
+        )
+        sza = per_doc.select(
+            F.col("doc_id").alias("id_a"), F.col("sz").alias("sz_a")
+        )
+        szb = per_doc.select(
+            F.col("doc_id").alias("id_b"), F.col("sz").alias("sz_b")
+        )
+        verified = inter.join(sza, "id_a").join(szb, "id_b")
     return (
-        candidates.join(va, "id_a")
-        .join(vb, "id_b")
-        .withColumn("inter", F.size(F.array_intersect("_set_a", "_set_b")))
-        .withColumn(
+        verified.withColumn(
             "jaccard",
             F.round(
                 F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 6

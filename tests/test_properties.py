@@ -101,3 +101,40 @@ def test_simhash_banded_matches_all_pairs(spark):
             for r in dedup.simhash_pairs_banded(docs, max_hamming=k).collect()
         }
         assert banded == brute
+
+
+def test_minhash_verify_modes_identical(spark):
+    """verify='join' (bounded row width) must return exactly the pairs of
+    verify='sets', including with an adversarially large document."""
+    from pyspark.sql import Row, functions as F
+
+    from sales_data_etl_pipeline_spark.operators import dedup
+    from sales_data_etl_pipeline_spark.sources.tables import load_testdata
+
+    base = (
+        load_testdata(spark, "/root/testdata/sf0.001", ("documents",))[
+            "documents"
+        ]
+        .select("doc_id", "text")
+        .limit(80)
+    )
+    # near-dups + one ~20k-shingle doc (the row-width hazard for 'sets')
+    big = " ".join(f"tok{i % 997} w{i}" for i in range(20000))
+    extra = spark.createDataFrame(
+        [Row(doc_id=900001, text=big), Row(doc_id=900002, text=big + " tail")]
+    )
+    docs = base.unionByName(
+        base.limit(10).select((F.col("doc_id") + 5000).alias("doc_id"), "text")
+    ).unionByName(extra)
+    sets_out = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in dedup.minhash_lsh_pairs(docs, threshold=0.5).collect()
+    }
+    join_out = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in dedup.minhash_lsh_pairs(
+            docs, threshold=0.5, verify="join"
+        ).collect()
+    }
+    assert join_out == sets_out
+    assert any(a == 900001 and b == 900002 for a, b, _ in join_out)
