@@ -50,6 +50,22 @@ HEADLINE = [
 ]
 
 
+def _approx_twins():
+    """100 TB-configuration variants of the holistic-aggregate queries:
+    exact ``percentile`` ships every value to its group's reducer, the
+    t-digest/HLL++ sketches combine map-side. Benchmarked alongside the
+    headline (separate JSON field — not part of the oracle gate, since
+    sketch internals are engine-specific)."""
+    from sales_data_etl_pipeline_spark.plans import cleaning_demo, llm_demo
+
+    return {
+        "clean_et_chain_approx": (
+            lambda spark, sf: cleaning_demo.clean_et_chain(spark, sf, exact=False)
+        ),
+        "stats_approx_sketches": llm_demo.stats_approx_sketches,
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark("bench")
@@ -85,6 +101,15 @@ def main() -> None:
     total = round(sum(timings.values()), 4)
     wall = round(time.perf_counter() - t_all0, 4)
 
+    approx: dict[str, float] = {}
+    for _ in range(2):
+        for name, fn in _approx_twins().items():
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).count()
+            elapsed = round(time.perf_counter() - t0, 4)
+            approx[name] = min(approx.get(name, elapsed), elapsed)
+            gc.collect()
+
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
         json.dumps(
@@ -94,6 +119,7 @@ def main() -> None:
                 "wall_2pass_sec": wall,
                 "unit": "sec",
                 "queries": timings,
+                "approx_twins": approx,
                 "sf": float(sf) if sf else None,
             }
         )

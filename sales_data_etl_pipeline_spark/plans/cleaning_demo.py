@@ -200,12 +200,20 @@ def clean_sequential_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- composed ET chain (the §3.2 shape at testdata scale) -------------------
 
 
-def clean_et_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+def clean_et_chain(
+    spark: SparkSession, sf_dir: str, *, exact: bool = True
+) -> DataFrame:
     """The full vendas-ET composition on testdata: keep-first dedup →
     date cascade → grouped unit-value median via dimension join → total
     derivation. One lazy plan, mirroring ``plans.pipeline.extract_treat_
     vendas`` — the chain the reference runs eagerly stage by stage
-    (``et_vendas.py:432-471``)."""
+    (``et_vendas.py:432-471``).
+
+    ``exact=False`` switches both median imputations to
+    ``approx_percentile`` (t-digest): unlike exact ``percentile`` —
+    holistic, every value shuffles to its group's reducer — the sketch
+    combines map-side, so the aggregate traffic drops from O(rows) to
+    O(partitions · sketch) — the 100 TB configuration."""
     t = load_testdata(spark, sf_dir, ("lineitem", "part"))
     li = t["lineitem"].select(
         "l_orderkey",
@@ -235,13 +243,17 @@ def clean_et_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the wide table again to save only re-running broadcast joins. At
     # cluster scale this is a stage-boundary write to reliable storage.
     df = df.localCheckpoint(eager=False)
-    df = cleaning.fill_date_cascade(df, "data", "l_suppkey", fallback_date="2000-01-01")
+    df = cleaning.fill_date_cascade(
+        df, "data", "l_suppkey", fallback_date="2000-01-01", exact=exact
+    )
     df = df.join(
         F.broadcast(t["part"].select(F.col("p_partkey"), F.col("p_type"))),
         df.l_partkey == F.col("p_partkey"),
         "left",
     ).drop("p_partkey")
-    df = cleaning.fill_group_median(df, "valor_unitario", "p_type", round_digits=2)
+    df = cleaning.fill_group_median(
+        df, "valor_unitario", "p_type", round_digits=2, exact=exact
+    )
     df = df.drop("p_type")
     df = cleaning.derive_if_null(
         df, "valor_total", F.round(F.col("quantidade") * F.col("valor_unitario"), 2)
