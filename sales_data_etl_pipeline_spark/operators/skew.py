@@ -71,8 +71,19 @@ def salted_join(
 
     The skewed side gets a random salt per row; ``other`` is exploded
     ×n_salts so every (key, salt) bucket finds its match. Row-multiplicity
-    semantics are identical to a plain join.
+    semantics are identical to a plain join for ``inner``/``left``/
+    ``left_semi``/``left_anti`` ONLY — right/full outer would surface
+    each unmatched replica of ``other`` as n_salts null-extended rows,
+    so those modes are rejected (salt the other side instead).
     """
+    allowed = {"inner", "left", "left_outer", "leftouter", "left_semi",
+               "leftsemi", "left_anti", "leftanti", "semi", "anti", "cross"}
+    if how.lower() not in allowed:
+        raise ValueError(
+            f"salted_join(how={how!r}): only inner/left-flavored joins keep "
+            "plain-join multiplicity; unmatched rows of the replicated side "
+            "would appear n_salts times under right/full outer."
+        )
     skewed_s = skewed.withColumn(
         "_salt", (F.rand(seed=42) * n_salts).cast("int")
     )

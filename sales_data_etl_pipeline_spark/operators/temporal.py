@@ -92,6 +92,11 @@ def range_join_count(
     Bucketized equi-join: both sides bucket at ``range_seconds``
     granularity; a left row can only match its own or the previous
     bucket — 2 equi-join probes replace an unbounded theta join.
+
+    Row multiplicity is preserved even for fully-duplicate left rows:
+    the count re-groups on a per-row ordinal, not on the left columns
+    (two identical left rows each keep their own count instead of
+    collapsing into one row with the summed hits).
     """
     bucket = lambda c: F.floor(F.col(c).cast("double") / range_seconds)  # noqa: E731
     r = right.select(
@@ -99,8 +104,12 @@ def range_join_count(
         F.col(right_ts).alias("_rts"),
         bucket(right_ts).alias("_rb"),
     )
-    l = left.withColumn("_lb", bucket(left_ts)).withColumn(
-        "_probe", F.explode(F.array(F.col("_lb"), F.col("_lb") - 1))
+    l = (
+        left.withColumn("_lrow", F.monotonically_increasing_id())
+        .withColumn("_lb", bucket(left_ts))
+        .withColumn(
+            "_probe", F.explode(F.array(F.col("_lb"), F.col("_lb") - 1))
+        )
     )
     cmp_hi = (
         F.col("_rts").cast("double") <= F.col(left_ts).cast("double")
@@ -123,6 +132,7 @@ def range_join_count(
         ).cast("long"),
     )
     return (
-        joined.groupBy(*[F.col(c) for c in left.columns])
+        joined.groupBy("_lrow", *[F.col(c) for c in left.columns])
         .agg(F.sum("_hit").alias(count_col))
+        .drop("_lrow")
     )

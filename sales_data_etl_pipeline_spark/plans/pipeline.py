@@ -114,9 +114,16 @@ def extract_treat_empregados(raw: DataFrame) -> DataFrame:
     imputation (rounded to int) → clamp to [18, 70] with flag."""
     order = ROW_ORDINAL if ROW_ORDINAL in raw.columns else None
     df = raw.withColumn("id_empregado", coerce_numeric("id_empregado", "long"))
+    # Reference parity: pandas drop_duplicates(subset=['id_empregado'])
+    # treats NaN keys as EQUAL (et_empregados.py dedup), so of several
+    # blank-id employees only the first survives — dedup the null slice
+    # to its first row too (limit(1) is dimension-table-only by contract,
+    # like the sequential backfill below).
+    nulls = df.filter(F.col("id_empregado").isNull())
+    nulls = (nulls.orderBy(order) if order else nulls).limit(1)
     df = cleaning.dedup_keep_first(
         df.filter(F.col("id_empregado").isNotNull()), ["id_empregado"], order
-    ).unionByName(df.filter(F.col("id_empregado").isNull()))
+    ).unionByName(nulls)
     if order:
         df = df.orderBy(order)
         df = cleaning.backfill_sequential_ids(df, "id_empregado", order)

@@ -251,3 +251,55 @@ def test_formato_invalido_fourth_stage(spark, tmp_path):
     assert got[7] == ("2025-06-30", True, "formato_invalido")
     # global median over the 4 valid dates only (invalids excluded)
     assert got[8] == ("2025-01-03", True, "mediana_global")
+
+
+def test_blank_id_employees_keep_first_only(spark, tmp_path):
+    """Reference parity: pandas drop_duplicates treats NaN ids as equal,
+    so of several blank-id employees only the FIRST survives (and gets
+    the max+1 backfill)."""
+    rows = [
+        "1;Ana;Vendedor;30.0",
+        ";Bruno;Gerente;40.0",      # first blank id → kept, becomes 3
+        "2;Carla;Vendedor;25.0",
+        ";Diego;Assistente;35.0",   # second blank id → dropped
+    ]
+    csv = tmp_path / "empregados.csv"
+    csv.write_text(
+        "id_empregado;nome;cargo;idade\n" + "\n".join(rows), encoding="utf-8"
+    )
+    from sales_data_etl_pipeline_spark import schemas
+    from sales_data_etl_pipeline_spark.sources.csv import read_csv_with_ordinal
+
+    out = pipeline.extract_treat_empregados(
+        read_csv_with_ordinal(spark, str(csv), schemas.EMPREGADOS_RAW)
+    )
+    got = {(r.id_empregado, r.nome) for r in out.collect()}
+    assert got == {(1, "Ana"), (2, "Carla"), (3, "Bruno")}
+
+
+def test_range_join_count_duplicate_left_rows(spark):
+    """Fully-duplicate left rows keep separate counts (no collapse)."""
+    from sales_data_etl_pipeline_spark.operators import temporal
+
+    left = spark.createDataFrame(
+        [(1, "2025-01-01 10:00:00")] * 2, "k long, ts string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    right = spark.createDataFrame(
+        [(1, "2025-01-01 09:59:00"), (1, "2025-01-01 09:58:00")],
+        "k long, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = temporal.range_join_count(
+        left, right, on="k", range_seconds=300
+    ).collect()
+    assert len(out) == 2
+    assert [r.n_in_range for r in out] == [2, 2]
+
+
+def test_salted_join_rejects_outer(spark):
+    from sales_data_etl_pipeline_spark.operators import skew
+
+    df = spark.createDataFrame([(1, "a")], "k long, v string")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="salted_join"):
+        skew.salted_join(df, df, "k", how="full_outer")
