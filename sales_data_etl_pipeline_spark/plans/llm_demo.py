@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from sales_data_etl_pipeline_spark.operators import corpus, dedup, similarity, text
+from sales_data_etl_pipeline_spark.operators import corpus, dedup, pii, similarity, text
 from sales_data_etl_pipeline_spark.sources.tables import load_testdata
 
 
@@ -1015,4 +1015,51 @@ ORACLES["dedup_clusters"] = f"""
     )
     SELECT a AS doc_id, LEAST(a, MIN(b)) AS component
     FROM reach GROUP BY a ORDER BY doc_id
+"""
+
+
+# --- PII scrub (operators/pii.py) -------------------------------------------
+
+#: Deterministic PII dirt injected into the synthetic corpus (which has
+#: none): identical SQL text evaluates in both engines — integer concat
+#: and CASE are dialect-shared. Every 5th doc gets an email + an IPv4,
+#: every 7th an SSN + a credit card, every 11th a phone number.
+_PII_DIRT = (
+    "text"
+    " || CASE WHEN doc_id % 5 = 0 THEN ' contact user' || (doc_id % 1000)"
+    " || '@example.com from 10.0.' || (doc_id % 250) || '.7' ELSE '' END"
+    " || CASE WHEN doc_id % 7 = 0 THEN"
+    " ' ssn 123-45-6789 card 4111-1111-1111-1111' ELSE '' END"
+    " || CASE WHEN doc_id % 11 = 0 THEN ' call +1-800-555-0142' ELSE '' END"
+)
+
+
+def _docs_with_pii(spark, sf_dir) -> DataFrame:
+    return _docs(spark, sf_dir).select(
+        "doc_id", F.expr(_PII_DIRT).alias("text")
+    )
+
+
+def pii_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc PII counters (email/IPv4/CC/SSN/phone) — JVM regexp_count,
+    zero shuffle, linear at 100 TB."""
+    return pii.pii_detect(_docs_with_pii(spark, sf_dir))
+
+
+def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Redacted corpus: every match replaced by its <TOKEN>."""
+    return pii.pii_redact(_docs_with_pii(spark, sf_dir))
+
+
+QUERIES["pii_detect"] = pii_detect
+QUERIES["pii_redact"] = pii_redact
+
+ORACLES["pii_detect"] = f"""
+    WITH d AS (SELECT doc_id, {_PII_DIRT} AS text FROM documents)
+    SELECT doc_id, {pii.pii_detect_sql('text')} FROM d
+"""
+
+ORACLES["pii_redact"] = f"""
+    WITH d AS (SELECT doc_id, {_PII_DIRT} AS text FROM documents)
+    SELECT doc_id, {pii.pii_redact_sql('text')} FROM d
 """
