@@ -128,6 +128,104 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def repetition_stats(
+    df: DataFrame, text_col: str = "text", *, ns: tuple[int, ...] = (2, 3)
+) -> DataFrame:
+    """Gopher-style repetition quality signals per document: for each
+    n in ``ns``, the total n-gram count, the fraction of occurrences
+    claimed by the single most frequent n-gram (``top_{n}gram_frac``)
+    and the fraction of occurrences that are repeats of an earlier
+    occurrence (``dup_{n}gram_frac`` = (total - distinct) / total).
+
+    High values flag boilerplate/spam documents (the published Gopher
+    rules cut at e.g. top-2-gram > 0.20). Everything is per-row array
+    arithmetic — the most-frequent-gram count comes from a run-length
+    fold over the *sorted* gram array, so the operator needs ZERO
+    shuffles and scales linearly; the explode→groupBy formulation (the
+    DuckDB oracle) would shuffle every n-gram occurrence.
+
+    Fractions use the ``floor(x*1e6 + 0.5)/1e6`` IEEE composite (module
+    convention) and are NULL when a doc has no n-grams.
+    """
+    out = df.select("doc_id", tokens(text_col).alias("_t"))
+    names: list[str] = ["doc_id"]
+    for n in ns:
+        gram = ", ".join(f"element_at(_t, i + {j})" if j else "element_at(_t, i)" for j in range(n))
+        out = out.withColumn(
+            f"_g{n}",
+            F.expr(
+                f"CASE WHEN size(_t) < {n} THEN array() "
+                f"ELSE transform(sequence(1, size(_t) - {n - 1}),"
+                f" i -> concat_ws(' ', {gram})) END"
+            ),
+        )
+        best = F.expr(
+            f"aggregate(array_sort(_g{n}),"
+            " named_struct('prev', '', 'run', 0L, 'best', 0L),"
+            " (acc, x) -> named_struct("
+            "   'prev', x,"
+            "   'run', IF(x = acc.prev, acc.run + 1L, 1L),"
+            "   'best', greatest(acc.best, IF(x = acc.prev, acc.run + 1L, 1L))),"
+            " acc -> acc.best)"
+        )
+        total = F.expr(f"cast(size(_g{n}) as bigint)")
+        dist = F.expr(f"cast(size(array_distinct(_g{n})) as bigint)")
+        denom = F.nullif(total, F.lit(0))
+        out = (
+            out.withColumn(f"n_{n}grams", total)
+            .withColumn(
+                f"top_{n}gram_frac",
+                F.floor(best / denom * 1000000 + 0.5) / 1000000,
+            )
+            .withColumn(
+                f"dup_{n}gram_frac",
+                F.floor((total - dist) / denom * 1000000 + 0.5) / 1000000,
+            )
+        )
+        names += [f"n_{n}grams", f"top_{n}gram_frac", f"dup_{n}gram_frac"]
+    return out.select(*names)
+
+
+def repetition_stats_sql(
+    docs_rel: str = "documents", text_col: str = "text", *, ns: tuple[int, ...] = (2, 3)
+) -> str:
+    """DuckDB oracle twin of :func:`repetition_stats` (explode→groupBy
+    formulation; fine for an oracle, the wrong plan at scale)."""
+    toks = (
+        "list_filter(string_split_regex(lower({col}), '[^a-z0-9]+'),"
+        " x -> x <> '')"
+    ).format(col=text_col)
+    ctes, sel = [], ["t.doc_id"]
+    for n in ns:
+        gram = " || ' ' || ".join(f"toks[i+{j}]" if j else "toks[i]" for j in range(n))
+        ctes.append(
+            f"""g{n} AS (
+                SELECT doc_id,
+                       UNNEST(list_transform(range(1, greatest(len(toks) - {n - 1}, 0) + 1),
+                                             i -> {gram})) AS gram
+                FROM t),
+            c{n} AS (SELECT doc_id, gram, COUNT(*) AS cnt FROM g{n} GROUP BY doc_id, gram),
+            s{n} AS (SELECT doc_id,
+                            CAST(SUM(cnt) AS BIGINT) AS total,
+                            CAST(MAX(cnt) AS BIGINT) AS best,
+                            CAST(COUNT(*) AS BIGINT) AS dist
+                     FROM c{n} GROUP BY doc_id)"""
+        )
+        sel += [
+            f"COALESCE(s{n}.total, 0) AS n_{n}grams",
+            f"floor(s{n}.best / s{n}.total * 1000000 + 0.5) / 1000000"
+            f" AS top_{n}gram_frac",
+            f"floor((s{n}.total - s{n}.dist) / s{n}.total * 1000000 + 0.5) / 1000000"
+            f" AS dup_{n}gram_frac",
+        ]
+    joins = " ".join(f"LEFT JOIN s{n} ON t.doc_id = s{n}.doc_id" for n in ns)
+    return (
+        f"WITH t AS (SELECT doc_id, {toks} AS toks FROM {docs_rel}), "
+        + ", ".join(ctes)
+        + f" SELECT {', '.join(sel)} FROM t {joins}"
+    )
+
+
 def fingerprint(df: DataFrame, text_col: str = "text", *, kgram: int = 32) -> DataFrame:
     """Document fingerprinting: whole-text MD5 plus a winnowing-style
     min-hash over character k-grams (the minimum MD5 of all ``kgram``-char

@@ -1063,3 +1063,16 @@ ORACLES["pii_redact"] = f"""
     WITH d AS (SELECT doc_id, {_PII_DIRT} AS text FROM documents)
     SELECT doc_id, {pii.pii_redact_sql('text')} FROM d
 """
+
+
+# --- repetition quality signals (operators/text.py) -------------------------
+
+
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style top/duplicate n-gram fractions — zero-shuffle
+    run-length fold vs. the oracle's explode→groupBy formulation."""
+    return text.repetition_stats(_docs(spark, sf_dir))
+
+
+QUERIES["text_repetition"] = text_repetition
+ORACLES["text_repetition"] = text.repetition_stats_sql("documents")
