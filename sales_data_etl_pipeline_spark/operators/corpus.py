@@ -189,3 +189,108 @@ def shard_by_token_budget(
         .withColumn(shard_col, F.expr(f"_excl div {int(budget)}"))
         .drop("_pid", "_excl")
     )
+
+
+def pack_sequences(
+    df: DataFrame,
+    seq_len: int,
+    *,
+    shard_budget: int,
+    id_col: str = "doc_id",
+    tokens_col: str = "n_tokens",
+) -> DataFrame:
+    """Greedy sequence packing: assign each document (in ``id_col``
+    order) to a training sequence of capacity ``seq_len`` tokens —
+    append to the current sequence while it fits, else open a new one.
+    A doc longer than ``seq_len`` gets its own (overflowing) sequence;
+    truncation is the tokenizer's job downstream.
+
+    Greedy packing is a sequential recurrence, so it cannot be a window
+    function; the scale shape is the standard two-level decomposition:
+
+    1. :func:`shard_by_token_budget` splits the corpus into contiguous
+       ~``shard_budget``-token shards via the distributed prefix-sum
+       scan (no single-partition stage anywhere);
+    2. each shard packs independently in one Arrow-batched
+       ``applyInPandas`` group whose size is bounded by construction
+       (≈ ``shard_budget`` tokens), so executor memory is capped no
+       matter how big the corpus is.
+
+    Packing never crosses a shard boundary — by design, so the result
+    is reproducible under any parallelism and appends only ever touch
+    the final shard. Output: one row per doc with ``shard_id``,
+    ``seq_in_shard`` (sequence ordinal within the shard) and
+    ``offset_in_seq`` (the doc's first-token position).
+    """
+    import pandas as pd
+
+    sharded = shard_by_token_budget(
+        df, shard_budget, id_col=id_col, tokens_col=tokens_col
+    )
+    out_schema = (
+        f"{id_col} long, {tokens_col} long, shard_id long,"
+        " seq_in_shard long, offset_in_seq long"
+    )
+    cap = int(seq_len)
+
+    def pack(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values(id_col).reset_index(drop=True)
+        seq, fill = -1, cap + 1  # force a new sequence on the first doc
+        seqs, offs = [], []
+        for t in pdf[tokens_col].astype("int64"):
+            t = int(t)
+            if fill + t <= cap:
+                offs.append(fill)
+                fill += t
+            else:
+                seq += 1
+                offs.append(0)
+                fill = t
+            seqs.append(seq)
+        return pd.DataFrame(
+            {
+                id_col: pdf[id_col].astype("int64"),
+                tokens_col: pdf[tokens_col].astype("int64"),
+                "shard_id": pdf["shard_id"].astype("int64"),
+                "seq_in_shard": pd.Series(seqs, dtype="int64"),
+                "offset_in_seq": pd.Series(offs, dtype="int64"),
+            }
+        )
+
+    return sharded.groupBy("shard_id").applyInPandas(pack, out_schema)
+
+
+def pack_sequences_sql(
+    sharded_sql: str, seq_len: int, *, id_col: str = "doc_id", tokens_col: str = "n_tokens"
+) -> str:
+    """DuckDB oracle twin of :func:`pack_sequences`: replays the greedy
+    recurrence row-by-row with a recursive CTE over ``sharded_sql``
+    (any relation with id/tokens/shard_id columns)."""
+    L = int(seq_len)
+    return f"""
+    WITH RECURSIVE sharded AS ({sharded_sql}),
+    base AS (
+        SELECT {id_col}, {tokens_col}, shard_id,
+               row_number() OVER (PARTITION BY shard_id ORDER BY {id_col}) AS rn
+        FROM sharded),
+    pack AS (
+        SELECT shard_id, rn, {id_col}, {tokens_col},
+               CAST(0 AS BIGINT) AS seq_in_shard,
+               CAST(0 AS BIGINT) AS offset_in_seq,
+               CAST({tokens_col} AS BIGINT) AS fill
+        FROM base WHERE rn = 1
+        UNION ALL
+        SELECT b.shard_id, b.rn, b.{id_col}, b.{tokens_col},
+               CASE WHEN p.fill + b.{tokens_col} <= {L}
+                    THEN p.seq_in_shard ELSE p.seq_in_shard + 1 END,
+               CASE WHEN p.fill + b.{tokens_col} <= {L}
+                    THEN p.fill ELSE CAST(0 AS BIGINT) END,
+               CASE WHEN p.fill + b.{tokens_col} <= {L}
+                    THEN p.fill + b.{tokens_col}
+                    ELSE CAST(b.{tokens_col} AS BIGINT) END
+        FROM base b JOIN pack p
+          ON b.shard_id = p.shard_id AND b.rn = p.rn + 1)
+    SELECT {id_col}, CAST({tokens_col} AS BIGINT) AS {tokens_col},
+           shard_id, seq_in_shard, offset_in_seq
+    FROM pack
+    """

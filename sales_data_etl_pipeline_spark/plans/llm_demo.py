@@ -1076,3 +1076,23 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["text_repetition"] = text_repetition
 ORACLES["text_repetition"] = text.repetition_stats_sql("documents")
+
+
+# --- sequence packing (operators/corpus.py) ---------------------------------
+
+_SEQ_LEN = 512
+
+
+def corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy sequence packing after token-budget sharding — the step
+    that turns a sharded corpus into fixed-capacity training sequences."""
+    d = _docs(spark, sf_dir).select(
+        "doc_id", F.size(text.tokens()).alias("n_tokens")
+    )
+    return corpus.pack_sequences(d, _SEQ_LEN, shard_budget=_SHARD_BUDGET)
+
+
+QUERIES["corpus_pack_sequences"] = corpus_pack_sequences
+ORACLES["corpus_pack_sequences"] = corpus.pack_sequences_sql(
+    ORACLES["corpus_token_shards"], _SEQ_LEN
+)

@@ -63,3 +63,40 @@ def test_shard_by_token_budget_matches_serial_scan(docs):
     shards = [s for _, _, s in rows]
     assert shards[0] == 0
     assert all(b - a in (0, 1) for a, b in zip(shards, shards[1:]))
+
+
+def test_pack_sequences_greedy_semantics(spark):
+    from sales_data_etl_pipeline_spark.operators.corpus import pack_sequences
+
+    rows = [(i, t) for i, t in enumerate([100, 200, 200, 90, 600, 10, 512])]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    # one giant shard so everything packs in doc_id order
+    got = {
+        r["doc_id"]: (r["shard_id"], r["seq_in_shard"], r["offset_in_seq"])
+        for r in pack_sequences(df, 512, shard_budget=10**9).collect()
+    }
+    # cap=512: [100,200,200] fill=500; 90 doesn't fit -> new seq; 600 overflows
+    # alone; 10 can't join the overflowing seq (600>512) -> new; 512 exact fit
+    # can't join seq with fill=10+? 10+512=522>512 -> new seq
+    assert got[0] == (0, 0, 0)
+    assert got[1] == (0, 0, 100)
+    assert got[2] == (0, 0, 300)
+    assert got[3] == (0, 1, 0)
+    assert got[4] == (0, 2, 0)   # overflowing doc gets its own sequence
+    assert got[5] == (0, 3, 0)
+    assert got[6] == (0, 4, 0)   # exact-capacity doc opens a fresh sequence
+
+
+def test_pack_sequences_respects_shard_boundaries(spark):
+    from sales_data_etl_pipeline_spark.operators.corpus import pack_sequences
+
+    df = spark.createDataFrame(
+        [(i, 50) for i in range(40)], "doc_id long, n_tokens long"
+    )
+    out = pack_sequences(df, 100, shard_budget=500).collect()
+    # 2000 tokens / 500-budget -> 4 shards of 10 docs; 100-cap -> 2 docs/seq
+    shards = {r["shard_id"] for r in out}
+    assert shards == {0, 1, 2, 3}
+    for r in out:
+        assert r["offset_in_seq"] in (0, 50)
+        assert 0 <= r["seq_in_shard"] <= 4
