@@ -1096,3 +1096,35 @@ QUERIES["corpus_pack_sequences"] = corpus_pack_sequences
 ORACLES["corpus_pack_sequences"] = corpus.pack_sequences_sql(
     ORACLES["corpus_token_shards"], _SEQ_LEN
 )
+
+
+# --- custom stateful streaming operator (streaming/events.py) ---------------
+
+
+def streaming_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running per-user totals via ``applyInPandasWithState`` — the
+    custom-stateful-operator escape hatch. With the bounded one-batch
+    file source each user emits exactly once with final state, so the
+    batch GROUP BY is the oracle (same pattern as streaming_dedup)."""
+    from sales_data_etl_pipeline_spark.streaming import events as streaming
+
+    ev = streaming.stream_events(spark, sf_dir)
+    tbl = streaming.run_stream_to_memory(
+        streaming.stateful_user_totals(ev),
+        "streaming_user_totals_tbl",
+        output_mode="update",
+    )
+    return tbl.select(
+        "user_id",
+        "n_events",
+        F.round("total_value", 2).alias("total_value"),
+    ).orderBy("user_id")
+
+
+QUERIES["streaming_user_totals"] = streaming_user_totals
+ORACLES["streaming_user_totals"] = """
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 2) AS total_value
+    FROM events GROUP BY user_id ORDER BY user_id
+"""

@@ -181,8 +181,10 @@ def stateful_user_totals(events: DataFrame) -> DataFrame:
             n += len(pdf)
             total += float(pdf["value"].sum())
         state.update((n, total))
+        # raw total on purpose: rounding happens at the query edge with
+        # F.round so batch/stream/oracle share one rounding convention
         yield pd.DataFrame(
-            {"user_id": [key[0]], "n_events": [n], "total_value": [round(total, 2)]}
+            {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
         )
 
     return events.groupBy("user_id").applyInPandasWithState(

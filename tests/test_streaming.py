@@ -73,7 +73,12 @@ def test_stateful_user_totals(spark):
             F.round(F.sum("value"), 2).alias("total_value"),
         )
     )
-    got = {(r.user_id, r.n_events, r.total_value) for r in result.collect()}
+    got = {
+        (r.user_id, r.n_events, r.total_value)
+        for r in result.select(
+            "user_id", "n_events", F.round("total_value", 2).alias("total_value")
+        ).collect()
+    }
     want = {(r.user_id, r.n_events, r.total_value) for r in batch.collect()}
     assert got == want and len(want) > 0
 
