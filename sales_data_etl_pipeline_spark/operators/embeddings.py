@@ -1,0 +1,113 @@
+"""Embedding post-processing operators (extension layer): L2
+normalization and int8 quantization — the standard prep steps between
+an embedding model and an ANN index / training shard.
+
+Everything is JVM higher-order array arithmetic (``transform`` /
+``aggregate``), zero shuffles, linear at 100 TB — the same design rules
+as ``operators.text``.
+
+Oracle discipline: the driver's value-hash canonicalization cannot sort
+rows containing array columns (pandas ``unhashable type: 'list'`` — the
+round-1 ``stats_approx_sketches`` lesson), so gate-facing outputs
+serialize vectors as comma-joined INTEGER strings: quantized values are
+integers by construction, normalized values are emitted at fixed 1e-6
+resolution via the ``floor(x*1e6 + 0.5)`` IEEE composite (module
+convention), which both engines compute bit-identically because the
+fold order of the norm is identical (sequential left fold in Spark
+``aggregate`` and DuckDB ``list_aggregate``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: sum of squares as a sequential left fold (matches DuckDB list_aggregate)
+_NORM = (
+    "sqrt(aggregate(transform({v}, x -> cast(x as double) * cast(x as double)),"
+    " cast(0.0 as double), (acc, x) -> acc + x))"
+)
+_NORM_SQL = (
+    "sqrt(list_aggregate(list_transform({v},"
+    " x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))"
+)
+
+
+def l2_normalize(
+    df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id"
+) -> DataFrame:
+    """Unit-normalize each vector; emits the L2 norm and the normalized
+    vector at 1e-6 resolution as a comma-joined integer string
+    (``unit_q6``) — zero-vector rows get NULLs."""
+    norm = _NORM.format(v=vec_col)
+    # whole-column NULL for zero vectors: Spark's array_join silently
+    # drops NULL elements ('' result) while DuckDB's string_agg of
+    # all-NULLs is NULL — guard both engines to the same NULL
+    unit = (
+        f"IF(nullif({norm}, 0.0) IS NULL, NULL,"
+        f" array_join(transform({vec_col}, x -> cast(floor(cast(x as double)"
+        f" / {norm} * 1000000 + 0.5) as bigint)), ','))"
+    )
+    return df.select(
+        id_col,
+        F.expr(f"cast(floor({norm} * 1000000 + 0.5) as bigint)").alias("norm_q6"),
+        F.expr(unit).alias("unit_q6"),
+    )
+
+
+def l2_normalize_sql(
+    rel: str = "embeddings", vec_col: str = "embedding", id_col: str = "vec_id"
+) -> str:
+    norm = _NORM_SQL.format(v=vec_col)
+    unit = (
+        f"CASE WHEN nullif({norm}, 0.0) IS NULL THEN NULL ELSE"
+        f" list_aggregate(list_transform({vec_col}, x -> CAST(floor(CAST(x AS DOUBLE)"
+        f" / {norm} * 1000000 + 0.5) AS BIGINT)::VARCHAR),"
+        " 'string_agg', ',') END"
+    )
+    return f"""
+        SELECT {id_col},
+               CAST(floor({norm} * 1000000 + 0.5) AS BIGINT) AS norm_q6,
+               {unit} AS unit_q6
+        FROM {rel}
+    """
+
+
+def quantize_int8(
+    df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id"
+) -> DataFrame:
+    """Symmetric int8 quantization: ``scale = 127 / max(|x|)``,
+    ``q_i = floor(x_i * scale + 0.5)`` (round-half-toward-+inf — the one
+    rounding rule both engines compute identically on doubles). Emits
+    the scale at 1e-6 resolution and the quantized vector as a
+    comma-joined integer string."""
+    amax = f"array_max(transform({vec_col}, x -> abs(cast(x as double))))"
+    scale = f"(127.0 / nullif({amax}, 0.0))"
+    q = (
+        f"IF({scale} IS NULL, NULL,"
+        f" array_join(transform({vec_col}, x -> cast(floor(cast(x as double)"
+        f" * {scale} + 0.5) as bigint)), ','))"
+    )
+    return df.select(
+        id_col,
+        F.expr(f"cast(floor({scale} * 1000000 + 0.5) as bigint)").alias("scale_q6"),
+        F.expr(q).alias("q_int8"),
+    )
+
+
+def quantize_int8_sql(
+    rel: str = "embeddings", vec_col: str = "embedding", id_col: str = "vec_id"
+) -> str:
+    amax = f"list_max(list_transform({vec_col}, x -> abs(CAST(x AS DOUBLE))))"
+    scale = f"(127.0 / nullif({amax}, 0.0))"
+    q = (
+        f"CASE WHEN {scale} IS NULL THEN NULL ELSE"
+        f" list_aggregate(list_transform({vec_col}, x -> CAST(floor(CAST(x AS DOUBLE)"
+        f" * {scale} + 0.5) AS BIGINT)::VARCHAR), 'string_agg', ',') END"
+    )
+    return f"""
+        SELECT {id_col},
+               CAST(floor({scale} * 1000000 + 0.5) AS BIGINT) AS scale_q6,
+               {q} AS q_int8
+        FROM {rel}
+    """

@@ -1128,3 +1128,73 @@ ORACLES["streaming_user_totals"] = """
            ROUND(SUM(value), 2) AS total_value
     FROM events GROUP BY user_id ORDER BY user_id
 """
+
+
+# --- cohort retention (OLAP breadth over events) ----------------------------
+
+
+def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: users bucketed by first-activity week,
+    counted per week-offset of continued activity.
+
+    Shape: distinct (user, week) → per-user min week → co-partitioned
+    join on user_id (both sides already hash-partitioned by the
+    preceding aggs — AQE reuses the exchange) → final agg on
+    (cohort, offset). No broadcast assumption: the user dimension is
+    unbounded at 100 TB, so both joins stay shuffle-side.
+    """
+    ev = _events(spark, sf_dir).select(
+        "user_id", F.to_date(F.date_trunc("week", F.col("ts"))).alias("week")
+    )
+    active = ev.distinct()
+    first = active.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    return (
+        active.join(first, "user_id")
+        .select(
+            "cohort_week",
+            F.expr("datediff(week, cohort_week) div 7").alias("week_offset"),
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
+QUERIES["events_cohort_retention"] = events_cohort_retention
+ORACLES["events_cohort_retention"] = """
+    WITH w AS (SELECT DISTINCT user_id,
+                      CAST(date_trunc('week', ts) AS DATE) AS week
+               FROM events),
+    f AS (SELECT user_id, MIN(week) AS cohort_week FROM w GROUP BY user_id)
+    SELECT f.cohort_week,
+           date_diff('day', f.cohort_week, w.week) // 7 AS week_offset,
+           COUNT(*) AS n_users
+    FROM w JOIN f ON w.user_id = f.user_id
+    GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+# --- embedding post-processing (operators/embeddings.py) --------------------
+
+
+def embedding_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2 normalization at 1e-6 emit resolution (integer-serialized so
+    the gate hash is IEEE-stable and array-free)."""
+    from sales_data_etl_pipeline_spark.operators import embeddings as emb_ops
+
+    return emb_ops.l2_normalize(_emb(spark, sf_dir))
+
+
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization with per-vector scale."""
+    from sales_data_etl_pipeline_spark.operators import embeddings as emb_ops
+
+    return emb_ops.quantize_int8(_emb(spark, sf_dir))
+
+
+from sales_data_etl_pipeline_spark.operators import embeddings as _emb_ops
+
+QUERIES["embedding_normalize"] = embedding_normalize
+QUERIES["embedding_quantize_int8"] = embedding_quantize_int8
+ORACLES["embedding_normalize"] = _emb_ops.l2_normalize_sql("embeddings")
+ORACLES["embedding_quantize_int8"] = _emb_ops.quantize_int8_sql("embeddings")

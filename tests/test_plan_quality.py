@@ -60,3 +60,14 @@ def test_banded_simhash_is_equi_join_not_theta(spark):
     assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) or (
         "BroadcastHashJoin" in plan
     )
+
+
+def test_pii_and_repetition_are_shuffle_free(spark):
+    """PII scrub and repetition signals are per-row expression work —
+    any Exchange in their plans is a regression."""
+    from sales_data_etl_pipeline_spark.plans import llm_demo
+
+    for q in (llm_demo.pii_detect, llm_demo.pii_redact, llm_demo.text_repetition):
+        plan = _plan(q(spark, SF_DIR))
+        assert "Exchange" not in plan, q.__name__
+        assert "BatchEvalPython" not in plan, q.__name__  # no row-at-a-time UDFs
