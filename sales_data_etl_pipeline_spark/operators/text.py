@@ -298,3 +298,72 @@ def tf_idf_top_terms(
         .filter(F.col("rank") <= k)
         .select("doc_id", "term", "tfidf", "rank")
     )
+
+
+def unigram_logprob(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Unigram language-model scoring: per-doc total and mean
+    surprisal in bits under the corpus's own MLE unigram model
+    (p(term) = corpus_tf / total_tokens) — the cheap LM-quality signal
+    used to rank documents before an expensive perplexity model.
+
+    Determinism across engines: per-term surprisal is quantized to an
+    integer (``floor(-log2(p)*1e6 + 0.5)``) BEFORE the per-doc sum, so
+    the aggregation is integer arithmetic — immune to float summation
+    order, which differs between Spark's partial aggs and the oracle.
+
+    Shape: explode → per-doc and corpus term counts (one shuffle each,
+    map-side combined) → per-term surprisal broadcast back (vocab ≪
+    corpus; use a shuffle join instead if vocab outgrows broadcast) →
+    per-doc integer sum. Docs with zero tokens drop out (both engines).
+    """
+    toks = df.select(
+        "doc_id", F.explode(F.expr(TOKENIZE.format(col=text_col))).alias("term")
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    ctf = toks.groupBy("term").agg(F.count(F.lit(1)).alias("ctf"))
+    total = toks.count()
+    lp = ctf.select(
+        "term",
+        F.expr(
+            f"cast(floor(-log2(ctf / cast({total} as double)) * 1000000 + 0.5)"
+            " as bigint)"
+        ).alias("lq"),
+    )
+    return (
+        tf.join(F.broadcast(lp), "term")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").alias("n_tokens"),
+            F.sum(F.col("tf") * F.col("lq")).alias("logprob_q6"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "logprob_q6",
+            F.expr("logprob_q6 div n_tokens").alias("mean_bits_q6"),
+        )
+    )
+
+
+def unigram_logprob_sql(docs_rel: str = "documents", text_col: str = "text") -> str:
+    """DuckDB oracle twin of :func:`unigram_logprob`."""
+    toks = (
+        "list_filter(string_split_regex(lower({col}), '[^a-z0-9]+'),"
+        " x -> x <> '')"
+    ).format(col=text_col)
+    return f"""
+        WITH toks AS (SELECT doc_id, UNNEST({toks}) AS term FROM {docs_rel}),
+        tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+        ctf AS (SELECT term, COUNT(*) AS ctf FROM toks GROUP BY 1),
+        tot AS (SELECT COUNT(*) AS total FROM toks),
+        lp AS (SELECT term,
+                      CAST(floor(-log2(ctf / CAST(total AS DOUBLE)) * 1000000 + 0.5)
+                           AS BIGINT) AS lq
+               FROM ctf, tot)
+        SELECT tf.doc_id,
+               CAST(SUM(tf.tf) AS BIGINT) AS n_tokens,
+               CAST(SUM(tf.tf * lp.lq) AS BIGINT) AS logprob_q6,
+               CAST(SUM(tf.tf * lp.lq) // SUM(tf.tf) AS BIGINT) AS mean_bits_q6
+        FROM tf JOIN lp USING (term)
+        GROUP BY tf.doc_id
+    """

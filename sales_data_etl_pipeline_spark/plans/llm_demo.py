@@ -1198,3 +1198,15 @@ QUERIES["embedding_normalize"] = embedding_normalize
 QUERIES["embedding_quantize_int8"] = embedding_quantize_int8
 ORACLES["embedding_normalize"] = _emb_ops.l2_normalize_sql("embeddings")
 ORACLES["embedding_quantize_int8"] = _emb_ops.quantize_int8_sql("embeddings")
+
+
+# --- unigram LM scoring (operators/text.py) ---------------------------------
+
+
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc surprisal under the corpus's own unigram model."""
+    return text.unigram_logprob(_docs(spark, sf_dir))
+
+
+QUERIES["text_unigram_logprob"] = text_unigram_logprob
+ORACLES["text_unigram_logprob"] = text.unigram_logprob_sql("documents")
