@@ -136,3 +136,83 @@ def range_join_count(
         .agg(F.sum("_hit").alias(count_col))
         .drop("_lrow")
     )
+
+
+def funnel_counts(
+    events: DataFrame,
+    steps: tuple[str, ...],
+    *,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Ordered funnel: how many users reached each step IN ORDER —
+    step k counts users with a chain ``t_0 <= t_1 <= ... <= t_k`` where
+    ``t_i`` is the user's EARLIEST step-i event at-or-after ``t_{i-1}``
+    (the standard strict-sequence funnel semantics; equal timestamps
+    count as progression).
+
+    Shape: one conditional-min aggregation per step, each a shuffle on
+    ``user_col`` — the per-user state joined back is one timestamp, so
+    every round's join is co-partitioned with the aggregation before it
+    (AQE reuses the exchange). No per-user event lists are ever
+    materialized, so a power user with 10^6 events costs the same
+    memory as one with 10. Output: (step_idx, step, n_users).
+    """
+    t0 = events.groupBy(user_col).agg(
+        F.min(F.when(F.col(type_col) == steps[0], F.col(ts_col))).alias("t0")
+    )
+    cur = t0
+    for i, s in enumerate(steps[1:], 1):
+        nxt = (
+            events.join(cur.select(user_col, f"t{i-1}"), user_col)
+            .groupBy(user_col)
+            .agg(
+                F.min(
+                    F.when(
+                        (F.col(type_col) == s)
+                        & (F.col(ts_col) >= F.col(f"t{i-1}")),
+                        F.col(ts_col),
+                    )
+                ).alias(f"t{i}")
+            )
+        )
+        cur = cur.join(nxt, user_col, "left")
+    counts = cur.agg(
+        *[F.count(f"t{i}").alias(f"n{i}") for i in range(len(steps))]
+    )
+    stack = ", ".join(
+        f"{i}, '{s}', n{i}" for i, s in enumerate(steps)
+    )
+    return counts.selectExpr(
+        f"stack({len(steps)}, {stack}) AS (step_idx, step, n_users)"
+    )
+
+
+def funnel_counts_sql(
+    events_rel: str,
+    steps: tuple[str, ...],
+    *,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> str:
+    """DuckDB oracle twin of :func:`funnel_counts`."""
+    ctes = [
+        f"s0 AS (SELECT {user_col}, MIN(CASE WHEN {type_col} = '{steps[0]}'"
+        f" THEN {ts_col} END) AS t0 FROM {events_rel} GROUP BY {user_col})"
+    ]
+    for i, s in enumerate(steps[1:], 1):
+        ctes.append(
+            f"s{i} AS (SELECT e.{user_col},"
+            f" MIN(CASE WHEN e.{type_col} = '{s}' AND e.{ts_col} >= p.t{i-1}"
+            f" THEN e.{ts_col} END) AS t{i}"
+            f" FROM {events_rel} e JOIN s{i-1} p ON e.{user_col} = p.{user_col}"
+            f" GROUP BY e.{user_col})"
+        )
+    selects = [
+        f"SELECT {i} AS step_idx, '{s}' AS step,"
+        f" COUNT(t{i}) AS n_users FROM s{i}"
+        for i, s in enumerate(steps)
+    ]
+    return "WITH " + ", ".join(ctes) + " " + " UNION ALL ".join(selects)

@@ -1210,3 +1210,22 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["text_unigram_logprob"] = text_unigram_logprob
 ORACLES["text_unigram_logprob"] = text.unigram_logprob_sql("documents")
+
+
+# --- funnel analysis (operators/temporal.py) --------------------------------
+
+_FUNNEL_STEPS = ("view", "click", "purchase")
+
+
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strict-sequence funnel view→click→purchase per user."""
+    from sales_data_etl_pipeline_spark.operators import temporal
+
+    return temporal.funnel_counts(_events(spark, sf_dir), _FUNNEL_STEPS)
+
+
+QUERIES["events_funnel"] = events_funnel
+
+from sales_data_etl_pipeline_spark.operators.temporal import funnel_counts_sql as _funnel_sql
+
+ORACLES["events_funnel"] = _funnel_sql("events", _FUNNEL_STEPS)

@@ -57,3 +57,22 @@ def test_range_count_row_preservation(spark):
     assert range_join_count(
         left, right, on="user_id", range_seconds=60
     ).count() == left.count()
+
+
+def test_funnel_counts_strict_order(spark):
+    from sales_data_etl_pipeline_spark.operators.temporal import funnel_counts
+
+    rows = [
+        # user 1: full ordered chain
+        (1, "view", 10.0), (1, "click", 20.0), (1, "purchase", 30.0),
+        # user 2: clicked BEFORE viewing -> stops at view
+        (2, "click", 5.0), (2, "view", 10.0), (2, "purchase", 20.0),
+        # wait: purchase after view counts only if a click >= view exists
+        # user 3: view+click same ts (equal ts counts), no purchase
+        (3, "view", 10.0), (3, "click", 10.0),
+        # user 4: never viewed
+        (4, "purchase", 1.0),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, event_type string, ts double")
+    got = {r["step"]: r["n_users"] for r in funnel_counts(df, ("view", "click", "purchase")).collect()}
+    assert got == {"view": 3, "click": 2, "purchase": 1}
