@@ -47,6 +47,14 @@ HEADLINE = [
     "similarity_topk_ivf",
     "events_windowed_agg",
     "events_sessionization",
+    # round-2 additions (all subquadratic / scale-shaped)
+    "pii_redact",
+    "text_repetition",
+    "text_unigram_logprob",
+    "corpus_pack_sequences",
+    "events_cohort_retention",
+    "events_funnel",
+    "embedding_quantize_int8",
 ]
 
 

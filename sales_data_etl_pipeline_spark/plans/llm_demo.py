@@ -1229,3 +1229,59 @@ QUERIES["events_funnel"] = events_funnel
 from sales_data_etl_pipeline_spark.operators.temporal import funnel_counts_sql as _funnel_sql
 
 ORACLES["events_funnel"] = _funnel_sql("events", _FUNNEL_STEPS)
+
+
+# --- end-to-end corpus prep (PII → dedup → split → shard → pack) ------------
+
+
+def corpus_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full training-data prep composition: PII redaction → short-doc
+    filter → exact dedup (keep-min-id per content hash) → deterministic
+    train split → token-budget sharding → greedy sequence packing.
+
+    Every stage is the already-gated operator; this entry pins the
+    COMPOSITION (the plan a real 100 TB corpus prep runs end-to-end:
+    per-row scrub and filter stages fuse into the scan, one shuffle for
+    the content-hash dedup, the prefix-sum scan, then bounded-memory
+    packing groups).
+    """
+    clean = pii.pii_redact(_docs_with_pii(spark, sf_dir))
+    sized = clean.withColumn(
+        "n_tokens", F.size(text.tokens("text_clean"))
+    ).filter(F.col("n_tokens") >= 20)
+    keep = (
+        sized.groupBy(F.md5("text_clean").alias("_h"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    deduped = sized.join(keep, "doc_id", "left_semi")
+    train = corpus.hash_split(deduped, _SPLITS).filter(
+        F.col("split") == "train"
+    )
+    return corpus.pack_sequences(
+        train.select("doc_id", "n_tokens"), _SEQ_LEN, shard_budget=_SHARD_BUDGET
+    )
+
+
+QUERIES["corpus_prep_pipeline"] = corpus_prep_pipeline
+
+_PREP_TOKS = _TOKS.format(col="text_clean")
+_PREP_TRAIN_UB = 9000  # train = first 0.9 of the md5 bucket space
+_PREP_SHARDED = f"""
+    WITH d AS (SELECT doc_id, {_PII_DIRT} AS text FROM documents),
+    c AS (SELECT doc_id, {pii.pii_redact_sql('text')} FROM d),
+    t AS (SELECT doc_id, text_clean, len({_PREP_TOKS}) AS n_tokens
+          FROM c WHERE len({_PREP_TOKS}) >= 20),
+    k AS (SELECT MIN(doc_id) AS doc_id FROM t GROUP BY md5(text_clean)),
+    f AS (SELECT t.doc_id, t.n_tokens
+          FROM t JOIN k ON t.doc_id = k.doc_id
+          WHERE {corpus.hash_bucket_sql('t.doc_id')} < {_PREP_TRAIN_UB})
+    SELECT doc_id, n_tokens,
+           CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                    0) // {_SHARD_BUDGET} AS BIGINT) AS shard_id
+    FROM f
+"""
+ORACLES["corpus_prep_pipeline"] = corpus.pack_sequences_sql(
+    _PREP_SHARDED, _SEQ_LEN
+)
