@@ -45,6 +45,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sales_by_employee_sql": analytics.td_sales_by_employee_sql,
         "sales_rollup": analytics.td_sales_rollup,
         "sales_pivot": analytics.td_sales_pivot,
+        "sales_monthly_growth": analytics.td_sales_monthly_growth,
+        "top_products_per_brand": analytics.td_top_products_per_brand,
         # §2.2/2.5 cleaning layer (reference extract-transform-data/et_*.py)
         **cleaning_demo.QUERIES,
         # extension layer: text analysis / dedup / similarity / event windows
@@ -120,5 +122,35 @@ def oracle_sql() -> dict[str, str]:
             WHERE l_shipdate IS NOT NULL
             GROUP BY periodo
             ORDER BY periodo
+        """,
+        "sales_monthly_growth": f"""
+            WITH m AS (
+                SELECT strftime(l_shipdate, '%Y-%m') AS periodo,
+                       ROUND(SUM({revenue}), 2) AS valor_total
+                FROM lineitem
+                WHERE l_shipdate IS NOT NULL
+                GROUP BY periodo)
+            SELECT periodo, valor_total,
+                   floor(SUM(valor_total) OVER (ORDER BY periodo
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                         * 100 + 0.5) / 100 AS cum_total,
+                   floor((valor_total - LAG(valor_total) OVER (ORDER BY periodo))
+                         / LAG(valor_total) OVER (ORDER BY periodo)
+                         * 1000000 + 0.5) / 1000000 AS growth
+            FROM m ORDER BY periodo
+        """,
+        "top_products_per_brand": f"""
+            WITH pp AS (
+                SELECT p.p_brand, p.p_partkey,
+                       ROUND(SUM({revenue}), 2) AS revenue
+                FROM lineitem l
+                JOIN part p ON l.l_partkey = p.p_partkey
+                GROUP BY p.p_brand, p.p_partkey),
+            r AS (SELECT p_brand, p_partkey, revenue,
+                         ROW_NUMBER() OVER (PARTITION BY p_brand
+                             ORDER BY revenue DESC, p_partkey ASC) AS rank
+                  FROM pp)
+            SELECT p_brand, p_partkey, revenue, rank
+            FROM r WHERE rank <= 3 ORDER BY p_brand, rank
         """,
     }

@@ -358,3 +358,66 @@ def td_sales_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+def td_sales_monthly_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly revenue with running total and month-over-month growth.
+
+    The window runs over the AGGREGATED monthly table (cardinality =
+    #months — tiny at any corpus scale), so the unpartitioned ordered
+    window is bounded by construction; the fact-table work is the same
+    single-shuffle groupBy as td_sales_by_period. Running sum and
+    growth are computed left-to-right in periodo order in both engines,
+    so the doubles are bit-identical; emissions use the floor
+    composite (module convention).
+    """
+    from pyspark.sql import Window
+
+    t = load_testdata(spark, sf_dir, ("lineitem",))
+    monthly = (
+        t["lineitem"]
+        .filter(F.col("l_shipdate").isNotNull())
+        .groupBy(F.date_format("l_shipdate", "yyyy-MM").alias("periodo"))
+        .agg(F.round(F.sum(_revenue()), 2).alias("valor_total"))
+    )
+    w = Window.orderBy("periodo")
+    run = F.sum("valor_total").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    prev = F.lag("valor_total").over(w)
+    return monthly.select(
+        "periodo",
+        "valor_total",
+        (F.floor(run * 100 + 0.5) / 100).alias("cum_total"),
+        (
+            F.floor((F.col("valor_total") - prev) / prev * 1000000 + 0.5)
+            / 1000000
+        ).alias("growth"),
+    ).orderBy("periodo")
+
+
+def td_top_products_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 products per brand by revenue — the per-group top-k window
+    idiom (rank inside partition, filter), deterministic tiebreak on
+    partkey after 2-dp-rounded revenue."""
+    from pyspark.sql import Window
+
+    t = load_testdata(spark, sf_dir, ("lineitem", "part"))
+    per_product = (
+        t["lineitem"]
+        .join(
+            F.broadcast(t["part"].select("p_partkey", "p_brand")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .groupBy("p_brand", "p_partkey")
+        .agg(F.round(F.sum(_revenue()), 2).alias("revenue"))
+    )
+    w = Window.partitionBy("p_brand").orderBy(
+        F.desc("revenue"), F.asc("p_partkey")
+    )
+    return (
+        per_product.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("p_brand", "p_partkey", "revenue", "rank")
+        .orderBy("p_brand", "rank")
+    )
