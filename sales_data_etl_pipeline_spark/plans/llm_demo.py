@@ -1285,3 +1285,58 @@ _PREP_SHARDED = f"""
 ORACLES["corpus_prep_pipeline"] = corpus.pack_sequences_sql(
     _PREP_SHARDED, _SEQ_LEN
 )
+
+
+# --- keyed upsert / conflict-skip insert (operators/merge.py) ---------------
+
+from sales_data_etl_pipeline_spark.operators import merge as merge_ops
+
+_UPD_SQL = """
+    SELECT doc_id, text || ' v2' AS text, lang
+    FROM documents WHERE doc_id % 10 = 0
+    UNION ALL
+    SELECT doc_id + 50000 AS doc_id,
+           'new doc ' || (doc_id + 50000) AS text,
+           'en' AS lang
+    FROM documents WHERE doc_id % 10 = 0
+"""
+
+
+def _doc_updates(spark, sf_dir) -> DataFrame:
+    docs = _docs(spark, sf_dir).select("doc_id", "text", "lang")
+    tenth = docs.filter(F.col("doc_id") % 10 == 0)
+    modified = tenth.select(
+        "doc_id", F.expr("text || ' v2'").alias("text"), "lang"
+    )
+    new = tenth.select(
+        (F.col("doc_id") + 50000).alias("doc_id"),
+        F.expr("'new doc ' || (doc_id + 50000)").alias("text"),
+        F.lit("en").alias("lang"),
+    )
+    return modified.unionByName(new)
+
+
+def table_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE semantics: updates win on key match, new keys insert."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text", "lang")
+    return merge_ops.upsert(docs, _doc_updates(spark, sf_dir), "doc_id")
+
+
+def table_insert_missing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's conflict-skip insert as a reusable operator."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text", "lang")
+    return merge_ops.insert_missing(docs, _doc_updates(spark, sf_dir), "doc_id")
+
+
+QUERIES["table_upsert"] = table_upsert
+QUERIES["table_insert_missing"] = table_insert_missing
+ORACLES["table_upsert"] = (
+    f"WITH u AS ({_UPD_SQL}) "
+    + merge_ops.upsert_sql("documents", "u", "doc_id", ["doc_id", "text", "lang"])
+)
+ORACLES["table_insert_missing"] = (
+    f"WITH u AS ({_UPD_SQL}) "
+    + merge_ops.insert_missing_sql(
+        "documents", "u", "doc_id", ["doc_id", "text", "lang"]
+    )
+)

@@ -1,0 +1,35 @@
+from __future__ import annotations
+
+from sales_data_etl_pipeline_spark.operators import merge
+
+
+def _t(spark, rows):
+    return spark.createDataFrame(rows, "k long, v string")
+
+
+def test_upsert_updates_win_and_new_keys_insert(spark):
+    target = _t(spark, [(1, "a"), (2, "b"), (3, "c")])
+    updates = _t(spark, [(2, "B2"), (9, "new")])
+    got = {r["k"]: r["v"] for r in merge.upsert(target, updates, "k").collect()}
+    assert got == {1: "a", 2: "B2", 3: "c", 9: "new"}
+
+
+def test_insert_missing_skips_conflicts(spark):
+    target = _t(spark, [(1, "a"), (2, "b")])
+    updates = _t(spark, [(2, "SHOULD-NOT-WIN"), (9, "new")])
+    got = {r["k"]: r["v"] for r in merge.insert_missing(target, updates, "k").collect()}
+    assert got == {1: "a", 2: "b", 9: "new"}
+
+
+def test_upsert_composite_key(spark):
+    target = spark.createDataFrame(
+        [(1, "x", "a"), (1, "y", "b")], "k1 long, k2 string, v string"
+    )
+    updates = spark.createDataFrame(
+        [(1, "y", "B")], "k1 long, k2 string, v string"
+    )
+    got = {
+        (r["k1"], r["k2"]): r["v"]
+        for r in merge.upsert(target, updates, ("k1", "k2")).collect()
+    }
+    assert got == {(1, "x"): "a", (1, "y"): "B"}
