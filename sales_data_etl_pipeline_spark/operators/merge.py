@@ -77,3 +77,98 @@ def insert_missing_sql(
         SELECT {col_list} FROM {updates_rel} u
         WHERE NOT EXISTS (SELECT 1 FROM {target_rel} t WHERE {on})
     """
+
+
+def scd2_apply(
+    current: DataFrame,
+    updates: DataFrame,
+    keys: tuple[str, ...] | str,
+    attrs: list[str],
+    *,
+    ts_col: str = "ts",
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+) -> DataFrame:
+    """SCD type-2 apply: version a dimension's history under a batch of
+    timestamped updates.
+
+    ``current`` carries (keys, attrs, valid_from, valid_to) with open
+    versions having ``valid_to IS NULL``; ``updates`` carries
+    (keys, attrs, ts). Semantics: per key, order the open version and
+    all updates by timestamp; collapse equal-attribute runs to their
+    first row (a no-op update never creates a version); each surviving
+    version is valid from its timestamp until the next version's
+    timestamp (open-ended for the last). Closed history rows pass
+    through untouched.
+
+    One shuffle on the key; attribute change detection via an md5
+    signature over unit-separator-joined attrs (NULL attrs drop out of
+    concat_ws identically in both engines — documented limitation:
+    NULL and '' are indistinguishable in the signature). Timestamps
+    must be unique per key within a batch for deterministic ordering.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    ks = _key_list(keys)
+    closed = current.filter(F.col(valid_to).isNotNull()).select(
+        *ks, *attrs, valid_from, valid_to
+    )
+    open_cur = current.filter(F.col(valid_to).isNull()).select(
+        *ks, *attrs, F.col(valid_from).alias("_ts")
+    )
+    ups = updates.select(*ks, *attrs, F.col(ts_col).alias("_ts"))
+    sig = F.md5(
+        F.concat_ws("\x1f", *[F.col(a).cast("string") for a in attrs])
+    )
+    w = Window.partitionBy(*ks).orderBy("_ts")
+    chg = (
+        open_cur.unionByName(ups)
+        .withColumn("_sig", sig)
+        .withColumn("_prev", F.lag("_sig").over(w))
+        .filter(F.col("_prev").isNull() | (F.col("_sig") != F.col("_prev")))
+    )
+    versions = chg.withColumn(valid_to, F.lead("_ts").over(w)).select(
+        *ks, *attrs, F.col("_ts").alias(valid_from), valid_to
+    )
+    return closed.unionByName(versions)
+
+
+def scd2_apply_sql(
+    current_rel: str,
+    updates_rel: str,
+    keys: tuple[str, ...] | str,
+    attrs: list[str],
+    *,
+    ts_col: str = "ts",
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+) -> str:
+    """DuckDB oracle twin of :func:`scd2_apply`."""
+    ks = _key_list(keys)
+    key_list = ", ".join(ks)
+    attr_list = ", ".join(attrs)
+    sig = (
+        "md5(concat_ws(chr(31), "
+        + ", ".join(f"CAST({a} AS VARCHAR)" for a in attrs)
+        + "))"
+    )
+    return f"""
+        WITH open_cur AS (
+            SELECT {key_list}, {attr_list}, {valid_from} AS _ts
+            FROM {current_rel} WHERE {valid_to} IS NULL),
+        ups AS (SELECT {key_list}, {attr_list}, {ts_col} AS _ts
+                FROM {updates_rel}),
+        allr AS (SELECT * FROM open_cur UNION ALL SELECT * FROM ups),
+        sigd AS (SELECT *, {sig} AS _sig FROM allr),
+        lagd AS (SELECT *, LAG(_sig) OVER (PARTITION BY {key_list}
+                     ORDER BY _ts) AS _prev FROM sigd),
+        chg AS (SELECT * FROM lagd WHERE _prev IS NULL OR _sig <> _prev)
+        SELECT {key_list}, {attr_list}, {valid_from}, {valid_to}
+        FROM {current_rel} WHERE {valid_to} IS NOT NULL
+        UNION ALL
+        SELECT {key_list}, {attr_list}, _ts AS {valid_from},
+               LEAD(_ts) OVER (PARTITION BY {key_list} ORDER BY _ts)
+                   AS {valid_to}
+        FROM chg
+    """

@@ -1340,3 +1340,73 @@ ORACLES["table_insert_missing"] = (
         "documents", "u", "doc_id", ["doc_id", "text", "lang"]
     )
 )
+
+
+# --- SCD-2 dimension versioning (operators/merge.py) ------------------------
+
+_SCD_CUR_SQL = """
+    SELECT doc_id, lang, source,
+           CAST(0 AS BIGINT) AS valid_from, CAST(NULL AS BIGINT) AS valid_to
+    FROM documents
+    UNION ALL
+    SELECT doc_id, 'old' AS lang, 'hist' AS source,
+           CAST(-100 AS BIGINT) AS valid_from, CAST(0 AS BIGINT) AS valid_to
+    FROM documents WHERE doc_id % 20 = 0
+"""
+
+_SCD_UPD_SQL = """
+    SELECT doc_id, lang, 'updated' AS source, CAST(100 AS BIGINT) AS ts
+    FROM documents WHERE doc_id % 10 = 0
+    UNION ALL
+    SELECT doc_id, lang, source, CAST(150 AS BIGINT) AS ts
+    FROM documents WHERE doc_id % 15 = 0
+    UNION ALL
+    SELECT doc_id, lang, 'updated2' AS source, CAST(200 AS BIGINT) AS ts
+    FROM documents WHERE doc_id % 20 = 0
+"""
+
+
+def _scd_frames(spark, sf_dir):
+    docs = _docs(spark, sf_dir).select("doc_id", "lang", "source")
+    cur = docs.select(
+        "doc_id", "lang", "source",
+        F.lit(0).cast("long").alias("valid_from"),
+        F.lit(None).cast("long").alias("valid_to"),
+    ).unionByName(
+        docs.filter(F.col("doc_id") % 20 == 0).select(
+            "doc_id", F.lit("old").alias("lang"), F.lit("hist").alias("source"),
+            F.lit(-100).cast("long").alias("valid_from"),
+            F.lit(0).cast("long").alias("valid_to"),
+        )
+    )
+    ups = (
+        docs.filter(F.col("doc_id") % 10 == 0)
+        .select("doc_id", "lang", F.lit("updated").alias("source"),
+                F.lit(100).cast("long").alias("ts"))
+        .unionByName(
+            # no-op update: attrs unchanged -> must NOT create a version
+            docs.filter(F.col("doc_id") % 15 == 0).select(
+                "doc_id", "lang", "source", F.lit(150).cast("long").alias("ts")
+            )
+        )
+        .unionByName(
+            docs.filter(F.col("doc_id") % 20 == 0).select(
+                "doc_id", "lang", F.lit("updated2").alias("source"),
+                F.lit(200).cast("long").alias("ts"),
+            )
+        )
+    )
+    return cur, ups
+
+
+def table_scd2_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD-2 history versioning under a mixed batch (changes, no-ops,
+    multi-update keys, pre-existing closed history)."""
+    cur, ups = _scd_frames(spark, sf_dir)
+    return merge_ops.scd2_apply(cur, ups, "doc_id", ["lang", "source"])
+
+
+QUERIES["table_scd2_apply"] = table_scd2_apply
+ORACLES["table_scd2_apply"] = merge_ops.scd2_apply_sql(
+    f"({_SCD_CUR_SQL})", f"({_SCD_UPD_SQL})", "doc_id", ["lang", "source"]
+)

@@ -33,3 +33,35 @@ def test_upsert_composite_key(spark):
         for r in merge.upsert(target, updates, ("k1", "k2")).collect()
     }
     assert got == {(1, "x"): "a", (1, "y"): "B"}
+
+
+def test_scd2_apply_versions(spark):
+    cur = spark.createDataFrame(
+        [
+            (1, "a", 0, None),      # open version
+            (1, "z", -10, 0),       # closed history: must pass through
+            (2, "b", 0, None),
+            (3, "c", 0, None),
+        ],
+        "k long, attr string, valid_from long, valid_to long",
+    )
+    ups = spark.createDataFrame(
+        [
+            (1, "a2", 100),  # change -> closes (0,100), opens (100,200)
+            (1, "a3", 200),  # second change -> closes at 200
+            (2, "b", 100),   # no-op -> no new version
+        ],
+        "k long, attr string, ts long",
+    )
+    rows = {
+        (r["k"], r["attr"], r["valid_from"], r["valid_to"])
+        for r in merge.scd2_apply(cur, ups, "k", ["attr"]).collect()
+    }
+    assert rows == {
+        (1, "z", -10, 0),
+        (1, "a", 0, 100),
+        (1, "a2", 100, 200),
+        (1, "a3", 200, None),
+        (2, "b", 0, None),
+        (3, "c", 0, None),
+    }
