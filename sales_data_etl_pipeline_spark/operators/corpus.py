@@ -294,3 +294,83 @@ def pack_sequences_sql(
            shard_id, seq_in_shard, offset_in_seq
     FROM pack
     """
+
+
+def mixture_upsample(
+    df: DataFrame,
+    epochs: dict[str, float],
+    *,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    default_epochs: float = 1.0,
+) -> DataFrame:
+    """Deterministic mixture weighting: repeat each row ``epochs[source]``
+    times, where the fractional part is resolved per-document by its
+    md5 bucket (epochs=2.3 → every doc twice, the deterministic 30%
+    of docs a third time). The training-data "source mixing" op: weight
+    high-quality sources above one epoch, downsample the rest —
+    reproducible across runs/engines/appends because repetition depends
+    only on (id, source).
+
+    Pure projection + explode: no shuffle, output rows carry
+    ``copy_idx`` (0-based) so downstream shuffling/packing can keep
+    copies distinguishable.
+    """
+    whole: Column | None = None
+    fracb: Column | None = None
+    for src, w in epochs.items():
+        cond = F.col(source_col) == src
+        wn, fb = int(w), int(round((w - int(w)) * HASH_BUCKETS))
+        whole = F.when(cond, wn) if whole is None else whole.when(cond, wn)
+        fracb = F.when(cond, fb) if fracb is None else fracb.when(cond, fb)
+    dwn, dfb = int(default_epochs), int(
+        round((default_epochs - int(default_epochs)) * HASH_BUCKETS)
+    )
+    whole = F.lit(dwn) if whole is None else whole.otherwise(dwn)
+    fracb = F.lit(dfb) if fracb is None else fracb.otherwise(dfb)
+    n = whole + (hash_bucket(id_col) < fracb).cast("int")
+    return (
+        df.withColumn("_n", n)
+        .withColumn(
+            "copy_idx",
+            F.explode(
+                F.expr(
+                    "CASE WHEN _n < 1 THEN array()"
+                    " ELSE sequence(0L, cast(_n - 1 AS bigint)) END"
+                )
+            ),
+        )
+        .drop("_n")
+    )
+
+
+def mixture_upsample_sql(
+    rel: str,
+    epochs: dict[str, float],
+    *,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    default_epochs: float = 1.0,
+    cols: str = "doc_id, source",
+) -> str:
+    """DuckDB oracle twin of :func:`mixture_upsample`."""
+    whens_w = " ".join(
+        f"WHEN {source_col} = '{s}' THEN {int(w)}" for s, w in epochs.items()
+    )
+    whens_f = " ".join(
+        f"WHEN {source_col} = '{s}' THEN {int(round((w - int(w)) * HASH_BUCKETS))}"
+        for s, w in epochs.items()
+    )
+    dw, dfb = int(default_epochs), int(
+        round((default_epochs - int(default_epochs)) * HASH_BUCKETS)
+    )
+    b = hash_bucket_sql(id_col)
+    n = (
+        f"(CASE {whens_w} ELSE {dw} END"
+        f" + CASE WHEN {b} < (CASE {whens_f} ELSE {dfb} END)"
+        " THEN 1 ELSE 0 END)"
+    )
+    return f"""
+        SELECT {cols}, UNNEST(range(0, {n})) AS copy_idx
+        FROM {rel}
+    """

@@ -1410,3 +1410,22 @@ QUERIES["table_scd2_apply"] = table_scd2_apply
 ORACLES["table_scd2_apply"] = merge_ops.scd2_apply_sql(
     f"({_SCD_CUR_SQL})", f"({_SCD_UPD_SQL})", "doc_id", ["lang", "source"]
 )
+
+
+# --- mixture / epoch upsampling (operators/corpus.py) -----------------------
+
+_MIX_EPOCHS = {"src0": 2.5, "src1": 1.0, "src2": 0.3}
+
+
+def corpus_mixture_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic source mixing: src0 at 2.5 epochs, src1 at 1,
+    src2 at 0.3, everything else at the 1.0 default."""
+    return corpus.mixture_upsample(
+        _docs(spark, sf_dir).select("doc_id", "source"), _MIX_EPOCHS
+    )
+
+
+QUERIES["corpus_mixture_epochs"] = corpus_mixture_epochs
+ORACLES["corpus_mixture_epochs"] = corpus.mixture_upsample_sql(
+    "documents", _MIX_EPOCHS
+)

@@ -100,3 +100,37 @@ def test_pack_sequences_respects_shard_boundaries(spark):
     for r in out:
         assert r["offset_in_seq"] in (0, 50)
         assert 0 <= r["seq_in_shard"] <= 4
+
+
+def test_mixture_upsample_epochs(spark):
+    from sales_data_etl_pipeline_spark.operators.corpus import mixture_upsample
+
+    df = spark.createDataFrame(
+        [(i, "hot" if i % 2 == 0 else "cold") for i in range(200)],
+        "doc_id long, source string",
+    )
+    out = mixture_upsample(df, {"hot": 2.5, "cold": 0.0}).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r["copy_idx"])
+    # cold docs vanish entirely
+    assert all(d % 2 == 0 for d in by_doc)
+    # hot docs appear 2 or 3 times with contiguous copy indices
+    counts = {len(v) for v in by_doc.values()}
+    assert counts <= {2, 3} and 3 in counts and 2 in counts
+    for v in by_doc.values():
+        assert sorted(v) == list(range(len(v)))
+    # fractional part lands near 50% of hot docs (deterministic md5 split)
+    n3 = sum(1 for v in by_doc.values() if len(v) == 3)
+    assert 25 <= n3 <= 75
+
+
+def test_mixture_upsample_deterministic(spark):
+    from sales_data_etl_pipeline_spark.operators.corpus import mixture_upsample
+
+    df = spark.createDataFrame(
+        [(i, "s") for i in range(50)], "doc_id long, source string"
+    )
+    a = sorted((r["doc_id"], r["copy_idx"]) for r in mixture_upsample(df, {"s": 1.5}).collect())
+    b = sorted((r["doc_id"], r["copy_idx"]) for r in mixture_upsample(df, {"s": 1.5}).collect())
+    assert a == b
