@@ -1429,3 +1429,59 @@ QUERIES["corpus_mixture_epochs"] = corpus_mixture_epochs
 ORACLES["corpus_mixture_epochs"] = corpus.mixture_upsample_sql(
     "documents", _MIX_EPOCHS
 )
+
+
+# --- stream-static join (streaming/events.py surface) -----------------------
+
+_EVENT_CATEGORIES = [
+    ("view", "engagement"),
+    ("click", "engagement"),
+    ("purchase", "revenue"),
+    ("signup", "revenue"),
+    ("error", "ops"),
+]
+
+
+def streaming_enriched_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join: the event stream enriched against a static
+    dimension (event_type → category) before a windowed aggregation —
+    the standard streaming enrichment pattern (the static side is
+    broadcast; no stream-stream shuffle). Oracle = the batch form.
+    """
+    from sales_data_etl_pipeline_spark.streaming import events as streaming
+
+    ev = streaming.stream_events(spark, sf_dir)
+    cats = spark.createDataFrame(
+        _EVENT_CATEGORIES, "event_type string, category string"
+    )
+    agg = (
+        ev.join(F.broadcast(cats), "event_type")
+        .withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour"), "category")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            "category",
+            "n_events",
+        )
+    )
+    tbl = streaming.run_stream_to_memory(
+        agg, "streaming_enriched_counts_tbl", output_mode="complete"
+    )
+    return tbl.orderBy("window_start", "category")
+
+
+QUERIES["streaming_enriched_counts"] = streaming_enriched_counts
+
+_CAT_CASE = "CASE " + " ".join(
+    f"WHEN event_type = '{t}' THEN '{c}'" for t, c in _EVENT_CATEGORIES
+) + " END"
+
+ORACLES["streaming_enriched_counts"] = f"""
+    SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+           {_CAT_CASE} AS category,
+           COUNT(*) AS n_events
+    FROM events
+    WHERE {_CAT_CASE} IS NOT NULL
+    GROUP BY 1, 2 ORDER BY 1, 2
+"""
