@@ -617,3 +617,41 @@ def connected_components(
         if changed == 0:
             break
     return labels.select(F.col("node").alias("doc_id"), "component")
+
+
+def select_cluster_representatives(
+    clusters: DataFrame,
+    scores: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    component_col: str = "component",
+    score_col: str = "score",
+) -> DataFrame:
+    """Pick one representative per near-dup cluster: the member with the
+    highest ``score_col`` (ties → smallest id) — the keep-best step that
+    turns components into the survivor list (keep-first is a special
+    case with a constant score).
+
+    ``min(struct(-score, id))`` per component: a plain hash aggregate
+    with map-side partial reduction — one shuffle carrying one struct
+    per (partition, component), no window/sort. Returns
+    (component, id, score) for the surviving member.
+    """
+    joined = clusters.join(scores, id_col)
+    best = (
+        joined.groupBy(component_col)
+        .agg(
+            F.min(
+                F.struct(
+                    (-F.col(score_col)).alias("_neg"),
+                    F.col(id_col).alias("_id"),
+                )
+            ).alias("_best")
+        )
+        .select(
+            component_col,
+            F.col("_best._id").alias(id_col),
+            (-F.col("_best._neg")).alias(score_col),
+        )
+    )
+    return best

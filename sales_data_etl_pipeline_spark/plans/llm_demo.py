@@ -1485,3 +1485,35 @@ ORACLES["streaming_enriched_counts"] = f"""
     WHERE {_CAT_CASE} IS NOT NULL
     GROUP BY 1, 2 ORDER BY 1, 2
 """
+
+
+# --- cluster representative selection (operators/dedup.py) ------------------
+
+
+def dedup_cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup components → keep-best survivor per cluster (score =
+    token count: prefer the longest member, tiebreak smallest id)."""
+    pairs = dedup.minhash_lsh_pairs(
+        _docs_with_near_dups(spark, sf_dir), threshold=0.5
+    )
+    clusters = dedup.connected_components(pairs)
+    scores = _docs_with_near_dups(spark, sf_dir).select(
+        "doc_id", F.size(text.tokens()).cast("long").alias("score")
+    )
+    return dedup.select_cluster_representatives(clusters, scores).orderBy(
+        "component"
+    )
+
+
+QUERIES["dedup_cluster_representatives"] = dedup_cluster_representatives
+ORACLES["dedup_cluster_representatives"] = f"""
+    WITH nd AS ({_NEAR_DUP_DOCS}),
+    cl AS (SELECT * FROM ({ORACLES['dedup_clusters']})),
+    q AS (SELECT doc_id, CAST(len({_TOKS.format(col='text')}) AS BIGINT) AS score
+          FROM nd),
+    j AS (SELECT cl.component, cl.doc_id, q.score
+          FROM cl JOIN q ON cl.doc_id = q.doc_id),
+    r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY component
+              ORDER BY score DESC, doc_id ASC) AS rn FROM j)
+    SELECT component, doc_id, score FROM r WHERE rn = 1 ORDER BY component
+"""

@@ -138,3 +138,23 @@ def test_minhash_verify_modes_identical(spark):
     }
     assert join_out == sets_out
     assert any(a == 900001 and b == 900002 for a, b, _ in join_out)
+
+
+def test_cluster_representatives_keep_best(spark):
+    from pyspark.sql import functions as F
+
+    from sales_data_etl_pipeline_spark.operators import dedup
+
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (7, 7), (8, 7)],
+        "doc_id long, component long",
+    )
+    scores = spark.createDataFrame(
+        [(1, 5), (2, 9), (3, 9), (7, 2), (8, 2)], "doc_id long, score long"
+    )
+    got = {
+        r["component"]: (r["doc_id"], r["score"])
+        for r in dedup.select_cluster_representatives(clusters, scores).collect()
+    }
+    # component 1: score tie 9/9 between docs 2,3 -> smallest id wins
+    assert got == {1: (2, 9), 7: (7, 2)}
