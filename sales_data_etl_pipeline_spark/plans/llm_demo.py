@@ -1517,3 +1517,40 @@ ORACLES["dedup_cluster_representatives"] = f"""
               ORDER BY score DESC, doc_id ASC) AS rn FROM j)
     SELECT component, doc_id, score FROM r WHERE rn = 1 ORDER BY component
 """
+
+
+# --- length histogram profiling ---------------------------------------------
+
+_HIST_W, _HIST_BINS = 50, 20
+
+
+def stats_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of document lengths (50-char bins, last bin
+    open-ended) — the profiling step that sizes quality-filter cuts.
+    Pure integer arithmetic: one map-side-combined shuffle on bin id."""
+    b = F.expr(f"least(n_chars div {_HIST_W}, {_HIST_BINS - 1}L)")
+    return (
+        _docs(spark, sf_dir)
+        .select(b.alias("bin_id"))
+        .groupBy("bin_id")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .select(
+            "bin_id",
+            (F.col("bin_id") * _HIST_W).alias("bin_lo"),
+            ((F.col("bin_id") + 1) * _HIST_W).alias("bin_hi"),
+            "n_docs",
+        )
+        .orderBy("bin_id")
+    )
+
+
+QUERIES["stats_length_histogram"] = stats_length_histogram
+ORACLES["stats_length_histogram"] = f"""
+    WITH b AS (SELECT least(n_chars // {_HIST_W}, {_HIST_BINS - 1}) AS bin_id
+               FROM documents)
+    SELECT bin_id,
+           bin_id * {_HIST_W} AS bin_lo,
+           (bin_id + 1) * {_HIST_W} AS bin_hi,
+           COUNT(*) AS n_docs
+    FROM b GROUP BY bin_id ORDER BY bin_id
+"""
