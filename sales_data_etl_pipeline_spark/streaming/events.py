@@ -194,3 +194,59 @@ def stateful_user_totals(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def stateful_user_totals_tws(events: DataFrame) -> DataFrame:
+    """Running per-user totals via ``transformWithStateInPandas`` — the
+    Spark 4 stateful-processor API (successor to
+    ``applyInPandasWithState``): explicit typed state handles
+    (ValueState here; ListState/MapState/timers available), the shape
+    new custom stateful operators should use.
+
+    Same semantics as :func:`stateful_user_totals`; emits raw totals,
+    rounding happens at the query edge (shared convention).
+
+    ENV GATE: the TWS state protocol needs the ``protobuf`` python
+    package (``pyspark/sql/streaming/proto``); containers without it
+    crash the TWS driver worker at stream start. The equivalence test
+    skips when ``google.protobuf`` is absent —
+    ``applyInPandasWithState`` (:func:`stateful_user_totals`) is the
+    gate-checked stateful path either way.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class UserTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._totals = handle.getValueState(
+                "totals", "n long, total double"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, total = (
+                self._totals.get() if self._totals.exists() else (0, 0.0)
+            )
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+            self._totals.update((n, total))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "total_value": [total],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=UserTotals(),
+        outputStructType="user_id long, n_events long, total_value double",
+        outputMode="Update",
+        timeMode="None",
+    )

@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from sales_data_etl_pipeline_spark.plans import llm_demo
@@ -102,3 +103,31 @@ def test_dedup_within_watermark_bounded_state(spark):
     got = out.count()
     assert got == n_events
     assert out.select("event_id").distinct().count() == n_events
+
+
+def test_stateful_user_totals_tws_matches_batch(spark):
+    pytest.importorskip(
+        "google.protobuf", reason="TWS state protocol needs protobuf"
+    )
+    stream = streaming.stream_events(spark, SF_DIR)
+    result = streaming.run_stream_to_memory(
+        streaming.stateful_user_totals_tws(stream),
+        "t_stateful_tws",
+        output_mode="update",
+    )
+    batch = (
+        llm_demo._events(spark, SF_DIR)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+    got = {
+        (r.user_id, r.n_events, r.total_value)
+        for r in result.select(
+            "user_id", "n_events", F.round("total_value", 2).alias("total_value")
+        ).collect()
+    }
+    want = {(r.user_id, r.n_events, r.total_value) for r in batch.collect()}
+    assert got == want and len(want) > 0
