@@ -1554,3 +1554,36 @@ ORACLES["stats_length_histogram"] = f"""
            COUNT(*) AS n_docs
     FROM b GROUP BY bin_id ORDER BY bin_id
 """
+
+
+# --- salted aggregation gate (operators/skew.py) ----------------------------
+
+
+def events_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage salted count+sum per event_type (the hot-key plan):
+    salting changes the PHYSICAL distribution only, so the plain
+    GROUP BY is the oracle — this entry pins result-equivalence of the
+    skew-safe plan under the driver's exact hash."""
+    from sales_data_etl_pipeline_spark.operators import skew
+
+    ev = _events(spark, sf_dir)
+    counts = skew.salted_count(ev, ["event_type"], out_col="n_events")
+    sums = skew.salted_sum(ev, ["event_type"], "value", out_col="_sv")
+    return (
+        counts.join(sums, "event_type")
+        .select(
+            "event_type",
+            "n_events",
+            F.round("_sv", 2).alias("total_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+QUERIES["events_salted_agg"] = events_salted_agg
+ORACLES["events_salted_agg"] = """
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 2) AS total_value
+    FROM events GROUP BY event_type ORDER BY event_type
+"""
