@@ -585,6 +585,10 @@ def connected_components(
             pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
         )
         .distinct()
+        # materialize ONCE: every iteration joins edges AND runs a
+        # convergence-count action — without this cut, each round
+        # re-derives the pair lineage (at minhash-LSH cost) from scratch
+        .localCheckpoint(eager=False)
     )
     labels = (
         edges.select(F.col("src").alias("node"))
