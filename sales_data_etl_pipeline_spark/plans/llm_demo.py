@@ -1587,3 +1587,42 @@ ORACLES["events_salted_agg"] = """
            ROUND(SUM(value), 2) AS total_value
     FROM events GROUP BY event_type ORDER BY event_type
 """
+
+
+# --- semi-structured JSON extraction ----------------------------------------
+
+
+def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-on-read over the JSON ``props`` column: parse with an
+    explicit struct schema (``from_json`` — vectorized JVM parsing, no
+    UDF) and aggregate the extracted field. The semi-structured path a
+    training-data pipeline needs for metadata columns."""
+    ev = _events(spark, sf_dir)
+    parsed = ev.select(
+        "event_type",
+        F.from_json("props", "k long").getField("k").alias("k"),
+    )
+    return (
+        parsed.groupBy("event_type")
+        .agg(
+            F.count("k").alias("n_with_k"),
+            F.sum("k").alias("k_total"),
+            F.min("k").alias("k_min"),
+            F.max("k").alias("k_max"),
+        )
+        .orderBy("event_type")
+    )
+
+
+QUERIES["events_json_props"] = events_json_props
+ORACLES["events_json_props"] = """
+    WITH p AS (SELECT event_type,
+                      CAST(json_extract(props, '$.k') AS BIGINT) AS k
+               FROM events)
+    SELECT event_type,
+           COUNT(k) AS n_with_k,
+           CAST(SUM(k) AS BIGINT) AS k_total,
+           MIN(k) AS k_min,
+           MAX(k) AS k_max
+    FROM p GROUP BY event_type ORDER BY event_type
+"""
