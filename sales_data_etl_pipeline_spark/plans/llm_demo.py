@@ -1626,3 +1626,40 @@ ORACLES["events_json_props"] = """
            MAX(k) AS k_max
     FROM p GROUP BY event_type ORDER BY event_type
 """
+
+
+# --- grouped exact quantiles ------------------------------------------------
+
+
+def events_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group exact quantiles (p25/p50/p75/p90 of value per
+    event_type) — the grouped holistic aggregate. Exact percentile is
+    the oracle-checked form; the 100 TB config swaps in
+    approx_percentile (t-digest) per the stats_approx_sketches twin.
+    Same interpolation (linear) and rounding convention as the group
+    medians in the cleaning layer."""
+    ev = _events(spark, sf_dir)
+    qs = {"p25": 0.25, "p50": 0.5, "p75": 0.75, "p90": 0.9}
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            *[
+                F.round(F.expr(f"percentile(value, {q})"), 2).alias(name)
+                for name, q in qs.items()
+            ],
+        )
+        .orderBy("event_type")
+    )
+
+
+QUERIES["events_value_quantiles"] = events_value_quantiles
+ORACLES["events_value_quantiles"] = """
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           ROUND(quantile_cont(value, 0.25), 2) AS p25,
+           ROUND(quantile_cont(value, 0.5), 2) AS p50,
+           ROUND(quantile_cont(value, 0.75), 2) AS p75,
+           ROUND(quantile_cont(value, 0.9), 2) AS p90
+    FROM events GROUP BY event_type ORDER BY event_type
+"""
