@@ -1663,3 +1663,30 @@ ORACLES["events_value_quantiles"] = """
            ROUND(quantile_cont(value, 0.9), 2) AS p90
     FROM events GROUP BY event_type ORDER BY event_type
 """
+
+
+# --- data-quality expectations (operators/quality.py) -----------------------
+
+_DQ_PREDICATES = {
+    "discount_range": "l_discount BETWEEN 0 AND 0.1",
+    "positive_price": "l_extendedprice > 0",
+    "quantity_range": "l_quantity BETWEEN 1 AND 50",
+    "shipdate_not_null": "l_shipdate IS NOT NULL",
+}
+_DQ_UNIQUE = {"pk_unique": ["l_orderkey", "l_linenumber"]}
+
+
+def quality_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative expectation checks over lineitem — all predicate
+    rules fuse into one scan; uniqueness pays one groupBy."""
+    from sales_data_etl_pipeline_spark.operators import quality
+
+    t = load_testdata(spark, sf_dir, ("lineitem",))["lineitem"]
+    return quality.check(t, _DQ_PREDICATES, _DQ_UNIQUE)
+
+
+QUERIES["quality_checks"] = quality_checks
+
+from sales_data_etl_pipeline_spark.operators.quality import check_sql as _dq_sql
+
+ORACLES["quality_checks"] = _dq_sql("lineitem", _DQ_PREDICATES, _DQ_UNIQUE)

@@ -158,3 +158,19 @@ def test_cluster_representatives_keep_best(spark):
     }
     # component 1: score tie 9/9 between docs 2,3 -> smallest id wins
     assert got == {1: (2, 9), 7: (7, 2)}
+
+
+def test_quality_check_counts_null_as_violation(spark):
+    from sales_data_etl_pipeline_spark.operators import quality
+
+    df = spark.createDataFrame(
+        [(1, 5.0), (2, None), (3, -1.0), (1, 2.0)], "k long, v double"
+    )
+    got = {
+        r["rule"]: r["n_violations"]
+        for r in quality.check(
+            df, {"v_positive": "v > 0"}, {"k_unique": ["k"]}
+        ).collect()
+    }
+    # NULL v must count as a violation (three-valued logic trap)
+    assert got == {"v_positive": 2, "k_unique": 1}
