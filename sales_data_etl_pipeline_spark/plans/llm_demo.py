@@ -1690,3 +1690,43 @@ QUERIES["quality_checks"] = quality_checks
 from sales_data_etl_pipeline_spark.operators.quality import check_sql as _dq_sql
 
 ORACLES["quality_checks"] = _dq_sql("lineitem", _DQ_PREDICATES, _DQ_UNIQUE)
+
+
+# --- sliding-window aggregation ---------------------------------------------
+
+
+def events_sliding_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 1-hour window, 30-minute slide, per event_type — each
+    event lands in exactly 2 windows. Oracle: explode each event into
+    its two covering window starts. Completes the window-family
+    coverage (tumbling: events_windowed_agg, session:
+    events_sessionization, sliding: here)."""
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy(
+            F.window("ts", "1 hour", "30 minutes")
+            .getField("start")
+            .alias("window_start"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .orderBy("window_start", "event_type")
+    )
+
+
+QUERIES["events_sliding_agg"] = events_sliding_agg
+ORACLES["events_sliding_agg"] = """
+    WITH w AS (
+        SELECT UNNEST([time_bucket(INTERVAL '30 minutes', ts),
+                       time_bucket(INTERVAL '30 minutes', ts)
+                           - INTERVAL '30 minutes']) AS window_start,
+               event_type, value
+        FROM events)
+    SELECT window_start, event_type,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 2) AS total_value
+    FROM w GROUP BY 1, 2 ORDER BY 1, 2
+"""
