@@ -55,6 +55,15 @@ HEADLINE = [
     "events_cohort_retention",
     "events_funnel",
     "embedding_quantize_int8",
+    "events_salted_agg",
+    "events_value_quantiles",
+    "events_json_props",
+    "events_sliding_agg",
+    "stats_length_histogram",
+    "corpus_mixture_epochs",
+    "corpus_prep_pipeline",
+    "table_scd2_apply",
+    "dedup_cluster_representatives",
 ]
 
 
