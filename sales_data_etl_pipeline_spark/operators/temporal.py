@@ -32,14 +32,21 @@ def asof_join(
     right_ts: str = "ts",
     right_cols: list[str] | None = None,
     suffix: str = "_matched",
+    direction: str = "backward",
 ) -> DataFrame:
-    """Backward as-of join: for each left row, the latest right row of the
-    same ``on`` key with ``right.ts <= left.ts`` (ties: right row sorts
-    first, so an equal-timestamp right row IS matched).
+    """As-of join: for each left row, the nearest right row of the same
+    ``on`` key — ``backward`` (default): latest right with
+    ``right.ts <= left.ts``; ``forward``: earliest right with
+    ``right.ts >= left.ts``. Ties: the right row sorts first, so an
+    equal-timestamp right row IS matched in both directions.
 
-    Returns all left columns plus ``<right_col><suffix>`` columns
-    (NULL when no right row precedes the left row).
+    Same single-shuffle tagged-union formulation either way — forward
+    just reverses the carry order of the window (``ts desc``), no extra
+    pass. Returns all left columns plus ``<right_col><suffix>`` columns
+    (NULL when no right row exists on the match side).
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
     right_cols = right_cols or [c for c in right.columns if c not in (on, right_ts)]
     # the carried right struct (typed NULL on the left side)
     r_struct = F.struct(
@@ -61,10 +68,12 @@ def asof_join(
     )
     r_tag = r_tag.withColumn("_l", F.col("_l").cast(l_tag.schema["_l"].dataType))
     unioned = l_tag.unionByName(r_tag.select(*l_tag.columns))
-    # right rows (side=0) sort before left rows at equal ts → inclusive <=
+    # right rows (side=0) sort before left rows at equal ts → inclusive
+    # match in both directions; forward carries in reverse-ts order
+    ts_order = F.col("_ts").asc() if direction == "backward" else F.col("_ts").desc()
     w = (
         Window.partitionBy("_k")
-        .orderBy(F.col("_ts").asc(), F.col("_side").asc())
+        .orderBy(ts_order, F.col("_side").asc())
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     carried = unioned.withColumn("_last_r", F.last("_r", ignorenulls=True).over(w))

@@ -1730,3 +1730,47 @@ ORACLES["events_sliding_agg"] = """
            ROUND(SUM(value), 2) AS total_value
     FROM w GROUP BY 1, 2 ORDER BY 1, 2
 """
+
+
+# --- forward as-of join -----------------------------------------------------
+
+
+def events_asof_join_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For every view event: the user's NEXT at-or-after 'purchase'
+    (forward as-of) — the time-to-conversion primitive. Oracle: DuckDB
+    native ASOF with the inequality reversed."""
+    from sales_data_etl_pipeline_spark.operators.temporal import asof_join
+
+    ev = _events(spark, sf_dir)
+    views = ev.filter(F.col("event_type") == "view").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_event_id"), "user_id", "ts"
+    )
+    out = asof_join(
+        views,
+        purchases,
+        on="user_id",
+        right_cols=["purchase_event_id"],
+        direction="forward",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.unix_millis("ts").alias("ts_ms"),
+        F.col("purchase_event_id_matched").alias("purchase_event_id"),
+    ).orderBy("event_id")
+
+
+QUERIES["events_asof_join_forward"] = events_asof_join_forward
+ORACLES["events_asof_join_forward"] = """
+    WITH v AS (SELECT event_id, user_id, ts FROM events
+               WHERE event_type = 'view'),
+         p AS (SELECT event_id AS purchase_event_id, user_id, ts FROM events
+               WHERE event_type = 'purchase')
+    SELECT v.event_id, v.user_id, epoch_ms(v.ts) AS ts_ms, p.purchase_event_id
+    FROM v ASOF LEFT JOIN p
+      ON v.user_id = p.user_id AND v.ts <= p.ts
+    ORDER BY v.event_id
+"""

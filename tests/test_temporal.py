@@ -76,3 +76,23 @@ def test_funnel_counts_strict_order(spark):
     df = spark.createDataFrame(rows, "user_id long, event_type string, ts double")
     got = {r["step"]: r["n_users"] for r in funnel_counts(df, ("view", "click", "purchase")).collect()}
     assert got == {"view": 3, "click": 2, "purchase": 1}
+
+
+def test_asof_join_forward(spark):
+    from sales_data_etl_pipeline_spark.operators.temporal import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 10.0), (1, 25.0), (2, 5.0)], "k long, ts double"
+    )
+    right = spark.createDataFrame(
+        [(1, 10.0, "a"), (1, 20.0, "b"), (1, 30.0, "c")],
+        "k long, ts double, tag string",
+    )
+    got = {
+        (r["k"], r["ts"]): r["tag_matched"]
+        for r in asof_join(
+            left, right, on="k", right_cols=["tag"], direction="forward"
+        ).collect()
+    }
+    # equal ts matches; next-at-or-after otherwise; no right rows -> NULL
+    assert got == {(1, 10.0): "a", (1, 25.0): "c", (2, 5.0): None}
