@@ -321,11 +321,14 @@ def unigram_logprob(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
     tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     ctf = toks.groupBy("term").agg(F.count(F.lit(1)).alias("ctf"))
-    total = toks.count()
-    lp = ctf.select(
+    # total tokens = sum over the (tiny) term table, NOT a count() on the
+    # exploded corpus — that separate action would be a second full scan
+    # of every document at 100 TB; this is a 1-row broadcast instead
+    totals = ctf.agg(F.sum("ctf").alias("_total"))
+    lp = ctf.crossJoin(F.broadcast(totals)).select(
         "term",
         F.expr(
-            f"cast(floor(-log2(ctf / cast({total} as double)) * 1000000 + 0.5)"
+            "cast(floor(-log2(ctf / cast(_total as double)) * 1000000 + 0.5)"
             " as bigint)"
         ).alias("lq"),
     )
