@@ -47,6 +47,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sales_pivot": analytics.td_sales_pivot,
         "sales_monthly_growth": analytics.td_sales_monthly_growth,
         "top_products_per_brand": analytics.td_top_products_per_brand,
+        "sales_by_region_nation": analytics.td_sales_by_region_nation,
+        "customers_above_avg": analytics.td_customers_above_avg,
         # §2.2/2.5 cleaning layer (reference extract-transform-data/et_*.py)
         **cleaning_demo.QUERIES,
         # extension layer: text analysis / dedup / similarity / event windows
@@ -138,6 +140,28 @@ def oracle_sql() -> dict[str, str]:
                          / LAG(valor_total) OVER (ORDER BY periodo)
                          * 1000000 + 0.5) / 1000000 AS growth
             FROM m ORDER BY periodo
+        """,
+        "sales_by_region_nation": f"""
+            SELECT r.r_name, n.n_name,
+                   COUNT(*) AS n_items,
+                   ROUND(SUM({revenue}), 2) AS revenue
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            JOIN region r ON n.n_regionkey = r.r_regionkey
+            WHERE c.c_mktsegment = 'BUILDING'
+            GROUP BY r.r_name, n.n_name
+            ORDER BY r.r_name, n.n_name
+        """,
+        "customers_above_avg": """
+            WITH pc AS (
+                SELECT o_custkey, ROUND(SUM(o_totalprice), 2) AS total
+                FROM orders GROUP BY o_custkey)
+            SELECT c.c_custkey AS custkey, c.c_name AS name, pc.total
+            FROM pc JOIN customer c ON pc.o_custkey = c.c_custkey
+            WHERE pc.total > (SELECT AVG(total) FROM pc)
+            ORDER BY custkey
         """,
         "top_products_per_brand": f"""
             WITH pp AS (

@@ -421,3 +421,65 @@ def td_top_products_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("p_brand", "p_partkey", "revenue", "rank")
         .orderBy("p_brand", "rank")
     )
+
+
+def td_sales_by_region_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue by region/nation through the full dimension chain
+    (lineitem ⋈ orders ⋈ customer ⋈ nation ⋈ region) with a market
+    segment filter — the multi-join query that exercises Catalyst's
+    join reordering and dimension broadcasting: the fact table joins
+    pre-filtered, pre-projected dims (all broadcast-sized), and the
+    segment predicate prunes customer BEFORE any join touches it.
+    """
+    t = load_testdata(
+        spark, sf_dir, ("lineitem", "orders", "customer", "nation", "region")
+    )
+    cust = (
+        t["customer"]
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey", "c_nationkey")
+    )
+    nat = t["nation"].select("n_nationkey", "n_name", "n_regionkey")
+    reg = t["region"].select("r_regionkey", "r_name")
+    orders = t["orders"].select("o_orderkey", "o_custkey")
+    return (
+        t["lineitem"]
+        .select("l_orderkey", _revenue().alias("_rev"))
+        .join(F.broadcast(orders), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nat), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(reg), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(F.sum("_rev"), 2).alias("revenue"),
+        )
+        .orderBy("r_name", "n_name")
+    )
+
+
+def td_customers_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers whose order-total sum exceeds the global per-customer
+    average — the scalar-subquery shape (computed as a 1-row broadcast
+    against the per-customer aggregate, not a per-row subquery)."""
+    t = load_testdata(spark, sf_dir, ("orders", "customer"))
+    per_cust = (
+        t["orders"]
+        .groupBy("o_custkey")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("total"))
+    )
+    avg_total = per_cust.agg(F.avg("total").alias("_avg"))
+    return (
+        per_cust.crossJoin(F.broadcast(avg_total))
+        .filter(F.col("total") > F.col("_avg"))
+        .join(
+            F.broadcast(t["customer"].select("c_custkey", "c_name")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .select(
+            F.col("c_custkey").alias("custkey"),
+            F.col("c_name").alias("name"),
+            "total",
+        )
+        .orderBy("custkey")
+    )

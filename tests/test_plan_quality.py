@@ -71,3 +71,12 @@ def test_pii_and_repetition_are_shuffle_free(spark):
         plan = _plan(q(spark, SF_DIR))
         assert "Exchange" not in plan, q.__name__
         assert "BatchEvalPython" not in plan, q.__name__  # no row-at-a-time UDFs
+
+
+def test_region_nation_chain_is_all_broadcast(spark):
+    """The 4-dim join chain must stay broadcast-hash end to end: the
+    fact table shuffles only for the final aggregation."""
+    plan = _plan(analytics.td_sales_by_region_nation(spark, SF_DIR))
+    assert plan.count("BroadcastHashJoin") == 4
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
