@@ -27,9 +27,12 @@ _NORM = (
     "sqrt(aggregate(transform({v}, x -> cast(x as double) * cast(x as double)),"
     " cast(0.0 as double), (acc, x) -> acc + x))"
 )
+# COALESCE: DuckDB's list_aggregate([], 'sum') is NULL while Spark's
+# aggregate fold returns the 0.0 seed — align empty vectors to norm 0
+# on both engines (→ norm_q6 = 0, unit_q6 = NULL, like zero vectors).
 _NORM_SQL = (
-    "sqrt(list_aggregate(list_transform({v},"
-    " x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))"
+    "sqrt(coalesce(list_aggregate(list_transform({v},"
+    " x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'), 0.0))"
 )
 
 

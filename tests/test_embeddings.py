@@ -10,13 +10,39 @@ def _df(spark, rows):
 
 
 def test_l2_normalize(spark):
-    df = _df(spark, [(1, [3.0, 4.0]), (2, [0.0, 0.0])])
+    df = _df(spark, [(1, [3.0, 4.0]), (2, [0.0, 0.0]), (3, [])])
     got = {r["vec_id"]: r.asDict() for r in embeddings.l2_normalize(df).collect()}
     assert got[1]["norm_q6"] == 5_000_000
     assert got[1]["unit_q6"] == "600000,800000"
     # zero vector -> whole-column NULL (same in the DuckDB oracle), no crash
     assert got[2]["norm_q6"] == 0
     assert got[2]["unit_q6"] is None
+    # empty vector behaves like the zero vector on BOTH engines: Spark's
+    # aggregate fold returns the 0.0 seed, the oracle COALESCEs DuckDB's
+    # NULL list_aggregate([], 'sum') to 0.0
+    assert got[3]["norm_q6"] == 0
+    assert got[3]["unit_q6"] is None
+
+
+def test_l2_normalize_oracle_matches_on_empty_and_zero_vectors(spark):
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE embeddings AS "
+        "SELECT 1 AS vec_id, []::DOUBLE[] AS embedding "
+        "UNION ALL SELECT 2, [0.0, 0.0] UNION ALL SELECT 3, [3.0, 4.0]"
+    )
+    oracle = {
+        r[0]: (r[1], r[2])
+        for r in con.execute(embeddings.l2_normalize_sql()).fetchall()
+    }
+    df = _df(spark, [(1, []), (2, [0.0, 0.0]), (3, [3.0, 4.0])])
+    got = {
+        r["vec_id"]: (r["norm_q6"], r["unit_q6"])
+        for r in embeddings.l2_normalize(df).collect()
+    }
+    assert got == oracle
 
 
 def test_quantize_int8_roundtrip_error_bounded(spark):
