@@ -76,36 +76,13 @@ def cosine_topk(
             )
         )
     else:
-        import numpy as np
-        import pandas as pd
-
-        q_rows = queries.select(id_col, vec_col).collect()
-        q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
-        Q = np.array([r[1] for r in q_rows], dtype=np.float64)
-        Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
-        out_schema = (
-            f"{id_col} long, {query_id_col} long, cosine double"
-        )
-
-        def score(batches):
-            for pdf in batches:
-                ids = pdf[id_col].to_numpy(dtype=np.int64)
-                V = np.array(list(pdf[vec_col]), dtype=np.float64)
-                Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
-                S = Vn @ Qn.T  # (batch, n_queries)
-                n_b, n_q = S.shape
-                yield pd.DataFrame(
-                    {
-                        id_col: np.repeat(ids, n_q),
-                        query_id_col: np.tile(q_ids, n_b),
-                        "cosine": np.round(S.ravel(), 6),
-                    }
-                )
-
-        scored = (
-            corpus.select(id_col, vec_col)
-            .mapInPandas(score, out_schema)
-            .filter(F.col(id_col) != F.col(query_id_col))
+        scored = _pandas_scored(
+            corpus,
+            queries,
+            k=k,
+            id_col=id_col,
+            vec_col=vec_col,
+            query_id_col=query_id_col,
         )
     w = Window.partitionBy(query_id_col).orderBy(
         F.desc("cosine"), F.asc(id_col)
@@ -115,6 +92,68 @@ def cosine_topk(
         .filter(F.col("rank") <= k)
         .select(query_id_col, F.col(id_col).alias("neighbor_id"), "cosine", "rank")
     )
+
+
+def _pandas_scored(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    k: int,
+    id_col: str,
+    vec_col: str,
+    query_id_col: str,
+) -> DataFrame:
+    """BLAS scoring kernel with the per-partition top-k shrink: each
+    ``mapInPandas`` task folds its Arrow batches into a running
+    k-per-query candidate set — ordered by the SAME (rounded-cosine
+    desc, corpus-id asc) key the final window ranks on, so the prune is
+    lossless — and emits ONE frame of ≤ k·|queries| rows per partition.
+    The global window therefore shuffles O(partitions · k · |queries|)
+    rows, not |corpus| · |queries|. Self-matches are masked inside the
+    kernel so they can never displace a real candidate."""
+    import numpy as np
+    import pandas as pd
+
+    q_rows = queries.select(id_col, vec_col).collect()
+    q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
+    Q = np.array([r[1] for r in q_rows], dtype=np.float64)
+    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    n_q = len(q_ids)
+    out_schema = f"{id_col} long, {query_id_col} long, cosine double"
+
+    def score(batches):
+        run_s = [np.empty(0, dtype=np.float64) for _ in range(n_q)]
+        run_i = [np.empty(0, dtype=np.int64) for _ in range(n_q)]
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            V = np.array(list(pdf[vec_col]), dtype=np.float64)
+            Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+            # round BEFORE pruning: the window ranks on the rounded value
+            S = np.round(Vn @ Qn.T, 6)  # (batch, n_queries)
+            S[ids[:, None] == q_ids[None, :]] = -np.inf  # self-match
+            for qi in range(n_q):
+                s = np.concatenate([run_s[qi], S[:, qi]])
+                i = np.concatenate([run_i[qi], ids])
+                keep = np.lexsort((i, -s))[:k]
+                run_s[qi], run_i[qi] = s[keep], i[keep]
+        out_i = np.concatenate(run_i) if run_i else np.empty(0, np.int64)
+        if len(out_i):
+            out_q = np.concatenate(
+                [np.full(len(run_i[qi]), q_ids[qi]) for qi in range(n_q)]
+            )
+            out_s = np.concatenate(run_s)
+            real = out_s > -np.inf
+            yield pd.DataFrame(
+                {
+                    id_col: out_i[real],
+                    query_id_col: out_q[real],
+                    "cosine": out_s[real],
+                }
+            )
+
+    return corpus.select(id_col, vec_col).mapInPandas(score, out_schema)
 
 
 def assign_ivf_buckets(

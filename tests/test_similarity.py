@@ -32,3 +32,42 @@ def test_kmeans_centroid_training(spark):
     assert trained.count() == emb.count()
     # k-means buckets should all be populated on random data
     assert trained.select("centroid_id").distinct().count() >= 4
+
+
+def test_pandas_kernel_matches_expr_implementation(spark):
+    emb = load_testdata(spark, SF_DIR, ("embeddings",))["embeddings"]
+    queries = emb.filter(F.col("vec_id") < 10)
+    got_pd = similarity.cosine_topk(emb, queries, k=5, implementation="pandas")
+    got_ex = similarity.cosine_topk(emb, queries, k=5, implementation="expr")
+    as_set = lambda df: {
+        (r.query_id, r.neighbor_id, r.cosine, r.rank) for r in df.collect()
+    }
+    assert as_set(got_pd) == as_set(got_ex)
+
+
+def test_pandas_kernel_shrinks_to_k_per_query_per_partition(spark):
+    """The scale property VERDICT r2 flagged: the kernel must emit at
+    most k rows per query per partition, so the final top-k window
+    shuffles O(partitions*k*Q) rows — not |corpus|*Q."""
+    emb = load_testdata(spark, SF_DIR, ("embeddings",))["embeddings"]
+    corpus = emb.repartition(7)
+    queries = emb.filter(F.col("vec_id") < 10)
+    k = 5
+    scored = similarity._pandas_scored(
+        corpus,
+        queries,
+        k=k,
+        id_col="vec_id",
+        vec_col="embedding",
+        query_id_col="query_id",
+    )
+    per_part = (
+        scored.withColumn("pid", F.spark_partition_id())
+        .groupBy("pid", "query_id")
+        .count()
+        .collect()
+    )
+    assert per_part, "kernel emitted nothing"
+    assert max(r["count"] for r in per_part) <= k
+    # and no self-matches escape the kernel
+    assert scored.filter(F.col("vec_id") == F.col("query_id")).count() == 0
