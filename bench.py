@@ -24,10 +24,12 @@ from sales_data_etl_pipeline_spark.session import get_spark
 #: Headline set: covers the engine spine (scan→join→agg→sort→topk), the
 #: cleaning layer's heaviest shapes (window dedup, median broadcast-join,
 #: date cascade), and the scale-path extension ops. Brute-force pairwise
-#: demo queries (dedup_ngram_jaccard / dedup_simhash /
-#: dedup_embedding_cosine) are correctness oracles, not headline ops —
-#: they are O(n²) by construction and excluded here in favor of their
-#: subquadratic variants (minhash_lsh, similarity_topk_ivf).
+#: demo queries (dedup_ngram_jaccard / dedup_embedding_cosine) are
+#: correctness oracles, not headline ops — they are O(n²) by
+#: construction and excluded here in favor of their subquadratic
+#: variants (minhash_lsh, similarity_topk_ivf). dedup_simhash IS
+#: headline since round 3: the banded form bands over distinct
+#: signatures, so its candidate volume is output-bound, not O(n²).
 HEADLINE = [
     "sales_by_employee",
     "average_ticket_by_product",
@@ -56,6 +58,7 @@ HEADLINE = [
     "events_funnel",
     "embedding_quantize_int8",
     "events_salted_agg",
+    "dedup_simhash",
     "events_value_quantiles",
     "events_json_props",
     "events_sliding_agg",
@@ -96,20 +99,27 @@ def main() -> None:
         lambda it: it, "id long"
     ).count()
 
-    # Two passes, min per query: the first execution of each distinct plan
-    # pays whole-stage-codegen JIT (3-10s for the many-stage LSH plans,
-    # measured 2-3x run-to-run variance); the min reflects the engine's
-    # steady-state throughput rather than the JVM compiler.
-    timings: dict[str, float] = {}
-    t_all0 = time.perf_counter()
+    # One JIT pass then three steady passes. The first execution of each
+    # distinct plan pays whole-stage-codegen JIT (3-10s for the
+    # many-stage LSH plans, measured 2-3x run-to-run variance), so pass
+    # 0 is discarded. Over the steady passes: MIN is the noise floor
+    # (the engine's actual throughput), MEAN shows contention, and
+    # noise_spread = mean/min - 1 says how much to trust a
+    # round-over-round delta — a regression smaller than the spread is
+    # machine noise, not a plan change.
     import gc
 
-    for _ in range(2):
+    timings: dict[str, float] = {}
+    means: dict[str, list[float]] = {}
+    t_all0 = time.perf_counter()
+    for p in range(4):
         for name, fn in qs.items():
             t0 = time.perf_counter()
             fn(spark, sf_dir).count()
             elapsed = round(time.perf_counter() - t0, 4)
-            timings[name] = min(timings.get(name, elapsed), elapsed)
+            if p > 0:  # steady passes only
+                timings[name] = min(timings.get(name, elapsed), elapsed)
+                means.setdefault(name, []).append(elapsed)
             # drop driver-side DataFrame refs so the ContextCleaner can
             # free checkpointed blocks between queries — otherwise each
             # pass accumulates localCheckpoint RDDs in the block manager
@@ -117,6 +127,9 @@ def main() -> None:
             gc.collect()
     total = round(sum(timings.values()), 4)
     wall = round(time.perf_counter() - t_all0, 4)
+    qmean = {k: round(sum(v) / len(v), 4) for k, v in means.items()}
+    total_mean = round(sum(qmean.values()), 4)
+    spread = round(total_mean / total - 1, 4) if total else 0.0
 
     approx: dict[str, float] = {}
     for _ in range(2):
@@ -133,9 +146,12 @@ def main() -> None:
             {
                 "metric": "headline_queries_total_steady",
                 "value": total,
-                "wall_2pass_sec": wall,
+                "value_mean": total_mean,
+                "noise_spread": spread,
+                "wall_4pass_sec": wall,
                 "unit": "sec",
                 "queries": timings,
+                "queries_mean": qmean,
                 "approx_twins": approx,
                 "sf": float(sf) if sf else None,
             }

@@ -60,6 +60,34 @@ def test_stream_to_parquet_sink(spark, tmp_path):
     assert set(out.columns) == {"window_start", "event_type", "n_events", "total_value"}
 
 
+def test_stream_to_parquet_stateless_matches_batch(spark, tmp_path):
+    """End-to-end exactly-once file sink on a stateless transform (the
+    bronze-ingestion shape): every input row reaches the parquet dir —
+    no watermark withholding — so counts and values must equal the batch
+    run of the same projection."""
+    stream = streaming.stream_events(spark, SF_DIR).select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    q = streaming.stream_to_parquet(
+        stream,
+        str(tmp_path / "bronze"),
+        str(tmp_path / "bronze_ckpt"),
+        output_mode="append",
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    out = spark.read.parquet(str(tmp_path / "bronze"))
+    batch = llm_demo._events(spark, SF_DIR).select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    assert out.count() == batch.count()
+    # exactly-once content parity, not just cardinality
+    assert out.exceptAll(batch).count() == 0
+    assert batch.exceptAll(out).count() == 0
+
+
 def test_stateful_user_totals(spark):
     stream = streaming.stream_events(spark, SF_DIR)
     result = streaming.run_stream_to_memory(
