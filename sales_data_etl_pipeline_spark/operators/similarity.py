@@ -58,13 +58,20 @@ def cosine_topk(
     - ``expr``: pure-SQL sequential fold (higher-order functions are
       interpreted, ~10× slower) — kept as the engine-only reference
       implementation and for bit-exact cross-engine comparisons.
+
+    Zero-norm (or empty) vectors have undefined cosine: BOTH
+    implementations exclude them — as corpus rows they are never
+    emitted, as queries they return no neighbors. (Without the explicit
+    mask the two paths diverge: the kernel's ``> -inf`` filter silently
+    drops NaN while the expr sort ranks NaN first.)
     """
     if implementation == "expr":
-        q = queries.select(
+        q = queries.filter(F.expr(_norm(vec_col)) > 0).select(
             F.col(id_col).alias(query_id_col), F.col(vec_col).alias("_qvec")
         )
         scored = (
-            corpus.crossJoin(F.broadcast(q))
+            corpus.filter(F.expr(_norm(vec_col)) > 0)
+            .crossJoin(F.broadcast(q))
             .filter(F.col(id_col) != F.col(query_id_col))
             .withColumn(
                 "cosine",
@@ -109,47 +116,60 @@ def _pandas_scored(
     desc, corpus-id asc) key the final window ranks on, so the prune is
     lossless — and emits ONE frame of ≤ k·|queries| rows per partition.
     The global window therefore shuffles O(partitions · k · |queries|)
-    rows, not |corpus| · |queries|. Self-matches are masked inside the
-    kernel so they can never displace a real candidate."""
+    rows, not |corpus| · |queries|. Self-matches and zero-norm vectors
+    (cosine undefined — see ``cosine_topk``) are masked to -inf inside
+    the kernel so they can never displace a real candidate.
+
+    The fold is fully vectorized: running candidates live in fixed
+    (k × |queries|) matrices padded with -inf, and each batch is merged
+    with ONE ``np.lexsort`` over (query-column, -score, corpus-id) —
+    exactly the final window's ordering key, so the prune stays
+    lossless — instead of a Python loop of per-query sorts."""
     import numpy as np
     import pandas as pd
 
     q_rows = queries.select(id_col, vec_col).collect()
     q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
     Q = np.array([r[1] for r in q_rows], dtype=np.float64)
-    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    q_norm = np.linalg.norm(Q, axis=1, keepdims=True)
+    Qn = np.divide(Q, q_norm, out=np.zeros_like(Q), where=q_norm > 0)
+    dead_q = (q_norm == 0).ravel()  # zero-norm queries: no neighbors
     n_q = len(q_ids)
     out_schema = f"{id_col} long, {query_id_col} long, cosine double"
 
     def score(batches):
-        run_s = [np.empty(0, dtype=np.float64) for _ in range(n_q)]
-        run_i = [np.empty(0, dtype=np.int64) for _ in range(n_q)]
+        run_s = np.full((k, n_q), -np.inf)
+        run_i = np.full((k, n_q), np.iinfo(np.int64).max, dtype=np.int64)
+        col = None
         for pdf in batches:
             if not len(pdf):
                 continue
             ids = pdf[id_col].to_numpy(dtype=np.int64)
             V = np.array(list(pdf[vec_col]), dtype=np.float64)
-            Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+            v_norm = np.linalg.norm(V, axis=1, keepdims=True)
+            Vn = np.divide(V, v_norm, out=np.zeros_like(V), where=v_norm > 0)
             # round BEFORE pruning: the window ranks on the rounded value
             S = np.round(Vn @ Qn.T, 6)  # (batch, n_queries)
             S[ids[:, None] == q_ids[None, :]] = -np.inf  # self-match
-            for qi in range(n_q):
-                s = np.concatenate([run_s[qi], S[:, qi]])
-                i = np.concatenate([run_i[qi], ids])
-                keep = np.lexsort((i, -s))[:k]
-                run_s[qi], run_i[qi] = s[keep], i[keep]
-        out_i = np.concatenate(run_i) if run_i else np.empty(0, np.int64)
-        if len(out_i):
-            out_q = np.concatenate(
-                [np.full(len(run_i[qi]), q_ids[qi]) for qi in range(n_q)]
-            )
-            out_s = np.concatenate(run_s)
-            real = out_s > -np.inf
+            S[(v_norm == 0).ravel(), :] = -np.inf  # zero-norm corpus rows
+            S[:, dead_q] = -np.inf
+            all_s = np.vstack([run_s, S])
+            all_i = np.vstack([run_i, np.broadcast_to(ids[:, None], S.shape)])
+            m = all_s.shape[0]
+            if col is None or col.shape[0] != m:
+                col = np.broadcast_to(np.arange(n_q), (m, n_q)).ravel()
+            flat_s, flat_i = all_s.ravel(), all_i.ravel()
+            order = np.lexsort((flat_i, -flat_s, col))
+            top = order.reshape(n_q, m)[:, :k]  # per-column top-k
+            run_s, run_i = flat_s[top].T, flat_i[top].T
+        real = run_s > -np.inf  # (k, n_q)
+        if real.any():
+            out_q = np.broadcast_to(q_ids, (k, n_q))
             yield pd.DataFrame(
                 {
-                    id_col: out_i[real],
+                    id_col: run_i[real],
                     query_id_col: out_q[real],
-                    "cosine": out_s[real],
+                    "cosine": run_s[real],
                 }
             )
 
@@ -193,7 +213,10 @@ def assign_ivf_buckets(
     def assign(batches):
         for pdf in batches:
             V = np.array(list(pdf[vec_col]), dtype=np.float64)
-            Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+            v_norm = np.linalg.norm(V, axis=1, keepdims=True)
+            # zero-norm vectors score 0 vs every centroid -> deterministic
+            # assignment to the smallest centroid id (argmax first index)
+            Vn = np.divide(V, v_norm, out=np.zeros_like(V), where=v_norm > 0)
             # round to 6 dp BEFORE argmax so tie-breaking (first index ==
             # smallest centroid id) matches the rank-on-rounded oracle
             S = np.round(Vn @ Cn.T, 6)
@@ -248,11 +271,15 @@ def cosine_topk_ivf(
     C = np.array([r[1] for r in c_rows], dtype=np.float64)
     Q = np.array([r[1] for r in q_rows], dtype=np.float64)
     Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
-    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    q_norm = np.linalg.norm(Q, axis=1, keepdims=True)
+    Qn = np.divide(Q, q_norm, out=np.zeros_like(Q), where=q_norm > 0)
     S = np.round(Qn @ Cn.T, 6)
     # bucket id → boolean row over queries: does query j probe this bucket?
+    # Zero-norm queries probe nothing (cosine undefined, see cosine_topk).
     probe_mask = {int(cid): np.zeros(len(q_rows), dtype=bool) for cid in c_ids}
     for qi, qr in enumerate(q_rows):
+        if q_norm[qi, 0] == 0:
+            continue
         order = sorted(
             (
                 (-S[qi, ci], c_rows[ci][0])
@@ -268,11 +295,13 @@ def cosine_topk_ivf(
         for pdf in batches:
             ids = pdf[id_col].to_numpy(dtype=np.int64)
             V = np.array(list(pdf[vec_col]), dtype=np.float64)
-            Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+            v_norm = np.linalg.norm(V, axis=1, keepdims=True)
+            Vn = np.divide(V, v_norm, out=np.zeros_like(V), where=v_norm > 0)
             # same rounded-argmax assignment convention as assign_ivf_buckets
             bucket = c_ids[np.argmax(np.round(Vn @ Cn.T, 6), axis=1)]
             mask = np.vstack([probe_mask[int(b)] for b in bucket])
             mask &= ids[:, None] != q_ids[None, :]
+            mask &= v_norm > 0  # zero-norm corpus rows: never candidates
             vi, qi = np.nonzero(mask)
             if not len(vi):
                 continue

@@ -45,6 +45,36 @@ def test_pandas_kernel_matches_expr_implementation(spark):
     assert as_set(got_pd) == as_set(got_ex)
 
 
+def test_zero_norm_vectors_excluded_and_implementations_agree(spark):
+    """ADVICE r3: a zero-norm vector yields NaN cosine — the kernel
+    silently dropped it while the expr sort ranked NaN first. Both
+    paths must now exclude zero-norm vectors (as corpus rows AND as
+    queries) and agree exactly."""
+    emb = load_testdata(spark, SF_DIR, ("embeddings",))["embeddings"]
+    dim = len(emb.select("embedding").first()[0])
+    small = emb.filter(F.col("vec_id") < 40).select("vec_id", "embedding")
+    zeros = spark.range(2).select(
+        (F.col("id") + 100000).alias("vec_id"),
+        F.expr(f"transform(sequence(1, {dim}), x -> cast(0.0 as float))").alias(
+            "embedding"
+        ),
+    )
+    corpus = small.unionByName(zeros)
+    queries = corpus.filter(
+        (F.col("vec_id") < 5) | (F.col("vec_id") >= 100000)
+    )
+    got_pd = similarity.cosine_topk(corpus, queries, k=5, implementation="pandas")
+    got_ex = similarity.cosine_topk(corpus, queries, k=5, implementation="expr")
+    as_set = lambda df: {
+        (r.query_id, r.neighbor_id, r.cosine, r.rank) for r in df.collect()
+    }
+    rows_pd = as_set(got_pd)
+    assert rows_pd == as_set(got_ex)
+    # zero-norm ids appear neither as neighbors nor as query ids
+    assert all(r[0] < 100000 and r[1] < 100000 for r in rows_pd)
+    assert {r[0] for r in rows_pd} == {0, 1, 2, 3, 4}
+
+
 def test_pandas_kernel_shrinks_to_k_per_query_per_partition(spark):
     """The scale property VERDICT r2 flagged: the kernel must emit at
     most k rows per query per partition, so the final top-k window
