@@ -50,3 +50,26 @@ def month_bucket(col: Column | str) -> Column:
 def money_round(col: Column | str) -> Column:
     """NUMERIC(10,2)-equivalent rounding at the aggregate/sink edge."""
     return F.round(col, 2)
+
+
+def epoch_seconds(col: Column | str) -> Column:
+    """Event-time → fractional epoch seconds, dtype-safe.
+
+    The testdata's ``events.ts`` has shipped as TIMESTAMP(NANOS),
+    ``timestamp[us]`` (Spark TIMESTAMP_NTZ), and plain TIMESTAMP across
+    driver versions. ``CAST(ts AS DOUBLE)`` rejects TIMESTAMP_NTZ
+    outright, so every epoch-arithmetic site goes through this helper:
+    the inner ``cast("timestamp")`` pins NTZ wall-clock to the session
+    zone (the engine pins UTC at the catalog entry points) and is a
+    no-op on plain TIMESTAMP; the outer cast yields seconds.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast("timestamp").cast("double")
+
+
+def epoch_millis(col: Column | str) -> Column:
+    """Event-time → epoch milliseconds (bigint), dtype-safe — the
+    ``unix_millis`` twin of :func:`epoch_seconds` (``unix_millis``
+    requires TIMESTAMP and rejects TIMESTAMP_NTZ)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.unix_millis(c.cast("timestamp"))

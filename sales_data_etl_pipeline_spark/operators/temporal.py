@@ -22,6 +22,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from sales_data_etl_pipeline_spark.functions import epoch_seconds
+
 
 def asof_join(
     left: DataFrame,
@@ -107,7 +109,7 @@ def range_join_count(
     (two identical left rows each keep their own count instead of
     collapsing into one row with the summed hits).
     """
-    bucket = lambda c: F.floor(F.col(c).cast("double") / range_seconds)  # noqa: E731
+    bucket = lambda c: F.floor(epoch_seconds(c) / range_seconds)  # noqa: E731
     r = right.select(
         F.col(on).alias("_k"),
         F.col(right_ts).alias("_rts"),
@@ -121,9 +123,9 @@ def range_join_count(
         )
     )
     cmp_hi = (
-        F.col("_rts").cast("double") <= F.col(left_ts).cast("double")
+        epoch_seconds("_rts") <= epoch_seconds(left_ts)
         if include_equal
-        else F.col("_rts").cast("double") < F.col(left_ts).cast("double")
+        else epoch_seconds("_rts") < epoch_seconds(left_ts)
     )
     joined = l.join(
         r,
@@ -134,10 +136,7 @@ def range_join_count(
         (
             F.col("_rts").isNotNull()
             & cmp_hi
-            & (
-                F.col("_rts").cast("double")
-                >= F.col(left_ts).cast("double") - range_seconds
-            )
+            & (epoch_seconds("_rts") >= epoch_seconds(left_ts) - range_seconds)
         ).cast("long"),
     )
     return (

@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from sales_data_etl_pipeline_spark.functions import epoch_millis, epoch_seconds
 from sales_data_etl_pipeline_spark.operators import corpus, dedup, pii, similarity, text
 from sales_data_etl_pipeline_spark.sources.tables import load_testdata
 
@@ -187,10 +188,7 @@ def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
             "_new_session",
             (
                 F.col("_prev").isNull()
-                | (
-                    (F.col("ts").cast("double") - F.col("_prev").cast("double"))
-                    > 1800.0
-                )
+                | ((epoch_seconds("ts") - epoch_seconds("_prev")) > 1800.0)
             ).cast("long"),
         )
     )
@@ -283,7 +281,7 @@ def events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "event_id",
         "user_id",
-        F.unix_millis("ts").alias("ts_ms"),
+        epoch_millis("ts").alias("ts_ms"),
         F.col("view_event_id_matched").alias("view_event_id"),
     ).orderBy("event_id")
 
@@ -302,7 +300,7 @@ def events_range_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         purchases, views, on="user_id", range_seconds=1800, count_col="n_views_30m"
     )
     return out.select(
-        "event_id", "user_id", F.unix_millis("ts").alias("ts_ms"), "n_views_30m"
+        "event_id", "user_id", epoch_millis("ts").alias("ts_ms"), "n_views_30m"
     ).orderBy("event_id")
 
 
@@ -1758,7 +1756,7 @@ def events_asof_join_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "event_id",
         "user_id",
-        F.unix_millis("ts").alias("ts_ms"),
+        epoch_millis("ts").alias("ts_ms"),
         F.col("purchase_event_id_matched").alias("purchase_event_id"),
     ).orderBy("event_id")
 

@@ -38,15 +38,21 @@ def load_testdata(
         if not os.path.exists(path):
             continue
         if name == "events":
-            # events.parquet carries TIMESTAMP(NANOS) which Spark's parquet
-            # reader rejects; read nanos as long and rebuild a (microsecond)
-            # timestamp column.
+            # events.ts has shipped in three physical formats across driver
+            # versions — TIMESTAMP(NANOS) (rejected by Spark's reader unless
+            # nanosAsLong), timestamp[us] (read as TIMESTAMP_NTZ), and plain
+            # TIMESTAMP. Normalize ALL of them to one canonical TIMESTAMP
+            # under the UTC session zone pinned above, so downstream
+            # epoch arithmetic / unix_millis / watermarks see one type.
             spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
             df = spark.read.parquet(path)
-            if dict(df.dtypes).get("ts") == "bigint":
+            dt = dict(df.dtypes).get("ts")
+            if dt == "bigint":  # legacy ns-as-long
                 df = df.withColumn(
                     "ts", F.timestamp_micros(F.expr("ts div 1000"))
                 )
+            elif dt == "timestamp_ntz":
+                df = df.withColumn("ts", F.col("ts").cast("timestamp"))
             out[name] = df
         else:
             out[name] = spark.read.parquet(path)

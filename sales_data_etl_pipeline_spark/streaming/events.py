@@ -20,18 +20,23 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-#: events.parquet carries ns timestamps; the stream reads them as long
-#: (spark.sql.legacy.parquet.nanosAsLong) and rebuilds a µs timestamp.
-EVENTS_RAW_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType(), True),
-        T.StructField("ts", T.LongType(), True),  # ns since epoch
-        T.StructField("user_id", T.LongType(), True),
-        T.StructField("event_type", T.StringType(), True),
-        T.StructField("value", T.DoubleType(), True),
-        T.StructField("props", T.StringType(), True),
-    ]
-)
+def _events_raw_schema(ts_type: T.DataType) -> T.StructType:
+    """events schema with ``ts`` in whatever physical type the driver's
+    parquet currently carries (readStream needs an explicit schema)."""
+    return T.StructType(
+        [
+            T.StructField("event_id", T.LongType(), True),
+            T.StructField("ts", ts_type, True),
+            T.StructField("user_id", T.LongType(), True),
+            T.StructField("event_type", T.StringType(), True),
+            T.StructField("value", T.DoubleType(), True),
+            T.StructField("props", T.StringType(), True),
+        ]
+    )
+
+
+#: legacy shape kept importable for tests/back-compat (ns-as-long era)
+EVENTS_RAW_SCHEMA = _events_raw_schema(T.LongType())
 
 
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -39,17 +44,31 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     In production this is a Kafka source; the file source exercises the
     identical plan surface (watermarks, stateful aggs, sinks).
+
+    events.ts has shipped as TIMESTAMP(NANOS), timestamp[us]
+    (TIMESTAMP_NTZ), and plain TIMESTAMP across driver versions; a
+    one-file batch schema probe picks the matching read schema, and the
+    output is always one canonical TIMESTAMP under the UTC session zone
+    — same convention as the batch reader (``sources/tables.py``).
     """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    probe = dict(
+        spark.read.parquet(os.path.join(sf_dir, "events.parquet")).dtypes
+    ).get("ts")
+    if probe == "bigint":  # legacy ns-as-long
+        ts_type, fix = T.LongType(), F.timestamp_micros(F.expr("ts div 1000"))
+    elif probe == "timestamp_ntz":
+        ts_type, fix = T.TimestampNTZType(), F.col("ts").cast("timestamp")
+    else:
+        ts_type, fix = T.TimestampType(), F.col("ts")
     raw = (
         spark.readStream.format("parquet")
-        .schema(EVENTS_RAW_SCHEMA)
+        .schema(_events_raw_schema(ts_type))
         .option("pathGlobFilter", "events.parquet")
         .load(sf_dir)
     )
-    return raw.withColumn(
-        "ts", F.timestamp_micros(F.expr("ts div 1000"))
-    )
+    return raw.withColumn("ts", fix)
 
 
 def windowed_counts(
