@@ -34,40 +34,42 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver verifies only the FIRST 50 queries() entries per round
-# (CORRECTNESS_r{N}.json). Entries listed here are rotated to the front
-# of the dict so they get a driver-green row this round: the 28 entries
-# added in round 2 after the cap (no CORRECTNESS_r02 row), plus any
-# entry added in round 3. Everything else (twice-green §2 core) fills
-# the remaining window slots in its natural order.
+# (CORRECTNESS_r{N}.json). Rotation policy (round-4 verdict item 2):
+# changed-since-last-green first — every entry whose code (or whose
+# reader/kernel dependency) changed after its latest driver-green row
+# leads the window, so no rewrite ships unverified. Round 5 head:
+# the whole event-time + streaming family (reader normalization for
+# the timestamp[us]/TIMESTAMP_NTZ testdata touched all of them), the
+# r3/r4 rewrites last driver-green in r2 (simhash, similarity kernels,
+# clusters, dedup pipeline), and this round's sketch-oracle/multimodal
+# changes. The twice-green §2 core fills the remaining slots.
 _VERIFY_FIRST = [
-    "multimodal_decode",
-    "stats_profile",
-    "stats_value_counts",
-    "stats_approx_sketches",
-    "pii_detect",
-    "pii_redact",
-    "text_repetition",
-    "corpus_pack_sequences",
-    "streaming_user_totals",
-    "events_cohort_retention",
-    "embedding_normalize",
-    "embedding_quantize_int8",
-    "text_unigram_logprob",
-    "events_funnel",
-    "corpus_prep_pipeline",
-    "table_upsert",
-    "table_insert_missing",
-    "table_scd2_apply",
-    "corpus_mixture_epochs",
-    "streaming_enriched_counts",
-    "dedup_cluster_representatives",
-    "stats_length_histogram",
+    # event-time family: reader normalization changed under all of these
+    "events_sessionization",
+    "events_asof_join",
+    "events_asof_join_forward",
+    "events_range_count",
+    "events_windowed_agg",
+    "events_sliding_agg",
+    "events_multires_rollup",
     "events_salted_agg",
     "events_json_props",
     "events_value_quantiles",
-    "quality_checks",
-    "events_sliding_agg",
-    "events_asof_join_forward",
+    "events_cohort_retention",
+    "events_funnel",
+    "streaming_windowed_counts",
+    "streaming_dedup",
+    "streaming_enriched_counts",
+    "streaming_user_totals",
+    # r3/r4 rewrites whose last driver-green row predates the rewrite
+    "dedup_simhash",
+    "similarity_topk",
+    "similarity_topk_ivf",
+    "dedup_clusters",
+    "corpus_dedup_pipeline",
+    # changed this round (sketch oracle, real header decode)
+    "stats_approx_sketches",
+    "multimodal_decode",
 ]
 
 

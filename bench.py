@@ -86,9 +86,64 @@ def _approx_twins():
     }
 
 
+#: Scale-curve set: the 5 reference-analytics queries plus the two
+#: heaviest extension pipelines, timed at a SECOND scale factor so the
+#: bench records a 2-point scaling curve instead of a single intercept
+#: (at small SFs JVM overhead dominates; the curve separates fixed cost
+#: from per-row cost).
+SCALE_SET = [
+    "sales_by_employee",
+    "average_ticket_by_product",
+    "sales_by_category",
+    "top5_employees",
+    "sales_by_period",
+    "corpus_prep_pipeline",
+    "dedup_minhash_lsh",
+]
+
+SCALE_SECOND_SF_DIR = "/root/testdata/sf0.01"
+
+
+def _sf_of(sf_dir: str) -> float | None:
+    tail = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        return float(tail)
+    except ValueError:
+        return None
+
+
+def _time_queries(spark, qs, sf_dir, *, passes, jit_passes=1):
+    """min-of-steady-passes per query (pass 0..jit_passes-1 discarded:
+    first execution of a plan pays whole-stage-codegen JIT)."""
+    import gc
+
+    best: dict[str, float] = {}
+    runs: dict[str, list[float]] = {}
+    for p in range(jit_passes + passes):
+        for name, fn in qs.items():
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).count()
+            elapsed = round(time.perf_counter() - t0, 4)
+            if p >= jit_passes:
+                best[name] = min(best.get(name, elapsed), elapsed)
+                runs.setdefault(name, []).append(elapsed)
+            # drop driver-side DataFrame refs so the ContextCleaner can
+            # free checkpointed blocks between queries — otherwise each
+            # pass accumulates localCheckpoint RDDs in the block manager
+            # and later queries pay eviction (measured ±0.7s noise).
+            gc.collect()
+    return best, runs
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    spark = get_spark("bench")
+    # Progress bars and JSON must not share stdout: the driver parses ONE
+    # JSON line from this process, and three rounds of bench artifacts
+    # were unreadable because Spark's console progress interleaved with
+    # (or truncated) it. Progress off; stdout carries exactly one line.
+    spark = get_spark(
+        "bench", extra_conf={"spark.ui.showConsoleProgress": "false"}
+    )
 
     qs = {k: v for k, v in entrymod.queries().items() if k in HEADLINE}
 
@@ -99,64 +154,63 @@ def main() -> None:
         lambda it: it, "id long"
     ).count()
 
-    # One JIT pass then three steady passes. The first execution of each
-    # distinct plan pays whole-stage-codegen JIT (3-10s for the
-    # many-stage LSH plans, measured 2-3x run-to-run variance), so pass
-    # 0 is discarded. Over the steady passes: MIN is the noise floor
-    # (the engine's actual throughput), MEAN shows contention, and
-    # noise_spread = mean/min - 1 says how much to trust a
-    # round-over-round delta — a regression smaller than the spread is
+    # One JIT pass then three steady passes. Over the steady passes: MIN
+    # is the noise floor (the engine's actual throughput), MEAN shows
+    # contention, and noise_spread = mean/min - 1 says how much to trust
+    # a round-over-round delta — a regression smaller than the spread is
     # machine noise, not a plan change.
-    import gc
-
-    timings: dict[str, float] = {}
-    means: dict[str, list[float]] = {}
     t_all0 = time.perf_counter()
-    for p in range(4):
-        for name, fn in qs.items():
-            t0 = time.perf_counter()
-            fn(spark, sf_dir).count()
-            elapsed = round(time.perf_counter() - t0, 4)
-            if p > 0:  # steady passes only
-                timings[name] = min(timings.get(name, elapsed), elapsed)
-                means.setdefault(name, []).append(elapsed)
-            # drop driver-side DataFrame refs so the ContextCleaner can
-            # free checkpointed blocks between queries — otherwise each
-            # pass accumulates localCheckpoint RDDs in the block manager
-            # and later queries pay eviction (measured ±0.7s noise).
-            gc.collect()
+    timings, runs = _time_queries(spark, qs, sf_dir, passes=3)
     total = round(sum(timings.values()), 4)
     wall = round(time.perf_counter() - t_all0, 4)
-    qmean = {k: round(sum(v) / len(v), 4) for k, v in means.items()}
+    qmean = {k: round(sum(v) / len(v), 4) for k, v in runs.items()}
     total_mean = round(sum(qmean.values()), 4)
     spread = round(total_mean / total - 1, 4) if total else 0.0
 
-    approx: dict[str, float] = {}
-    for _ in range(2):
-        for name, fn in _approx_twins().items():
-            t0 = time.perf_counter()
-            fn(spark, sf_dir).count()
-            elapsed = round(time.perf_counter() - t0, 4)
-            approx[name] = min(approx.get(name, elapsed), elapsed)
-            gc.collect()
-
-    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_steady",
-                "value": total,
-                "value_mean": total_mean,
-                "noise_spread": spread,
-                "wall_4pass_sec": wall,
-                "unit": "sec",
-                "queries": timings,
-                "queries_mean": qmean,
-                "approx_twins": approx,
-                "sf": float(sf) if sf else None,
-            }
-        )
+    approx, _ = _time_queries(
+        spark, _approx_twins(), sf_dir, passes=1, jit_passes=1
     )
+
+    # 2-point scaling curve: the same queries at a second SF. The main
+    # SF's numbers are reused from the headline pass (same session).
+    scale_curve: dict[str, dict[str, float]] = {
+        str(_sf_of(sf_dir)): {k: timings[k] for k in SCALE_SET if k in timings}
+    }
+    if (
+        os.path.isdir(SCALE_SECOND_SF_DIR)
+        and os.path.abspath(SCALE_SECOND_SF_DIR) != os.path.abspath(sf_dir)
+    ):
+        second_qs = {
+            k: v for k, v in entrymod.queries().items() if k in SCALE_SET
+        }
+        second, _ = _time_queries(
+            spark, second_qs, SCALE_SECOND_SF_DIR, passes=2
+        )
+        scale_curve[str(_sf_of(SCALE_SECOND_SF_DIR))] = second
+
+    sf = _sf_of(sf_dir)
+    result = {
+        "metric": "headline_queries_total_steady",
+        "value": total,
+        "value_mean": total_mean,
+        "noise_spread": spread,
+        "wall_4pass_sec": wall,
+        "unit": "sec",
+        "queries": timings,
+        "queries_mean": qmean,
+        "approx_twins": approx,
+        "scale_curve": scale_curve,
+        "sf": sf,
+    }
+    line = json.dumps(result)
+    # Artifact first (survives any stdout mangling), then the one line.
+    with open(
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"),
+        "w",
+    ) as f:
+        f.write(line + "\n")
+    sys.stdout.flush()
+    print(line, flush=True)
 
 
 if __name__ == "__main__":
