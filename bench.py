@@ -82,7 +82,7 @@ def _approx_twins():
         "clean_et_chain_approx": (
             lambda spark, sf: cleaning_demo.clean_et_chain(spark, sf, exact=False)
         ),
-        "stats_approx_sketches": llm_demo.stats_approx_sketches,
+        "stats_approx_sketches": llm_demo.stats_approx_sketches_raw,
     }
 
 

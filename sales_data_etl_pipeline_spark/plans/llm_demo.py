@@ -411,23 +411,84 @@ def stats_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def stats_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+#: must match the raw plan's approx_percentile accuracy
+_SKETCH_ACCURACY = 10_000
+
+
+def stats_approx_sketches_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The approximate-aggregation toolkit for the 100 TB path:
     HyperLogLog++ distinct counts and t-digest percentiles — single-pass,
-    mergeable sketches (no oracle entry: sketch internals differ across
-    engines by design; the driver records a rows-only check)."""
+    mergeable sketches. This is the benched form (sketch only, no exact
+    twin in the plan); the gate entry is :func:`stats_approx_sketches`.
+    """
     li = load_testdata(spark, sf_dir, ("lineitem",))["lineitem"]
     # One sketch, three scalar outputs: the array-valued approx_percentile
     # column broke the driver's rows-only canonicalization (pandas can't
     # sort list cells), so unpack p50/p95/p99 via element_at. The sketch is
     # still built once — Catalyst dedups the identical aggregate expression.
-    q = "approx_percentile(l_extendedprice, array(0.5D, 0.95D, 0.99D), 10000)"
+    q = (
+        "approx_percentile(l_extendedprice, array(0.5D, 0.95D, 0.99D), "
+        f"{_SKETCH_ACCURACY})"
+    )
     return li.agg(
         F.approx_count_distinct("l_orderkey").alias("approx_orders"),
         F.approx_count_distinct("l_partkey").alias("approx_parts"),
         F.expr(f"element_at({q}, 1)").alias("price_p50"),
         F.expr(f"element_at({q}, 2)").alias("price_p95"),
         F.expr(f"element_at({q}, 3)").alias("price_p99"),
+    )
+
+
+def stats_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checkable sketch gate: sketch internals differ across
+    engines by design, so raw sketch values can't hash-match a DuckDB
+    result — but the sketches' *error contracts* can. Emit booleans
+    asserting each approximate output lies within its documented bound
+    of the exact aggregate (computed in the same single pass); the
+    DuckDB oracle states the same claims as literal TRUEs, so the
+    value-hash gate verifies the contract holds.
+
+    Bounds: HyperLogLog++ default rsd 0.05 → 3σ band (±15%); t-digest
+    rank error ≤ 1/accuracy → the approximate p-quantile must lie
+    between the exact quantiles at p ± 2/accuracy (one extra notch of
+    interpolation slack).
+    """
+    li = load_testdata(spark, sf_dir, ("lineitem",))["lineitem"]
+    s = 2.0 / _SKETCH_ACCURACY
+    qa = (
+        "approx_percentile(l_extendedprice, array(0.5D, 0.95D, 0.99D), "
+        f"{_SKETCH_ACCURACY})"
+    )
+    bands = ", ".join(f"{p - s}D, {p + s}D" for p in (0.5, 0.95, 0.99))
+    qx = f"percentile(l_extendedprice, array({bands}))"
+    agg = li.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.approx_count_distinct("l_orderkey").alias("_a_orders"),
+        F.approx_count_distinct("l_partkey").alias("_a_parts"),
+        F.countDistinct("l_orderkey").alias("_x_orders"),
+        F.countDistinct("l_partkey").alias("_x_parts"),
+        F.expr(qa).alias("_ap"),
+        F.expr(qx).alias("_xp"),
+    )
+
+    def _hll_ok(a, x):
+        return F.abs(F.col(a) - F.col(x)) <= 0.15 * F.col(x)
+
+    def _band_ok(i):
+        lo, ap, hi = (
+            F.expr(f"element_at(_xp, {2 * i + 1})"),
+            F.expr(f"element_at(_ap, {i + 1})"),
+            F.expr(f"element_at(_xp, {2 * i + 2})"),
+        )
+        return (lo <= ap) & (ap <= hi)
+
+    return agg.select(
+        "n_rows",
+        _hll_ok("_a_orders", "_x_orders").alias("hll_orders_ok"),
+        _hll_ok("_a_parts", "_x_parts").alias("hll_parts_ok"),
+        _band_ok(0).alias("p50_in_band"),
+        _band_ok(1).alias("p95_in_band"),
+        _band_ok(2).alias("p99_in_band"),
     )
 
 
@@ -508,7 +569,6 @@ QUERIES = {
     "multimodal_decode": multimodal_decode,
     "stats_profile": stats_profile,
     "stats_value_counts": stats_value_counts,
-    # rows-only check by design (sketch internals are engine-specific)
     "stats_approx_sketches": stats_approx_sketches,
 }
 
@@ -922,6 +982,16 @@ def _lang_oracle() -> str:
 
 
 ORACLES["text_language_id"] = _lang_oracle()
+
+# The sketch gate emits error-contract booleans (see stats_approx_sketches);
+# the oracle asserts the same contract as literals — a sketch outside its
+# documented bound hash-mismatches the TRUE row.
+ORACLES["stats_approx_sketches"] = """
+    SELECT COUNT(*) AS n_rows,
+           TRUE AS hll_orders_ok, TRUE AS hll_parts_ok,
+           TRUE AS p50_in_band, TRUE AS p95_in_band, TRUE AS p99_in_band
+    FROM lineitem
+"""
 
 
 def _emb_lsh_oracle(planes: int = 32, bands: int = 4, dim: int = 64) -> str:

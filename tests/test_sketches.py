@@ -1,9 +1,10 @@
 """Quantitative bounds for the approximate-aggregation sketches.
 
-``stats_approx_sketches`` is the one gate entry without a DuckDB oracle
-(sketch internals are engine-specific by design), so this test supplies
-the missing check: every approximate output must land within the
-sketch's *documented* error of the exact aggregate at sf0.01.
+The gate entry (``stats_approx_sketches``) now emits error-contract
+booleans checked against a DuckDB all-TRUE oracle; this test keeps the
+independent quantitative form on the raw sketch outputs: every
+approximate value must land within the sketch's *documented* error of
+the exact aggregate at sf0.01.
 
 - HyperLogLog++ (``approx_count_distinct``): default relative standard
   deviation 0.05; a 3σ band (±15%) is the loosest credible bound.
@@ -17,15 +18,24 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from sales_data_etl_pipeline_spark.plans.llm_demo import stats_approx_sketches
+from sales_data_etl_pipeline_spark.plans.llm_demo import (
+    stats_approx_sketches,
+    stats_approx_sketches_raw,
+)
 from sales_data_etl_pipeline_spark.sources.tables import load_testdata
 
 SF_DIR = "/root/testdata/sf0.01"
 ACCURACY = 10_000  # must match the plan's approx_percentile accuracy
 
 
+def test_sketch_gate_booleans_all_true(spark):
+    row = stats_approx_sketches(spark, SF_DIR).collect()[0]
+    flags = {k: v for k, v in row.asDict().items() if k != "n_rows"}
+    assert all(flags.values()), f"sketch outside documented bound: {flags}"
+
+
 def test_sketches_within_documented_error(spark):
-    approx = stats_approx_sketches(spark, SF_DIR).collect()[0]
+    approx = stats_approx_sketches_raw(spark, SF_DIR).collect()[0]
 
     li = load_testdata(spark, SF_DIR, ("lineitem",))["lineitem"]
     slack = 2.0 / ACCURACY
