@@ -5,11 +5,17 @@ metadata struct; decode / feature-extract / resize / frame-sample run as
 Arrow-batched ``mapInPandas`` operators so each Python worker processes
 whole record batches (never row-at-a-time).
 
-The actual codecs (PIL/ffmpeg/torchaudio) are NOT in this environment —
-the decode kernels below are **deterministic stand-ins, clearly marked**:
-they parse only byte-length-derived pseudo-metadata. The Spark-side
-contract — schemas, batch iteration, partitioning, UDF signatures — is
-real and tested; swapping a real codec in changes one inner function.
+Image DECODE is a real header parse (BMP BITMAPINFOHEADER and binary
+PPM/PGM — pure ``struct``/bytes, no image libs needed), fed by a
+deterministic BMP synthesizer so the pipeline round-trips real bytes:
+writer emits a spec-conformant header, reader parses it back, and the
+DuckDB oracle predicts the dims from the generator rule — a bug in
+either the writer's or the parser's offsets/endianness breaks the gate.
+Full-raster codecs (JPEG/ffmpeg/torchaudio) are NOT in this container;
+feature-extract and frame-sample keep clearly-marked stand-in kernels.
+The Spark-side contract — schemas, batch iteration, partitioning, UDF
+signatures — is real and tested; swapping a real codec in changes one
+inner function.
 
 Scale design: binary payloads dominate row size, so operators (a) select
 only the columns they touch (column pruning keeps payload scans out of
@@ -78,17 +84,96 @@ def attach_metadata(
     )
 
 
-def _fake_decode_dims(n_bytes: int) -> tuple[int, int, int]:
-    """STUB — deterministic pseudo-decode. A real implementation parses
-    the image header (PIL.Image.open). Stands in because image libs are
-    not in this container."""
-    return (64 + n_bytes % 512, 64 + (n_bytes * 7) % 512, 3)
+def bmp_bytes(width: int, height: int, seed: int = 0) -> bytes:
+    """Spec-conformant 24-bit uncompressed BMP (BITMAPFILEHEADER +
+    BITMAPINFOHEADER + 4-byte-aligned BGR raster, deterministic fill)."""
+    import struct
+
+    row_len = (width * 3 + 3) & ~3
+    pix_size = row_len * height
+    off = 14 + 40
+    header = b"BM" + struct.pack("<IHHI", off + pix_size, 0, 0, off)
+    header += struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, pix_size, 2835, 2835, 0, 0
+    )
+    row = bytes((seed + x) % 256 for x in range(row_len))
+    return header + row * height
+
+
+def decode_image_header(buf: bytes) -> tuple[int, int, int]:
+    """Real image-header decode → (width, height, channels).
+
+    Pure-bytes parsers (no image libraries):
+
+    - **BMP**: little-endian BITMAPINFOHEADER — width int32 @18, height
+      int32 @22 (negative = top-down, so abs), bit-depth uint16 @28.
+    - **PPM/PGM (binary)**: ``P6``/``P5`` magic, then ASCII width,
+      height, maxval tokens with ``#``-comment skipping.
+
+    Anything else raises — decoding other containers (JPEG/PNG…) needs
+    codec libraries absent from this environment.
+    """
+    import struct
+
+    b = bytes(buf)
+    if b[:2] == b"BM" and len(b) >= 30:
+        width = struct.unpack_from("<i", b, 18)[0]
+        height = struct.unpack_from("<i", b, 22)[0]
+        bpp = struct.unpack_from("<H", b, 28)[0]
+        return width, abs(height), max(bpp // 8, 1)
+    if b[:2] in (b"P6", b"P5"):
+        toks: list[int] = []
+        i = 2
+        while len(toks) < 3 and i < len(b):
+            c = b[i : i + 1]
+            if c == b"#":
+                nl = b.find(b"\n", i)
+                i = len(b) if nl < 0 else nl + 1
+            elif c.isspace():
+                i += 1
+            else:
+                j = i
+                while j < len(b) and not b[j : j + 1].isspace():
+                    j += 1
+                toks.append(int(b[i:j]))
+                i = j
+        if len(toks) >= 2:
+            return toks[0], toks[1], 3 if b[:2] == b"P6" else 1
+    raise ValueError(
+        "unsupported image payload (expected BMP or binary PPM/PGM header)"
+    )
+
+
+def synthesize_bmp(
+    df: DataFrame, *, id_col: str = "media_id", payload_col: str = "payload"
+) -> DataFrame:
+    """Deterministic BMP corpus: one real BMP payload per id, dims
+    ``16 + id % 32`` × ``16 + 7·id % 32`` (the rule a SQL oracle can
+    restate). Arrow-batched writer — the decode round-trip's other half.
+    """
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType(), False),
+            T.StructField(payload_col, T.BinaryType(), True),
+        ]
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = [
+                bmp_bytes(16 + int(m) % 32, 16 + (int(m) * 7) % 32, int(m))
+                for m in pdf[id_col]
+            ]
+            yield pd.DataFrame({id_col: pdf[id_col], payload_col: payloads})
+
+    return df.select(id_col).mapInPandas(gen, out_schema)
 
 
 def decode_images(
     df: DataFrame, *, id_col: str = "media_id", payload_col: str = "payload"
 ) -> DataFrame:
-    """Decode image payloads → (media_id, width, height, channels).
+    """Decode image payloads → (media_id, width, height, channels) by
+    parsing the real container header (:func:`decode_image_header`).
 
     ``mapInPandas``: Arrow record batches in, pandas frames out; the
     decode kernel sees a whole batch of payloads per call.
@@ -96,7 +181,7 @@ def decode_images(
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            dims = [_fake_decode_dims(len(p)) for p in pdf[payload_col]]
+            dims = [decode_image_header(p) for p in pdf[payload_col]]
             yield pd.DataFrame(
                 {
                     "media_id": pdf[id_col],

@@ -370,17 +370,15 @@ def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Binary payload plumbing: encode text → binary, mapInPandas decode
-    stub → typed dims. The decode arithmetic is length-derived, so the
-    oracle reproduces it in SQL — what's being checked is the Arrow
-    batch plumbing (schema, fan-in/fan-out, partitioning)."""
+    """Real image decode round-trip: synthesize one spec-conformant BMP
+    per doc (dims derived from doc_id), then parse the actual header
+    bytes back with the pure-bytes BMP parser. The oracle predicts the
+    dims from the generator rule — wrong offsets/endianness in either
+    the writer or the parser break the value hash."""
     from sales_data_etl_pipeline_spark.operators import multimodal
 
-    docs = _docs(spark, sf_dir).select(
-        F.col("doc_id").alias("media_id"),
-        F.encode("text", "UTF-8").alias("payload"),
-    )
-    return multimodal.decode_images(docs)
+    docs = _docs(spark, sf_dir).select(F.col("doc_id").alias("media_id"))
+    return multimodal.decode_images(multimodal.synthesize_bmp(docs))
 
 
 # --- profile stats (A11–A16) -------------------------------------------------
@@ -915,8 +913,8 @@ ORACLES = {
     """,
     "multimodal_decode": """
         SELECT doc_id AS media_id,
-               64 + octet_length(encode(text)) % 512 AS width,
-               64 + (octet_length(encode(text)) * 7) % 512 AS height,
+               16 + doc_id % 32 AS width,
+               16 + (doc_id * 7) % 32 AS height,
                3 AS channels
         FROM documents
     """,

@@ -27,12 +27,36 @@ def test_attach_metadata(spark):
     ]
 
 
-def test_decode_images_batchwise(spark):
-    m = _media(spark)
-    out = multimodal.decode_images(m)
-    assert out.count() == m.count()
-    r = out.filter(F.col("media_id") == 0).first()
-    assert r.channels == 3 and 64 <= r.width < 576 and 64 <= r.height < 576
+def test_decode_images_bmp_roundtrip(spark):
+    ids = _media(spark).select("media_id")
+    out = multimodal.decode_images(multimodal.synthesize_bmp(ids))
+    assert out.count() == ids.count()
+    bad = out.filter(
+        (F.col("width") != 16 + F.col("media_id") % 32)
+        | (F.col("height") != 16 + (F.col("media_id") * 7) % 32)
+        | (F.col("channels") != 3)
+    ).count()
+    assert bad == 0
+
+
+def test_decode_image_header_bmp_pgm_ppm():
+    # BMP: writer/parser round-trip at exact field level
+    assert multimodal.decode_image_header(multimodal.bmp_bytes(33, 47)) == (33, 47, 3)
+    # negative height = top-down BMP; dims still positive
+    import struct
+
+    b = bytearray(multimodal.bmp_bytes(20, 10))
+    struct.pack_into("<i", b, 22, -10)
+    assert multimodal.decode_image_header(bytes(b)) == (20, 10, 3)
+    # binary PPM/PGM with a comment line
+    assert multimodal.decode_image_header(b"P6\n# c\n12 34\n255\n" + b"\0" * 10) == (12, 34, 3)
+    assert multimodal.decode_image_header(b"P5 7 9 255 " + b"\0" * 63) == (7, 9, 1)
+    try:
+        multimodal.decode_image_header(b"\x89PNG....")
+    except ValueError:
+        pass
+    else:  # pragma: no cover
+        raise AssertionError("non-BMP/PPM payload must raise")
 
 
 def test_extract_features_fixed_dim(spark):
