@@ -133,6 +133,57 @@ def test_dedup_within_watermark_bounded_state(spark):
     assert out.select("event_id").distinct().count() == n_events
 
 
+def test_late_data_dropped_by_watermark(spark, tmp_path):
+    """Two-micro-batch run proving the watermark actually drops late
+    rows: batch 1 advances event time to 12:00 (watermark 11:50 at a
+    10-minute delay); batch 2 delivers a 10:30 straggler. The finalized
+    10:00 window must hold only batch 1's three events — a broken
+    watermark (e.g. the ns-vs-µs 1000× time compression) would either
+    admit the straggler (n=4) or re-emit the window."""
+    import datetime as dt
+
+    ddl = (
+        "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double, props string"
+    )
+    base = dt.datetime(2024, 3, 1, 10, 0, 0)
+
+    def write_batch(rows):
+        spark.createDataFrame(
+            [
+                (i, base + dt.timedelta(minutes=m), 1, "x", 1.0, "{}")
+                for i, m in rows
+            ],
+            ddl,
+        ).coalesce(1).write.mode("append").parquet(str(tmp_path / "src"))
+
+    write_batch([(1, 0), (2, 3), (3, 5), (4, 120)])
+    stream = (
+        spark.readStream.format("parquet").schema(ddl).load(str(tmp_path / "src"))
+    )
+    agg = streaming.windowed_counts(stream, window="1 hour", watermark="10 minutes")
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("t_late")
+        .start()
+    )
+    try:
+        q.processAllAvailable()  # batch 1 → watermark 11:50
+        write_batch([(5, 30), (6, 125), (7, 126)])  # 10:30 is late
+        q.processAllAvailable()  # batch 2: straggler dropped
+    finally:
+        q.stop()
+    rows = [
+        (str(r.window_start), r.n_events)
+        for r in spark.table("t_late").collect()
+    ]
+    # exactly one finalized window: 10:00 with batch 1's three events;
+    # the 12:00 window stays open (watermark 11:55 < 13:00) and the
+    # late 10:30 row is nowhere
+    assert rows == [(str(base), 3)]
+
+
 def test_stateful_user_totals_tws_matches_batch(spark):
     pytest.importorskip(
         "google.protobuf", reason="TWS state protocol needs protobuf"
