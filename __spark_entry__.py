@@ -70,6 +70,8 @@ _VERIFY_FIRST = [
     # changed this round (sketch oracle, real header decode)
     "stats_approx_sketches",
     "multimodal_decode",
+    # new in round 5 (never driver-verified)
+    "events_user_value_deciles",
 ]
 
 

@@ -1840,3 +1840,46 @@ ORACLES["events_asof_join_forward"] = """
       ON v.user_id = p.user_id AND v.ts <= p.ts
     ORDER BY v.event_id
 """
+
+
+# --- global value deciles (distributed rank — no single-partition window) ----
+
+
+def events_user_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user spend deciles: totals (one shuffle on user_id) → global
+    decile bucket via the distributed range-partition rank
+    (``operators/rank.py`` — NTILE's scale-safe form; a bare
+    ``ntile() OVER (ORDER BY …)`` would collapse onto one reducer).
+    The ordering key is the 2-dp IEEE rounding composite with a user_id
+    tiebreak so both engines rank identically."""
+    from sales_data_etl_pipeline_spark.operators import rank as rank_ops
+
+    ev = _events(spark, sf_dir)
+    totals = ev.groupBy("user_id").agg(
+        (F.floor(F.sum("value") * 100 + F.lit(0.5)) / 100).alias("total_value")
+    )
+    out = rank_ops.quantile_bucket(
+        totals,
+        [F.col("total_value").desc(), F.col("user_id").asc()],
+        n_buckets=10,
+        bucket_col="decile",
+    )
+    return out.select("user_id", "total_value", "decile").orderBy("user_id")
+
+
+QUERIES["events_user_value_deciles"] = events_user_value_deciles
+ORACLES["events_user_value_deciles"] = """
+    WITH t AS (
+        SELECT user_id,
+               floor(SUM(value) * 100 + 0.5) / 100 AS total_value
+        FROM events GROUP BY user_id
+    ), r AS (
+        SELECT user_id, total_value,
+               ROW_NUMBER() OVER (ORDER BY total_value DESC, user_id) AS rk,
+               COUNT(*) OVER () AS n
+        FROM t
+    )
+    SELECT user_id, total_value,
+           CAST((rk - 1) * 10 // n + 1 AS BIGINT) AS decile
+    FROM r ORDER BY user_id
+"""
