@@ -72,6 +72,7 @@ _VERIFY_FIRST = [
     "multimodal_decode",
     # new in round 5 (never driver-verified)
     "events_user_value_deciles",
+    "corpus_decontaminate",
 ]
 
 

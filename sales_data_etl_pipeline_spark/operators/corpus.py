@@ -374,3 +374,39 @@ def mixture_upsample_sql(
         SELECT {cols}, UNNEST(range(0, {n})) AS copy_idx
         FROM {rel}
     """
+
+
+def decontaminate(
+    corpus: DataFrame,
+    evalset: DataFrame,
+    *,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hits_col: str = "n_hits",
+) -> DataFrame:
+    """Benchmark decontamination: flag corpus docs sharing any word
+    ``n``-gram with an evaluation set (the standard 8/13-gram-overlap
+    test-set-leak check run before LLM training).
+
+    Shape: the eval side reduces to its DISTINCT n-grams and is
+    **broadcast** — eval sets are a few thousand documents while the
+    corpus is the 100 TB side, so the corpus-side scan joins against a
+    map-side hash table and never shuffles on the n-gram; the only
+    shuffle is the per-doc hit-count aggregation (keyed on ``id_col``).
+    Returns (id_col, hits_col) for contaminated docs only — the caller
+    anti-joins to drop them or inspects the hit counts.
+    """
+    from sales_data_etl_pipeline_spark.operators.dedup import shingles
+
+    ev = (
+        evalset.select(F.explode(shingles(text_col, n)).alias("_ng"))
+        .distinct()
+    )
+    return (
+        corpus.select(F.col(id_col), F.explode(shingles(text_col, n)).alias("_ng"))
+        .join(F.broadcast(ev), "_ng")
+        # shingles() is distinct-per-doc, so COUNT == distinct hit count
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias(hits_col))
+    )

@@ -1883,3 +1883,50 @@ ORACLES["events_user_value_deciles"] = """
            CAST((rk - 1) * 10 // n + 1 AS BIGINT) AS decile
     FROM r ORDER BY user_id
 """
+
+
+# --- benchmark decontamination (n-gram-overlap test-set-leak check) ----------
+
+
+def corpus_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination gate: every 31st doc plays the benchmark; the
+    training corpus contains those docs verbatim (the classic leak)
+    plus 200-char truncations of them (near-verbatim leak, id+50000).
+    Output: contaminated doc_ids with their 8-gram overlap counts —
+    the eval n-gram set broadcasts, the corpus side never shuffles on
+    the n-gram (see ``corpus.decontaminate``)."""
+    base = _docs(spark, sf_dir).select("doc_id", "text")
+    leaked = base.filter(F.col("doc_id") % 31 == 0).select(
+        (F.col("doc_id") + 50000).alias("doc_id"),
+        F.substring("text", 1, 200).alias("text"),
+    )
+    corpus_df = base.unionByName(leaked)
+    evalset = base.filter(F.col("doc_id") % 31 == 0)
+    return corpus.decontaminate(corpus_df, evalset, n=8).orderBy("doc_id")
+
+
+QUERIES["corpus_decontaminate"] = corpus_decontaminate
+
+_SHINGLE8 = (
+    "list_distinct(list_transform(generate_series(1, greatest(len({t}) - 7, 0)),"
+    " i -> array_to_string(list_slice({t}, i, i + 7), ' ')))"
+).format(t=_TOKS.format(col="text"))
+
+ORACLES["corpus_decontaminate"] = f"""
+    WITH corpus AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 50000 AS doc_id, substring(text, 1, 200) AS text
+        FROM documents WHERE doc_id % 31 = 0
+    ),
+    ev AS (
+        SELECT DISTINCT unnest({_SHINGLE8}) AS _ng
+        FROM documents WHERE doc_id % 31 = 0
+    ),
+    dng AS (
+        SELECT doc_id, unnest({_SHINGLE8}) AS _ng FROM corpus
+    )
+    SELECT d.doc_id, COUNT(*) AS n_hits
+    FROM dng d JOIN ev ON d._ng = ev._ng
+    GROUP BY d.doc_id ORDER BY d.doc_id
+"""

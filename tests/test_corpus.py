@@ -134,3 +134,22 @@ def test_mixture_upsample_deterministic(spark):
     a = sorted((r["doc_id"], r["copy_idx"]) for r in mixture_upsample(df, {"s": 1.5}).collect())
     b = sorted((r["doc_id"], r["copy_idx"]) for r in mixture_upsample(df, {"s": 1.5}).collect())
     assert a == b
+
+
+def test_decontaminate_flags_leaks_and_broadcasts(spark):
+    from sales_data_etl_pipeline_spark.operators import corpus as corpus_ops
+    from sales_data_etl_pipeline_spark.sources.tables import load_testdata
+    from pyspark.sql import functions as F
+
+    docs = load_testdata(spark, "/root/testdata/sf0.001", ("documents",))[
+        "documents"
+    ].select("doc_id", "text")
+    evalset = docs.filter(F.col("doc_id") % 31 == 0)
+    out = corpus_ops.decontaminate(docs, evalset, n=8)
+    flagged = {r.doc_id for r in out.collect()}
+    # every leaked eval doc flags itself (verbatim presence in corpus)
+    eval_ids = {r.doc_id for r in evalset.select("doc_id").collect()}
+    assert eval_ids <= flagged
+    # eval side broadcasts: no shuffle on the n-gram join key
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
