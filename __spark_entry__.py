@@ -73,6 +73,7 @@ _VERIFY_FIRST = [
     # new in round 5 (never driver-verified)
     "events_user_value_deciles",
     "corpus_decontaminate",
+    "table_cdc_apply",
 ]
 
 

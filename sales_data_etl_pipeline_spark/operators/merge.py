@@ -172,3 +172,79 @@ def scd2_apply_sql(
                    AS {valid_to}
         FROM chg
     """
+
+
+def cdc_apply(
+    target: DataFrame,
+    changelog: DataFrame,
+    keys: tuple[str, ...] | str,
+    *,
+    op_col: str = "op",
+    seq_col: str = "seq",
+) -> DataFrame:
+    """Apply an ordered CDC changelog (``op`` ∈ I/U/D, ``seq`` strictly
+    increasing per key) to a keyed snapshot — the Debezium/binlog replay
+    shape. Semantics equal replaying the log in sequence order: the
+    highest-seq change per key wins; a final D removes the key, a final
+    I/U upserts that change's attributes.
+
+    Computed WITHOUT replay or windows: the winner per key falls out of
+    one ``max(struct(seq, …))`` hash aggregation (map-side combinable —
+    a key with 10^6 changes costs the same reducer memory as one with
+    2), then one anti join drops touched keys from the snapshot and the
+    non-delete winners union back in. Two key shuffles total at any
+    scale. ``seq`` must be unique per key (binlog positions are).
+    """
+    from pyspark.sql import functions as F
+
+    ks = _key_list(keys)
+    attrs = [c for c in changelog.columns if c not in (*ks, op_col, seq_col)]
+    winner = (
+        changelog.groupBy(*ks)
+        .agg(
+            F.max(
+                F.struct(
+                    F.col(seq_col),
+                    F.col(op_col).alias("_op"),
+                    *[F.col(a) for a in attrs],
+                )
+            ).alias("_m")
+        )
+        .select(
+            *ks,
+            F.col("_m._op").alias("_op"),
+            *[F.col(f"_m.{a}").alias(a) for a in attrs],
+        )
+    )
+    survivors = target.join(winner.select(*ks), ks, "left_anti")
+    upserts = winner.filter(F.col("_op") != "D").drop("_op")
+    return survivors.unionByName(upserts.select(*survivors.columns))
+
+
+def cdc_apply_sql(
+    target_rel: str,
+    changelog_rel: str,
+    keys: tuple[str, ...] | str,
+    cols: list[str],
+    *,
+    op_col: str = "op",
+    seq_col: str = "seq",
+) -> str:
+    """DuckDB oracle twin of :func:`cdc_apply` (window formulation)."""
+    ks = _key_list(keys)
+    key_list = ", ".join(ks)
+    on = " AND ".join(f"t.{k} = w.{k}" for k in ks)
+    col_list = ", ".join(cols)
+    return f"""
+        WITH w AS (
+            SELECT * FROM (
+                SELECT *, ROW_NUMBER() OVER (PARTITION BY {key_list}
+                              ORDER BY {seq_col} DESC) AS _rn
+                FROM {changelog_rel}
+            ) WHERE _rn = 1
+        )
+        SELECT {col_list} FROM {target_rel} t
+        WHERE NOT EXISTS (SELECT 1 FROM w WHERE {on})
+        UNION ALL
+        SELECT {col_list} FROM w WHERE {op_col} <> 'D'
+    """

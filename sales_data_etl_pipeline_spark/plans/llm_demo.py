@@ -1930,3 +1930,82 @@ ORACLES["corpus_decontaminate"] = f"""
     FROM dng d JOIN ev ON d._ng = ev._ng
     GROUP BY d.doc_id ORDER BY d.doc_id
 """
+
+
+# --- CDC changelog apply (operators/merge.py::cdc_apply) --------------------
+
+
+def _order_changelog(spark, sf_dir) -> DataFrame:
+    """Deterministic I/U/D changelog over orders: every 5th key gets a
+    price update (seq k·10+1); every 10th additionally a later delete
+    (seq k·10+2) — last-wins must remove it; every 25th key also spawns
+    an insert under a fresh key (k+9000000)."""
+    orders = load_testdata(spark, sf_dir, ("orders",))["orders"].select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    upd = orders.filter(F.col("o_orderkey") % 5 == 0).select(
+        "o_orderkey",
+        "o_custkey",
+        (F.floor(F.col("o_totalprice") * 110 + F.lit(0.5)) / 100).alias(
+            "o_totalprice"
+        ),
+        F.lit("U").alias("op"),
+        (F.col("o_orderkey") * 10 + 1).alias("seq"),
+    )
+    dels = orders.filter(F.col("o_orderkey") % 10 == 0).select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        F.lit("D").alias("op"),
+        (F.col("o_orderkey") * 10 + 2).alias("seq"),
+    )
+    ins = orders.filter(F.col("o_orderkey") % 25 == 0).select(
+        (F.col("o_orderkey") + 9000000).alias("o_orderkey"),
+        "o_custkey",
+        "o_totalprice",
+        F.lit("I").alias("op"),
+        (F.col("o_orderkey") * 10 + 1).alias("seq"),
+    )
+    return upd.unionByName(dels).unionByName(ins)
+
+
+def table_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered changelog replay without replaying: max-struct winner per
+    key + anti join (see ``merge.cdc_apply``). Keys with U-then-D must
+    vanish; U-only keys carry the updated price; I rows appear."""
+    orders = load_testdata(spark, sf_dir, ("orders",))["orders"].select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    out = merge_ops.cdc_apply(
+        orders, _order_changelog(spark, sf_dir), "o_orderkey"
+    )
+    return out.orderBy("o_orderkey")
+
+
+QUERIES["table_cdc_apply"] = table_cdc_apply
+
+_CDC_SQL = """
+    SELECT o_orderkey, o_custkey,
+           floor(o_totalprice * 110 + 0.5) / 100 AS o_totalprice,
+           'U' AS op, o_orderkey * 10 + 1 AS seq
+    FROM orders WHERE o_orderkey % 5 = 0
+    UNION ALL
+    SELECT o_orderkey, o_custkey, o_totalprice,
+           'D' AS op, o_orderkey * 10 + 2 AS seq
+    FROM orders WHERE o_orderkey % 10 = 0
+    UNION ALL
+    SELECT o_orderkey + 9000000 AS o_orderkey, o_custkey, o_totalprice,
+           'I' AS op, o_orderkey * 10 + 1 AS seq
+    FROM orders WHERE o_orderkey % 25 = 0
+"""
+
+ORACLES["table_cdc_apply"] = (
+    f"WITH c AS ({_CDC_SQL}), base AS ("
+    + merge_ops.cdc_apply_sql(
+        "(SELECT o_orderkey, o_custkey, o_totalprice FROM orders)",
+        "c",
+        "o_orderkey",
+        ["o_orderkey", "o_custkey", "o_totalprice"],
+    )
+    + ") SELECT * FROM base ORDER BY o_orderkey"
+)

@@ -65,3 +65,26 @@ def test_scd2_apply_versions(spark):
         (2, "b", 0, None),
         (3, "c", 0, None),
     }
+
+
+def test_cdc_apply_last_wins(spark):
+    from sales_data_etl_pipeline_spark.operators import merge
+
+    target = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k long, v string"
+    )
+    log = spark.createDataFrame(
+        [
+            (1, "a2", "U", 10),  # update
+            (1, "a3", "U", 11),  # later update wins
+            (2, "b", "D", 20),   # delete
+            (4, "d", "I", 30),   # insert
+            (5, "e", "I", 40),
+            (5, "e", "D", 41),   # insert then delete: never appears
+        ],
+        "k long, v string, op string, seq long",
+    )
+    got = {
+        (r.k, r.v) for r in merge.cdc_apply(target, log, "k").collect()
+    }
+    assert got == {(1, "a3"), (3, "c"), (4, "d")}
