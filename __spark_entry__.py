@@ -74,6 +74,7 @@ _VERIFY_FIRST = [
     "events_user_value_deciles",
     "corpus_decontaminate",
     "table_cdc_apply",
+    "text_bpe_token_count",
 ]
 
 

@@ -370,3 +370,41 @@ def unigram_logprob_sql(docs_rel: str = "documents", text_col: str = "text") -> 
         FROM tf JOIN lp USING (term)
         GROUP BY tf.doc_id
     """
+
+
+#: GPT-2-ish pre-tokenizer pattern — contraction suffixes, space-affine
+#: letter runs, digit runs, punctuation runs. Deliberately restricted to
+#: the Java-regex ∩ RE2 subset (no lookahead, no \p classes) so the
+#: DuckDB oracle matches token-for-token; verified 0 count mismatches on
+#: the corpus.
+BPE_PRETOKEN_REGEX = "'[a-z]{1,2}| ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ']+"
+
+
+def bpe_token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """BPE-ish pre-tokenizer counts per doc: the token-budget estimator
+    a training pipeline uses before the real tokenizer exists (regex
+    pre-tokenization is the first stage of BPE; run counts approximate
+    post-merge token counts far better than whitespace words do).
+    JVM regexp — no Python in the hot path; zero shuffles."""
+    m = F.regexp_extract_all(F.lower(text_col), F.lit(BPE_PRETOKEN_REGEX), F.lit(0))
+    ws = F.expr(f"filter(split({text_col}, '\\\\s+'), x -> x != '')")
+    return df.select(
+        "doc_id",
+        F.size(m).alias("n_bpe_tokens"),
+        F.size(ws).alias("n_ws_tokens"),
+        F.octet_length(text_col).alias("n_bytes"),
+    )
+
+
+def bpe_token_stats_sql(rel: str, text_col: str = "text") -> str:
+    """DuckDB oracle twin of :func:`bpe_token_stats`."""
+    pat = BPE_PRETOKEN_REGEX.replace("'", "''")
+    return f"""
+        SELECT doc_id,
+               len(regexp_extract_all(lower({text_col}), '{pat}'))
+                   AS n_bpe_tokens,
+               len(list_filter(string_split_regex({text_col}, '\\s+'),
+                               x -> x <> '')) AS n_ws_tokens,
+               CAST(strlen({text_col}) AS INTEGER) AS n_bytes
+        FROM {rel}
+    """

@@ -2009,3 +2009,17 @@ ORACLES["table_cdc_apply"] = (
     )
     + ") SELECT * FROM base ORDER BY o_orderkey"
 )
+
+
+# --- BPE-ish token counting (pre-tokenizer budget estimator) ----------------
+
+
+def text_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex pre-tokenizer token counts per doc (``text.bpe_token_stats``)."""
+    return text.bpe_token_stats(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+QUERIES["text_bpe_token_count"] = text_bpe_token_count
+ORACLES["text_bpe_token_count"] = (
+    text.bpe_token_stats_sql("documents") + " ORDER BY doc_id"
+)

@@ -153,3 +153,20 @@ def test_decontaminate_flags_leaks_and_broadcasts(spark):
     # eval side broadcasts: no shuffle on the n-gram join key
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_bpe_token_stats_sane(spark):
+    from sales_data_etl_pipeline_spark.operators import text as text_ops
+    from sales_data_etl_pipeline_spark.sources.tables import load_testdata
+    from pyspark.sql import functions as F
+
+    docs = load_testdata(spark, "/root/testdata/sf0.001", ("documents",))[
+        "documents"
+    ]
+    out = text_ops.bpe_token_stats(docs)
+    bad = out.filter(
+        (F.col("n_bpe_tokens") < F.col("n_ws_tokens"))
+        | (F.col("n_bpe_tokens") > F.col("n_bytes"))
+    ).count()
+    # pre-tokenization only splits: ws_words <= bpe_tokens <= bytes
+    assert bad == 0
