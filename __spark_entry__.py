@@ -75,6 +75,7 @@ _VERIFY_FIRST = [
     "corpus_decontaminate",
     "table_cdc_apply",
     "text_bpe_token_count",
+    "streaming_stream_join",
 ]
 
 

@@ -2023,3 +2023,30 @@ QUERIES["text_bpe_token_count"] = text_bpe_token_count
 ORACLES["text_bpe_token_count"] = (
     text.bpe_token_stats_sql("documents") + " ORDER BY doc_id"
 )
+
+
+# --- stream-stream interval join (attribution) ------------------------------
+
+
+def streaming_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runs the real stream-stream interval join (purchases × same-user
+    views in the prior hour) to completion through a memory sink; the
+    oracle is the identical batch join."""
+    from sales_data_etl_pipeline_spark.streaming import events as streaming
+
+    joined = streaming.purchases_with_recent_views(spark, sf_dir)
+    return streaming.run_stream_to_memory(
+        joined, "q_stream_join", output_mode="append"
+    )
+
+
+QUERIES["streaming_stream_join"] = streaming_stream_join
+ORACLES["streaming_stream_join"] = """
+    SELECT p.event_id AS purchase_event_id,
+           p.user_id,
+           v.event_id AS view_event_id
+    FROM events p JOIN events v
+      ON p.user_id = v.user_id
+     AND p.event_type = 'purchase' AND v.event_type = 'view'
+     AND v.ts >= p.ts - INTERVAL 60 MINUTE AND v.ts <= p.ts
+"""

@@ -269,3 +269,57 @@ def stateful_user_totals_tws(events: DataFrame) -> DataFrame:
         outputMode="Update",
         timeMode="None",
     )
+
+
+def purchases_with_recent_views(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    bound_minutes: int = 60,
+    watermark: str = "4 hours",
+) -> DataFrame:
+    """Stream-stream inner join: each purchase joined to the same user's
+    views from the preceding ``bound_minutes`` (attribution join) —
+    Spark's hardest streaming shape, exercised end-to-end.
+
+    State stays bounded because BOTH sides carry a watermark AND the
+    join condition bounds event-time distance: a buffered view can be
+    evicted once the purchase-side watermark passes
+    ``view_ts + bound``, so state is O(events per watermark horizon),
+    not O(stream history). Inner-join matches emit as found (append
+    mode withholds nothing for inner joins), so the batch join is an
+    exact oracle.
+    """
+    ev = stream_events(spark, sf_dir)
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_event_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("view_event_id"),
+            F.col("user_id").alias("v_user"),
+            F.col("ts").alias("view_ts"),
+        )
+        .withWatermark("view_ts", watermark)
+    )
+    joined = purchases.join(
+        views,
+        F.expr(
+            "p_user = v_user"
+            f" AND view_ts >= purchase_ts - INTERVAL {int(bound_minutes)} MINUTES"
+            " AND view_ts <= purchase_ts"
+        ),
+        "inner",
+    )
+    return joined.select(
+        "purchase_event_id",
+        F.col("p_user").alias("user_id"),
+        "view_event_id",
+    )

@@ -210,3 +210,34 @@ def test_stateful_user_totals_tws_matches_batch(spark):
     }
     want = {(r.user_id, r.n_events, r.total_value) for r in batch.collect()}
     assert got == want and len(want) > 0
+
+
+def test_stream_stream_join_matches_batch(spark):
+    """The stream-stream interval join equals the batch join pair set."""
+    got = {
+        (r.purchase_event_id, r.view_event_id)
+        for r in streaming.run_stream_to_memory(
+            streaming.purchases_with_recent_views(spark, SF_DIR),
+            "t_ssjoin",
+            output_mode="append",
+        ).collect()
+    }
+    ev = llm_demo._events(spark, SF_DIR)
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("pid"), "user_id", F.col("ts").alias("pts")
+    )
+    v = ev.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("vid"),
+        F.col("user_id").alias("vuser"),
+        F.col("ts").alias("vts"),
+    )
+    want = {
+        (r.pid, r.vid)
+        for r in p.join(
+            v,
+            (p.user_id == v.vuser)
+            & (F.col("vts") >= F.col("pts") - F.expr("INTERVAL 60 MINUTES"))
+            & (F.col("vts") <= F.col("pts")),
+        ).collect()
+    }
+    assert got == want and len(want) > 0
