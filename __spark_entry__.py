@@ -76,6 +76,7 @@ _VERIFY_FIRST = [
     "table_cdc_apply",
     "text_bpe_token_count",
     "streaming_stream_join",
+    "similarity_topk_lsh",
 ]
 
 

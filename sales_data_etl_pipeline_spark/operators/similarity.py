@@ -352,3 +352,114 @@ def train_ivf_centroids(
         (i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
     ]
     return spark.createDataFrame(rows, f"{id_col} long, {vec_col} array<float>")
+
+
+def cosine_topk_lsh(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    k: int = 5,
+    planes: int = 32,
+    bands: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """LSH-bucketed approximate top-k — the third ANN strategy beside
+    brute force and IVF: random-hyperplane sign bits split into bands;
+    a corpus vector becomes a candidate for a query iff they agree on
+    ALL bits of at least one band; candidates re-rank by exact cosine.
+
+    Shape at 100 TB: band signatures are an equi-join key, so the
+    corpus side joins the (tiny, broadcast) query signature table with
+    NO shuffle and NO all-pairs scan — per-query work is proportional
+    to its bucket sizes, the recall/cost dial being (planes, bands).
+    Same deterministic md5-derived hyperplanes + fold/6dp-round sign
+    convention as ``dedup.embedding_lsh_pairs``, so a DuckDB oracle
+    reproduces every bit. May return fewer than ``k`` neighbors — the
+    recall tradeoff is the point; brute force is the ground truth.
+    """
+    from sales_data_etl_pipeline_spark.operators.dedup import hyperplane_signs
+
+    rows_per = planes // bands
+    R = hyperplane_signs(planes, dim)
+
+    def proj(b: int) -> str:
+        # left-associated codegen'd sum — same IEEE result as the fold
+        return " + ".join(
+            f"cast(element_at({vec_col}, {i + 1}) as double) * {R[b][i]:.0f}.0D"
+            for i in range(dim)
+        )
+
+    bits = [
+        F.when(F.round(F.expr(proj(b)), 6) >= 0, F.lit("1")).otherwise(F.lit("0"))
+        for b in range(planes)
+    ]
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.concat(*bits[b * rows_per : (b + 1) * rows_per]).alias("sig"),
+        )
+        for b in range(bands)
+    ]
+
+    def band_sig(df: DataFrame, out_id: str) -> DataFrame:
+        return df.select(
+            F.col(out_id), F.explode(F.array(*band_structs)).alias("bs")
+        ).select(out_id, F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
+
+    live = F.expr(_norm(vec_col)) > 0  # zero-norm: cosine undefined
+    c_live = corpus.filter(live)
+    q_live = queries.filter(live).select(
+        F.col(id_col).alias(query_id_col), F.col(vec_col)
+    )
+    candidates = (
+        band_sig(c_live, id_col)
+        .join(F.broadcast(band_sig(q_live, query_id_col)), ["band", "sig"])
+        .filter(F.col(id_col) != F.col(query_id_col))
+        .select(
+            F.col(query_id_col).alias("_qid"), F.col(id_col).alias("_cid")
+        )
+        .distinct()
+    )
+    dot = (
+        "aggregate(zip_with(transform(c.{v}, x -> cast(x as double)),"
+        " transform(q.{v}, x -> cast(x as double)), (x, y) -> x * y),"
+        " 0D, (acc, x) -> acc + x)"
+    ).format(v=vec_col)
+    norm = (
+        "sqrt(aggregate(transform({side}.{v}, x -> cast(x as double)),"
+        " 0D, (acc, x) -> acc + x * x))"
+    )
+    scored = (
+        candidates.join(
+            c_live.alias("c"), F.col("_cid") == F.col(f"c.{id_col}")
+        )
+        .join(
+            F.broadcast(q_live.alias("q")),
+            F.col("_qid") == F.col(f"q.{query_id_col}"),
+        )
+        .withColumn(
+            "cosine",
+            F.round(
+                F.expr(dot)
+                / (
+                    F.expr(norm.format(side="c", v=vec_col))
+                    * F.expr(norm.format(side="q", v=vec_col))
+                ),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy("_qid").orderBy(F.desc("cosine"), F.asc("_cid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("_qid").alias(query_id_col),
+            F.col("_cid").alias("neighbor_id"),
+            "cosine",
+            "rank",
+        )
+    )

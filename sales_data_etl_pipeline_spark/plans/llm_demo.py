@@ -2050,3 +2050,68 @@ ORACLES["streaming_stream_join"] = """
      AND p.event_type = 'purchase' AND v.event_type = 'view'
      AND v.ts >= p.ts - INTERVAL 60 MINUTE AND v.ts <= p.ts
 """
+
+
+# --- LSH-bucketed ANN (third strategy beside brute force and IVF) -----------
+
+
+def similarity_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k via random-hyperplane band buckets + exact
+    re-rank (``similarity.cosine_topk_lsh``); same queries as the brute
+    force gate, so recall is directly comparable."""
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 10)
+    return similarity.cosine_topk_lsh(
+        emb, queries, k=5, planes=32, bands=8, dim=64
+    ).orderBy("query_id", "rank")
+
+
+QUERIES["similarity_topk_lsh"] = similarity_topk_lsh
+
+
+def _ann_lsh_oracle(planes: int = 32, bands: int = 8, dim: int = 64, k: int = 5) -> str:
+    """DuckDB twin of ``similarity.cosine_topk_lsh`` — same hyperplanes,
+    fold + 6dp-round sign convention, banding, and re-rank order."""
+    R = dedup.hyperplane_signs(planes, dim)
+    rows = planes // bands
+
+    def bit(b: int) -> str:
+        proj = " + ".join(
+            f"CAST(embedding[{i + 1}] AS DOUBLE) * {R[b][i]:.1f}"
+            for i in range(dim)
+        )
+        return f"CASE WHEN round({proj}, 6) >= 0 THEN '1' ELSE '0' END"
+
+    band_selects = " UNION ALL ".join(
+        f"SELECT vec_id, {b} AS band, "
+        + " || ".join(bit(b * rows + r) for r in range(rows))
+        + " AS sig FROM embeddings"
+        for b in range(bands)
+    )
+    cos = (
+        f"ROUND({_DOT.format(a='c.embedding', b='q.embedding')}"
+        f" / ({_NORM.format(v='c.embedding')}"
+        f" * {_NORM.format(v='q.embedding')}), 6)"
+    )
+    return f"""
+        WITH bs AS ({band_selects}),
+        qs AS (SELECT * FROM bs WHERE vec_id < 10),
+        cand AS (
+            SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+            FROM bs c JOIN qs q
+              ON c.band = q.band AND c.sig = q.sig AND c.vec_id <> q.vec_id),
+        scored AS (
+            SELECT cand.query_id, cand.neighbor_id, {cos} AS cosine
+            FROM cand
+            JOIN embeddings c ON cand.neighbor_id = c.vec_id
+            JOIN embeddings q ON cand.query_id = q.vec_id),
+        ranked AS (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+            FROM scored)
+        SELECT query_id, neighbor_id, cosine, rank FROM ranked
+        WHERE rank <= {k} ORDER BY query_id, rank
+    """
+
+
+ORACLES["similarity_topk_lsh"] = _ann_lsh_oracle()

@@ -101,3 +101,24 @@ def test_pandas_kernel_shrinks_to_k_per_query_per_partition(spark):
     assert max(r["count"] for r in per_part) <= k
     # and no self-matches escape the kernel
     assert scored.filter(F.col("vec_id") == F.col("query_id")).count() == 0
+
+
+def test_lsh_topk_recall_vs_brute_force(spark):
+    """LSH candidates re-rank with the exact cosine, so any neighbor it
+    returns must carry the true cosine; recall vs brute force should be
+    substantial at 8 bands of 4 bits on this corpus."""
+    emb = load_testdata(spark, SF_DIR, ("embeddings",))["embeddings"]
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = similarity.cosine_topk(emb, queries, k=5)
+    approx = similarity.cosine_topk_lsh(emb, queries, k=5, planes=32, bands=8)
+    e = {(r.query_id, r.neighbor_id): r.cosine for r in exact.collect()}
+    a = {(r.query_id, r.neighbor_id): r.cosine for r in approx.collect()}
+    assert len(a) > 0
+    # exact-cosine agreement on overlapping pairs
+    overlap = set(e) & set(a)
+    assert all(abs(e[p] - a[p]) < 1e-9 for p in overlap)
+    # recall floor: at least half the true top-5 pairs found
+    assert len(overlap) >= len(e) // 2
+    # the candidate join broadcasts the query side
+    plan = approx._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "CartesianProduct" not in plan
