@@ -77,6 +77,8 @@ _VERIFY_FIRST = [
     "text_bpe_token_count",
     "streaming_stream_join",
     "similarity_topk_lsh",
+    # r5 kernel swap (expr → Arrow band signatures)
+    "dedup_embedding_lsh",
 ]
 
 

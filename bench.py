@@ -67,6 +67,12 @@ HEADLINE = [
     "corpus_prep_pipeline",
     "table_scd2_apply",
     "dedup_cluster_representatives",
+    # round-5 additions (all subquadratic / broadcast-shaped)
+    "corpus_decontaminate",
+    "similarity_topk_lsh",
+    "table_cdc_apply",
+    "text_bpe_token_count",
+    "events_user_value_deciles",
 ]
 
 

@@ -553,32 +553,16 @@ def embedding_lsh_pairs(
     with the exact cosine. Projections use the sequential double fold +
     round-to-6dp convention so DuckDB reproduces every sign bit.
     """
-    rows = planes // bands
+    from sales_data_etl_pipeline_spark.operators.similarity import (
+        _band_signatures,
+    )
+
     R = hyperplane_signs(planes, dim)
-
-    def proj(b: int) -> str:
-        # explicit left-associated sum: same IEEE result as a sequential
-        # fold, but whole-stage-codegen'd instead of an interpreted
-        # lambda (measured ~5× faster per plane)
-        return " + ".join(
-            f"cast(element_at({vec_col}, {i + 1}) as double) * {R[b][i]:.0f}.0D"
-            for i in range(dim)
-        )
-
-    bits = [
-        F.when(F.round(F.expr(proj(b)), 6) >= 0, F.lit("1")).otherwise(F.lit("0"))
-        for b in range(planes)
-    ]
-    band_structs = [
-        F.struct(
-            F.lit(b).alias("band"),
-            F.concat(*bits[b * rows : (b + 1) * rows]).alias("sig"),
-        )
-        for b in range(bands)
-    ]
-    band_sig = emb.select(
-        F.col(id_col), F.explode(F.array(*band_structs)).alias("bs")
-    ).select(id_col, F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
+    # Vectorized Arrow kernel, left-associated dim fold + 6dp-round sign
+    # (bit-identical to the expression form, which exceeds janino's
+    # 64 KB codegen limit at 32 planes and fell back to interpreted
+    # evaluation — ~10× slower; see similarity._band_signatures).
+    band_sig = _band_signatures(emb, R, bands, out_id=id_col, vec_col=vec_col)
     a, b = band_sig.alias("a"), band_sig.alias("b")
     candidates = (
         a.join(
