@@ -46,16 +46,20 @@ def load_testdata(
             # epoch arithmetic / unix_millis / watermarks see one type.
             spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
             df = spark.read.parquet(path)
-            dt = dict(df.dtypes).get("ts")
-            if dt == "bigint":  # legacy ns-as-long
+            if dict(df.dtypes).get("ts") == "bigint":  # legacy ns-as-long
                 df = df.withColumn(
                     "ts", F.timestamp_micros(F.expr("ts div 1000"))
                 )
-            elif dt == "timestamp_ntz":
-                df = df.withColumn("ts", F.col("ts").cast("timestamp"))
-            out[name] = df
         else:
-            out[name] = spark.read.parquet(path)
+            df = spark.read.parquet(path)
+        # Same insurance for EVERY table and column: any TIMESTAMP_NTZ
+        # the driver ships becomes canonical TIMESTAMP at the catalog
+        # edge (cast(ntz AS timestamp) pins wall-clock to the UTC zone
+        # above; no-op when the format shifts back to plain TIMESTAMP).
+        for c, t in df.dtypes:
+            if t == "timestamp_ntz":
+                df = df.withColumn(c, F.col(c).cast("timestamp"))
+        out[name] = df
     return out
 
 

@@ -323,3 +323,63 @@ def purchases_with_recent_views(
         F.col("p_user").alias("user_id"),
         "view_event_id",
     )
+
+
+def jdbc_upsert_batch_fn(
+    url: str,
+    table: str,
+    keys: tuple[str, ...] | str,
+    *,
+    properties: dict[str, str] | None = None,
+):
+    """Build the ``foreachBatch`` function for an idempotent keyed JDBC
+    sink: each micro-batch MERGEs into the target table (read → upsert →
+    overwrite), so replaying a batch after a failure converges to the
+    same table state — idempotence is what turns the sink's
+    at-least-once delivery into effective exactly-once.
+
+    The merged result is materialized (eager ``localCheckpoint``)
+    BEFORE the overwrite: the write drops the very table the lazy read
+    plan would scan, the classic read-overwrite-same-table trap.
+    """
+    from sales_data_etl_pipeline_spark.operators import merge as merge_ops
+    from sales_data_etl_pipeline_spark.sources import jdbc as jdbc_src
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.columns:
+            return
+        spark = batch_df.sparkSession
+        try:
+            target = jdbc_src.read_jdbc(
+                spark, url, table, properties=properties
+            )
+            merged = merge_ops.upsert(target, batch_df, keys)
+        except Exception:  # first batch: target table doesn't exist yet
+            merged = batch_df
+        materialized = merged.localCheckpoint(eager=True)
+        jdbc_src.write_jdbc(
+            materialized, url, table, mode="overwrite", properties=properties
+        )
+
+    return apply_batch
+
+
+def stream_to_jdbc_upsert(
+    agg: DataFrame,
+    url: str,
+    table: str,
+    keys: tuple[str, ...] | str,
+    checkpoint: str,
+    *,
+    output_mode: str = "update",
+    properties: dict[str, str] | None = None,
+) -> "object":
+    """Continuous keyed-upsert JDBC sink via ``foreachBatch`` — the
+    exactly-once adapter for non-idempotent targets promised by the
+    module docstring. Returns the StreamingQuery handle."""
+    return (
+        agg.writeStream.outputMode(output_mode)
+        .foreachBatch(jdbc_upsert_batch_fn(url, table, keys, properties=properties))
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )

@@ -85,3 +85,56 @@ def test_partitioned_parallel_read(spark, tmp_path, vendas):
     assert back.rdd.getNumPartitions() == 4
     assert back.count() == 200
     assert back.agg(F.sum("id_venda")).first()[0] == sum(range(1, 201))
+
+
+def test_streaming_foreachbatch_jdbc_upsert(spark, tmp_path):
+    """The foreachBatch exactly-once adapter: per-user running totals
+    streamed into Derby through keyed upsert; the final table equals
+    the batch aggregation, and re-applying the last batch is a no-op
+    (idempotence — what makes at-least-once delivery exactly-once)."""
+    from sales_data_etl_pipeline_spark.plans import llm_demo
+    from sales_data_etl_pipeline_spark.streaming import events as streaming
+
+    sf_dir = "/root/testdata/sf0.001"
+    url = _url(tmp_path, "fb")
+    stream = streaming.stream_events(spark, sf_dir)
+    q = streaming.stream_to_jdbc_upsert(
+        streaming.stateful_user_totals(stream),
+        url,
+        "user_totals",
+        "user_id",
+        str(tmp_path / "fb_ckpt"),
+        properties=_props(),
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    back = jdbc.read_jdbc(spark, url, "user_totals", properties=_props())
+    batch = (
+        llm_demo._events(spark, sf_dir)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+    got = {
+        (r.user_id, r.n_events, round(r.total_value, 2))
+        for r in back.collect()
+    }
+    want = {
+        (r.user_id, r.n_events, r.total_value) for r in batch.collect()
+    }
+    assert got == want and len(want) > 0
+    # idempotence: re-applying the same rows converges to the same state
+    fn = streaming.jdbc_upsert_batch_fn(
+        url, "user_totals", "user_id", properties=_props()
+    )
+    fn(back.localCheckpoint(eager=True), 999)
+    again = jdbc.read_jdbc(spark, url, "user_totals", properties=_props())
+    got2 = {
+        (r.user_id, r.n_events, round(r.total_value, 2))
+        for r in again.collect()
+    }
+    assert got2 == got
