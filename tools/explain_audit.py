@@ -25,6 +25,7 @@ from sales_data_etl_pipeline_spark.session import get_spark
 #: broadcast-scalar plans).
 CARTESIAN_OK = {
     "clean_et_chain",  # 1-row global-median broadcast (fill_group_median)
+    "text_unigram_logprob",  # 1-row corpus-total broadcast (text.py crossJoin)
     "dedup_ngram_jaccard",
     "dedup_simhash",
     "dedup_embedding_cosine",
