@@ -79,6 +79,8 @@ _VERIFY_FIRST = [
     "similarity_topk_lsh",
     # r5 kernel swap (expr → Arrow band signatures)
     "dedup_embedding_lsh",
+    "text_paragraph_dedup",
+    "events_anomaly_iqr",
 ]
 
 

@@ -408,3 +408,55 @@ def bpe_token_stats_sql(rel: str, text_col: str = "text") -> str:
                CAST(strlen({text_col}) AS INTEGER) AS n_bytes
         FROM {rel}
     """
+
+
+#: fixed token-window size for sub-document ("paragraph") dedup
+PARA_TOKENS = 20
+
+
+def paragraph_dedup_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Sub-document exact dedup (the C4/RefinedWeb line-level pass):
+    chunk each doc's token stream into ``PARA_TOKENS``-token paragraphs,
+    hash-group identical paragraphs corpus-wide, keep the first
+    occurrence (smallest ``(doc_id, idx)``), and report per doc how many
+    of its paragraphs survive.
+
+    Shape at 100 TB: paragraphs shuffle once on their md5; the winner
+    per hash is a min(struct) hash aggregate (map-side combinable, no
+    window/sort); survivors re-aggregate on doc_id. Duplicate-heavy
+    corpora cost the same reducer memory as clean ones.
+    """
+    t = tokens(text_col)
+    paras = (
+        df.select("doc_id", t.alias("_toks"))
+        .withColumn("_n", F.expr(f"(size(_toks) + {PARA_TOKENS - 1}) div {PARA_TOKENS}"))
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.expr(
+                    f"transform(sequence(1, _n), i ->"
+                    f" array_join(slice(_toks, (i - 1) * {PARA_TOKENS} + 1,"
+                    f" {PARA_TOKENS}), ' '))"
+                )
+            ).alias("idx", "para"),
+        )
+        .withColumn("_h", F.md5("para"))
+    )
+    keep = (
+        paras.groupBy("_h")
+        .agg(F.min(F.struct("doc_id", "idx")).alias("_w"))
+        .select(F.col("_w.doc_id").alias("doc_id"), F.col("_w.idx").alias("idx"))
+    )
+    kept_per_doc = (
+        paras.join(keep, ["doc_id", "idx"], "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+    )
+    totals = paras.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_paragraphs")
+    )
+    return totals.join(kept_per_doc, "doc_id", "left").select(
+        "doc_id",
+        "n_paragraphs",
+        F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+    )

@@ -2115,3 +2115,99 @@ def _ann_lsh_oracle(planes: int = 32, bands: int = 8, dim: int = 64, k: int = 5)
 
 
 ORACLES["similarity_topk_lsh"] = _ann_lsh_oracle()
+
+
+# --- sub-document (paragraph-level) exact dedup -----------------------------
+
+
+def text_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style sub-document dedup over the corpus with injected exact
+    copies (every 20th doc duplicated at id+10000): duplicated docs must
+    keep 0 paragraphs, originals keep all of theirs."""
+    return text.paragraph_dedup_stats(
+        _docs_with_exact_dups(spark, sf_dir)
+    ).orderBy("doc_id")
+
+
+QUERIES["text_paragraph_dedup"] = text_paragraph_dedup
+
+_PARA_TOKS = _TOKS.format(col="text")
+ORACLES["text_paragraph_dedup"] = f"""
+    WITH corpus AS ({_EXACT_DUP_DOCS}),
+    d AS (SELECT doc_id, {_PARA_TOKS} AS toks FROM corpus),
+    paras AS (
+        SELECT doc_id, i AS idx,
+               array_to_string(list_slice(toks, (i - 1) * 20 + 1,
+                                          (i - 1) * 20 + 20), ' ') AS para
+        FROM d, unnest(generate_series(1, (len(toks) + 19) // 20)) AS g(i)
+    ),
+    hashed AS (SELECT doc_id, idx, md5(para) AS h FROM paras),
+    keep AS (
+        SELECT doc_id, idx FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY h
+                          ORDER BY doc_id, idx) AS rn
+            FROM hashed
+        ) WHERE rn = 1
+    ),
+    kept AS (
+        SELECT h.doc_id, COUNT(*) AS n_kept
+        FROM hashed h JOIN keep k ON h.doc_id = k.doc_id AND h.idx = k.idx
+        GROUP BY h.doc_id
+    ),
+    totals AS (
+        SELECT doc_id, COUNT(*) AS n_paragraphs FROM hashed GROUP BY doc_id
+    )
+    SELECT t.doc_id, t.n_paragraphs, COALESCE(k.n_kept, 0) AS n_kept
+    FROM totals t LEFT JOIN kept k ON t.doc_id = k.doc_id
+    ORDER BY t.doc_id
+"""
+
+
+# --- Tukey-fence outlier counts per event type ------------------------------
+
+
+def events_anomaly_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type outlier accounting with Tukey fences: value outside
+    [p25 - 1.5·IQR, p75 + 1.5·IQR]. Exact percentiles are order
+    statistics — deterministic regardless of aggregation order, so the
+    fences (and therefore the flags) are engine-portable, unlike
+    mean/stddev z-scores whose float sums are partial-agg-order
+    dependent. One shuffle for the quantiles, fences broadcast back."""
+    ev = _events(spark, sf_dir).select("event_type", "value")
+    fences = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.25D)").alias("_p25"),
+        F.expr("percentile(value, 0.75D)").alias("_p75"),
+    )
+    flagged = ev.join(F.broadcast(fences), "event_type").withColumn(
+        "_out",
+        (
+            (F.col("value") < F.col("_p25") - 1.5 * (F.col("_p75") - F.col("_p25")))
+            | (F.col("value") > F.col("_p75") + 1.5 * (F.col("_p75") - F.col("_p25")))
+        ).cast("long"),
+    )
+    return (
+        flagged.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("_out").alias("n_outliers"),
+        )
+        .orderBy("event_type")
+    )
+
+
+QUERIES["events_anomaly_iqr"] = events_anomaly_iqr
+ORACLES["events_anomaly_iqr"] = """
+    WITH f AS (
+        SELECT event_type,
+               quantile_cont(value, 0.25) AS p25,
+               quantile_cont(value, 0.75) AS p75
+        FROM events GROUP BY event_type
+    )
+    SELECT e.event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CASE WHEN e.value < f.p25 - 1.5 * (f.p75 - f.p25)
+                      OR e.value > f.p75 + 1.5 * (f.p75 - f.p25)
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM events e JOIN f USING (event_type)
+    GROUP BY e.event_type ORDER BY e.event_type
+"""

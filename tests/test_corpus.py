@@ -170,3 +170,40 @@ def test_bpe_token_stats_sane(spark):
     ).count()
     # pre-tokenization only splits: ws_words <= bpe_tokens <= bytes
     assert bad == 0
+
+
+def test_paragraph_dedup_copies_keep_nothing(spark):
+    from sales_data_etl_pipeline_spark.operators import text as text_ops
+    from sales_data_etl_pipeline_spark.plans.llm_demo import _docs_with_exact_dups
+    from pyspark.sql import functions as F
+
+    out = text_ops.paragraph_dedup_stats(
+        _docs_with_exact_dups(spark, "/root/testdata/sf0.001")
+    )
+    copies = out.filter(F.col("doc_id") >= 10000)
+    assert copies.count() > 0
+    # exact copies lose every paragraph to the original
+    assert copies.filter(F.col("n_kept") != 0).count() == 0
+    # conservation: survivors across the corpus == distinct paragraph
+    # hashes (every distinct paragraph kept exactly once)
+    from sales_data_etl_pipeline_spark.operators.text import (
+        PARA_TOKENS,
+        tokens,
+    )
+
+    corpus = _docs_with_exact_dups(spark, "/root/testdata/sf0.001")
+    n_distinct = (
+        corpus.select(tokens().alias("_t"))
+        .select(
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, (size(_t) + {PARA_TOKENS - 1})"
+                    f" div {PARA_TOKENS}), i -> array_join(slice(_t,"
+                    f" (i - 1) * {PARA_TOKENS} + 1, {PARA_TOKENS}), ' '))"
+                )
+            ).alias("p")
+        )
+        .distinct()
+        .count()
+    )
+    assert out.agg(F.sum("n_kept")).first()[0] == n_distinct
