@@ -81,6 +81,9 @@ _VERIFY_FIRST = [
     "dedup_embedding_lsh",
     "text_paragraph_dedup",
     "events_anomaly_iqr",
+    "q1_pricing_summary",
+    "q3_unshipped_orders",
+    "q5_local_supplier_volume",
 ]
 
 
@@ -100,6 +103,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_products_per_brand": analytics.td_top_products_per_brand,
         "sales_by_region_nation": analytics.td_sales_by_region_nation,
         "customers_above_avg": analytics.td_customers_above_avg,
+        "q1_pricing_summary": analytics.td_q1_pricing_summary,
+        "q3_unshipped_orders": analytics.td_q3_unshipped_orders,
+        "q5_local_supplier_volume": analytics.td_q5_local_supplier_volume,
         # §2.2/2.5 cleaning layer (reference extract-transform-data/et_*.py)
         **cleaning_demo.QUERIES,
         # extension layer: text analysis / dedup / similarity / event windows
@@ -122,9 +128,53 @@ def oracle_sql() -> dict[str, str]:
         GROUP BY s.s_suppkey, s.s_name
         ORDER BY valor_total DESC, id_empregado ASC
     """
+    r2 = "floor({x} * 100 + 0.5) / 100"
     return {
         **cleaning_demo.ORACLES,
         **llm_demo.ORACLES,
+        "q1_pricing_summary": f"""
+            SELECT l_returnflag, l_linestatus,
+                   {r2.format(x='SUM(l_quantity)')} AS sum_qty,
+                   {r2.format(x='SUM(l_extendedprice)')} AS sum_base_price,
+                   {r2.format(x=f'SUM({revenue})')} AS sum_disc_price,
+                   {r2.format(x=f'SUM({revenue} * (1 + l_tax))')} AS sum_charge,
+                   {r2.format(x='AVG(l_quantity)')} AS avg_qty,
+                   {r2.format(x='AVG(l_extendedprice)')} AS avg_price,
+                   CAST(floor(AVG(l_discount) * 10000 + 0.5) AS BIGINT)
+                       AS avg_disc_bp,
+                   COUNT(*) AS count_order
+            FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+            GROUP BY l_returnflag, l_linestatus
+            ORDER BY l_returnflag, l_linestatus
+        """,
+        "q3_unshipped_orders": f"""
+            SELECT l.l_orderkey,
+                   strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate,
+                   o.o_orderpriority,
+                   {r2.format(x=f'SUM({revenue})')} AS revenue
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            WHERE c.c_mktsegment = 'AUTOMOBILE'
+              AND o.o_orderdate < TIMESTAMP '1997-06-15'
+              AND l.l_shipdate > TIMESTAMP '1997-06-15'
+            GROUP BY l.l_orderkey, orderdate, o.o_orderpriority
+            ORDER BY revenue DESC, orderdate, l.l_orderkey LIMIT 10
+        """,
+        "q5_local_supplier_volume": f"""
+            SELECT n.n_name, {r2.format(x=f'SUM({revenue})')} AS revenue
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n ON s.s_nationkey = n.n_nationkey
+            JOIN region r ON n.n_regionkey = r.r_regionkey
+            WHERE r.r_name = 'ASIA'
+              AND c.c_nationkey = s.s_nationkey
+              AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o.o_orderdate < TIMESTAMP '1997-01-01'
+            GROUP BY n.n_name ORDER BY revenue DESC, n.n_name
+        """,
         "sales_by_employee": sales_by_employee,
         "sales_by_employee_sql": sales_by_employee,
         "sales_rollup": f"""

@@ -73,6 +73,11 @@ HEADLINE = [
     "table_cdc_apply",
     "text_bpe_token_count",
     "events_user_value_deciles",
+    "text_paragraph_dedup",
+    "events_anomaly_iqr",
+    "q1_pricing_summary",
+    "q3_unshipped_orders",
+    "q5_local_supplier_volume",
 ]
 
 

@@ -483,3 +483,125 @@ def td_customers_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("custkey")
     )
+
+
+# --- TPC-H-shaped OLAP classics (Q1 / Q3 / Q5 analogs) ----------------------
+
+
+def _r2(c):
+    """floor(x·100 + 0.5)/100 — pure-IEEE 2-dp rounding, bit-identical
+    in Spark and DuckDB even at .xx5 double boundaries."""
+    return F.floor(c * 100 + F.lit(0.5)) / 100
+
+
+def td_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: the wide single-table aggregate — 8 aggregates in
+    one pass over the fact with a date predicate pushed to the scan.
+    Map-side partial aggregation reduces each partition to |groups|
+    rows before the single shuffle."""
+    li = load_testdata(spark, sf_dir, ("lineitem",))["lineitem"]
+    f = li.filter(
+        F.col("l_shipdate") <= F.to_timestamp(F.lit("1998-09-02"))
+    )
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc * (1 + F.col("l_tax"))
+    return (
+        f.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _r2(F.sum("l_quantity")).alias("sum_qty"),
+            _r2(F.sum("l_extendedprice")).alias("sum_base_price"),
+            _r2(F.sum(disc)).alias("sum_disc_price"),
+            _r2(F.sum(charge)).alias("sum_charge"),
+            _r2(F.avg("l_quantity")).alias("avg_qty"),
+            _r2(F.avg("l_extendedprice")).alias("avg_price"),
+            F.floor(F.avg("l_discount") * 10000 + F.lit(0.5)).alias("avg_disc_bp"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def td_q3_unshipped_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: top-10 revenue among orders placed before a date
+    whose items shipped after it, for one market segment. The segment
+    dim broadcasts pre-filtered; lineitem pre-aggregates per order
+    before the ranking sort, so the top-k sorts |orders| rows, not
+    |items| (TakeOrderedAndProject — no global sort)."""
+    t = load_testdata(spark, sf_dir, ("lineitem", "orders", "customer"))
+    cutoff = F.to_timestamp(F.lit("1997-06-15"))
+    cust = (
+        t["customer"]
+        .filter(F.col("c_mktsegment") == "AUTOMOBILE")
+        .select("c_custkey")
+    )
+    orders = (
+        t["orders"]
+        .filter(F.col("o_orderdate") < cutoff)
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .select("o_orderkey", "o_orderdate", "o_orderpriority")
+    )
+    li = (
+        t["lineitem"]
+        .filter(F.col("l_shipdate") > cutoff)
+        .select("l_orderkey", _revenue().alias("_rev"))
+    )
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(_r2(F.sum("_rev")).alias("revenue"))
+        .select(
+            "l_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "o_orderpriority",
+            "revenue",
+        )
+        .orderBy(F.desc("revenue"), "orderdate", "l_orderkey")
+        .limit(10)
+    )
+
+
+def td_q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: revenue by nation for one region and one order
+    year, counting only line items whose supplier and customer share
+    the nation. All dims broadcast pre-filtered; the only shuffles are
+    the fact⋈orders equi-join and the final 5-row aggregate."""
+    t = load_testdata(
+        spark,
+        sf_dir,
+        ("lineitem", "orders", "customer", "supplier", "nation", "region"),
+    )
+    asia_nations = (
+        t["nation"]
+        .join(
+            F.broadcast(
+                t["region"].filter(F.col("r_name") == "ASIA").select("r_regionkey")
+            ),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("n_nationkey", "n_name")
+    )
+    supp = t["supplier"].select("s_suppkey", "s_nationkey")
+    cust = t["customer"].select("c_custkey", "c_nationkey")
+    orders = (
+        t["orders"]
+        .filter(
+            (F.col("o_orderdate") >= F.to_timestamp(F.lit("1996-01-01")))
+            & (F.col("o_orderdate") < F.to_timestamp(F.lit("1997-01-01")))
+        )
+        .select("o_orderkey", "o_custkey")
+    )
+    return (
+        t["lineitem"]
+        .select("l_orderkey", "l_suppkey", _revenue().alias("_rev"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(
+            F.broadcast(asia_nations),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy("n_name")
+        .agg(_r2(F.sum("_rev")).alias("revenue"))
+        .orderBy(F.desc("revenue"), "n_name")
+    )
