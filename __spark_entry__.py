@@ -84,6 +84,7 @@ _VERIFY_FIRST = [
     "q1_pricing_summary",
     "q3_unshipped_orders",
     "q5_local_supplier_volume",
+    "clean_fuzzy_supplier_match",
 ]
 
 

@@ -338,3 +338,53 @@ def drop_audit_columns(df: DataFrame) -> DataFrame:
     only declared columns — ``l_vendas.py:109-120``)."""
     present = [c for c in AUDIT_COLUMNS if c in df.columns]
     return df.drop(*present) if present else df
+
+
+def fuzzy_match(
+    dirty: DataFrame,
+    canonical: DataFrame,
+    *,
+    name_col: str,
+    key_col: str,
+    max_dist: int = 2,
+    block_chars: int = 3,
+) -> DataFrame:
+    """Fuzzy entity resolution: match each dirty name to its closest
+    canonical name by Levenshtein distance ≤ ``max_dist`` — the
+    approximate extension of the reference's exact canonical-name
+    rewrite (P3, ``et_produtos.py`` canonical map).
+
+    All-pairs edit distance is O(n·m); BLOCKING makes it tractable:
+    candidates must share their first ``block_chars`` characters, so the
+    comparison runs per block (an equi-join on the prefix) instead of as
+    a cross join. The block key is the recall/cost dial — typos inside
+    the prefix escape the block, the standard blocking tradeoff (run a
+    second pass on a different key, e.g. suffix or phonetic, for higher
+    recall). Winner per dirty name = min (distance, canonical key) via
+    one map-side-combinable min(struct) aggregate — no window.
+    Levenshtein is the classic DP — integer, engine-portable.
+    """
+    d = dirty.select(
+        F.col(name_col).alias("_dirty"),
+        F.substring(name_col, 1, block_chars).alias("_blk"),
+    ).distinct()
+    c = canonical.select(
+        F.col(key_col).alias("_ckey"),
+        F.col(name_col).alias("_cname"),
+        F.substring(name_col, 1, block_chars).alias("_blk"),
+    )
+    scored = (
+        d.join(F.broadcast(c), "_blk")
+        .withColumn("_dist", F.levenshtein("_dirty", "_cname"))
+        .filter(F.col("_dist") <= max_dist)
+    )
+    return (
+        scored.groupBy("_dirty")
+        .agg(F.min(F.struct("_dist", "_ckey", "_cname")).alias("_w"))
+        .select(
+            F.col("_dirty").alias("dirty_name"),
+            F.col("_w._ckey").alias(key_col),
+            F.col("_w._cname").alias("matched_name"),
+            F.col("_w._dist").alias("distance"),
+        )
+    )

@@ -2211,3 +2211,56 @@ ORACLES["events_anomaly_iqr"] = """
     FROM events e JOIN f USING (event_type)
     GROUP BY e.event_type ORDER BY e.event_type
 """
+
+
+# --- fuzzy entity resolution (blocked Levenshtein) --------------------------
+
+
+def clean_fuzzy_supplier_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier names with deterministic typos (last char dropped, and a
+    doubled last char) resolved back to the canonical supplier table via
+    blocked Levenshtein matching (``cleaning.fuzzy_match``)."""
+    from sales_data_etl_pipeline_spark.operators import cleaning
+
+    supp = load_testdata(spark, sf_dir, ("supplier",))["supplier"].select(
+        "s_suppkey", "s_name"
+    )
+    dirty = supp.select(
+        F.expr("substring(s_name, 1, length(s_name) - 1)").alias("s_name")
+    ).unionByName(
+        supp.select(
+            F.expr("s_name || substring(s_name, length(s_name), 1)").alias(
+                "s_name"
+            )
+        )
+    )
+    out = cleaning.fuzzy_match(
+        dirty, supp, name_col="s_name", key_col="s_suppkey", max_dist=2
+    )
+    return out.orderBy("dirty_name", "s_suppkey")
+
+
+QUERIES["clean_fuzzy_supplier_match"] = clean_fuzzy_supplier_match
+ORACLES["clean_fuzzy_supplier_match"] = """
+    WITH dirty AS (
+        SELECT DISTINCT substring(s_name, 1, length(s_name) - 1) AS dn
+        FROM supplier
+        UNION
+        SELECT DISTINCT s_name || substring(s_name, length(s_name), 1) AS dn
+        FROM supplier
+    ),
+    scored AS (
+        SELECT d.dn, c.s_suppkey, c.s_name AS cname,
+               levenshtein(d.dn, c.s_name) AS dist
+        FROM dirty d JOIN supplier c
+          ON substring(d.dn, 1, 3) = substring(c.s_name, 1, 3)
+        WHERE levenshtein(d.dn, c.s_name) <= 2
+    ),
+    ranked AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY dn
+                      ORDER BY dist, s_suppkey, cname) AS rn
+        FROM scored
+    )
+    SELECT dn AS dirty_name, s_suppkey, cname AS matched_name, dist AS distance
+    FROM ranked WHERE rn = 1 ORDER BY dirty_name, s_suppkey
+"""

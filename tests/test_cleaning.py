@@ -303,3 +303,28 @@ def test_salted_join_rejects_outer(spark):
 
     with _pytest.raises(ValueError, match="salted_join"):
         skew.salted_join(df, df, "k", how="full_outer")
+
+
+def test_fuzzy_match_blocked_levenshtein(spark):
+    from sales_data_etl_pipeline_spark.operators import cleaning
+
+    canonical = spark.createDataFrame(
+        [(1, "alpha corp"), (2, "alpine inc"), (3, "beta llc")],
+        "k long, name string",
+    )
+    dirty = spark.createDataFrame(
+        [("alpha cor",), ("alpin inc",), ("beta lllc",), ("gamma co",)],
+        "name string",
+    )
+    got = {
+        (r.dirty_name, r.k, r.distance)
+        for r in cleaning.fuzzy_match(
+            dirty, canonical, name_col="name", key_col="k"
+        ).collect()
+    }
+    # gamma co: no block match -> absent (the blocking recall tradeoff)
+    assert got == {
+        ("alpha cor", 1, 1),
+        ("alpin inc", 2, 1),
+        ("beta lllc", 3, 1),
+    }
