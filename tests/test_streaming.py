@@ -241,3 +241,42 @@ def test_stream_stream_join_matches_batch(spark):
         ).collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_checkpoint_restart_exactly_once(spark, tmp_path):
+    """Kill-and-restart recovery: a second query started on the SAME
+    checkpoint must resume from the recorded offsets — batch 1's file is
+    not reprocessed, batch 2's file is picked up, and the sink holds
+    each input row exactly once."""
+    ddl = "event_id long, value double"
+
+    def write_batch(rows):
+        spark.createDataFrame(rows, ddl).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(tmp_path / "src"))
+
+    def run_once():
+        stream = (
+            spark.readStream.format("parquet")
+            .schema(ddl)
+            .load(str(tmp_path / "src"))
+        )
+        q = streaming.stream_to_parquet(
+            stream,
+            str(tmp_path / "sink"),
+            str(tmp_path / "ckpt"),
+            output_mode="append",
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    write_batch([(1, 1.0), (2, 2.0), (3, 3.0)])
+    run_once()
+    write_batch([(4, 4.0), (5, 5.0)])
+    run_once()  # restart from the same checkpoint
+
+    out = spark.read.parquet(str(tmp_path / "sink"))
+    assert out.count() == 5
+    assert {r.event_id for r in out.collect()} == {1, 2, 3, 4, 5}
