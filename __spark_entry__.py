@@ -85,6 +85,7 @@ _VERIFY_FIRST = [
     "q3_unshipped_orders",
     "q5_local_supplier_volume",
     "clean_fuzzy_supplier_match",
+    "source_synthetic_events",
 ]
 
 

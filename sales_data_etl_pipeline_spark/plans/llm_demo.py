@@ -2264,3 +2264,41 @@ ORACLES["clean_fuzzy_supplier_match"] = """
     SELECT dn AS dirty_name, s_suppkey, cname AS matched_name, dist AS distance
     FROM ranked WHERE rn = 1 ORDER BY dirty_name, s_suppkey
 """
+
+
+# --- custom Python data source (pyspark.sql.datasource) ---------------------
+
+
+def source_synthetic_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reads 2000 rows from the registered custom Python data source
+    (``sources/pysource.py``) — proves an arbitrary Python-defined
+    source feeds the same plans and value-hash gate as a parquet scan.
+    The md5-derived columns are reproduced by a DuckDB generate_series
+    oracle."""
+    from sales_data_etl_pipeline_spark.sources.pysource import (
+        SyntheticEventsDataSource,
+    )
+
+    spark.dataSource.register(SyntheticEventsDataSource)
+    return (
+        spark.read.format("synthetic_events")
+        .option("rows", "2000")
+        .option("partitions", "8")
+        .load()
+        .orderBy("event_id")
+    )
+
+
+QUERIES["source_synthetic_events"] = source_synthetic_events
+ORACLES["source_synthetic_events"] = """
+    SELECT i AS event_id,
+           (CAST('0x' || substr(md5(CAST(i AS VARCHAR)), 1, 15) AS BIGINT)
+                % 100) AS user_id,
+           (['view', 'click', 'cart', 'purchase', 'refund'])[
+               (CAST('0x' || substr(md5(CAST(i AS VARCHAR)), 1, 15) AS BIGINT)
+                % 5) + 1] AS event_type,
+           (CAST('0x' || substr(md5(CAST(i AS VARCHAR)), 1, 15) AS BIGINT)
+                % 10000) / 100.0 AS value
+    FROM generate_series(0, 1999) AS t(i)
+    ORDER BY event_id
+"""

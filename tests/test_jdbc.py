@@ -138,3 +138,25 @@ def test_streaming_foreachbatch_jdbc_upsert(spark, tmp_path):
         for r in again.collect()
     }
     assert got2 == got
+
+
+def test_python_datasource_parallel_deterministic(spark):
+    """The custom Python source honors its partition option and is
+    deterministic across reads (re-registration included)."""
+    from sales_data_etl_pipeline_spark.sources.pysource import (
+        SyntheticEventsDataSource,
+    )
+
+    spark.dataSource.register(SyntheticEventsDataSource)
+    df = (
+        spark.read.format("synthetic_events")
+        .option("rows", "500")
+        .option("partitions", "4")
+        .load()
+    )
+    assert df.rdd.getNumPartitions() == 4
+    assert df.count() == 500
+    a = sorted(tuple(r) for r in df.collect())
+    b = sorted(tuple(r) for r in df.collect())
+    assert a == b
+    assert len({r[0] for r in a}) == 500  # event_id unique across stripes
