@@ -50,3 +50,58 @@ def overwrite_table(df: DataFrame, name: str, *, bucket_by: tuple[int, str] | No
         n, key = bucket_by
         writer = writer.bucketBy(n, key).sortBy(key)
     writer.saveAsTable(name)
+
+
+def compact_parquet(
+    spark: SparkSession,
+    src: str,
+    dst: str,
+    *,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    partition_by: list[str] | None = None,
+) -> dict[str, int]:
+    """Small-file compaction: rewrite a parquet directory into files of
+    ~``target_file_bytes`` each.
+
+    Streaming sinks and frequent small appends fragment a table into
+    thousands of tiny files; at scale the metadata listing and
+    per-file open cost then dominate scans (the classic small-file
+    problem). Compaction sizes the rewrite from the data itself:
+    ``ceil(input_bytes / target)`` output files via ``repartition`` —
+    a single shuffle whose width is the file budget, not the input
+    fragment count. Partitioned layouts compact within partitions
+    (``partition_by`` re-applied on the rewrite).
+
+    Returns {"input_files", "output_files", "input_bytes"} for
+    observability. Not in-place: writers rename directories
+    atomically at the catalog layer (or use a table format) — an
+    in-place rewrite that dies mid-job loses the table.
+    """
+    import math
+    import os
+
+    input_files = 0
+    input_bytes = 0
+    for root, _dirs, files in os.walk(src):
+        for f in files:
+            if f.endswith(".parquet"):
+                input_files += 1
+                input_bytes += os.path.getsize(os.path.join(root, f))
+    n_out = max(1, math.ceil(input_bytes / target_file_bytes))
+    df = spark.read.parquet(src)
+    if partition_by:
+        out = df.repartition(n_out, *partition_by)
+    else:
+        out = df.repartition(n_out)
+    write_parquet(out, dst, partition_by=partition_by)
+    output_files = sum(
+        1
+        for root, _d, files in os.walk(dst)
+        for f in files
+        if f.endswith(".parquet")
+    )
+    return {
+        "input_files": input_files,
+        "output_files": output_files,
+        "input_bytes": input_bytes,
+    }

@@ -105,3 +105,23 @@ def test_pdf_renders_with_empty_and_extra_sections(spark, tmp_path):
     raw = open(path, "rb").read()
     assert raw.startswith(b"%PDF-1.4")
     assert b"custom_extra" in raw
+
+
+def test_compact_parquet_small_files(spark, tmp_path):
+    """A fragmented directory (40 tiny files) compacts into the byte-
+    budgeted file count with content preserved exactly."""
+    from sales_data_etl_pipeline_spark.sources import parquet as pq_sink
+
+    src, dst = str(tmp_path / "frag"), str(tmp_path / "compact")
+    base = spark.range(0, 4000).selectExpr(
+        "id", "cast(id % 97 as double) AS v"
+    )
+    base.repartition(40).write.parquet(src)
+    stats = pq_sink.compact_parquet(
+        spark, src, dst, target_file_bytes=512 * 1024
+    )
+    assert stats["input_files"] == 40
+    assert 1 <= stats["output_files"] < 40
+    out = spark.read.parquet(dst)
+    assert out.count() == 4000
+    assert out.exceptAll(base).count() == 0 and base.exceptAll(out).count() == 0
