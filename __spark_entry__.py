@@ -86,6 +86,8 @@ _VERIFY_FIRST = [
     "q5_local_supplier_volume",
     "clean_fuzzy_supplier_match",
     "source_synthetic_events",
+    "q13_customer_distribution",
+    "q17_small_quantity_revenue",
 ]
 
 
@@ -108,6 +110,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q1_pricing_summary": analytics.td_q1_pricing_summary,
         "q3_unshipped_orders": analytics.td_q3_unshipped_orders,
         "q5_local_supplier_volume": analytics.td_q5_local_supplier_volume,
+        "q13_customer_distribution": analytics.td_q13_customer_distribution,
+        "q17_small_quantity_revenue": analytics.td_q17_small_quantity_revenue,
         # §2.2/2.5 cleaning layer (reference extract-transform-data/et_*.py)
         **cleaning_demo.QUERIES,
         # extension layer: text analysis / dedup / similarity / event windows
@@ -176,6 +180,25 @@ def oracle_sql() -> dict[str, str]:
               AND o.o_orderdate >= TIMESTAMP '1996-01-01'
               AND o.o_orderdate < TIMESTAMP '1997-01-01'
             GROUP BY n.n_name ORDER BY revenue DESC, n.n_name
+        """,
+        "q13_customer_distribution": """
+            SELECT c_count, COUNT(*) AS custdist FROM (
+                SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+                FROM customer c LEFT JOIN orders o
+                  ON c.c_custkey = o.o_custkey
+                GROUP BY c.c_custkey)
+            GROUP BY c_count ORDER BY custdist DESC, c_count DESC
+        """,
+        "q17_small_quantity_revenue": f"""
+            WITH bp AS (SELECT p_partkey FROM part WHERE p_brand = 'Brand#23'),
+            li AS (SELECT l.* FROM lineitem l JOIN bp
+                     ON l.l_partkey = bp.p_partkey),
+            a AS (SELECT l_partkey, AVG(l_quantity) * 0.2 AS thresh
+                  FROM li GROUP BY l_partkey)
+            SELECT {r2.format(x='SUM(l.l_extendedprice)')} / 7.0 AS avg_yearly,
+                   COUNT(*) AS n_items
+            FROM li l JOIN a ON l.l_partkey = a.l_partkey
+            WHERE l.l_quantity < a.thresh
         """,
         "sales_by_employee": sales_by_employee,
         "sales_by_employee_sql": sales_by_employee,

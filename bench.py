@@ -78,6 +78,8 @@ HEADLINE = [
     "q1_pricing_summary",
     "q3_unshipped_orders",
     "q5_local_supplier_volume",
+    "q13_customer_distribution",
+    "q17_small_quantity_revenue",
 ]
 
 

@@ -605,3 +605,55 @@ def td_q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(_r2(F.sum("_rev")).alias("revenue"))
         .orderBy(F.desc("revenue"), "n_name")
     )
+
+
+def td_q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: distribution of per-customer order counts —
+    aggregate-of-aggregate with a LEFT join so zero-order customers
+    count into the c_count=0 bucket. Two keyed shuffles, both
+    map-side combinable; no window."""
+    t = load_testdata(spark, sf_dir, ("customer", "orders"))
+    per_cust = (
+        t["customer"]
+        .select("c_custkey")
+        .join(
+            t["orders"].select("o_custkey", "o_orderkey"),
+            F.col("c_custkey") == F.col("o_custkey"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+def td_q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: revenue from line items below 20% of their
+    part's average quantity, for one brand — the correlated-subquery
+    pattern DECORRELATED: the per-part average is a tiny groupBy
+    aggregate broadcast back onto the fact, not a per-row subquery.
+    One fact shuffle for the per-part averages, then a broadcast join."""
+    t = load_testdata(spark, sf_dir, ("lineitem", "part"))
+    brand_parts = (
+        t["part"].filter(F.col("p_brand") == "Brand#23").select("p_partkey")
+    )
+    li = t["lineitem"].join(
+        F.broadcast(brand_parts), F.col("l_partkey") == F.col("p_partkey")
+    )
+    avg_qty = li.groupBy("l_partkey").agg(
+        (F.avg("l_quantity") * 0.2).alias("_thresh")
+    )
+    small = li.join(
+        F.broadcast(avg_qty.withColumnRenamed("l_partkey", "_pk")),
+        F.col("l_partkey") == F.col("_pk"),
+    ).filter(F.col("l_quantity") < F.col("_thresh"))
+    return small.agg(
+        (
+            F.floor(F.sum("l_extendedprice") * 100 + F.lit(0.5)) / 100 / 7.0
+        ).alias("avg_yearly"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
