@@ -88,6 +88,7 @@ _VERIFY_FIRST = [
     "source_synthetic_events",
     "q13_customer_distribution",
     "q17_small_quantity_revenue",
+    "streaming_session_counts",
 ]
 
 

@@ -2302,3 +2302,50 @@ ORACLES["source_synthetic_events"] = """
     FROM generate_series(0, 1999) AS t(i)
     ORDER BY event_id
 """
+
+
+# --- streaming session windows (gap-based, real stream run) -----------------
+
+
+def streaming_session_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runs the real ``session_window`` streaming aggregation (30-min
+    inactivity gap per user) to completion; the oracle is the batch
+    lag+cumsum sessionization in SQL — window start = first event,
+    end = last event + gap, one row per session."""
+    from sales_data_etl_pipeline_spark.streaming import events as streaming
+
+    out = streaming.run_stream_to_memory(
+        streaming.session_counts(streaming.stream_events(spark, sf_dir)),
+        "q_stream_sessions",
+        output_mode="complete",
+    )
+    return out.select(
+        epoch_millis("session_start").alias("start_ms"),
+        epoch_millis("session_end").alias("end_ms"),
+        "user_id",
+        "n_events",
+    ).orderBy("user_id", "start_ms")
+
+
+QUERIES["streaming_session_counts"] = streaming_session_counts
+ORACLES["streaming_session_counts"] = """
+    WITH m AS (
+        SELECT user_id, ts,
+               CASE WHEN LAG(ts) OVER w IS NULL
+                      OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS new_s
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    s AS (
+        SELECT user_id, ts,
+               SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                   ROWS UNBOUNDED PRECEDING) AS sid
+        FROM m
+    )
+    SELECT epoch_ms(MIN(ts)) AS start_ms,
+           epoch_ms(MAX(ts) + INTERVAL 30 MINUTE) AS end_ms,
+           user_id, COUNT(*) AS n_events
+    FROM s GROUP BY user_id, sid
+    ORDER BY user_id, start_ms
+"""
