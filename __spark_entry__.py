@@ -89,6 +89,7 @@ _VERIFY_FIRST = [
     "q13_customer_distribution",
     "q17_small_quantity_revenue",
     "streaming_session_counts",
+    "corpus_chunk_documents",
 ]
 
 

@@ -2349,3 +2349,59 @@ ORACLES["streaming_session_counts"] = """
     FROM s GROUP BY user_id, sid
     ORDER BY user_id, start_ms
 """
+
+
+# --- sliding-window document chunking (long-doc split with overlap) ---------
+
+_CHUNK_SEQ = 32
+_CHUNK_STRIDE = 24  # 8-token overlap
+
+
+def corpus_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Long-document chunking with overlap — the pre-training split for
+    docs longer than the context window: chunk i covers tokens
+    [i·stride, i·stride + seq). Pure per-doc JVM expressions (sequence
+    + posexplode), zero shuffles; output is (doc_id, chunk_idx,
+    chunk_tokens) so the hash is text-free and order-stable."""
+    seq, stride = _CHUNK_SEQ, _CHUNK_STRIDE
+    d = _docs(spark, sf_dir).select(
+        "doc_id", F.size(text.tokens("text")).alias("_n")
+    )
+    chunked = d.withColumn(
+        "_k",
+        F.expr(f"1 + greatest(0, (_n - {seq - stride + 1}) div {stride})"),
+    ).select(
+        "doc_id",
+        "_n",
+        F.posexplode(F.expr("sequence(1, _k)")).alias("chunk_idx", "_one"),
+    )
+    return (
+        chunked.select(
+            "doc_id",
+            "chunk_idx",
+            F.greatest(
+                F.least(F.lit(seq), F.col("_n") - F.col("chunk_idx") * stride),
+                F.lit(0),
+            ).alias("chunk_tokens"),
+        )
+        .orderBy("doc_id", "chunk_idx")
+    )
+
+
+QUERIES["corpus_chunk_documents"] = corpus_chunk_documents
+ORACLES["corpus_chunk_documents"] = f"""
+    WITH d AS (
+        SELECT doc_id, len({_TOKS.format(col="text")}) AS n FROM documents
+    ),
+    k AS (
+        SELECT doc_id, n,
+               1 + greatest(0, (n - {_CHUNK_SEQ - _CHUNK_STRIDE + 1})
+                   // {_CHUNK_STRIDE}) AS nk
+        FROM d
+    )
+    SELECT doc_id, i AS chunk_idx,
+           greatest(least({_CHUNK_SEQ}, n - i * {_CHUNK_STRIDE}), 0)
+               AS chunk_tokens
+    FROM k, unnest(generate_series(0, nk - 1)) AS g(i)
+    ORDER BY doc_id, chunk_idx
+"""
