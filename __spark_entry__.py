@@ -90,6 +90,7 @@ _VERIFY_FIRST = [
     "q17_small_quantity_revenue",
     "streaming_session_counts",
     "corpus_chunk_documents",
+    "corpus_temperature_mixture",
 ]
 
 

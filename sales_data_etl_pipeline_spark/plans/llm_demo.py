@@ -2405,3 +2405,71 @@ ORACLES["corpus_chunk_documents"] = f"""
     FROM k, unnest(generate_series(0, nk - 1)) AS g(i)
     ORDER BY doc_id, chunk_idx
 """
+
+
+# --- temperature-based source mixture (policy computed in-engine) -----------
+
+
+def corpus_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature sampling with the mixture POLICY computed in-engine:
+    per-source token counts → weight w_s = (max_tokens / tokens_s)^0.5
+    (α = 0.5; the largest source stays at 1 epoch, smaller sources
+    upsample toward balance), fractional epochs resolved per doc by md5
+    bucket — the same deterministic convention as
+    ``corpus.mixture_upsample`` but with weights DERIVED from the data
+    instead of a config dict. sqrt and division are exactly-rounded
+    IEEE ops, so DuckDB reproduces every weight bit-for-bit."""
+    d = _docs(spark, sf_dir).select(
+        "doc_id", "source", F.size(text.tokens("text")).alias("_n")
+    )
+    s = d.groupBy("source").agg(F.sum("_n").alias("_sn"))
+    mx = s.agg(F.max("_sn").alias("_mx"))
+    w = s.crossJoin(F.broadcast(mx)).select(
+        "source", F.sqrt(F.col("_mx") / F.col("_sn")).alias("_wt")
+    )
+    c = (
+        d.join(F.broadcast(w), "source")
+        .withColumn(
+            "_k",
+            F.floor("_wt")
+            + (
+                corpus.hash_bucket("doc_id")
+                < F.floor(
+                    (F.col("_wt") - F.floor("_wt")) * corpus.HASH_BUCKETS
+                    + F.lit(0.5)
+                )
+            ).cast("long"),
+        )
+    )
+    return (
+        c.select(
+            "doc_id",
+            "source",
+            F.explode(F.expr("sequence(0L, _k - 1)")).alias("copy_idx"),
+        )
+        .orderBy("doc_id", "copy_idx")
+    )
+
+
+QUERIES["corpus_temperature_mixture"] = corpus_temperature_mixture
+ORACLES["corpus_temperature_mixture"] = f"""
+    WITH t AS (
+        SELECT doc_id, source, len({_TOKS.format(col="text")}) AS n
+        FROM documents
+    ),
+    s AS (SELECT source, SUM(n) AS sn FROM t GROUP BY source),
+    m AS (SELECT MAX(sn) AS mx FROM s),
+    w AS (SELECT source, sqrt(CAST(mx AS DOUBLE) / sn) AS wt FROM s, m),
+    c AS (
+        SELECT t.doc_id, t.source,
+               CAST(floor(wt) AS BIGINT)
+               + CASE WHEN {corpus.hash_bucket_sql("doc_id")}
+                            < floor((wt - floor(wt)) * {corpus.HASH_BUCKETS}
+                                    + 0.5)
+                      THEN 1 ELSE 0 END AS k
+        FROM t JOIN w ON t.source = w.source
+    )
+    SELECT doc_id, source, i AS copy_idx
+    FROM c, unnest(generate_series(0, k - 1)) AS g(i)
+    ORDER BY doc_id, copy_idx
+"""
