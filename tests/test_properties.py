@@ -174,3 +174,88 @@ def test_quality_check_counts_null_as_violation(spark):
     }
     # NULL v must count as a violation (three-valued logic trap)
     assert got == {"v_positive": 2, "k_unique": 1}
+
+
+# --- round-5 operators ------------------------------------------------------
+
+cdc_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=8),     # key
+        st.sampled_from(["I", "U", "D"]),          # op
+        st.text(alphabet="abc", min_size=1, max_size=3),  # attr
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+@given(log=cdc_rows)
+@SET
+def test_cdc_apply_equals_sequential_replay(spark, log):
+    from sales_data_etl_pipeline_spark.operators import merge
+
+    target_rows = [(1, "t1"), (2, "t2"), (3, "t3")]
+    target = spark.createDataFrame(target_rows, "k long, v string")
+    changelog = spark.createDataFrame(
+        [(k, v, op, seq) for seq, (k, op, v) in enumerate(log)],
+        "k long, v string, op string, seq long",
+    )
+    got = {
+        (r.k, r.v) for r in merge.cdc_apply(target, changelog, "k").collect()
+    }
+    # reference model: replay the log in sequence order
+    state = dict(target_rows)
+    for k, op, v in log:
+        if op == "D":
+            state.pop(k, None)
+        else:
+            state[k] = v
+    assert got == set(state.items())
+
+
+rank_rows = st.lists(
+    st.tuples(st.integers(0, 50), st.integers(0, 1_000_000)),
+    min_size=1,
+    max_size=60,
+    unique_by=lambda t: t[1],
+)
+
+
+@given(data=rank_rows)
+@SET
+def test_distributed_rank_is_a_permutation_in_order(spark, data):
+    from pyspark.sql import Window
+
+    from sales_data_etl_pipeline_spark.operators import rank
+
+    df = spark.createDataFrame(data, "v long, uid long")
+    order = [F.col("v").desc(), F.col("uid").asc()]
+    got, n = rank.distributed_row_number(df, order, rank_col="rk")
+    rows_out = got.collect()
+    assert n == len(data)
+    assert sorted(r.rk for r in rows_out) == list(range(1, len(data) + 1))
+    want = {
+        (r.v, r.uid): r.rk
+        for r in df.withColumn(
+            "rk", F.row_number().over(Window.orderBy(*order))
+        ).collect()
+    }
+    assert all(want[(r.v, r.uid)] == r.rk for r in rows_out)
+
+
+@given(
+    n=st.integers(1, 200),
+    seq=st.integers(4, 40),
+    overlap_frac=st.floats(0.0, 0.9),
+)
+@SET
+def test_chunking_covers_every_token_exactly_stride_apart(spark, n, seq, overlap_frac):
+    stride = max(1, int(seq * (1 - overlap_frac)))
+    starts = [0]
+    while starts[-1] + seq < n:
+        starts.append(starts[-1] + stride)
+    # the plan-side formula: 1 + max(0, (n - (seq - stride + 1)) div stride)
+    k = 1 + max(0, (n - (seq - stride + 1)) // stride)
+    assert k == len(starts)
+    # chunks tile the doc: first covers 0, last reaches the end
+    assert starts[-1] + seq >= n
