@@ -1,0 +1,131 @@
+"""Scale experiment: run the heavy operators on a 10× replica of sf0.1.
+
+The driver ships sf0.001/0.01/0.1; the open question at the top of the
+scale story is the SLOPE — does each operator's cost grow linearly in
+rows once JVM fixed cost stops dominating? This tool builds a ~sf1
+replica by unioning 10 id-offset copies of the sf0.1 tables (offsets
+are multiples of every %-based dirt-injection modulus, so the injected
+workload composition is preserved), times the heavy queries on it, and
+writes ``SCALE_EXPERIMENT.json`` with the per-query (sf0.1, sf~1)
+pairs and their ratios.
+
+Replica data lives in scratch (``/tmp``) and is deleted on exit — it
+is a measurement input, not test data; correctness gates keep running
+on the driver's parquet only.
+
+Usage: python tools/scale_experiment.py
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import functions as F
+
+from sales_data_etl_pipeline_spark.session import get_spark
+
+SRC = "/root/testdata/sf0.1"
+DST = "/tmp/spark_graft_sf1_replica"
+COPIES = 10
+
+#: id column + per-copy offset (multiples of 20/25/31/50 etc. so every
+#: %-based injection pattern keeps its composition under the offset)
+TABLES = {
+    "documents": ("doc_id", 1_000_000),
+    "embeddings": ("vec_id", 1_000_000),
+    "events": ("event_id", 10_000_000),
+    "lineitem": ("l_orderkey", 100_000_000),
+    "orders": ("o_orderkey", 100_000_000),
+}
+#: dimensions copied unchanged (10× fact rows per dim key — the
+#: realistic direction of growth)
+DIMS = ("customer", "supplier", "part", "nation", "region")
+
+QUERIES = [
+    "sales_by_employee",
+    "q1_pricing_summary",
+    "events_sessionization",
+    "events_windowed_agg",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "corpus_decontaminate",
+    "corpus_prep_pipeline",
+    "similarity_topk",
+    "similarity_topk_lsh",
+    "text_paragraph_dedup",
+]
+
+
+def build_replica(spark) -> None:
+    os.makedirs(DST, exist_ok=True)
+    for name, (id_col, off) in TABLES.items():
+        src = spark.read.parquet(f"{SRC}/{name}.parquet")
+        parts = [
+            src.withColumn(id_col, F.col(id_col) + F.lit(i * off))
+            for i in range(COPIES)
+        ]
+        # events.user_id also fans out so per-user event counts stay flat
+        if name == "events":
+            parts = [
+                p.withColumn("user_id", F.col("user_id") + F.lit(i * 1000))
+                for i, p in enumerate(parts)
+            ]
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        out.write.mode("overwrite").parquet(f"{DST}/{name}.parquet")
+    for name in DIMS:
+        spark.read.parquet(f"{SRC}/{name}.parquet").write.mode(
+            "overwrite"
+        ).parquet(f"{DST}/{name}.parquet")
+
+
+def main() -> None:
+    import __spark_entry__ as entrymod
+
+    spark = get_spark(
+        "scale-experiment",
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
+    build_replica(spark)
+    qs = entrymod.queries()
+    result: dict[str, dict[str, float]] = {}
+    try:
+        for name in QUERIES:
+            fn = qs[name]
+            t: dict[str, float] = {}
+            for label, sf_dir in (("sf0.1", SRC), ("sf1x", DST)):
+                best = None
+                for _ in range(2):  # 1 JIT + 1 steady
+                    t0 = time.perf_counter()
+                    fn(spark, sf_dir).count()
+                    el = time.perf_counter() - t0
+                    best = el if best is None else min(best, el)
+                t[label] = round(best, 3)
+            t["ratio_10x_rows"] = round(t["sf1x"] / t["sf0.1"], 2)
+            result[name] = t
+            print(json.dumps({name: t}), flush=True)
+    finally:
+        shutil.rmtree(DST, ignore_errors=True)
+    with open("/root/repo/SCALE_EXPERIMENT.json", "w") as f:
+        json.dump(
+            {
+                "design": "10 id-offset copies of sf0.1 (~sf1); dims unscaled",
+                "copies": COPIES,
+                "queries": result,
+            },
+            f,
+            indent=1,
+        )
+    print("wrote SCALE_EXPERIMENT.json")
+
+
+if __name__ == "__main__":
+    main()
