@@ -91,6 +91,7 @@ _VERIFY_FIRST = [
     "streaming_session_counts",
     "corpus_chunk_documents",
     "corpus_temperature_mixture",
+    "source_synthetic_stream",
 ]
 
 

@@ -2473,3 +2473,30 @@ ORACLES["corpus_temperature_mixture"] = f"""
     FROM c, unnest(generate_series(0, k - 1)) AS g(i)
     ORDER BY doc_id, copy_idx
 """
+
+
+def source_synthetic_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming read of the custom Python source run to completion
+    (micro-batched offsets + deterministic replay); same
+    generate_series oracle as the batch form — the stream must deliver
+    exactly the batch rows."""
+    from sales_data_etl_pipeline_spark.sources.pysource import (
+        SyntheticEventsDataSource,
+    )
+    from sales_data_etl_pipeline_spark.streaming import events as streaming
+
+    spark.dataSource.register(SyntheticEventsDataSource)
+    stream = (
+        spark.readStream.format("synthetic_events")
+        .option("rows", "2000")
+        .option("batchRows", "512")
+        .load()
+    )
+    out = streaming.run_stream_to_memory(
+        stream, "q_pysource_stream", output_mode="append"
+    )
+    return out.orderBy("event_id")
+
+
+QUERIES["source_synthetic_stream"] = source_synthetic_stream
+ORACLES["source_synthetic_stream"] = ORACLES["source_synthetic_events"]

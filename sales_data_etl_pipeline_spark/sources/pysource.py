@@ -18,7 +18,12 @@ from __future__ import annotations
 
 import hashlib
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 EVENT_TYPES = ("view", "click", "cart", "purchase", "refund")
 
@@ -48,6 +53,9 @@ class SyntheticEventsDataSource(DataSource):
     def reader(self, schema) -> "SyntheticEventsReader":
         return SyntheticEventsReader(self.options)
 
+    def simpleStreamReader(self, schema) -> "SyntheticEventsStreamReader":
+        return SyntheticEventsStreamReader(self.options)
+
 
 class SyntheticEventsReader(DataSourceReader):
     def __init__(self, options) -> None:
@@ -60,5 +68,33 @@ class SyntheticEventsReader(DataSourceReader):
     def read(self, partition):
         # round-robin row assignment: each task generates its stripe
         for i in range(partition.value, self.n, self.parts):
-            h = _h(i)
-            yield (i, h % 100, EVENT_TYPES[h % 5], (h % 10000) / 100.0)
+            yield _row(i)
+
+
+def _row(i: int):
+    h = _h(i)
+    return (i, h % 100, EVENT_TYPES[h % 5], (h % 10000) / 100.0)
+
+
+class SyntheticEventsStreamReader(SimpleDataSourceStreamReader):
+    """Micro-batch stream form of the same source: the offset is just
+    the next row index, ``read`` advances it by ``batchRows`` per
+    trigger, and ``readBetweenOffsets`` regenerates any committed range
+    for recovery replay — deterministic generation makes replay exact,
+    which is what a real connector needs for end-to-end exactly-once.
+    """
+
+    def __init__(self, options) -> None:
+        self.n = int(options.get("rows", 1000))
+        self.batch = int(options.get("batchRows", 100))
+
+    def initialOffset(self) -> dict:
+        return {"i": 0}
+
+    def read(self, start: dict):
+        i = int(start["i"])
+        end = min(i + self.batch, self.n)
+        return (iter([_row(j) for j in range(i, end)]), {"i": end})
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return iter([_row(j) for j in range(int(start["i"]), int(end["i"]))])

@@ -160,3 +160,30 @@ def test_python_datasource_parallel_deterministic(spark):
     b = sorted(tuple(r) for r in df.collect())
     assert a == b
     assert len({r[0] for r in a}) == 500  # event_id unique across stripes
+
+
+def test_python_datasource_streaming_matches_batch(spark):
+    """The streaming form of the custom Python source delivers exactly
+    the batch read's rows across micro-batches (offset advance + replay
+    are deterministic)."""
+    from sales_data_etl_pipeline_spark.sources.pysource import (
+        SyntheticEventsDataSource,
+    )
+    from sales_data_etl_pipeline_spark.streaming import events as streaming
+
+    spark.dataSource.register(SyntheticEventsDataSource)
+    stream = (
+        spark.readStream.format("synthetic_events")
+        .option("rows", "300")
+        .option("batchRows", "80")
+        .load()
+    )
+    got = streaming.run_stream_to_memory(
+        stream, "t_pysource_stream", output_mode="append"
+    )
+    batch = (
+        spark.read.format("synthetic_events").option("rows", "300").load()
+    )
+    assert got.count() == 300
+    assert got.exceptAll(batch).count() == 0
+    assert batch.exceptAll(got).count() == 0
