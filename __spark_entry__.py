@@ -92,6 +92,8 @@ _VERIFY_FIRST = [
     "corpus_chunk_documents",
     "corpus_temperature_mixture",
     "source_synthetic_stream",
+    "events_windowed_distinct_users",
+    "sales_pareto_share",
 ]
 
 

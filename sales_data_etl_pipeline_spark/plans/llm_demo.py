@@ -2500,3 +2500,82 @@ def source_synthetic_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["source_synthetic_stream"] = source_synthetic_stream
 ORACLES["source_synthetic_stream"] = ORACLES["source_synthetic_events"]
+
+
+# --- windowed distinct users + revenue Pareto share -------------------------
+
+
+def events_windowed_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct users per hourly window and event type — the
+    distinct-count window every analytics surface needs. Exact
+    COUNT(DISTINCT) expands to a two-phase aggregate (dedupe on
+    (window, type, user), then count); at 100 TB the one-pass
+    `approx_count_distinct` twin is the config switch, same plan shape
+    as the sketch gate."""
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy(
+            F.window("ts", "1 hour").getField("start").alias("window_start"),
+            "event_type",
+        )
+        .agg(F.countDistinct("user_id").alias("n_users"))
+        .orderBy("window_start", "event_type")
+    )
+
+
+QUERIES["events_windowed_distinct_users"] = events_windowed_distinct_users
+ORACLES["events_windowed_distinct_users"] = """
+    SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+           event_type, COUNT(DISTINCT user_id) AS n_users
+    FROM events GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def sales_pareto_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue Pareto: suppliers ranked by revenue with their cumulative
+    share of the total (the 80/20 report). The cumulative sum runs over
+    the |suppliers|-row AGGREGATE (tiny), never the fact table, and the
+    global total is a 1-row broadcast — fact shuffles once. Share in
+    basis points via the IEEE floor composite so both engines hash
+    identically."""
+    t = load_testdata(spark, sf_dir, ("lineitem",))["lineitem"]
+    per_supp = t.groupBy("l_suppkey").agg(
+        (F.floor(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))) * 100 + F.lit(0.5)) / 100).alias("revenue")
+    )
+    total = per_supp.agg(F.sum("revenue").alias("_total"))
+    from pyspark.sql import Window
+
+    w = (
+        Window.orderBy(F.desc("revenue"), F.asc("l_suppkey"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        per_supp.crossJoin(F.broadcast(total))
+        .withColumn("_cum", F.sum("revenue").over(w))
+        .select(
+            "l_suppkey",
+            "revenue",
+            F.floor(F.col("_cum") / F.col("_total") * 10000 + F.lit(0.5)).alias(
+                "cum_share_bp"
+            ),
+        )
+        .orderBy(F.desc("revenue"), F.asc("l_suppkey"))
+    )
+
+
+QUERIES["sales_pareto_share"] = sales_pareto_share
+ORACLES["sales_pareto_share"] = """
+    WITH s AS (
+        SELECT l_suppkey,
+               floor(SUM(l_extendedprice * (1 - l_discount)) * 100 + 0.5)
+                   / 100 AS revenue
+        FROM lineitem GROUP BY l_suppkey
+    ),
+    t AS (SELECT SUM(revenue) AS total FROM s)
+    SELECT l_suppkey, revenue,
+           CAST(floor(SUM(revenue) OVER (ORDER BY revenue DESC, l_suppkey
+                          ROWS UNBOUNDED PRECEDING) / t.total * 10000 + 0.5)
+                AS BIGINT) AS cum_share_bp
+    FROM s, t
+    ORDER BY revenue DESC, l_suppkey
+"""
