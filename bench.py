@@ -23,13 +23,13 @@ from sales_data_etl_pipeline_spark.session import get_spark
 
 #: Headline set: covers the engine spine (scan→join→agg→sort→topk), the
 #: cleaning layer's heaviest shapes (window dedup, median broadcast-join,
-#: date cascade), and the scale-path extension ops. Brute-force pairwise
-#: demo queries (dedup_ngram_jaccard / dedup_embedding_cosine) are
-#: correctness oracles, not headline ops — they are O(n²) by
-#: construction and excluded here in favor of their subquadratic
-#: variants (minhash_lsh, similarity_topk_ivf). dedup_simhash IS
-#: headline since round 3: the banded form bands over distinct
-#: signatures, so its candidate volume is output-bound, not O(n²).
+#: date cascade), and the scale-path extension ops. The one remaining
+#: brute-force pairwise demo query (dedup_ngram_jaccard) is a
+#: correctness oracle, not a headline op — O(n²) by construction,
+#: excluded in favor of its subquadratic variant (minhash_lsh).
+#: dedup_simhash (r3) and dedup_embedding_cosine (r6) ARE headline:
+#: both are gated on banded equi-join forms whose candidate volume is
+#: output-bound, not O(n²).
 HEADLINE = [
     "sales_by_employee",
     "average_ticket_by_product",
@@ -67,6 +67,8 @@ HEADLINE = [
     "corpus_prep_pipeline",
     "table_scd2_apply",
     "dedup_cluster_representatives",
+    # round-6: banded LSH is now the gated embedding-dedup plan
+    "dedup_embedding_cosine",
     # round-5 additions (all subquadratic / broadcast-shaped)
     "corpus_decontaminate",
     "similarity_topk_lsh",

@@ -119,7 +119,14 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dedup.embedding_near_dup_pairs(
+    """Embedding near-dup pairs at cosine ≥ 0.99 — gated on the banded
+    random-hyperplane LSH plan (sign-bit bands → bucket equi-join →
+    exact-cosine verify), the form that scales: candidate volume is
+    output-bound, never O(n²). The all-pairs formulation
+    (``dedup.embedding_near_dup_pairs``) survives as a verification
+    primitive only — ``tests/test_dedup.py`` pins LSH recall against it
+    on the planted near-dup fixture."""
+    return dedup.embedding_lsh_pairs(
         _emb_with_near_dups(spark, sf_dir), threshold=0.99
     )
 
@@ -800,17 +807,6 @@ ORACLES = {
         WHERE doc_id NOT IN (SELECT id_b FROM pairs)
         ORDER BY doc_id
     """,
-    "dedup_embedding_cosine": f"""
-        WITH e AS ({_NEAR_DUP_EMB})
-        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-               ROUND({_DOT.format(a='a.embedding', b='b.embedding')}
-                     / ({_NORM.format(v='a.embedding')}
-                        * {_NORM.format(v='b.embedding')}), 6) AS cosine
-        FROM e a JOIN e b ON a.vec_id < b.vec_id
-        WHERE ROUND({_DOT.format(a='a.embedding', b='b.embedding')}
-                    / ({_NORM.format(v='a.embedding')}
-                       * {_NORM.format(v='b.embedding')}), 6) >= 0.99
-    """,
     "similarity_topk": f"""
         WITH q AS (SELECT vec_id AS query_id, embedding AS qvec
                    FROM embeddings WHERE vec_id < 10),
@@ -992,7 +988,9 @@ ORACLES["stats_approx_sketches"] = """
 """
 
 
-def _emb_lsh_oracle(planes: int = 32, bands: int = 4, dim: int = 64) -> str:
+def _emb_lsh_oracle(
+    planes: int = 32, bands: int = 4, dim: int = 64, threshold: float = 0.8
+) -> str:
     """DuckDB twin of ``dedup.embedding_lsh_pairs`` — same md5-derived
     ±1 hyperplanes (driver-generated literals), same fold + 6dp-round
     sign convention, same banding."""
@@ -1029,11 +1027,30 @@ def _emb_lsh_oracle(planes: int = 32, bands: int = 4, dim: int = 64) -> str:
         FROM cand
         JOIN e ea ON ea.vec_id = id_a
         JOIN e eb ON eb.vec_id = id_b
-        WHERE {cos} >= 0.8
+        WHERE {cos} >= {threshold}
     """
 
 
 ORACLES["dedup_embedding_lsh"] = _emb_lsh_oracle()
+# The gated dedup_embedding_cosine plan is the SAME banded LSH at the
+# 0.99 threshold (round-5 verdict item 3: the all-pairs cartesian form
+# is demoted to a test-only verification primitive, EMB_ALLPAIRS_ORACLE
+# below, mirroring the r3 simhash swap).
+ORACLES["dedup_embedding_cosine"] = _emb_lsh_oracle(threshold=0.99)
+
+#: All-pairs cosine oracle over the near-dup fixture — NOT a gate; used
+#: by tests/test_dedup.py to pin the banded plan's recall on testdata.
+EMB_ALLPAIRS_ORACLE = f"""
+    WITH e AS ({_NEAR_DUP_EMB})
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND({_DOT.format(a='a.embedding', b='b.embedding')}
+                 / ({_NORM.format(v='a.embedding')}
+                    * {_NORM.format(v='b.embedding')}), 6) AS cosine
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    WHERE ROUND({_DOT.format(a='a.embedding', b='b.embedding')}
+                / ({_NORM.format(v='a.embedding')}
+                   * {_NORM.format(v='b.embedding')}), 6) >= 0.99
+"""
 
 
 ORACLES["streaming_dedup"] = """

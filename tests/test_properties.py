@@ -259,3 +259,29 @@ def test_chunking_covers_every_token_exactly_stride_apart(spark, n, seq, overlap
     assert k == len(starts)
     # chunks tile the doc: first covers 0, last reaches the end
     assert starts[-1] + seq >= n
+
+
+def test_embedding_lsh_recall_pinned_vs_all_pairs(spark):
+    """The gated dedup_embedding_cosine plan is the banded LSH form
+    (round-6 swap); the all-pairs cartesian survives only as this
+    test's ground truth. Hyperplanes are md5-derived (no RNG), so on
+    the fixed testdata the banded pair set is deterministic — pin it
+    to the exact all-pairs set at threshold 0.99. The planted
+    near-dups (one coordinate +0.05) sit at cosine ≈ 1, where every
+    sign bit agrees, so banding recall is 100% here by construction."""
+    from sales_data_etl_pipeline_spark.operators import dedup
+    from sales_data_etl_pipeline_spark.plans.llm_demo import (
+        _emb_with_near_dups,
+    )
+
+    emb = _emb_with_near_dups(spark, "/root/testdata/sf0.001")
+    brute = {
+        (r.id_a, r.id_b, r.cosine)
+        for r in dedup.embedding_near_dup_pairs(emb, threshold=0.99).collect()
+    }
+    banded = {
+        (r.id_a, r.id_b, r.cosine)
+        for r in dedup.embedding_lsh_pairs(emb, threshold=0.99).collect()
+    }
+    assert brute, "fixture must plant at least one near-dup pair"
+    assert banded == brute

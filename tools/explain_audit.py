@@ -27,8 +27,6 @@ CARTESIAN_OK = {
     "clean_et_chain",  # 1-row global-median broadcast (fill_group_median)
     "text_unigram_logprob",  # 1-row corpus-total broadcast (text.py crossJoin)
     "dedup_ngram_jaccard",
-    "dedup_simhash",
-    "dedup_embedding_cosine",
     "similarity_topk",
     "similarity_topk_ivf",
     "clean_group_median_impute",
