@@ -432,9 +432,15 @@ def paragraph_dedup_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
         .withColumn("_n", F.expr(f"(size(_toks) + {PARA_TOKENS - 1}) div {PARA_TOKENS}"))
         .select(
             "doc_id",
+            # sequence(1, 0) is the DESCENDING [1, 0] in Spark — a
+            # zero-token doc would fabricate two phantom empty
+            # paragraphs (DuckDB's generate_series(1, 0) is empty).
+            # Guard _n > 0 so an empty doc yields no paragraph rows,
+            # same as the oracle.
             F.posexplode(
                 F.expr(
-                    f"transform(sequence(1, _n), i ->"
+                    f"transform(if(_n > 0, sequence(1, _n),"
+                    f" array()), i ->"
                     f" array_join(slice(_toks, (i - 1) * {PARA_TOKENS} + 1,"
                     f" {PARA_TOKENS}), ' '))"
                 )

@@ -2110,8 +2110,16 @@ def _ann_lsh_oracle(planes: int = 32, bands: int = 8, dim: int = 64, k: int = 5)
         f" / ({_NORM.format(v='c.embedding')}"
         f" * {_NORM.format(v='q.embedding')}), 6)"
     )
+    # the Spark plan (similarity.cosine_topk_lsh) drops zero-norm
+    # vectors from BOTH sides before banding (cosine undefined); the
+    # twin must apply the identical predicate so the two stay
+    # bit-equivalent by construction, not by dataset luck — a zero-norm
+    # embedding would otherwise give the oracle all-'1' signatures and
+    # inf/NaN cosines the plan excludes.
+    live = f"{_NORM.format(v='embedding')} > 0"
     return f"""
-        WITH bs AS ({band_selects}),
+        WITH e AS (SELECT * FROM embeddings WHERE {live}),
+        bs AS ({band_selects.replace('FROM embeddings', 'FROM e')}),
         qs AS (SELECT * FROM bs WHERE vec_id < 10),
         cand AS (
             SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id

@@ -70,7 +70,13 @@ def compact_parquet(
     ``ceil(input_bytes / target)`` output files via ``repartition`` —
     a single shuffle whose width is the file budget, not the input
     fragment count. Partitioned layouts compact within partitions
-    (``partition_by`` re-applied on the rewrite).
+    (``partition_by`` re-applied on the rewrite), with a per-value
+    salt sized from that value's share of the bytes: hashing on the
+    partition columns alone would funnel each partition value into a
+    single task and write ONE file per value no matter how skewed —
+    a hot partition directory would still come out as one oversized
+    file and the byte budget would only bind across values, not
+    within them.
 
     Returns {"input_files", "output_files", "input_bytes"} for
     observability. Not in-place: writers rename directories
@@ -90,7 +96,43 @@ def compact_parquet(
     n_out = max(1, math.ceil(input_bytes / target_file_bytes))
     df = spark.read.parquet(src)
     if partition_by:
-        out = df.repartition(n_out, *partition_by)
+        # Per-value row shares -> per-value salt fan-out. The share agg
+        # is map-side combinable and its output is |partition values|
+        # rows — bounded by the layout's design, never by data volume —
+        # so the broadcast back is safe at any scale.
+        from pyspark.sql import functions as F
+
+        shares = df.groupBy(*partition_by).agg(
+            F.count(F.lit(1)).alias("_rows")
+        )
+        total_rows = df.count()
+        if total_rows == 0:
+            out = df.repartition(1, *partition_by)
+        else:
+            bytes_per_row = input_bytes / total_rows
+            salts = shares.withColumn(
+                "_n_salt",
+                F.greatest(
+                    F.lit(1),
+                    F.ceil(
+                        F.col("_rows")
+                        * F.lit(bytes_per_row)
+                        / F.lit(float(target_file_bytes))
+                    ),
+                ).cast("int"),
+            ).drop("_rows")
+            non_part = [c for c in df.columns if c not in partition_by]
+            spread = (
+                F.pmod(F.hash(*non_part), F.col("_n_salt"))
+                if non_part
+                else F.lit(0)
+            )
+            out = (
+                df.join(F.broadcast(salts), partition_by)
+                .withColumn("_salt", spread)
+                .repartition(n_out, *partition_by, "_salt")
+                .drop("_n_salt", "_salt")
+            )
     else:
         out = df.repartition(n_out)
     write_parquet(out, dst, partition_by=partition_by)

@@ -341,20 +341,47 @@ def jdbc_upsert_batch_fn(
     The merged result is materialized (eager ``localCheckpoint``)
     BEFORE the overwrite: the write drops the very table the lazy read
     plan would scan, the classic read-overwrite-same-table trap.
+
+    Target existence is probed through JDBC ``DatabaseMetaData`` rather
+    than by catching the read's exception: a blanket except would turn
+    a *transient* read failure into ``merged = batch_df`` and overwrite
+    the whole target with one micro-batch — silent data loss. With the
+    explicit probe, only the genuine first-batch case skips the merge;
+    every other failure propagates and fails the streaming query, which
+    then replays the batch from the checkpoint (the idempotent path).
     """
     from sales_data_etl_pipeline_spark.operators import merge as merge_ops
     from sales_data_etl_pipeline_spark.sources import jdbc as jdbc_src
+
+    def target_exists(spark) -> bool:
+        # foreachBatch runs on the driver, so the JVM gateway is
+        # available; DatabaseMetaData.getTables is portable across
+        # backends (Derby/Postgres/MySQL), unlike SQLState strings.
+        jvm = spark._sc._jvm
+        props = jvm.java.util.Properties()
+        for k, v in (properties or {}).items():
+            props.setProperty(k, str(v))
+        conn = jvm.java.sql.DriverManager.getConnection(url, props)
+        try:
+            bare = table.rsplit(".", 1)[-1]
+            rs = conn.getMetaData().getTables(None, None, "%", None)
+            while rs.next():
+                if rs.getString(3).lower() == bare.lower():
+                    return True
+            return False
+        finally:
+            conn.close()
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         if not batch_df.columns:
             return
         spark = batch_df.sparkSession
-        try:
+        if target_exists(spark):
             target = jdbc_src.read_jdbc(
                 spark, url, table, properties=properties
             )
             merged = merge_ops.upsert(target, batch_df, keys)
-        except Exception:  # first batch: target table doesn't exist yet
+        else:  # genuine first batch: nothing to merge with yet
             merged = batch_df
         materialized = merged.localCheckpoint(eager=True)
         jdbc_src.write_jdbc(

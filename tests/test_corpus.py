@@ -207,3 +207,26 @@ def test_paragraph_dedup_copies_keep_nothing(spark):
         .count()
     )
     assert out.agg(F.sum("n_kept")).first()[0] == n_distinct
+
+
+def test_paragraph_dedup_zero_token_doc_yields_no_rows(spark):
+    """Spark's sequence(1, 0) is the DESCENDING [1, 0]; before the
+    round-6 guard a zero-token doc fabricated two phantom empty
+    paragraphs (n_paragraphs = 2) while the DuckDB oracle's
+    generate_series(1, 0) produced none. Empty and punctuation-only
+    docs must simply be absent from the output."""
+    from pyspark.sql import Row
+    from pyspark.sql import functions as F
+
+    from sales_data_etl_pipeline_spark.operators import text as text_ops
+
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="alpha beta gamma"),
+            Row(doc_id=2, text=""),
+            Row(doc_id=3, text="   "),
+        ]
+    )
+    out = text_ops.paragraph_dedup_stats(df).collect()
+    assert {r.doc_id for r in out} == {1}
+    assert all(r.n_paragraphs >= 1 for r in out)

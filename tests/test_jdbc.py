@@ -187,3 +187,40 @@ def test_python_datasource_streaming_matches_batch(spark):
     assert got.count() == 300
     assert got.exceptAll(batch).count() == 0
     assert batch.exceptAll(got).count() == 0
+
+
+def test_upsert_batch_raises_on_transient_read_failure(
+    spark, tmp_path, monkeypatch
+):
+    """A transient failure reading an EXISTING target must fail the
+    batch (so the streaming query restarts and replays it), never fall
+    through to `merged = batch_df` and overwrite the target with one
+    micro-batch — that silent-truncation path was the round-5 advisor
+    finding. The existence probe goes through JDBC metadata, so only a
+    genuinely missing table skips the merge."""
+    from sales_data_etl_pipeline_spark.sources import jdbc as jdbc_src
+    from sales_data_etl_pipeline_spark.streaming import events as streaming
+
+    url = _url(tmp_path, "transient")
+    seed = spark.createDataFrame(
+        [Row(user_id=1, total=10.0), Row(user_id=2, total=20.0)]
+    )
+    jdbc.write_jdbc(seed, url, "totals", mode="overwrite", properties=_props())
+
+    def boom(*a, **kw):
+        raise RuntimeError("transient connection reset")
+
+    monkeypatch.setattr(jdbc_src, "read_jdbc", boom)
+    fn = streaming.jdbc_upsert_batch_fn(
+        url, "totals", "user_id", properties=_props()
+    )
+    one_batch = spark.createDataFrame([Row(user_id=3, total=1.0)])
+    with pytest.raises(RuntimeError, match="transient"):
+        fn(one_batch, 0)
+    monkeypatch.undo()
+    back = jdbc.read_jdbc(spark, url, "totals", properties=_props())
+    # target untouched: still both seed rows, no 1-row truncation
+    assert {(r.user_id, r.total) for r in back.collect()} == {
+        (1, 10.0),
+        (2, 20.0),
+    }

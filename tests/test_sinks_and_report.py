@@ -125,3 +125,34 @@ def test_compact_parquet_small_files(spark, tmp_path):
     out = spark.read.parquet(dst)
     assert out.count() == 4000
     assert out.exceptAll(base).count() == 0 and base.exceptAll(out).count() == 0
+
+
+def test_compact_parquet_splits_skewed_partition(spark, tmp_path):
+    """partition_by compaction must honor target_file_bytes WITHIN a
+    hot partition value: before the round-6 salt, hashing on the
+    partition columns alone wrote exactly one file per value, so a
+    skewed value came out as one oversized file."""
+    import os
+
+    from sales_data_etl_pipeline_spark.sources import parquet as pq_sink
+
+    src, dst = str(tmp_path / "skew_src"), str(tmp_path / "skew_dst")
+    # one hot partition value (p=0: ~49k rows) + two tiny ones
+    base = spark.range(0, 50000).selectExpr(
+        "id",
+        "CASE WHEN id < 49000 THEN 0 ELSE cast(id % 2 + 1 AS bigint) END AS p",
+        "repeat(uuid(), 8) AS payload",
+    )
+    base.repartition(20).write.parquet(src)
+    stats = pq_sink.compact_parquet(
+        spark, src, dst, target_file_bytes=1 * 1024 * 1024, partition_by=["p"]
+    )
+    hot_files = [
+        f
+        for f in os.listdir(os.path.join(dst, "p=0"))
+        if f.endswith(".parquet")
+    ]
+    assert len(hot_files) > 1, "hot partition value must split into several files"
+    out = spark.read.parquet(dst)
+    assert out.count() == 50000
+    assert stats["output_files"] >= len(hot_files) + 2
