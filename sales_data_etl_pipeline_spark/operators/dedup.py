@@ -185,6 +185,7 @@ def minhash_lsh_pairs(
     threshold: float = 0.5,
     text_col: str = "text",
     verify: str = "sets",
+    max_shingle_df: float | None = None,
 ) -> DataFrame:
     """MinHash+LSH near-dup pairs: band → bucket-join candidates → exact
     Jaccard verification (a < b, jaccard ≥ threshold).
@@ -204,6 +205,17 @@ def minhash_lsh_pairs(
       (the :func:`ngram_jaccard_pairs` counting form, but only over LSH
       candidates). Bounded row width regardless of document size — the
       100 TB setting when single docs can hold millions of shingles.
+
+    ``max_shingle_df`` (stop-shingle cap, standard near-dup practice):
+    drop shingles appearing in more than that FRACTION of documents
+    before signatures, banding, and verification. A pathological hot
+    shingle (boilerplate header, templated sentence) pulls its docs'
+    min-hashes toward the same values, concentrating candidates in a
+    few (band, sig) buckets — the quadratic-in-hot-shingles tail. The
+    hot set is tiny by construction (≤ avg-shingles-per-doc / f
+    shingles can exceed document frequency f), so the removal is a
+    broadcast anti-join: the corpus-side shingle table never shuffles
+    for it. ``None`` (default) keeps the historical exact semantics.
     """
     if verify not in ("sets", "join"):
         raise ValueError(f"verify must be 'sets' or 'join', got {verify!r}")
@@ -219,6 +231,19 @@ def minhash_lsh_pairs(
     # its four consumers (band self-join ×2, verify ×2); at cluster
     # scale this is a stage-boundary write to reliable storage.
     sh = shingle_sets(df, text_col, n)
+    if max_shingle_df is not None:
+        # doc-frequency agg is map-side combinable (output: |distinct
+        # shingles| rows); the 1-row doc count rides a broadcast
+        # cross-join, and only the tiny hot set is broadcast back.
+        n_docs = sh.agg(F.count_distinct("doc_id").alias("_nd"))
+        hot = (
+            sh.groupBy("sh")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .crossJoin(F.broadcast(n_docs))
+            .filter(F.col("_df") > F.col("_nd") * F.lit(max_shingle_df))
+            .select("sh")
+        )
+        sh = sh.join(F.broadcast(hot), "sh", "left_anti")
     ids = sh.select(
         "doc_id", "sh", F.expr(hash_id_expr("sh", MINHASH_P)).alias("sid")
     )

@@ -285,3 +285,62 @@ def test_embedding_lsh_recall_pinned_vs_all_pairs(spark):
     }
     assert brute, "fixture must plant at least one near-dup pair"
     assert banded == brute
+
+
+def test_minhash_hot_shingle_cap_preserves_recall(spark):
+    """Stop-shingle removal (max_shingle_df) must not change the pair
+    set at threshold 0.5 on the planted near-dup fixture — the dup
+    pairs sit at jaccard ≈ 1 where dropping corpus-wide boilerplate
+    shingles moves nothing across the threshold. Checked at a loose
+    and an aggressive cap."""
+    from sales_data_etl_pipeline_spark.operators import dedup
+    from sales_data_etl_pipeline_spark.plans.llm_demo import (
+        _docs_with_near_dups,
+    )
+
+    docs = _docs_with_near_dups(spark, "/root/testdata/sf0.001")
+    plain = {
+        (r.id_a, r.id_b)
+        for r in dedup.minhash_lsh_pairs(docs, threshold=0.5).collect()
+    }
+    assert plain, "fixture must plant near-dup pairs"
+    for f in (0.5, 0.1):
+        capped = {
+            (r.id_a, r.id_b)
+            for r in dedup.minhash_lsh_pairs(
+                docs, threshold=0.5, max_shingle_df=f
+            ).collect()
+        }
+        assert capped == plain
+
+
+def test_minhash_hot_shingle_cap_drops_boilerplate_candidates(spark):
+    """On a corpus where every doc shares one boilerplate sentence, the
+    cap must actually remove the hot shingles (shrinking per-doc
+    shingle sets) while still finding the genuinely duplicated pair."""
+    from pyspark.sql import Row
+
+    from sales_data_etl_pipeline_spark.operators import dedup
+
+    boiler = "all rights reserved contact us at example dot com for terms"
+    rows = [
+        Row(doc_id=i, text=f"{boiler} unique content piece {i} alpha "
+            f"beta{i} gamma{i} delta{i} epsilon{i} zeta{i}")
+        for i in range(40)
+    ]
+    # one true near-dup pair: 100 and 101 share their non-boilerplate text
+    rows += [
+        Row(doc_id=100, text=f"{boiler} shared body one two three four five six seven"),
+        Row(doc_id=101, text=f"{boiler} shared body one two three four five six seven"),
+    ]
+    docs = spark.createDataFrame(rows)
+    capped = {
+        (r.id_a, r.id_b)
+        for r in dedup.minhash_lsh_pairs(
+            docs, threshold=0.5, max_shingle_df=0.5
+        ).collect()
+    }
+    assert (100, 101) in capped
+    # boilerplate-only similarity must not manufacture pairs among the
+    # 40 otherwise-distinct docs once the hot shingles are gone
+    assert all(a == 100 and b == 101 for a, b in capped)
