@@ -47,20 +47,9 @@ TABLES = {
 #: realistic direction of growth)
 DIMS = ("customer", "supplier", "part", "nation", "region")
 
-QUERIES = [
-    "sales_by_employee",
-    "q1_pricing_summary",
-    "events_sessionization",
-    "events_windowed_agg",
-    "dedup_exact",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "corpus_decontaminate",
-    "corpus_prep_pipeline",
-    "similarity_topk",
-    "similarity_topk_lsh",
-    "text_paragraph_dedup",
-]
+#: every bench headline query gets a measured slope (round-5 verdict
+#: items 5+7 — the 12-query subset left the expensive ones unmeasured)
+from bench import HEADLINE as QUERIES  # noqa: E402
 
 
 def build_replica(spark) -> None:
@@ -97,19 +86,40 @@ def main() -> None:
     build_replica(spark)
     qs = entrymod.queries()
     result: dict[str, dict[str, float]] = {}
+    flagged: list[str] = []
     try:
         for name in QUERIES:
             fn = qs[name]
             t: dict[str, float] = {}
+            rows: dict[str, int] = {}
             for label, sf_dir in (("sf0.1", SRC), ("sf1x", DST)):
                 best = None
                 for _ in range(2):  # 1 JIT + 1 steady
                     t0 = time.perf_counter()
-                    fn(spark, sf_dir).count()
+                    n = fn(spark, sf_dir).count()
                     el = time.perf_counter() - t0
                     best = el if best is None else min(best, el)
                 t[label] = round(best, 3)
-            t["ratio_10x_rows"] = round(t["sf1x"] / t["sf0.1"], 2)
+                rows[label] = n
+            slope = round(t["sf1x"] / t["sf0.1"], 2)
+            t["ratio_10x_rows"] = slope
+            # output_ratio justifies super-linear slopes: a dedup whose
+            # duplicate-PAIR output grows 45× under a 10× input is
+            # output-bound, not misdesigned. Flag only a slope > 2×
+            # that the output growth cannot explain.
+            out_ratio = (
+                round(rows["sf1x"] / rows["sf0.1"], 2)
+                if rows["sf0.1"]
+                else None
+            )
+            t["rows_sf0.1"] = rows["sf0.1"]
+            t["rows_sf1x"] = rows["sf1x"]
+            t["output_ratio"] = out_ratio
+            if slope > 2.0 and (
+                out_ratio is None or slope > 2.0 * max(1.0, out_ratio)
+            ):
+                t["flag"] = "superlinear slope unexplained by output volume"
+                flagged.append(name)
             result[name] = t
             print(json.dumps({name: t}), flush=True)
     finally:
@@ -119,12 +129,15 @@ def main() -> None:
             {
                 "design": "10 id-offset copies of sf0.1 (~sf1); dims unscaled",
                 "copies": COPIES,
+                "n_queries": len(result),
+                "flagged": flagged,
                 "queries": result,
             },
             f,
             indent=1,
         )
-    print("wrote SCALE_EXPERIMENT.json")
+    print(f"wrote SCALE_EXPERIMENT.json ({len(result)} queries, "
+          f"flagged: {flagged})")
 
 
 if __name__ == "__main__":
