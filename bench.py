@@ -69,6 +69,9 @@ HEADLINE = [
     "dedup_cluster_representatives",
     # round-6: banded LSH is now the gated embedding-dedup plan
     "dedup_embedding_cosine",
+    "text_gopher_quality",
+    "text_bigram_logprob",
+    "corpus_quality_resample",
     # round-5 additions (all subquadratic / broadcast-shaped)
     "corpus_decontaminate",
     "similarity_topk_lsh",

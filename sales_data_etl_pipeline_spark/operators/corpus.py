@@ -410,3 +410,44 @@ def decontaminate(
         .groupBy(id_col)
         .agg(F.count(F.lit(1)).alias(hits_col))
     )
+
+
+def quality_resample(
+    df: DataFrame,
+    text_col: str = "text",
+    *,
+    id_col: str = "doc_id",
+    mod: int = 1_000_000,
+) -> DataFrame:
+    """Deterministic quality-weighted importance resampling: keep each
+    document with probability equal to its :func:`~sales_data_etl_pipeline_spark.operators.text.quality_score`
+    composite — the standard corpus-mixing move that keeps some
+    low-quality mass (a hard cutoff distorts the distribution) while
+    biasing toward quality.
+
+    Acceptance is NOT random-number based: the uniform draw is the
+    md5-derived hash of the doc id mapped into [0, mod) — reproducible
+    across runs, engines, and partitionings (no RNG, no seed state;
+    same convention as :func:`hash_split`). Both the quality score and
+    the draw are integer parts-per-million, so the accept comparison
+    is integer-vs-integer in both engines.
+
+    Shape at 100 TB: per-row projection + filter only — zero shuffles,
+    trivially parallel, and re-running on a grown corpus keeps every
+    previously-accepted doc (per-doc decisions are independent).
+    """
+    from sales_data_etl_pipeline_spark.operators.text import quality_score
+
+    q = quality_score(df, text_col)
+    return (
+        q.withColumn(
+            "u_ppm",
+            F.expr(hash_id_expr(f"cast({id_col} as string)", mod)),
+        )
+        .withColumn(
+            "quality_ppm",
+            F.expr("cast(floor(quality * 1000000 + 0.5) as bigint)"),
+        )
+        .filter(F.col("u_ppm") < F.col("quality_ppm"))
+        .select(id_col, "quality_ppm", "u_ppm")
+    )

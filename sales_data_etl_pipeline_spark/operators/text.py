@@ -466,3 +466,210 @@ def paragraph_dedup_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
         "n_paragraphs",
         F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
     )
+
+
+#: Gopher rule-filter stopword probe set (Rae et al., arXiv:2112.11446
+#: Table A1: "contains at least 2 of a fixed stop-word list")
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style hard rule filter (the standard pre-training corpus
+    gate, complementing the soft composite in :func:`quality_score`):
+    word-count bounds, mean-word-length band, symbol-to-word ceiling,
+    and a stop-word floor, each reported as its own boolean plus the
+    conjunction ``passes``.
+
+    Ratios are quantized to integer parts-per-million with pure IEEE
+    arithmetic (``floor(x·1e6 + 0.5)``) before any comparison, so the
+    DuckDB oracle computes bit-identical flags. Pure per-row
+    projection — no shuffle at any scale. Zero-token docs drop out
+    (no rules are meaningful on them; both engines agree).
+    """
+    base = (
+        df.select(
+            "doc_id",
+            tokens(text_col).alias("_t"),
+            F.length(text_col).alias("_nc"),
+            F.length(
+                F.regexp_replace(F.col(text_col), "[^a-zA-Z0-9 ]", "")
+            ).alias("_al"),
+        )
+        .filter(F.size("_t") > 0)
+        .select(
+            "doc_id",
+            F.size("_t").alias("n_words"),
+            F.expr(
+                "aggregate(transform(_t, x -> length(x)), 0L, (a, x) -> a + x)"
+            ).alias("_wlen"),
+            (F.col("_nc") - F.col("_al")).alias("_sym"),
+            F.size(
+                F.expr(
+                    "filter(_t, x -> x IN ({}))".format(
+                        ", ".join(f"'{w}'" for w in GOPHER_STOPWORDS)
+                    )
+                )
+            ).alias("stop_hits"),
+        )
+    )
+    mean_q6 = F.expr(
+        "cast(floor(_wlen / cast(n_words as double) * 1000000 + 0.5) as bigint)"
+    )
+    sym_q6 = F.expr(
+        "cast(floor(_sym / cast(n_words as double) * 1000000 + 0.5) as bigint)"
+    )
+    out = base.select(
+        "doc_id",
+        "n_words",
+        mean_q6.alias("mean_word_len_q6"),
+        sym_q6.alias("symbol_word_q6"),
+        "stop_hits",
+    )
+    ok_words = (F.col("n_words") >= 50) & (F.col("n_words") <= 100_000)
+    ok_mean = (F.col("mean_word_len_q6") >= 3_000_000) & (
+        F.col("mean_word_len_q6") <= 10_000_000
+    )
+    ok_sym = F.col("symbol_word_q6") <= 1_000_000
+    ok_stop = F.col("stop_hits") >= 2
+    return out.select(
+        "*",
+        ok_words.alias("ok_word_count"),
+        ok_mean.alias("ok_mean_word_len"),
+        ok_sym.alias("ok_symbol_ratio"),
+        ok_stop.alias("ok_stopwords"),
+        (ok_words & ok_mean & ok_sym & ok_stop).alias("passes"),
+    )
+
+
+def gopher_quality_sql(rel: str = "documents", text_col: str = "text") -> str:
+    """DuckDB oracle twin of :func:`gopher_quality`."""
+    toks = (
+        "list_filter(string_split_regex(lower({col}), '[^a-z0-9]+'),"
+        " x -> x <> '')"
+    ).format(col=text_col)
+    stops = ", ".join(f"'{w}'" for w in GOPHER_STOPWORDS)
+    return f"""
+        WITH t AS (
+            SELECT doc_id, {toks} AS toks,
+                   length({text_col}) AS nc,
+                   length(regexp_replace({text_col}, '[^a-zA-Z0-9 ]', '', 'g'))
+                       AS al
+            FROM {rel}),
+        b AS (
+            SELECT doc_id,
+                   len(toks) AS n_words,
+                   list_aggregate(list_transform(toks, x -> strlen(x)), 'sum')
+                       AS wlen,
+                   nc - al AS sym,
+                   len(list_filter(toks, x -> x IN ({stops}))) AS stop_hits
+            FROM t WHERE len(toks) > 0),
+        q AS (
+            SELECT doc_id, n_words,
+                   CAST(floor(wlen / CAST(n_words AS DOUBLE) * 1000000 + 0.5)
+                        AS BIGINT) AS mean_word_len_q6,
+                   CAST(floor(sym / CAST(n_words AS DOUBLE) * 1000000 + 0.5)
+                        AS BIGINT) AS symbol_word_q6,
+                   stop_hits
+            FROM b)
+        SELECT doc_id, n_words, mean_word_len_q6, symbol_word_q6, stop_hits,
+               (n_words >= 50 AND n_words <= 100000) AS ok_word_count,
+               (mean_word_len_q6 >= 3000000 AND mean_word_len_q6 <= 10000000)
+                   AS ok_mean_word_len,
+               (symbol_word_q6 <= 1000000) AS ok_symbol_ratio,
+               (stop_hits >= 2) AS ok_stopwords,
+               ((n_words >= 50 AND n_words <= 100000)
+                AND (mean_word_len_q6 >= 3000000
+                     AND mean_word_len_q6 <= 10000000)
+                AND (symbol_word_q6 <= 1000000)
+                AND (stop_hits >= 2)) AS passes
+        FROM q
+    """
+
+
+def bigram_logprob(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Bigram language-model scoring: per-doc total and mean surprisal
+    in bits under the corpus's own MLE bigram model
+    ``p(b | a) = C(a,b) / C(a,·)`` — one step up the LM-quality ladder
+    from :func:`unigram_logprob`, sensitive to scrambled word order
+    that a unigram model cannot see.
+
+    Same determinism contract: per-bigram surprisal is quantized to an
+    integer (``floor(-log2(p)·1e6 + 0.5)``) BEFORE the per-doc sum, so
+    aggregation is integer arithmetic in both engines.
+
+    Shape at 100 TB: bigram explode → per-doc and corpus bigram counts
+    (one shuffle each, map-side combined); the prefix total C(a,·)
+    folds FROM the corpus bigram table (no second corpus pass); the
+    surprisal table joins back on (a, b) with a plain shuffle join —
+    bigram vocabulary grows with corpus size, so no broadcast here
+    (unlike the unigram path). Docs with < 2 tokens drop out (both
+    engines).
+    """
+    pairs = (
+        df.select("doc_id", tokens(text_col).alias("_t"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "zip_with(slice(_t, 1, greatest(size(_t) - 1, 0)),"
+                    " slice(_t, 2, greatest(size(_t) - 1, 0)),"
+                    " (x, y) -> named_struct('a', x, 'b', y))"
+                )
+            ).alias("_bg"),
+        )
+        .select("doc_id", F.col("_bg.a").alias("a"), F.col("_bg.b").alias("b"))
+    )
+    bf = pairs.groupBy("doc_id", "a", "b").agg(F.count(F.lit(1)).alias("bf"))
+    c2 = pairs.groupBy("a", "b").agg(F.count(F.lit(1)).alias("c2"))
+    c1 = c2.groupBy("a").agg(F.sum("c2").alias("c1"))
+    lp = c2.join(c1, "a").select(
+        "a",
+        "b",
+        F.expr(
+            "cast(floor(-log2(c2 / cast(c1 as double)) * 1000000 + 0.5)"
+            " as bigint)"
+        ).alias("lq"),
+    )
+    return (
+        bf.join(lp, ["a", "b"])
+        .groupBy("doc_id")
+        .agg(
+            F.sum("bf").alias("n_bigrams"),
+            F.sum(F.col("bf") * F.col("lq")).alias("logprob_q6"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            "logprob_q6",
+            F.expr("logprob_q6 div n_bigrams").alias("mean_bits_q6"),
+        )
+    )
+
+
+def bigram_logprob_sql(rel: str = "documents", text_col: str = "text") -> str:
+    """DuckDB oracle twin of :func:`bigram_logprob`."""
+    toks = (
+        "list_filter(string_split_regex(lower({col}), '[^a-z0-9]+'),"
+        " x -> x <> '')"
+    ).format(col=text_col)
+    return f"""
+        WITH d AS (SELECT doc_id, {toks} AS t FROM {rel}),
+        pos AS (SELECT doc_id, t,
+                       UNNEST(generate_series(1, len(t) - 1)) AS i
+                FROM d),
+        bg AS (SELECT doc_id, t[i] AS a, t[i + 1] AS b FROM pos),
+        bf AS (SELECT doc_id, a, b, COUNT(*) AS bf FROM bg GROUP BY 1, 2, 3),
+        c2 AS (SELECT a, b, COUNT(*) AS c2 FROM bg GROUP BY 1, 2),
+        c1 AS (SELECT a, SUM(c2) AS c1 FROM c2 GROUP BY 1),
+        lp AS (SELECT a, b,
+                      CAST(floor(-log2(c2 / CAST(c1 AS DOUBLE)) * 1000000
+                                 + 0.5) AS BIGINT) AS lq
+               FROM c2 JOIN c1 USING (a))
+        SELECT bf.doc_id,
+               CAST(SUM(bf.bf) AS BIGINT) AS n_bigrams,
+               CAST(SUM(bf.bf * lp.lq) AS BIGINT) AS logprob_q6,
+               CAST(SUM(bf.bf * lp.lq) // SUM(bf.bf) AS BIGINT)
+                   AS mean_bits_q6
+        FROM bf JOIN lp USING (a, b)
+        GROUP BY bf.doc_id
+    """

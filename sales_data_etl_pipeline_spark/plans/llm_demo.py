@@ -2604,3 +2604,48 @@ ORACLES["sales_pareto_share"] = """
     FROM s, t
     ORDER BY revenue DESC, l_suppkey
 """
+
+
+# --- round-6 operators ------------------------------------------------------
+
+
+def text_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style hard rule filter (word-count / mean-word-length /
+    symbol-ratio / stopword rules, arXiv:2112.11446 Table A1 shape)
+    over the documents table — the hard-gate counterpart of the soft
+    composite in text_quality_score."""
+    return text.gopher_quality(_docs(spark, sf_dir))
+
+
+QUERIES["text_gopher_quality"] = text_gopher_quality
+ORACLES["text_gopher_quality"] = text.gopher_quality_sql("documents")
+
+
+def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM surprisal per document under the corpus's own MLE
+    bigram model — word-order-sensitive LM quality signal (the step
+    between unigram scoring and a real perplexity model)."""
+    return text.bigram_logprob(_docs(spark, sf_dir))
+
+
+QUERIES["text_bigram_logprob"] = text_bigram_logprob
+ORACLES["text_bigram_logprob"] = text.bigram_logprob_sql("documents")
+
+
+def corpus_quality_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic quality-weighted importance resampling: accept doc
+    iff md5-uniform(doc_id) < quality score (integer ppm vs ppm) — RNG-
+    free corpus mixing, reproducible across engines and partitionings."""
+    return corpus.quality_resample(_docs(spark, sf_dir))
+
+
+QUERIES["corpus_quality_resample"] = corpus_quality_resample
+ORACLES["corpus_quality_resample"] = f"""
+    WITH q AS ({ORACLES["text_quality_score"]})
+    SELECT doc_id,
+           CAST(floor(quality * 1000000 + 0.5) AS BIGINT) AS quality_ppm,
+           {dedup.hash_id_sql("CAST(doc_id AS VARCHAR)", 1_000_000)} AS u_ppm
+    FROM q
+    WHERE {dedup.hash_id_sql("CAST(doc_id AS VARCHAR)", 1_000_000)}
+          < CAST(floor(quality * 1000000 + 0.5) AS BIGINT)
+"""

@@ -1,0 +1,78 @@
+"""Round-6 text/corpus operators: Gopher rule filter, bigram LM
+scoring, deterministic quality resampling."""
+
+from __future__ import annotations
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from sales_data_etl_pipeline_spark.operators import corpus, text
+
+
+def test_gopher_rules_fire_individually(spark):
+    good = " ".join(
+        ["the data and that model have runs with tokens"] * 8
+    )  # 72 words, stopwords present, clean
+    rows = [
+        Row(doc_id=1, text=good),
+        Row(doc_id=2, text="short text only"),  # fails word count
+        Row(doc_id=3, text="the of " + "###!!! " * 60),  # symbol-heavy
+        Row(doc_id=4, text=" ".join(f"w{i}" for i in range(60))),  # no stopwords
+        Row(doc_id=5, text=""),  # zero tokens -> absent
+    ]
+    out = {r.doc_id: r for r in text.gopher_quality(spark.createDataFrame(rows)).collect()}
+    assert set(out) == {1, 2, 3, 4}
+    assert out[1].passes
+    assert not out[2].ok_word_count and not out[2].passes
+    assert not out[3].ok_symbol_ratio and not out[3].passes
+    assert not out[4].ok_stopwords and not out[4].passes
+
+
+def test_bigram_logprob_exact_integer_math(spark):
+    """Hand-checkable corpus: doc A = 'x y x y' (bigrams xy, yx, xy),
+    doc B = 'x z' (bigram xz). C(x,·)=3: P(y|x)=2/3, P(z|x)=1/3;
+    C(y,·)=1: P(x|y)=1. Surprisal q6 = floor(-log2(p)*1e6 + 0.5)."""
+    import math
+
+    df = spark.createDataFrame(
+        [Row(doc_id=1, text="x y x y"), Row(doc_id=2, text="x z")]
+    )
+    out = {r.doc_id: r for r in text.bigram_logprob(df).collect()}
+    q = lambda p: math.floor(-math.log2(p) * 1_000_000 + 0.5)
+    assert out[1].n_bigrams == 3
+    assert out[1].logprob_q6 == 2 * q(2 / 3) + 1 * q(1.0)
+    assert out[2].n_bigrams == 1
+    assert out[2].logprob_q6 == q(1 / 3)
+    assert out[1].mean_bits_q6 == out[1].logprob_q6 // 3
+
+
+def test_bigram_logprob_short_docs_drop_out(spark):
+    df = spark.createDataFrame(
+        [Row(doc_id=1, text="lonely"), Row(doc_id=2, text=""), Row(doc_id=3, text="a b")]
+    )
+    assert {r.doc_id for r in text.bigram_logprob(df).collect()} == {3}
+
+
+def test_quality_resample_is_deterministic_and_consistent(spark):
+    from sales_data_etl_pipeline_spark.sources.tables import load_testdata
+
+    docs = load_testdata(spark, "/root/testdata/sf0.001", ("documents",))[
+        "documents"
+    ]
+    a = {tuple(r) for r in corpus.quality_resample(docs).collect()}
+    b = {tuple(r) for r in corpus.quality_resample(docs).collect()}
+    assert a == b and a
+    # every accepted row satisfies the acceptance inequality, and the
+    # accepted count matches filtering the full quality table directly
+    assert all(u < qp for (_d, qp, u) in a)
+    full = text.quality_score(docs).withColumn(
+        "u",
+        F.expr(
+            "pmod(cast(conv(substring(md5(cast(doc_id as string)), 1, 15),"
+            " 16, 10) as bigint), 1000000L)"
+        ),
+    )
+    n_expected = full.filter(
+        F.col("u") < F.expr("cast(floor(quality * 1000000 + 0.5) as bigint)")
+    ).count()
+    assert len(a) == n_expected
