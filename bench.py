@@ -72,6 +72,7 @@ HEADLINE = [
     "text_gopher_quality",
     "text_bigram_logprob",
     "corpus_quality_resample",
+    "multimodal_resize",
     # round-5 additions (all subquadratic / broadcast-shaped)
     "corpus_decontaminate",
     "similarity_topk_lsh",

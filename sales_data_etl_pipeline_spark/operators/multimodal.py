@@ -11,8 +11,12 @@ deterministic BMP synthesizer so the pipeline round-trips real bytes:
 writer emits a spec-conformant header, reader parses it back, and the
 DuckDB oracle predicts the dims from the generator rule — a bug in
 either the writer's or the parser's offsets/endianness breaks the gate.
+Image RESIZE is likewise real: nearest-neighbor on the decoded BGR
+raster in numpy, re-emitted as a spec-conformant BMP, with the resized
+pixel checksum oracle-predicted analytically from the generator rule.
 Full-raster codecs (JPEG/ffmpeg/torchaudio) are NOT in this container;
-feature-extract and frame-sample keep clearly-marked stand-in kernels.
+feature-extract and frame-sample keep clearly-marked stand-in kernels
+(frame-sample's chunk multiplicity/sizes are still oracle-gated).
 The Spark-side contract — schemas, batch iteration, partitioning, UDF
 signatures — is real and tested; swapping a real codec in changes one
 inner function.
@@ -255,4 +259,102 @@ def sample_frames(
         df.select(id_col, payload_col)
         .repartition(sc.defaultParallelism, id_col)
         .mapInPandas(sample, FRAME_SCHEMA)
+    )
+
+
+RESIZED_IMAGE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("n_bytes", T.LongType(), True),
+        T.StructField("raster_sum", T.LongType(), True),
+        T.StructField("payload", T.BinaryType(), True),
+    ]
+)
+
+
+def resize_bmp(buf: bytes, tw: int, th: int) -> bytes:
+    """REAL nearest-neighbor resize on the decoded BMP raster (pure
+    numpy on the pixel array — no image libs): parse the header, view
+    the 4-byte-aligned BGR rows, index-map pixels, re-emit a
+    spec-conformant BMP at (tw, th)."""
+    import struct
+
+    import numpy as np
+
+    w, h, ch = decode_image_header(buf)
+    if ch != 3:
+        raise ValueError("resize_bmp expects 24-bit BMP payloads")
+    off = struct.unpack_from("<I", bytes(buf), 10)[0]
+    row_len = (w * 3 + 3) & ~3
+    raster = np.frombuffer(
+        bytes(buf), dtype=np.uint8, count=row_len * h, offset=off
+    ).reshape(h, row_len)
+    pix = raster[:, : w * 3].reshape(h, w, 3)
+    ys = (np.arange(th) * h) // th
+    xs = (np.arange(tw) * w) // tw
+    out = pix[ys][:, xs]
+    orow = (tw * 3 + 3) & ~3
+    pad = orow - tw * 3
+    rows = out.reshape(th, tw * 3)
+    if pad:
+        rows = np.concatenate(
+            [rows, np.zeros((th, pad), dtype=np.uint8)], axis=1
+        )
+    pix_size = orow * th
+    offset = 14 + 40
+    header = b"BM" + struct.pack("<IHHI", offset + pix_size, 0, 0, offset)
+    header += struct.pack(
+        "<IiiHHIIiiII", 40, tw, th, 1, 24, 0, pix_size, 2835, 2835, 0, 0
+    )
+    return header + rows.tobytes()
+
+
+def resize_images(
+    df: DataFrame,
+    *,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+    width: int = 8,
+    height: int = 8,
+) -> DataFrame:
+    """Batch image resize → (media_id, width, height, n_bytes,
+    raster_sum, payload): a REAL raster transform (:func:`resize_bmp`),
+    with the pixel-byte checksum (padding excluded) emitted so an
+    oracle can predict the resized CONTENT analytically, not just the
+    dims. Arrow-batched ``mapInPandas``; payload-bearing rows stay
+    fixed-size downstream."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            out_rows = {
+                "media_id": [],
+                "width": [],
+                "height": [],
+                "n_bytes": [],
+                "raster_sum": [],
+                "payload": [],
+            }
+            for mid, p in zip(pdf[id_col], pdf[payload_col]):
+                rb = resize_bmp(p, width, height)
+                orow = (width * 3 + 3) & ~3
+                raster = np.frombuffer(
+                    rb, dtype=np.uint8, count=orow * height, offset=54
+                ).reshape(height, orow)[:, : width * 3]
+                out_rows["media_id"].append(mid)
+                out_rows["width"].append(width)
+                out_rows["height"].append(height)
+                out_rows["n_bytes"].append(len(rb))
+                out_rows["raster_sum"].append(int(raster.sum(dtype="int64")))
+                out_rows["payload"].append(rb)
+            yield pd.DataFrame(out_rows)
+
+    sc = df.sparkSession.sparkContext
+    return (
+        df.select(id_col, payload_col)
+        .repartition(sc.defaultParallelism, id_col)
+        .mapInPandas(kernel, RESIZED_IMAGE_SCHEMA)
     )

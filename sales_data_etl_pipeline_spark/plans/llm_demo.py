@@ -2649,3 +2649,78 @@ ORACLES["corpus_quality_resample"] = f"""
     WHERE {dedup.hash_id_sql("CAST(doc_id AS VARCHAR)", 1_000_000)}
           < CAST(floor(quality * 1000000 + 0.5) AS BIGINT)
 """
+
+
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real raster resize round-trip: synthesize a spec-conformant BMP
+    per doc, nearest-neighbor-resize its ACTUAL pixel array to 8×8 in
+    numpy, and emit dims + byte length + the resized pixel checksum.
+    The oracle re-derives the checksum analytically from the generator
+    fill rule and the nearest-neighbor index map — wrong strides,
+    padding, or index arithmetic anywhere in the writer, parser, or
+    resizer break the value hash."""
+    from sales_data_etl_pipeline_spark.operators import multimodal
+
+    docs = _docs(spark, sf_dir).select(F.col("doc_id").alias("media_id"))
+    return multimodal.resize_images(
+        multimodal.synthesize_bmp(docs), width=8, height=8
+    ).select("media_id", "width", "height", "n_bytes", "raster_sum")
+
+
+QUERIES["multimodal_resize"] = multimodal_resize
+# nearest-neighbor: resized pixel x' pulls source pixel (x'*w) // 8 whose
+# BGR bytes are (seed + 3*src + c) % 256 with seed = doc_id, w = 16 + id%32;
+# rows of the synthetic raster are identical so the 8 rows contribute 8×.
+ORACLES["multimodal_resize"] = """
+    SELECT doc_id AS media_id,
+           8 AS width, 8 AS height,
+           CAST(54 + 24 * 8 AS BIGINT) AS n_bytes,
+           CAST(8 * list_aggregate(flatten(list_transform(
+                    generate_series(0, 7), x -> list_transform(
+                        generate_series(0, 2), c ->
+                        (doc_id + 3 * ((x * (16 + doc_id % 32)) // 8) + c)
+                        % 256))), 'sum') AS BIGINT) AS raster_sum
+    FROM documents
+"""
+
+
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling plumbing over binary payloads: chunk each
+    synthesized payload into 256-byte frames, keep every 4th, emit
+    (media_id, frame_idx, n_frame_bytes). One row fans out to many;
+    the oracle predicts frame multiplicity and sizes from the payload
+    length rule (frame CONTENT is pinned byte-for-byte in pytest —
+    SQL cannot slice binaries)."""
+    from sales_data_etl_pipeline_spark.operators import multimodal
+
+    docs = _docs(spark, sf_dir).select(F.col("doc_id").alias("media_id"))
+    return (
+        multimodal.sample_frames(multimodal.synthesize_bmp(docs))
+        .select(
+            "media_id",
+            "frame_idx",
+            F.octet_length("frame").alias("n_frame_bytes"),
+        )
+        .orderBy("media_id", "frame_idx")
+    )
+
+
+QUERIES["multimodal_frame_sample"] = multimodal_frame_sample
+# payload length = 54 + aligned_row(w) * h with w = 16 + id%32,
+# h = 16 + 7id % 32; frames = every 4th 256-byte chunk of max(len//256, 1)
+ORACLES["multimodal_frame_sample"] = """
+    WITH d AS (
+        SELECT doc_id,
+               54 + (((16 + doc_id % 32) * 3 + 3) // 4) * 4
+                    * (16 + (doc_id * 7) % 32) AS len
+        FROM documents),
+    f AS (
+        SELECT doc_id, len,
+               UNNEST(generate_series(0, greatest(len // 256, 1) - 1)) AS i
+        FROM d)
+    SELECT doc_id AS media_id,
+           CAST(i AS INTEGER) AS frame_idx,
+           CAST(least(256, len - i * 256) AS INTEGER) AS n_frame_bytes
+    FROM f WHERE i % 4 = 0
+    ORDER BY media_id, frame_idx
+"""

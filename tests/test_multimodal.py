@@ -75,3 +75,51 @@ def test_sample_frames_fanout(spark):
     assert out.count() > _media(spark).count()  # 1 → N fanout
     r = out.filter(F.col("frame_idx") == 0).select(F.octet_length("frame").alias("n")).first()
     assert 0 < r.n <= 64
+
+
+def test_resize_bmp_matches_numpy_reference(spark):
+    """The resize kernel must equal an independent nearest-neighbor
+    computed directly on the decoded source pixels."""
+    import numpy as np
+
+    from sales_data_etl_pipeline_spark.operators.multimodal import (
+        bmp_bytes,
+        resize_bmp,
+    )
+
+    for mid, (tw, th) in [(3, (8, 8)), (21, (5, 9)), (40, (12, 4))]:
+        w, h = 16 + mid % 32, 16 + (mid * 7) % 32
+        src = bmp_bytes(w, h, mid)
+        row_len = (w * 3 + 3) & ~3
+        pix = (
+            np.frombuffer(src, np.uint8, count=row_len * h, offset=54)
+            .reshape(h, row_len)[:, : w * 3]
+            .reshape(h, w, 3)
+        )
+        want = pix[(np.arange(th) * h) // th][:, (np.arange(tw) * w) // tw]
+        out = resize_bmp(src, tw, th)
+        orow = (tw * 3 + 3) & ~3
+        got = (
+            np.frombuffer(out, np.uint8, count=orow * th, offset=54)
+            .reshape(th, orow)[:, : tw * 3]
+            .reshape(th, tw, 3)
+        )
+        assert np.array_equal(got, want)
+
+
+def test_sampled_frames_are_exact_payload_slices(spark):
+    """Frame binaries must be byte-for-byte slices of the source
+    payload at idx*256 — the content half the SQL oracle can't check."""
+    from pyspark.sql import functions as F
+
+    from sales_data_etl_pipeline_spark.operators import multimodal
+
+    ids = spark.range(0, 40).select(F.col("id").alias("media_id"))
+    media = multimodal.synthesize_bmp(ids)
+    payloads = {r.media_id: bytes(r.payload) for r in media.collect()}
+    frames = multimodal.sample_frames(media).collect()
+    assert frames
+    for r in frames:
+        src = payloads[r.media_id]
+        assert bytes(r.frame) == src[r.frame_idx * 256 : (r.frame_idx + 1) * 256]
+        assert r.frame_idx % 4 == 0
