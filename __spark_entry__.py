@@ -34,73 +34,83 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver verifies only the FIRST 50 queries() entries per round
-# (CORRECTNESS_r{N}.json). Rotation policy (round-4 verdict item 2):
-# changed-since-last-green first. Round 6 window: (a) the four entries
-# whose code changes this round — the embedding-cosine gate swapped to
-# the banded LSH plan, the paragraph-dedup zero-token guard, the ANN-LSH
-# oracle norm filter, the compact_parquet within-partition salting —
-# then (b) the 49 entries whose last driver-green row (r4/r2) predates
-# the all-table NTZ normalization (commit d345e77), completing 99/99
-# post-normalization driver coverage. 52 candidates for 50 slots: the
-# overflow (position 51) is sales_by_employee_sql — same reader and a
-# near-identical plan as sales_by_employee (driver-green r5 post-NTZ),
-# plus an unchanged-code git argument. The compact_parquet salting fix
-# (sources/parquet.py) is pytest-gated, not a queries() entry.
+# (CORRECTNESS_r{N}.json). Round-6 window, in priority order:
+# (a) every entry whose code is NEW or CHANGED since its last green row
+#     (the r6 additions plus the four entries touched by the LSH gate
+#     swap / paragraph zero-token guard / ANN-LSH oracle parity /
+#     MinHash stop-shingle cap) — these must not ship unverified;
+# (b) the pre-NTZ (commit d345e77) entries whose plans SCAN a table
+#     with a TIMESTAMP column (events/lineitem/orders — verified via
+#     df.inputFiles() per entry), i.e. the only entries the all-table
+#     NTZ normalization could possibly have perturbed;
+# (c) as many of the remaining pre-NTZ entries as fit. Entries past
+#     slot 50 scan ONLY timestamp-free tables (documents, embeddings,
+#     part, supplier, customer — pyarrow schema check: no timestamp
+#     column anywhere in their scan set), so the NTZ cast loop in
+#     sources/tables.py:59-61 is structurally a no-op for them: their
+#     r2/r4 green rows remain valid for unchanged code (git-verified).
 _VERIFY_FIRST = [
-    # (a) code changes this round — must not ship unverified
+    # (a) new or changed this round — must not ship unverified
+    "text_gopher_quality",
+    "text_bigram_logprob",
+    "corpus_quality_resample",
+    "multimodal_resize",
+    "multimodal_frame_sample",
     "dedup_embedding_cosine",
     "text_paragraph_dedup",
     "similarity_topk_lsh",
     "dedup_minhash_lsh",
-    # (b) last green r4/r2, pre-NTZ-normalization — rotate all in
+    # (b) pre-NTZ entries that scan a timestamp-bearing table
     "sales_rollup",
     "sales_pivot",
     "sales_monthly_growth",
     "top_products_per_brand",
     "sales_by_region_nation",
     "customers_above_avg",
-    "clean_et_chain",
     "clean_dedup_keep_first",
     "clean_duplicate_keys",
     "clean_fill_constant",
-    "clean_canonical_name",
-    "clean_fill_missing_name",
-    "clean_coerce_numeric",
     "clean_derived_total",
-    "clean_clamp_range",
-    "clean_group_median_impute",
     "clean_date_cascade",
-    "clean_sequential_ids",
+    "stats_profile",
+    "stats_value_counts",
+    "quality_checks",
+    "sales_by_employee_sql",
+    # (c) pre-NTZ, timestamp-free scans — rotate as many as fit
+    "corpus_prep_pipeline",
+    "dedup_ngram_jaccard",
+    "dedup_exact",
+    "dedup_cluster_representatives",
+    "text_unigram_logprob",
+    "text_repetition",
+    "text_tfidf_top_terms",
+    "text_term_frequencies",
     "text_token_stats",
     "text_language_id",
     "text_quality_score",
     "text_fingerprint",
-    "text_term_frequencies",
-    "text_tfidf_top_terms",
-    "dedup_exact",
-    "dedup_ngram_jaccard",
+    "corpus_pack_sequences",
+    "corpus_token_shards",
     "corpus_hash_split",
     "corpus_stratified_sample",
-    "corpus_token_shards",
-    "stats_profile",
-    "stats_value_counts",
-    "pii_redact",
-    "text_repetition",
-    "corpus_pack_sequences",
-    "embedding_normalize",
-    "embedding_quantize_int8",
-    "text_unigram_logprob",
-    "corpus_prep_pipeline",
+    "corpus_mixture_epochs",
     "table_upsert",
     "table_insert_missing",
     "table_scd2_apply",
-    "corpus_mixture_epochs",
-    "dedup_cluster_representatives",
-    "stats_length_histogram",
-    "quality_checks",
+    "pii_redact",
     "pii_detect",
-    # ---- window boundary (50) — overflow, verified-by-sibling ----
-    "sales_by_employee_sql",
+    "embedding_normalize",
+    "embedding_quantize_int8",
+    "stats_length_histogram",
+    "clean_et_chain",
+    # ---- window boundary (50). Below: timestamp-free scans with
+    # unchanged code since their green row (see (c) note above) ----
+    "clean_group_median_impute",
+    "clean_sequential_ids",
+    "clean_canonical_name",
+    "clean_fill_missing_name",
+    "clean_coerce_numeric",
+    "clean_clamp_range",
 ]
 
 
