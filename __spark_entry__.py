@@ -51,6 +51,16 @@ def entry(spark: SparkSession) -> DataFrame:
 #     r2/r4 green rows remain valid for unchanged code (git-verified).
 _VERIFY_FIRST = [
     # (a) new or changed this round — must not ship unverified
+    "q4_priority_late_ship",
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q10_returned_items",
+    "q14_promo_revenue",
+    "q16_supplier_part_counts",
+    "q18_large_orders",
+    "q19_disjunctive_revenue",
+    "q22_dormant_customers",
     "text_gopher_quality",
     "text_bigram_logprob",
     "corpus_quality_resample",
@@ -93,6 +103,8 @@ _VERIFY_FIRST = [
     "corpus_token_shards",
     "corpus_hash_split",
     "corpus_stratified_sample",
+    # ---- window boundary (50). Below: timestamp-free scans with
+    # unchanged code since their green row (see (c) note above) ----
     "corpus_mixture_epochs",
     "table_upsert",
     "table_insert_missing",
@@ -103,8 +115,6 @@ _VERIFY_FIRST = [
     "embedding_quantize_int8",
     "stats_length_histogram",
     "clean_et_chain",
-    # ---- window boundary (50). Below: timestamp-free scans with
-    # unchanged code since their green row (see (c) note above) ----
     "clean_group_median_impute",
     "clean_sequential_ids",
     "clean_canonical_name",
@@ -135,6 +145,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q5_local_supplier_volume": analytics.td_q5_local_supplier_volume,
         "q13_customer_distribution": analytics.td_q13_customer_distribution,
         "q17_small_quantity_revenue": analytics.td_q17_small_quantity_revenue,
+        "q4_priority_late_ship": analytics.td_q4_priority_late_ship,
+        "q6_forecast_revenue": analytics.td_q6_forecast_revenue,
+        "q7_volume_shipping": analytics.td_q7_volume_shipping,
+        "q8_market_share": analytics.td_q8_market_share,
+        "q10_returned_items": analytics.td_q10_returned_items,
+        "q14_promo_revenue": analytics.td_q14_promo_revenue,
+        "q16_supplier_part_counts": analytics.td_q16_supplier_part_counts,
+        "q18_large_orders": analytics.td_q18_large_orders,
+        "q19_disjunctive_revenue": analytics.td_q19_disjunctive_revenue,
+        "q22_dormant_customers": analytics.td_q22_dormant_customers,
         # §2.2/2.5 cleaning layer (reference extract-transform-data/et_*.py)
         **cleaning_demo.QUERIES,
         # extension layer: text analysis / dedup / similarity / event windows
@@ -222,6 +242,138 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n_items
             FROM li l JOIN a ON l.l_partkey = a.l_partkey
             WHERE l.l_quantity < a.thresh
+        """,
+        "q4_priority_late_ship": """
+            SELECT o_orderpriority, COUNT(*) AS order_count
+            FROM orders o
+            WHERE o.o_orderdate >= TIMESTAMP '1997-01-01'
+              AND o.o_orderdate < TIMESTAMP '1997-04-01'
+              AND EXISTS (SELECT 1 FROM lineitem l
+                          WHERE l.l_orderkey = o.o_orderkey
+                            AND l.l_shipdate > o.o_orderdate
+                                              + INTERVAL 30 DAY)
+            GROUP BY o_orderpriority ORDER BY o_orderpriority
+        """,
+        "q6_forecast_revenue": f"""
+            SELECT {r2.format(x='SUM(l_extendedprice * l_discount)')}
+                       AS revenue,
+                   COUNT(*) AS n_items
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+              AND l_shipdate < TIMESTAMP '1998-01-01'
+              AND l_discount >= 0.05 AND l_discount <= 0.07
+              AND l_quantity < 24
+        """,
+        "q7_volume_shipping": f"""
+            SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                   EXTRACT(YEAR FROM l.l_shipdate) AS l_year,
+                   {r2.format(x=f'SUM({revenue})')} AS revenue
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+            JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+            WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l.l_shipdate < TIMESTAMP '1998-01-01'
+              AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+                OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+            GROUP BY supp_nation, cust_nation, l_year
+            ORDER BY supp_nation, cust_nation, l_year
+        """,
+        "q8_market_share": f"""
+            SELECT EXTRACT(YEAR FROM o.o_orderdate) AS o_year,
+                   CAST(floor(
+                       SUM(CASE WHEN n1.n_name = 'NATION_3'
+                                THEN {revenue} ELSE 0.0 END)
+                       / SUM({revenue}) * 10000 + 0.5) AS BIGINT)
+                       AS mkt_share_bp
+            FROM lineitem l
+            JOIN part p ON l.l_partkey = p.p_partkey
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+            JOIN region r ON n2.n_regionkey = r.r_regionkey
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+            WHERE r.r_name = 'AMERICA' AND p.p_type = 'ECONOMY'
+            GROUP BY o_year ORDER BY o_year
+        """,
+        "q10_returned_items": f"""
+            SELECT c.c_custkey, c.c_name, c.c_acctbal, n.n_name,
+                   {r2.format(x=f'SUM({revenue})')} AS revenue
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            WHERE l.l_returnflag = 'R'
+              AND o.o_orderdate >= TIMESTAMP '1997-07-01'
+              AND o.o_orderdate < TIMESTAMP '1997-10-01'
+            GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+            ORDER BY revenue DESC, c.c_custkey LIMIT 20
+        """,
+        "q14_promo_revenue": f"""
+            SELECT CAST(floor(
+                       SUM(CASE WHEN p.p_type = 'PROMO'
+                                THEN {revenue} ELSE 0.0 END)
+                       / SUM({revenue}) * 10000 + 0.5) AS BIGINT)
+                       AS promo_share_bp,
+                   COUNT(*) AS n_items
+            FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+            WHERE l.l_shipdate >= TIMESTAMP '1997-09-01'
+              AND l.l_shipdate < TIMESTAMP '1997-10-01'
+        """,
+        "q16_supplier_part_counts": """
+            SELECT p.p_brand, p.p_type, p.p_size,
+                   COUNT(DISTINCT l.l_suppkey) AS supplier_cnt
+            FROM lineitem l
+            JOIN part p ON l.l_partkey = p.p_partkey
+            WHERE p.p_brand <> 'Brand#5'
+              AND p.p_size IN (1, 9, 14, 19, 23, 36, 45, 49)
+              AND l.l_suppkey NOT IN
+                  (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+            GROUP BY p.p_brand, p.p_type, p.p_size
+            ORDER BY supplier_cnt DESC, p.p_brand, p.p_type, p.p_size
+        """,
+        "q18_large_orders": f"""
+            SELECT c.c_name, c.c_custkey, o.o_orderkey,
+                   strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate,
+                   o.o_totalprice,
+                   {r2.format(x='SUM(l.l_quantity)')} AS total_qty
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            WHERE o.o_orderkey IN
+                  (SELECT l_orderkey FROM lineitem
+                   GROUP BY l_orderkey HAVING SUM(l_quantity) > 300)
+            GROUP BY c.c_name, c.c_custkey, o.o_orderkey, orderdate,
+                     o.o_totalprice
+            ORDER BY o.o_totalprice DESC, o.o_orderkey LIMIT 100
+        """,
+        "q19_disjunctive_revenue": f"""
+            SELECT {r2.format(x=f'SUM({revenue})')} AS revenue,
+                   COUNT(*) AS n_items
+            FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+            WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5
+                   AND l.l_quantity BETWEEN 1 AND 11)
+               OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 10
+                   AND l.l_quantity BETWEEN 10 AND 20)
+               OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 15
+                   AND l.l_quantity BETWEEN 20 AND 30)
+        """,
+        "q22_dormant_customers": f"""
+            WITH a AS (SELECT AVG(c_acctbal) AS avg_bal FROM customer
+                       WHERE c_acctbal > 0)
+            SELECT c.c_nationkey AS cntrycode,
+                   COUNT(*) AS numcust,
+                   {r2.format(x='SUM(c.c_acctbal)')} AS totacctbal
+            FROM customer c, a
+            WHERE c.c_nationkey % 5 IN (0, 1, 2)
+              AND c.c_acctbal > a.avg_bal
+              AND NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_custkey = c.c_custkey
+                                AND o.o_orderdate >= TIMESTAMP '1999-01-01')
+            GROUP BY cntrycode ORDER BY cntrycode
         """,
         "sales_by_employee": sales_by_employee,
         "sales_by_employee_sql": sales_by_employee,

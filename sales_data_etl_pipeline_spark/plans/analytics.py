@@ -657,3 +657,376 @@ def td_q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame
         ).alias("avg_yearly"),
         F.count(F.lit(1)).alias("n_items"),
     )
+
+
+# --- TPC-H-shaped OLAP classics, batch 2 (Q4/Q6/Q7/Q8/Q10/Q14/Q16/Q18/
+# Q19/Q22 analogs). The testdata star schema lacks partsupp and the
+# commit/receipt-date & shipmode/container/phone columns, so each analog
+# keeps the ORIGINAL query's structural shape (the thing Catalyst has to
+# plan well) with predicates re-expressed over available columns. ------------
+
+
+def td_q4_priority_late_ship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS-semijoin order count by priority.
+
+    Orders from one quarter having at least one line item shipped more
+    than 30 days after the order date. The EXISTS becomes a LEFT SEMI
+    join on the order key with the non-equi lateness predicate attached
+    to the join, so each order contributes once no matter how many late
+    items it has and the fact side never materializes a row explosion.
+    """
+    t = load_testdata(spark, sf_dir, ("lineitem", "orders"))
+    orders = t["orders"].filter(
+        (F.col("o_orderdate") >= F.to_timestamp(F.lit("1997-01-01")))
+        & (F.col("o_orderdate") < F.to_timestamp(F.lit("1997-04-01")))
+    )
+    li = t["lineitem"].select("l_orderkey", "l_shipdate")
+    late = orders.join(
+        li,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")
+        ),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+def td_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: the pure scan-filter-aggregate. Every predicate
+    (date range, discount band, quantity cap) pushes to the parquet
+    scan; the aggregate is a single map-side-combined global sum —
+    zero joins, one 1-row shuffle. The 100 TB plan is exactly this
+    plus partition pruning on the date column."""
+    li = load_testdata(spark, sf_dir, ("lineitem",))["lineitem"]
+    f = li.filter(
+        (F.col("l_shipdate") >= F.to_timestamp(F.lit("1997-01-01")))
+        & (F.col("l_shipdate") < F.to_timestamp(F.lit("1998-01-01")))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return f.agg(
+        _r2(F.sum(F.col("l_extendedprice") * F.col("l_discount"))).alias(
+            "revenue"
+        ),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+def td_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: bilateral trade volume between two nations by
+    ship year. Supplier and customer nation dims broadcast onto the
+    fact; the disjunctive nation-pair predicate filters after both
+    broadcasts so the only shuffles are fact⋈orders and the final
+    4-row aggregate."""
+    t = load_testdata(
+        spark, sf_dir, ("lineitem", "orders", "customer", "supplier", "nation")
+    )
+    supp_n = (
+        t["supplier"]
+        .join(
+            F.broadcast(t["nation"]),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    cust_n = (
+        t["customer"]
+        .join(
+            F.broadcast(t["nation"]),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    li = t["lineitem"].filter(
+        (F.col("l_shipdate") >= F.to_timestamp(F.lit("1996-01-01")))
+        & (F.col("l_shipdate") < F.to_timestamp(F.lit("1998-01-01")))
+    )
+    pair = (F.col("supp_nation") == "NATION_1") & (
+        F.col("cust_nation") == "NATION_2"
+    ) | (F.col("supp_nation") == "NATION_2") & (
+        F.col("cust_nation") == "NATION_1"
+    )
+    return (
+        li.join(
+            t["orders"].select("o_orderkey", "o_custkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(F.broadcast(supp_n), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(cust_n), F.col("o_custkey") == F.col("c_custkey"))
+        .filter(pair)
+        .groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+        )
+        .agg(_r2(F.sum(_revenue())).alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+def td_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: one nation's share of a region's market for one
+    part type, by order year — the conditional-sum-ratio pattern.
+    Share = sum(rev where supplier ∈ NATION_3) / sum(rev), emitted in
+    basis points (floor(x·10⁴+0.5) as BIGINT) so the double division
+    compares bit-stably against the oracle."""
+    t = load_testdata(
+        spark,
+        sf_dir,
+        ("lineitem", "orders", "customer", "supplier", "nation", "region", "part"),
+    )
+    america = (
+        t["nation"]
+        .join(
+            F.broadcast(
+                t["region"]
+                .filter(F.col("r_name") == "AMERICA")
+                .select("r_regionkey")
+            ),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("n_nationkey")
+    )
+    cust = t["customer"].join(
+        F.broadcast(america), F.col("c_nationkey") == F.col("n_nationkey")
+    ).select("c_custkey")
+    supp_n = (
+        t["supplier"]
+        .join(
+            F.broadcast(t["nation"].select("n_nationkey", "n_name")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    parts = t["part"].filter(F.col("p_type") == "ECONOMY").select("p_partkey")
+    rev = _revenue()
+    joined = (
+        t["lineitem"]
+        .join(F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey"))
+        .join(
+            t["orders"].select("o_orderkey", "o_custkey", "o_orderdate"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(supp_n), F.col("l_suppkey") == F.col("s_suppkey"))
+    )
+    return (
+        joined.groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.floor(
+                F.sum(
+                    F.when(F.col("supp_nation") == "NATION_3", rev).otherwise(
+                        F.lit(0.0)
+                    )
+                )
+                / F.sum(rev)
+                * 10000
+                + F.lit(0.5)
+            ).alias("mkt_share_bp")
+        )
+        .orderBy("o_year")
+    )
+
+
+def td_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: top-20 customers by lost revenue on returned
+    items in one quarter. Customer/nation dims broadcast; lineitem
+    pre-filters on the return flag; TakeOrderedAndProject keeps the
+    top-k sort bounded at k rows per partition."""
+    t = load_testdata(
+        spark, sf_dir, ("lineitem", "orders", "customer", "nation")
+    )
+    orders = t["orders"].filter(
+        (F.col("o_orderdate") >= F.to_timestamp(F.lit("1997-07-01")))
+        & (F.col("o_orderdate") < F.to_timestamp(F.lit("1997-10-01")))
+    )
+    li = t["lineitem"].filter(F.col("l_returnflag") == "R")
+    cust = t["customer"].join(
+        F.broadcast(t["nation"].select("n_nationkey", "n_name")),
+        F.col("c_nationkey") == F.col("n_nationkey"),
+    )
+    return (
+        li.select("l_orderkey", _revenue().alias("_rev"))
+        .join(
+            orders.select("o_orderkey", "o_custkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(
+            F.broadcast(
+                cust.select("c_custkey", "c_name", "c_acctbal", "n_name")
+            ),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(_r2(F.sum("_rev")).alias("revenue"))
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+def td_q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: promotional revenue share for one ship month —
+    CASE-conditional aggregate over a broadcast part join, emitted in
+    basis points for bit-stable comparison."""
+    t = load_testdata(spark, sf_dir, ("lineitem", "part"))
+    li = t["lineitem"].filter(
+        (F.col("l_shipdate") >= F.to_timestamp(F.lit("1997-09-01")))
+        & (F.col("l_shipdate") < F.to_timestamp(F.lit("1997-10-01")))
+    )
+    rev = _revenue()
+    joined = li.join(
+        F.broadcast(t["part"].select("p_partkey", "p_type")),
+        F.col("l_partkey") == F.col("p_partkey"),
+    )
+    return joined.agg(
+        F.floor(
+            F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0)))
+            / F.sum(rev)
+            * 10000
+            + F.lit(0.5)
+        ).alias("promo_share_bp"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+def td_q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: distinct-supplier counts per (brand, type,
+    size) for selected sizes, excluding one brand and a supplier
+    denylist — the NOT-IN becomes a broadcast LEFT ANTI join (the
+    denylist is tiny by construction), and the count-distinct is a
+    two-phase hash aggregate (partials on (grp, suppkey), then final
+    count) rather than a global sort."""
+    t = load_testdata(spark, sf_dir, ("lineitem", "part", "supplier"))
+    parts = t["part"].filter(
+        (F.col("p_brand") != "Brand#5")
+        & F.col("p_size").isin(1, 9, 14, 19, 23, 36, 45, 49)
+    )
+    deny = t["supplier"].filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    return (
+        t["lineitem"]
+        .select("l_partkey", "l_suppkey")
+        .join(
+            F.broadcast(deny),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            "left_anti",
+        )
+        .join(
+            F.broadcast(parts.select("p_partkey", "p_brand", "p_type", "p_size")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+def td_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: customers with orders whose total quantity
+    exceeds a threshold — the HAVING-subquery pattern. The qualifying
+    order set is computed once (map-side-combined sum per order key,
+    filter > 300) and semi-joined back; the outer aggregate then runs
+    only over qualifying orders, so the second pass over lineitem
+    touches a ~1% row subset."""
+    t = load_testdata(spark, sf_dir, ("lineitem", "orders", "customer"))
+    li = t["lineitem"].select("l_orderkey", "l_quantity")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("_qty"))
+        .filter(F.col("_qty") > 300)
+        .select("l_orderkey")
+    )
+    orders = t["orders"].join(
+        big.withColumnRenamed("l_orderkey", "_ok"),
+        F.col("o_orderkey") == F.col("_ok"),
+        "left_semi",
+    )
+    return (
+        li.join(
+            orders.select(
+                "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(
+            F.broadcast(t["customer"].select("c_custkey", "c_name")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .groupBy(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "o_totalprice",
+        )
+        .agg(_r2(F.sum("l_quantity")).alias("total_qty"))
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(100)
+    )
+
+
+def td_q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: revenue under an OR of three (brand,
+    size-range, quantity-range) conjunctions. The part side of each
+    disjunct (brand + size) pushes into the broadcast dim scan as
+    `(b₁∧s₁)∨(b₂∧s₂)∨(b₃∧s₃)`; the mixed fact⋈dim residual applies
+    after the join — one broadcast, no shuffle before the 1-row agg."""
+    t = load_testdata(spark, sf_dir, ("lineitem", "part"))
+    p = F.broadcast(t["part"].select("p_partkey", "p_brand", "p_size"))
+    j = t["lineitem"].join(p, F.col("l_partkey") == F.col("p_partkey"))
+    d1 = (
+        (F.col("p_brand") == "Brand#12")
+        & F.col("p_size").between(1, 5)
+        & F.col("l_quantity").between(1, 11)
+    )
+    d2 = (
+        (F.col("p_brand") == "Brand#23")
+        & F.col("p_size").between(1, 10)
+        & F.col("l_quantity").between(10, 20)
+    )
+    d3 = (
+        (F.col("p_brand") == "Brand#34")
+        & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(20, 30)
+    )
+    return j.filter(d1 | d2 | d3).agg(
+        _r2(F.sum(_revenue())).alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+def td_q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: high-balance customers in selected country
+    groups with no recent orders — scalar-subquery threshold (global
+    positive-balance average, computed once and broadcast as a 1-row
+    frame) plus a LEFT ANTI join against recent orders. No correlated
+    per-row subquery survives into the physical plan."""
+    t = load_testdata(spark, sf_dir, ("customer", "orders"))
+    cust = t["customer"].filter((F.col("c_nationkey") % 5).isin(0, 1, 2))
+    avg_bal = (
+        t["customer"]
+        .filter(F.col("c_acctbal") > 0)
+        .agg(F.avg("c_acctbal").alias("_avg_bal"))
+    )
+    recent = t["orders"].filter(
+        F.col("o_orderdate") >= F.to_timestamp(F.lit("1999-01-01"))
+    )
+    return (
+        cust.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("_avg_bal"))
+        .join(
+            recent.select("o_custkey"),
+            F.col("c_custkey") == F.col("o_custkey"),
+            "left_anti",
+        )
+        .groupBy(F.col("c_nationkey").alias("cntrycode"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            _r2(F.sum("c_acctbal")).alias("totacctbal"),
+        )
+        .orderBy("cntrycode")
+    )
