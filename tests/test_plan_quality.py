@@ -80,3 +80,57 @@ def test_region_nation_chain_is_all_broadcast(spark):
     assert plan.count("BroadcastHashJoin") == 4
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_q6_pure_scan_aggregate_no_join(spark):
+    """Q6 shape: predicates at the scan, no join, ≤1 shuffle (the 1-row
+    final aggregate exchange)."""
+    plan = _plan(analytics.td_q6_forecast_revenue(spark, SF_DIR))
+    assert "Join" not in plan
+    assert re.search(r"PushedFilters: \[.*GreaterThanOrEqual\(l_shipdate",
+                     plan) or "l_shipdate" in plan
+    assert len(re.findall(r"\bExchange\b", plan)) <= 1
+
+
+def test_q19_part_side_broadcasts_with_pushed_disjunction(spark):
+    """Q19 shape: the part dim broadcasts; the brand∈{...} disjunction
+    reaches the part scan as a pushed filter (Or(...Brand#12...))."""
+    plan = _plan(analytics.td_q19_disjunctive_revenue(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "Brand#12" in plan  # disjunct constants visible at the scan
+
+
+def test_q4_semi_join_not_row_explosion(spark):
+    """Q4 shape: EXISTS compiles to a LeftSemi join, never an inner join
+    + distinct (which would materialize the multiplicity)."""
+    plan = _plan(analytics.td_q4_priority_late_ship(spark, SF_DIR))
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q18_having_subquery_is_semi_join(spark):
+    plan = _plan(analytics.td_q18_large_orders(spark, SF_DIR))
+    assert "LeftSemi" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_q22_anti_join_and_scalar_broadcast(spark):
+    """Q22 shape: the no-recent-orders NOT EXISTS is a LeftAnti join and
+    the global-average threshold arrives as a broadcast, not a
+    per-row subquery."""
+    plan = _plan(analytics.td_q22_dormant_customers(spark, SF_DIR))
+    assert "LeftAnti" in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_q16_denylist_is_broadcast_anti_join(spark):
+    plan = _plan(analytics.td_q16_supplier_part_counts(spark, SF_DIR))
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q10_topk_bounded_sort(spark):
+    plan = _plan(analytics.td_q10_returned_items(spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
