@@ -61,6 +61,9 @@ _VERIFY_FIRST = [
     "q18_large_orders",
     "q19_disjunctive_revenue",
     "q22_dormant_customers",
+    "dedup_incremental",
+    "embedding_knn_label",
+    "events_top_per_day",
     "text_gopher_quality",
     "text_bigram_logprob",
     "corpus_quality_resample",
@@ -100,11 +103,11 @@ _VERIFY_FIRST = [
     "text_quality_score",
     "text_fingerprint",
     "corpus_pack_sequences",
+    # ---- window boundary (50). Below: timestamp-free scans with
+    # unchanged code since their green row (see (c) note above) ----
     "corpus_token_shards",
     "corpus_hash_split",
     "corpus_stratified_sample",
-    # ---- window boundary (50). Below: timestamp-free scans with
-    # unchanged code since their green row (see (c) note above) ----
     "corpus_mixture_epochs",
     "table_upsert",
     "table_insert_missing",

@@ -24,7 +24,7 @@ Scale shapes:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Observation
+from pyspark.sql import Column, DataFrame, Observation, Window
 from pyspark.sql import functions as F
 
 from sales_data_etl_pipeline_spark.operators.text import TOKENIZE
@@ -765,3 +765,113 @@ def select_cluster_representatives(
         )
     )
     return best
+
+
+def minhash_lsh_incremental(
+    base: DataFrame,
+    incoming: DataFrame,
+    *,
+    num_hashes: int = 16,
+    bands: int = 4,
+    n: int = 3,
+    threshold: float = 0.5,
+    text_col: str = "text",
+) -> DataFrame:
+    """Incremental MinHash-LSH dedup: match INCOMING docs against an
+    existing BASE corpus — the daily-ingest shape of a 100 TB pipeline.
+
+    The candidate join is strictly base-bands ⋈ incoming-bands on
+    (band, signature): incoming never self-joins and base never
+    re-pairs with itself, so per-batch cost is O(|incoming| + matched
+    candidates) regardless of corpus size. At cluster scale the base
+    side's per-doc signature table is the artifact a previous run
+    persisted (bucketed by (band, sig)); recomputing it here keeps the
+    operator self-contained while the join shape stays identical.
+
+    Returns one row per matched incoming doc: (doc_id, base_id,
+    jaccard) — its BEST base match (highest rounded jaccard, smallest
+    base id on ties). Unmatched incoming docs are absent (the caller
+    anti-joins to get the admit set).
+    """
+    rows = num_hashes // bands
+
+    def per_doc(df: DataFrame) -> DataFrame:
+        sh = shingle_sets(df, text_col, n)
+        ids = sh.select(
+            "doc_id", "sh", F.expr(hash_id_expr("sh", MINHASH_P)).alias("sid")
+        )
+        aggs = [
+            F.min(
+                F.expr(f"pmod(({2 * k + 1}) * sid + ({3 * k + 7}), {MINHASH_P})")
+            ).alias(f"_mh{k}")
+            for k in range(num_hashes)
+        ]
+        return ids.groupBy("doc_id").agg(
+            *aggs,
+            F.count(F.lit(1)).alias("sz"),
+            F.collect_list("sh").alias("_shset"),
+        )
+
+    def band_sig(pd: DataFrame) -> DataFrame:
+        structs = [
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat_ws(
+                    ",", *[F.col(f"_mh{b * rows + r}") for r in range(rows)]
+                ).alias("sig"),
+            )
+            for b in range(bands)
+        ]
+        return pd.select(
+            "doc_id", F.explode(F.array(*structs)).alias("bs")
+        ).select(
+            "doc_id",
+            F.col("bs.band").alias("band"),
+            F.col("bs.sig").alias("sig"),
+        )
+
+    base_pd = per_doc(base).localCheckpoint(eager=False)
+    inc_pd = per_doc(incoming).localCheckpoint(eager=False)
+    candidates = (
+        band_sig(base_pd)
+        .select(
+            F.col("doc_id").alias("base_id"), "band", "sig"
+        )
+        .join(
+            band_sig(inc_pd).select(
+                F.col("doc_id").alias("doc_id"), "band", "sig"
+            ),
+            ["band", "sig"],
+        )
+        .select("base_id", "doc_id")
+        .distinct()
+    )
+    va = base_pd.select(
+        F.col("doc_id").alias("base_id"),
+        F.col("sz").alias("sz_a"),
+        F.col("_shset").alias("_set_a"),
+    )
+    vb = inc_pd.select(
+        "doc_id", F.col("sz").alias("sz_b"), F.col("_shset").alias("_set_b")
+    )
+    verified = (
+        candidates.join(va, "base_id")
+        .join(vb, "doc_id")
+        .withColumn("inter", F.size(F.array_intersect("_set_a", "_set_b")))
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("jaccard"), F.asc("base_id")
+    )
+    return (
+        verified.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("doc_id", "base_id", "jaccard")
+    )

@@ -2724,3 +2724,168 @@ ORACLES["multimodal_frame_sample"] = """
     FROM f WHERE i % 4 = 0
     ORDER BY media_id, frame_idx
 """
+
+
+# --- round 6: incremental dedup, kNN labeling, daily top-k ------------------
+
+from pyspark.sql import Window as _W
+
+
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental MinHash-LSH: match an incoming batch (truncated
+    near-dup copies of every 20th doc, plus reversed-text decoys that
+    must NOT match) against the existing corpus. The scale property
+    under test: the candidate join is base⋈incoming only — cost per
+    ingest batch is independent of corpus self-pair count."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    incoming = (
+        docs.filter(F.col("doc_id") % 20 == 0)
+        .select(
+            (F.col("doc_id") + 10000).alias("doc_id"),
+            F.expr(
+                "substring(text, 1, greatest(length(text) - 30, 1))"
+            ).alias("text"),
+        )
+        .unionByName(
+            docs.filter(F.col("doc_id") % 7 == 3).select(
+                (F.col("doc_id") + 20000).alias("doc_id"),
+                F.reverse(F.col("text")).alias("text"),
+            )
+        )
+    )
+    return dedup.minhash_lsh_incremental(docs, incoming, threshold=0.5).orderBy(
+        "doc_id"
+    )
+
+
+QUERIES["dedup_incremental"] = dedup_incremental
+ORACLES["dedup_incremental"] = f"""
+    WITH inc AS (
+        SELECT doc_id + 10000 AS doc_id,
+               substring(text, 1, greatest(length(text) - 30, 1)) AS text
+        FROM documents WHERE doc_id % 20 = 0
+        UNION ALL
+        SELECT doc_id + 20000 AS doc_id, reverse(text) AS text
+        FROM documents WHERE doc_id % 7 = 3),
+    d AS (SELECT doc_id, text FROM documents UNION ALL SELECT * FROM inc),
+    sh AS (SELECT doc_id, UNNEST({{sh}}) AS sh FROM d),
+    ids AS (SELECT doc_id, {{hid}} AS sid FROM sh),
+    hashed AS (
+        SELECT doc_id, k, ((2*k + 1) * sid + (3*k + 7)) % {{p}} AS h
+        FROM ids, UNNEST(generate_series(0, 15)) AS u(k)),
+    sig AS (SELECT doc_id, k, MIN(h) AS minhash FROM hashed GROUP BY 1, 2),
+    band_sig AS (
+        SELECT doc_id, CAST(k // 4 AS INT) AS band,
+               string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY k) AS sig
+        FROM sig GROUP BY 1, 2),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS base_id, b.doc_id AS doc_id
+        FROM band_sig a JOIN band_sig b
+          ON a.band = b.band AND a.sig = b.sig
+        WHERE a.doc_id < 10000 AND b.doc_id >= 10000),
+    sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT c.base_id, c.doc_id, COUNT(*) AS inter
+        FROM cand c
+        JOIN sh sa ON sa.doc_id = c.base_id
+        JOIN sh sb ON sb.doc_id = c.doc_id AND sa.sh = sb.sh
+        GROUP BY 1, 2),
+    j AS (
+        SELECT i.doc_id, i.base_id,
+               ROUND(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 6)
+                   AS jaccard
+        FROM inter i
+        JOIN sz sa ON sa.doc_id = i.base_id
+        JOIN sz sb ON sb.doc_id = i.doc_id
+        WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.5)
+    SELECT doc_id, base_id, jaccard FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY doc_id ORDER BY jaccard DESC, base_id) AS rn
+        FROM j)
+    WHERE rn = 1 ORDER BY doc_id
+""".format(sh=_SHINGLES, hid=dedup.hash_id_sql("sh", dedup.MINHASH_P),
+           p=dedup.MINHASH_P)
+
+
+def embedding_knn_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN majority-vote classifier over the embedding table: for each
+    query vector, the top-5 exact-cosine neighbors vote with their
+    stored label (ties → smallest label). The neighbor search is the
+    gated brute-force kernel; at 100 TB the IVF/LSH variants drop in
+    unchanged (same output contract)."""
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") % 37 == 0)
+    tk = similarity.cosine_topk(
+        emb.select("vec_id", "embedding"),
+        queries.select("vec_id", "embedding"),
+        k=5,
+    )
+    labels = emb.select(F.col("vec_id").alias("neighbor_id"), "label")
+    votes = (
+        tk.join(F.broadcast(labels), "neighbor_id")
+        .groupBy("query_id", "label")
+        .agg(F.count(F.lit(1)).alias("votes"))
+    )
+    w = _W.partitionBy("query_id").orderBy(F.desc("votes"), F.asc("label"))
+    return (
+        votes.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("query_id", F.col("label").alias("pred_label"), "votes")
+        .orderBy("query_id")
+    )
+
+
+QUERIES["embedding_knn_label"] = embedding_knn_label
+ORACLES["embedding_knn_label"] = f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qvec
+               FROM embeddings WHERE vec_id % 37 = 0),
+    scored AS (
+        SELECT q.query_id, e.vec_id AS neighbor_id, e.label,
+               ROUND({_DOT.format(a='q.qvec', b='e.embedding')}
+                     / ({_NORM.format(v='q.qvec')}
+                        * {_NORM.format(v='e.embedding')}), 6) AS cosine
+        FROM embeddings e, q WHERE e.vec_id <> q.query_id),
+    ranked AS (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+        FROM scored),
+    votes AS (
+        SELECT query_id, label, COUNT(*) AS votes
+        FROM ranked WHERE rank <= 5 GROUP BY 1, 2),
+    best AS (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY votes DESC, label) AS rn
+        FROM votes)
+    SELECT query_id, label AS pred_label, votes
+    FROM best WHERE rn = 1 ORDER BY query_id
+"""
+
+
+def events_top_per_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 event types per day by volume — groupBy + per-day
+    row_number window. The window partitions by day (thousands of
+    independent partitions at scale), never a global sort."""
+    ev = _events(spark, sf_dir)
+    counts = ev.groupBy(
+        F.date_format("ts", "yyyy-MM-dd").alias("day"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    w = _W.partitionBy("day").orderBy(F.desc("n_events"), F.asc("event_type"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .orderBy("day", "rank")
+    )
+
+
+QUERIES["events_top_per_day"] = events_top_per_day
+ORACLES["events_top_per_day"] = """
+    WITH c AS (
+        SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
+               COUNT(*) AS n_events
+        FROM events GROUP BY 1, 2),
+    r AS (SELECT *, CAST(row_number() OVER (
+              PARTITION BY day ORDER BY n_events DESC, event_type) AS INT)
+              AS rank FROM c)
+    SELECT day, event_type, n_events, rank FROM r
+    WHERE rank <= 3 ORDER BY day, rank
+"""
