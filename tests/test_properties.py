@@ -344,3 +344,45 @@ def test_minhash_hot_shingle_cap_drops_boilerplate_candidates(spark):
     # boilerplate-only similarity must not manufacture pairs among the
     # 40 otherwise-distinct docs once the hot shingles are gone
     assert all(a == 100 and b == 101 for a, b in capped)
+
+
+def test_incremental_minhash_equals_cross_parity_pairs(spark):
+    """minhash_lsh_incremental(base, inc) must equal the cross-side
+    subset of the full-corpus pair set, reduced to best-match-per-
+    incoming-doc — i.e. splitting the corpus never changes which
+    (base, incoming) pairs the banding finds."""
+    from pyspark.sql import functions as F
+
+    from sales_data_etl_pipeline_spark.operators import dedup
+    from sales_data_etl_pipeline_spark.sources.tables import load_testdata
+
+    base = (
+        load_testdata(spark, "/root/testdata/sf0.001", ("documents",))[
+            "documents"
+        ]
+        .select("doc_id", "text")
+        .limit(60)
+    )
+    inc = base.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 5000).alias("doc_id"),
+        F.expr("substring(text, 1, greatest(length(text) - 25, 1))").alias(
+            "text"
+        ),
+    )
+    got = {
+        (r.doc_id, r.base_id, r.jaccard)
+        for r in dedup.minhash_lsh_incremental(base, inc).collect()
+    }
+    full = dedup.minhash_lsh_pairs(
+        base.unionByName(inc), threshold=0.5
+    ).collect()
+    cross = {}
+    for r in full:
+        lo, hi = (r.id_a, r.id_b) if r.id_a < r.id_b else (r.id_b, r.id_a)
+        if lo < 5000 <= hi:  # base ⋈ incoming only
+            best = cross.get(hi)
+            if best is None or (r.jaccard, -lo) > (best[1], -best[0]):
+                cross[hi] = (lo, r.jaccard)
+    want = {(hi, lo, j) for hi, (lo, j) in cross.items()}
+    assert got == want
+    assert got  # non-degenerate: truncation keeps jaccard above 0.5
