@@ -86,6 +86,20 @@ HEADLINE = [
     "q5_local_supplier_volume",
     "q13_customer_distribution",
     "q17_small_quantity_revenue",
+    # round-6 session 2: TPC-H batch 2 + incremental dedup + kNN
+    "q4_priority_late_ship",
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q10_returned_items",
+    "q14_promo_revenue",
+    "q16_supplier_part_counts",
+    "q18_large_orders",
+    "q19_disjunctive_revenue",
+    "q22_dormant_customers",
+    "dedup_incremental",
+    "embedding_knn_label",
+    "events_top_per_day",
 ]
 
 
