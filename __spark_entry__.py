@@ -64,6 +64,9 @@ _VERIFY_FIRST = [
     "dedup_incremental",
     "embedding_knn_label",
     "events_top_per_day",
+    "text_dup_span_stats",
+    "corpus_shuffle_deterministic",
+    "source_jsonl_roundtrip",
     "text_gopher_quality",
     "text_bigram_logprob",
     "corpus_quality_resample",
@@ -101,10 +104,10 @@ _VERIFY_FIRST = [
     "text_token_stats",
     "text_language_id",
     "text_quality_score",
-    "text_fingerprint",
-    "corpus_pack_sequences",
     # ---- window boundary (50). Below: timestamp-free scans with
     # unchanged code since their green row (see (c) note above) ----
+    "text_fingerprint",
+    "corpus_pack_sequences",
     "corpus_token_shards",
     "corpus_hash_split",
     "corpus_stratified_sample",

@@ -673,3 +673,58 @@ def bigram_logprob_sql(rel: str = "documents", text_col: str = "text") -> str:
         FROM bf JOIN lp USING (a, b)
         GROUP BY bf.doc_id
     """
+
+
+def dup_span_stats(
+    df: DataFrame, text_col: str = "text", *, n: int = 20
+) -> DataFrame:
+    """Per-doc duplicated-span accounting — the sliding-window
+    approximation of exact-substring dedup (Lee et al., "Deduplicating
+    Training Data Makes Language Models Better": a span duplicated
+    anywhere else in the corpus marks the enclosing text).
+
+    Every POSITIONAL n-token window (stride 1, unlike the disjoint
+    paragraph chunks of ``paragraph_dedup_stats``) is hashed; a window
+    whose text occurs in ≥2 distinct documents corpus-wide is a
+    duplicated span. Emits per doc: total spans, duplicated spans, and
+    the duplicated fraction in ppm (pure bigint arithmetic — no float).
+
+    Scale shape: the span table is |tokens| rows but the duplicated-set
+    is computed with one map-side-combinable count-distinct aggregate
+    on the span hash, and rejoined on the SAME hash key — two shuffles
+    on one key, no windows, no broadcast of anything corpus-sized. Docs
+    shorter than n tokens have zero spans and are excluded (guarded
+    against Spark's descending ``sequence(1, 0)``).
+    """
+    toks = TOKENIZE.format(col=text_col)
+    spans = (
+        df.select(
+            "doc_id",
+            F.expr(
+                f"CASE WHEN size({toks}) >= {n} THEN "
+                f"transform(sequence(1, size({toks}) - {n - 1}),"
+                f" i -> array_join(slice({toks}, i, {n}), ' ')) "
+                "ELSE array() END"
+            ).alias("_spans"),
+        )
+        .select("doc_id", F.explode("_spans").alias("_span"))
+        .select("doc_id", F.md5(F.col("_span")).alias("_h"))
+    )
+    dup = (
+        spans.groupBy("_h")
+        .agg(F.count_distinct("doc_id").alias("_nd"))
+        .filter(F.col("_nd") >= 2)
+        .select("_h")
+    )
+    marked = spans.join(dup.withColumn("_dup", F.lit(1)), "_h", "left")
+    return (
+        marked.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum(F.coalesce(F.col("_dup"), F.lit(0))).alias("n_dup_spans"),
+        )
+        .withColumn(
+            "dup_ppm", F.expr("(n_dup_spans * 1000000) div n_spans")
+        )
+        .orderBy("doc_id")
+    )

@@ -2889,3 +2889,99 @@ ORACLES["events_top_per_day"] = """
     SELECT day, event_type, n_events, rank FROM r
     WHERE rank <= 3 ORDER BY day, rank
 """
+
+
+def text_dup_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window duplicated-span fractions over the near-dup
+    corpus (each truncated copy shares almost every 20-token span with
+    its source doc)."""
+    return text.dup_span_stats(_docs_with_near_dups(spark, sf_dir))
+
+
+QUERIES["text_dup_span_stats"] = text_dup_span_stats
+_SPAN_TOKS = _TOKS.format(col="text")
+ORACLES["text_dup_span_stats"] = f"""
+    WITH d AS ({_NEAR_DUP_DOCS}),
+    t AS (SELECT doc_id, {_SPAN_TOKS} AS toks FROM d),
+    sp AS (
+        SELECT doc_id,
+               md5(array_to_string(list_slice(toks, i, i + 19), ' ')) AS h
+        FROM t, UNNEST(generate_series(1, greatest(len(toks) - 19, 0))) AS u(i)
+        WHERE len(toks) >= 20),
+    dup AS (SELECT h FROM sp GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2),
+    m AS (SELECT s.doc_id, CASE WHEN dup.h IS NULL THEN 0 ELSE 1 END AS is_dup
+          FROM sp s LEFT JOIN dup ON s.h = dup.h)
+    SELECT doc_id,
+           COUNT(*) AS n_spans,
+           CAST(SUM(is_dup) AS BIGINT) AS n_dup_spans,
+           (CAST(SUM(is_dup) AS BIGINT) * 1000000) // COUNT(*) AS dup_ppm
+    FROM m GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+def corpus_shuffle_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded deterministic global shuffle for training order: md5 of a
+    seed-prefixed key gives a reproducible pseudo-random total order;
+    the global position comes from the distributed rank operator
+    (range partition + |partitions|-row offsets — no SinglePartition
+    stage), so re-running with the same seed yields byte-identical
+    training curricula."""
+    from sales_data_etl_pipeline_spark.operators import rank as rank_ops
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+    keyed = docs.withColumn(
+        "_k",
+        F.md5(F.concat(F.lit("seed42-"), F.col("doc_id").cast("string"))),
+    )
+    out, _ = rank_ops.distributed_row_number(
+        keyed, [F.col("_k"), F.col("doc_id")], rank_col="position"
+    )
+    return out.select("doc_id", "position").orderBy("position")
+
+
+QUERIES["corpus_shuffle_deterministic"] = corpus_shuffle_deterministic
+ORACLES["corpus_shuffle_deterministic"] = """
+    SELECT doc_id,
+           CAST(row_number() OVER (
+               ORDER BY md5('seed42-' || CAST(doc_id AS VARCHAR)), doc_id)
+               AS BIGINT) AS position
+    FROM documents ORDER BY position
+"""
+
+
+def source_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSONL sink→source round trip: write the documents table as
+    newline-delimited JSON, read it back with the EXPLICIT schema (no
+    inference pass), and aggregate — the oracle computes the same
+    aggregate from the parquet, so any loss in the round trip (type
+    flips, escaping, truncation) breaks the hash."""
+    import tempfile
+
+    from sales_data_etl_pipeline_spark.sources import jsonl
+
+    docs = _docs(spark, sf_dir)
+    path = tempfile.mkdtemp(prefix="jsonl_gate_") + "/docs"
+    jsonl.write_jsonl(docs, path, max_records_per_file=200)
+    back = jsonl.read_jsonl(spark, path, docs.schema)
+    return (
+        back.filter(F.col(jsonl.CORRUPT_COL).isNull())
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.sum(F.length("text")).alias("sum_text_len"),
+            F.count_distinct("source").alias("n_sources"),
+        )
+        .orderBy("lang")
+    )
+
+
+QUERIES["source_jsonl_roundtrip"] = source_jsonl_roundtrip
+ORACLES["source_jsonl_roundtrip"] = """
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           CAST(SUM(length(text)) AS BIGINT) AS sum_text_len,
+           COUNT(DISTINCT source) AS n_sources
+    FROM documents GROUP BY lang ORDER BY lang
+"""
