@@ -32,6 +32,9 @@ CARTESIAN_OK = {
     "clean_group_median_impute",
     "clean_date_cascade",
     "clean_sequential_ids",
+    # 1-row global-average-balance broadcast (scalar-subquery pattern);
+    # the BroadcastNestedLoopJoin carries exactly one build-side row
+    "q22_dormant_customers",
 }
 
 
@@ -45,7 +48,10 @@ def audit(name: str, plan: str) -> list[str]:
     )
     widths = [
         len(m.group(1).split(","))
-        for m in re.finditer(r"ReadSchema: struct<([^>]*)>", plan)
+        # stop at end-of-line: Spark truncates long ReadSchema strings
+        # WITHOUT the closing '>', and a multi-line match would fuse
+        # adjacent scans into one phantom wide scan
+        for m in re.finditer(r"ReadSchema: struct<([^>\n]*)", plan)
     ]
     print(
         f"{name}: exchanges={n_exchange} broadcast_joins={n_bcast} "
