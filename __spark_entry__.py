@@ -61,6 +61,9 @@ _VERIFY_FIRST = [
     "q18_large_orders",
     "q19_disjunctive_revenue",
     "q22_dormant_customers",
+    "q2_min_balance_supplier",
+    "q20_excess_shippers",
+    "q21_sole_late_shipper",
     "dedup_incremental",
     "embedding_knn_label",
     "events_top_per_day",
@@ -101,11 +104,11 @@ _VERIFY_FIRST = [
     "text_repetition",
     "text_tfidf_top_terms",
     "text_term_frequencies",
+    # ---- window boundary (50). Below: timestamp-free scans with
+    # unchanged code since their green row (see (c) note above) ----
     "text_token_stats",
     "text_language_id",
     "text_quality_score",
-    # ---- window boundary (50). Below: timestamp-free scans with
-    # unchanged code since their green row (see (c) note above) ----
     "text_fingerprint",
     "corpus_pack_sequences",
     "corpus_token_shards",
@@ -161,6 +164,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q18_large_orders": analytics.td_q18_large_orders,
         "q19_disjunctive_revenue": analytics.td_q19_disjunctive_revenue,
         "q22_dormant_customers": analytics.td_q22_dormant_customers,
+        "q2_min_balance_supplier": analytics.td_q2_min_balance_supplier,
+        "q20_excess_shippers": analytics.td_q20_excess_shippers,
+        "q21_sole_late_shipper": analytics.td_q21_sole_late_shipper,
         # §2.2/2.5 cleaning layer (reference extract-transform-data/et_*.py)
         **cleaning_demo.QUERIES,
         # extension layer: text analysis / dedup / similarity / event windows
@@ -380,6 +386,64 @@ def oracle_sql() -> dict[str, str]:
                               WHERE o.o_custkey = c.c_custkey
                                 AND o.o_orderdate >= TIMESTAMP '1999-01-01')
             GROUP BY cntrycode ORDER BY cntrycode
+        """,
+        "q2_min_balance_supplier": """
+            WITH pairs AS (
+                SELECT DISTINCT p.p_partkey, p.p_name, l.l_suppkey
+                FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+                WHERE p.p_size = 15),
+            asup AS (
+                SELECT s.s_suppkey, s.s_name, s.s_acctbal, n.n_name
+                FROM supplier s
+                JOIN nation n ON s.s_nationkey = n.n_nationkey
+                JOIN region r ON n.n_regionkey = r.r_regionkey
+                WHERE r.r_name = 'ASIA'),
+            ranked AS (
+                SELECT pr.p_partkey, pr.p_name, a.s_suppkey, a.s_name,
+                       a.s_acctbal, a.n_name,
+                       row_number() OVER (PARTITION BY pr.p_partkey
+                           ORDER BY a.s_acctbal, a.s_suppkey) AS rn
+                FROM pairs pr JOIN asup a ON pr.l_suppkey = a.s_suppkey)
+            SELECT p_partkey, p_name, s_suppkey, s_name, s_acctbal, n_name
+            FROM ranked WHERE rn = 1
+            ORDER BY s_acctbal DESC, p_partkey LIMIT 100
+        """,
+        "q20_excess_shippers": """
+            SELECT s.s_suppkey, s.s_name, s.s_acctbal
+            FROM supplier s
+            WHERE s.s_suppkey IN (
+                SELECT l.l_suppkey
+                FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+                WHERE p.p_name LIKE '%gizmo%'
+                  AND l.l_shipdate >= TIMESTAMP '1997-01-01'
+                  AND l.l_shipdate < TIMESTAMP '1998-01-01'
+                GROUP BY l.l_suppkey, l.l_partkey
+                HAVING SUM(l.l_quantity) > 40)
+            ORDER BY s.s_suppkey
+        """,
+        "q21_sole_late_shipper": """
+            WITH li AS (
+                SELECT l.l_orderkey, l.l_suppkey,
+                       CASE WHEN l.l_shipdate > o.o_orderdate
+                                                + INTERVAL 60 DAY
+                            THEN 1 ELSE 0 END AS late
+                FROM lineitem l
+                JOIN orders o ON l.l_orderkey = o.o_orderkey),
+            per_os AS (
+                SELECT l_orderkey, l_suppkey, MAX(late) AS late
+                FROM li GROUP BY 1, 2),
+            per_o AS (
+                SELECT l_orderkey,
+                       COUNT(*) AS n_supp,
+                       SUM(late) AS n_late,
+                       MAX(CASE WHEN late = 1 THEN l_suppkey END)
+                           AS late_supp
+                FROM per_os GROUP BY 1)
+            SELECT s.s_suppkey, s.s_name, COUNT(*) AS numwait
+            FROM per_o p JOIN supplier s ON p.late_supp = s.s_suppkey
+            WHERE p.n_supp >= 2 AND p.n_late = 1
+            GROUP BY s.s_suppkey, s.s_name
+            ORDER BY numwait DESC, s.s_suppkey LIMIT 20
         """,
         "sales_by_employee": sales_by_employee,
         "sales_by_employee_sql": sales_by_employee,

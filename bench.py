@@ -100,6 +100,12 @@ HEADLINE = [
     "dedup_incremental",
     "embedding_knn_label",
     "events_top_per_day",
+    "q2_min_balance_supplier",
+    "q20_excess_shippers",
+    "q21_sole_late_shipper",
+    "text_dup_span_stats",
+    "corpus_shuffle_deterministic",
+    "source_jsonl_roundtrip",
 ]
 
 

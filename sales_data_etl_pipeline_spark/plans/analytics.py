@@ -35,7 +35,7 @@ Scale design notes (the part that matters at 100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from sales_data_etl_pipeline_spark.sources.tables import load_testdata
@@ -1029,4 +1029,146 @@ def td_q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             _r2(F.sum("c_acctbal")).alias("totacctbal"),
         )
         .orderBy("cntrycode")
+    )
+
+
+def td_q2_min_balance_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: groupwise argmin — for each size-15 part, the
+    ASIA-region supplier (among those that have actually shipped it)
+    with the lowest account balance. The correlated MIN subquery is
+    DECORRELATED into a per-part ranking window over the distinct
+    (part, supplier) shipping history; dims broadcast, the only fact
+    shuffle is the distinct pair projection."""
+    t = load_testdata(
+        spark, sf_dir, ("lineitem", "part", "supplier", "nation", "region")
+    )
+    parts = t["part"].filter(F.col("p_size") == 15).select(
+        "p_partkey", "p_name"
+    )
+    asia_supp = (
+        t["supplier"]
+        .join(
+            F.broadcast(
+                t["nation"]
+                .join(
+                    F.broadcast(
+                        t["region"]
+                        .filter(F.col("r_name") == "ASIA")
+                        .select("r_regionkey")
+                    ),
+                    F.col("n_regionkey") == F.col("r_regionkey"),
+                )
+                .select("n_nationkey", "n_name")
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    pairs = (
+        t["lineitem"]
+        .join(F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey"))
+        .select("p_partkey", "p_name", "l_suppkey")
+        .distinct()
+    )
+    w = Window.partitionBy("p_partkey").orderBy(
+        F.asc("s_acctbal"), F.asc("s_suppkey")
+    )
+    return (
+        pairs.join(
+            F.broadcast(asia_supp), F.col("l_suppkey") == F.col("s_suppkey")
+        )
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("p_partkey", "p_name", "s_suppkey", "s_name", "s_acctbal", "n_name")
+        .orderBy(F.desc("s_acctbal"), "p_partkey")
+        .limit(100)
+    )
+
+
+def td_q20_excess_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: the nested-semijoin chain — suppliers that
+    shipped more than 40 units of any 'gizmo' part during 1997. The
+    inner aggregate (per supplier×part shipped quantity) reduces the
+    fact before any join with the supplier dim; the outer EXISTS is a
+    LEFT SEMI join on the distinct qualifying supplier keys."""
+    t = load_testdata(spark, sf_dir, ("lineitem", "part", "supplier"))
+    gizmo = (
+        t["part"]
+        .filter(F.col("p_name").like("%gizmo%"))
+        .select("p_partkey")
+    )
+    qualifying = (
+        t["lineitem"]
+        .filter(
+            (F.col("l_shipdate") >= F.to_timestamp(F.lit("1997-01-01")))
+            & (F.col("l_shipdate") < F.to_timestamp(F.lit("1998-01-01")))
+        )
+        .join(F.broadcast(gizmo), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum("l_quantity").alias("_qty"))
+        .filter(F.col("_qty") > 40)
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        t["supplier"]
+        .join(
+            qualifying,
+            F.col("s_suppkey") == F.col("l_suppkey"),
+            "left_semi",
+        )
+        .select("s_suppkey", "s_name", F.col("s_acctbal"))
+        .orderBy("s_suppkey")
+    )
+
+
+def td_q21_sole_late_shipper(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: the EXISTS/NOT-EXISTS pair — suppliers who were
+    the ONLY late shipper (>60 days after the order date) on a
+    multi-supplier order. Both correlated subqueries collapse into ONE
+    per-(order, supplier) aggregate followed by a per-order conditional
+    count: n_suppliers ≥ 2, n_late_suppliers = 1, and the culprit is
+    the supplier with the late flag. Two keyed shuffles on the order
+    key, both map-side combinable — no row-vs-row self-join survives."""
+    t = load_testdata(spark, sf_dir, ("lineitem", "orders", "supplier"))
+    li = (
+        t["lineitem"]
+        .join(
+            t["orders"].select("o_orderkey", "o_orderdate"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .select(
+            "l_orderkey",
+            "l_suppkey",
+            (
+                F.col("l_shipdate")
+                > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+            )
+            .cast("int")
+            .alias("_late"),
+        )
+    )
+    per_os = li.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max("_late").alias("_late")
+    )
+    per_o = per_os.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("_n_supp"),
+        F.sum("_late").alias("_n_late"),
+        F.max(
+            F.when(F.col("_late") == 1, F.col("l_suppkey"))
+        ).alias("_late_supp"),
+    )
+    waiting = per_o.filter(
+        (F.col("_n_supp") >= 2) & (F.col("_n_late") == 1)
+    )
+    return (
+        waiting.groupBy("_late_supp")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .join(
+            F.broadcast(t["supplier"].select("s_suppkey", "s_name")),
+            F.col("_late_supp") == F.col("s_suppkey"),
+        )
+        .select("s_suppkey", "s_name", "numwait")
+        .orderBy(F.desc("numwait"), "s_suppkey")
+        .limit(20)
     )

@@ -134,3 +134,27 @@ def test_q10_topk_bounded_sort(spark):
     plan = _plan(analytics.td_q10_returned_items(spark, SF_DIR))
     assert "TakeOrderedAndProject" in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_q2_argmin_is_windowed_not_self_join(spark):
+    """Q2 shape: the correlated MIN subquery must decorrelate into one
+    per-part ranking window — no part-vs-part self join, no cartesian."""
+    plan = _plan(analytics.td_q2_min_balance_supplier(spark, SF_DIR))
+    assert "RunningWindowFunction" in plan or "Window" in plan
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_q20_inner_aggregate_before_semi_join(spark):
+    plan = _plan(analytics.td_q20_excess_shippers(spark, SF_DIR))
+    assert "LeftSemi" in plan
+    assert "partial_sum" in plan  # per (supp, part) qty reduces map-side
+
+
+def test_q21_no_self_join_survives(spark):
+    """Q21 shape: the EXISTS/NOT-EXISTS pair must compile to keyed
+    aggregates — a lineitem-vs-lineitem join would explode at scale."""
+    plan = _plan(analytics.td_q21_sole_late_shipper(spark, SF_DIR))
+    # exactly one join (orders), plus the supplier-name broadcast
+    assert plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") <= 1
+    assert "CartesianProduct" not in plan
