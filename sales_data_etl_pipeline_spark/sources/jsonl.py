@@ -58,7 +58,10 @@ def read_jsonl(
 
     In PERMISSIVE mode unparseable lines land in ``_corrupt_record``
     (added to the schema here) with every data column NULL — callers
-    filter/quarantine on it explicitly.
+    filter/quarantine on it explicitly. Caveat (Spark contract): a
+    query whose referenced columns are ONLY the corrupt column is
+    rejected on the raw scan — ``.cache()`` the frame first for
+    quarantine-only audits.
     """
     full = schema
     if mode == "PERMISSIVE" and CORRUPT_COL not in schema.fieldNames():
