@@ -147,3 +147,43 @@ def compact_parquet(
         "output_files": output_files,
         "input_bytes": input_bytes,
     }
+
+
+def write_clustered(
+    df: DataFrame,
+    path: str,
+    cluster_by: list[str],
+    *,
+    n_files: int | None = None,
+    partition_by: list[str] | None = None,
+    max_records_per_file: int | None = None,
+) -> None:
+    """Write parquet with DATA CLUSTERING on ``cluster_by``: range-
+    partition the rows across files by the cluster key, then sort
+    within each file.
+
+    Directory partitioning (``partition_by``) prunes at directory
+    granularity and only works for low-cardinality columns; clustering
+    is the complement for high-cardinality predicates (user_id,
+    timestamp): each output file covers a NARROW range of the cluster
+    key, so its parquet row-group min/max statistics let a selective
+    scan skip all but a few files — the poor man's z-order, and for
+    single-key predicates the optimal one. A scan with a point or
+    range predicate on the cluster key then reads O(selectivity) bytes
+    instead of O(table).
+
+    ``repartitionByRange`` samples the key distribution, so skewed
+    keys still yield balanced files (hash-repartition would balance
+    too, but destroy the range locality that makes min/max skipping
+    work).
+    """
+    n = n_files or df.sparkSession.sparkContext.defaultParallelism
+    out = df.repartitionByRange(n, *cluster_by).sortWithinPartitions(
+        *cluster_by
+    )
+    write_parquet(
+        out,
+        path,
+        partition_by=partition_by,
+        max_records_per_file=max_records_per_file,
+    )

@@ -51,3 +51,50 @@ def test_bucket_join_has_no_shuffle(spark, bucketed):
         assert n > 0
     finally:
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
+
+def test_clustered_write_enables_rowgroup_skipping(spark, tmp_path):
+    """write_clustered must produce files whose min/max ranges on the
+    cluster key are disjoint-ish: a point predicate then touches ~1
+    file. Verified from the parquet footers via pyarrow — the same
+    statistics Spark's scan uses for row-group skipping."""
+    import pyarrow.parquet as pq
+    import os
+
+    from pyspark.sql import functions as F
+
+    from sales_data_etl_pipeline_spark.sources.parquet import write_clustered
+
+    df = (
+        spark.range(0, 50_000)
+        .select(
+            F.col("id").alias("user_id"),
+            (F.col("id") % 997).alias("v"),
+        )
+        # pre-shuffle so clustering actually has to move rows
+        .repartition(8, "v")
+    )
+    path = str(tmp_path / "clustered")
+    write_clustered(df, path, ["user_id"], n_files=10)
+    ranges = []
+    for root, _d, files in os.walk(path):
+        for f in files:
+            if not f.endswith(".parquet"):
+                continue
+            md = pq.read_metadata(os.path.join(root, f))
+            mins, maxs = [], []
+            for rg in range(md.num_row_groups):
+                col = md.row_group(rg).column(0)
+                assert col.path_in_schema == "user_id"
+                mins.append(col.statistics.min)
+                maxs.append(col.statistics.max)
+            ranges.append((min(mins), max(maxs)))
+    assert len(ranges) >= 8
+    # disjoint file ranges: sort by min, assert no overlap
+    ranges.sort()
+    for (lo1, hi1), (lo2, _hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2, f"overlapping cluster ranges {hi1} > {lo2}"
+    # a point lookup touches exactly one file
+    probe = 31_337
+    touched = [r for r in ranges if r[0] <= probe <= r[1]]
+    assert len(touched) == 1
