@@ -76,3 +76,49 @@ def test_quality_resample_is_deterministic_and_consistent(spark):
         F.col("u") < F.expr("cast(floor(quality * 1000000 + 0.5) as bigint)")
     ).count()
     assert len(a) == n_expected
+
+
+def test_dup_span_exact_copy_is_fully_duplicated(spark):
+    """An exact copy → every span duplicated (ppm = 1_000_000); a doc
+    shorter than the window has no spans and must be ABSENT (not a
+    phantom row from Spark's descending sequence(1, 0))."""
+    from pyspark.sql import Row
+
+    from sales_data_etl_pipeline_spark.operators.text import dup_span_stats
+
+    long_text = " ".join(f"w{i}" for i in range(25))  # 6 spans of 20
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text=long_text),
+            Row(doc_id=2, text=long_text),
+            Row(doc_id=3, text="too short " * 3),  # 6 tokens → 0 spans
+            Row(doc_id=4, text=" ".join(f"u{i}" for i in range(30))),
+        ]
+    )
+    out = {r.doc_id: r for r in dup_span_stats(docs).collect()}
+    assert set(out) == {1, 2, 4}
+    for d in (1, 2):
+        assert out[d].n_spans == 6
+        assert out[d].n_dup_spans == 6
+        assert out[d].dup_ppm == 1_000_000
+    assert out[4].n_spans == 11
+    assert out[4].n_dup_spans == 0
+    assert out[4].dup_ppm == 0
+
+
+def test_dup_span_partial_overlap_counts_positions(spark):
+    """Positional (stride-1) accounting: a 5-token overlap region in
+    otherwise-distinct docs marks NO spans (window=20 exceeds it), so
+    sliding-span dedup is insensitive to short shared phrases —
+    the property that separates it from shingle Jaccard."""
+    from pyspark.sql import Row
+
+    from sales_data_etl_pipeline_spark.operators.text import dup_span_stats
+
+    shared = " ".join(f"s{i}" for i in range(5))
+    a = " ".join(f"a{i}" for i in range(20)) + " " + shared
+    b = shared + " " + " ".join(f"b{i}" for i in range(20))
+    out = {r.doc_id: r for r in dup_span_stats(
+        spark.createDataFrame([Row(doc_id=1, text=a), Row(doc_id=2, text=b)])
+    ).collect()}
+    assert out[1].n_dup_spans == 0 and out[2].n_dup_spans == 0
