@@ -138,6 +138,8 @@ SCALE_SET = [
     "sales_by_period",
     "corpus_prep_pipeline",
     "dedup_minhash_lsh",
+    "q21_sole_late_shipper",
+    "dedup_incremental",
 ]
 
 SCALE_SECOND_SF_DIR = "/root/testdata/sf0.01"
