@@ -48,7 +48,7 @@ LINEAGE_OPAQUE_OK = {
 
 def _ts_tables():
     out = set()
-    for t in entrymod.oracle_sql and (
+    for t in (
         "region nation customer supplier part orders lineitem events "
         "documents embeddings"
     ).split():
