@@ -696,19 +696,62 @@ def dup_span_stats(
     shorter than n tokens have zero spans and are excluded (guarded
     against Spark's descending ``sequence(1, 0)``).
     """
-    toks = TOKENIZE.format(col=text_col)
-    spans = (
-        df.select(
-            "doc_id",
-            F.expr(
-                f"CASE WHEN size({toks}) >= {n} THEN "
-                f"transform(sequence(1, size({toks}) - {n - 1}),"
-                f" i -> array_join(slice({toks}, i, {n}), ' ')) "
-                "ELSE array() END"
-            ).alias("_spans"),
-        )
-        .select("doc_id", F.explode("_spans").alias("_span"))
-        .select("doc_id", F.md5(F.col("_span")).alias("_h"))
+    # Span hashing runs in a vectorized Arrow kernel (same move as
+    # simhash_fingerprints): the expression form — a sliding
+    # transform/array_join lambda — is interpreted per window position
+    # and measured 6-13 s at sf0.1; the kernel tokenizes once per doc
+    # and computes all window hashes as ONE numpy sliding-window dot
+    # product with uint64 wraparound (a degree-(n-1) polynomial rolling
+    # hash over crc32 token hashes — no span strings ever built).
+    # The hash never leaves the plan (output is counts), so it only
+    # needs INTRA-engine consistency; the DuckDB oracle hashes the
+    # joined span text on its side. Python ``re.split`` on
+    # ``[^a-z0-9]+`` after ``lower()`` matches the JVM/DuckDB TOKENIZE
+    # convention exactly on ASCII corpora (same guarantee simhash
+    # documents).
+    import re as _re
+    import zlib
+
+    import numpy as np
+    import pandas as pd
+    from numpy.lib.stride_tricks import sliding_window_view
+    from pyspark.sql import types as T
+
+    tok_re = _re.compile(r"[^a-z0-9]+")
+    pw = np.uint64(31) ** np.arange(n - 1, -1, -1, dtype=np.uint64)
+
+    def span_hashes(batches):
+        for pdf in batches:
+            ids, hs = [], []
+            for doc_id, txt in zip(pdf["doc_id"], pdf[text_col]):
+                toks = [t for t in tok_re.split((txt or "").lower()) if t]
+                if len(toks) < n:
+                    continue
+                th = np.array(
+                    [zlib.crc32(t.encode()) for t in toks], dtype=np.uint64
+                )
+                with np.errstate(over="ignore"):
+                    h = (sliding_window_view(th, n) * pw).sum(axis=1)
+                ids.append(
+                    np.full(h.shape, doc_id, dtype=np.int64)
+                )
+                hs.append(h.view(np.int64))
+            if ids:
+                yield pd.DataFrame(
+                    {
+                        "doc_id": np.concatenate(ids),
+                        "_h": np.concatenate(hs),
+                    }
+                )
+
+    spans = df.select("doc_id", text_col).mapInPandas(
+        span_hashes,
+        T.StructType(
+            [
+                T.StructField("doc_id", T.LongType(), False),
+                T.StructField("_h", T.LongType(), False),
+            ]
+        ),
     )
     dup = (
         spans.groupBy("_h")
