@@ -122,3 +122,72 @@ def test_dup_span_partial_overlap_counts_positions(spark):
         spark.createDataFrame([Row(doc_id=1, text=a), Row(doc_id=2, text=b)])
     ).collect()}
     assert out[1].n_dup_spans == 0 and out[2].n_dup_spans == 0
+
+
+def test_dup_span_kernel_matches_expression_form(spark):
+    """The Arrow rolling-hash kernel must group spans exactly like the
+    reference expression form (tokenize → sliding array_join → hash):
+    guards Python-vs-JVM tokenization drift and hash-collision regressions
+    on realistic corpus text."""
+    from pyspark.sql import functions as F
+
+    from sales_data_etl_pipeline_spark.operators.text import (
+        TOKENIZE,
+        dup_span_stats,
+    )
+    from sales_data_etl_pipeline_spark.sources.tables import load_testdata
+
+    docs = (
+        load_testdata(spark, "/root/testdata/sf0.001", ("documents",))[
+            "documents"
+        ]
+        .select("doc_id", "text")
+        .limit(80)
+    )
+    corpus = docs.unionByName(
+        docs.filter(F.col("doc_id") % 10 == 0).select(
+            (F.col("doc_id") + 5000).alias("doc_id"),
+            F.expr(
+                "substring(text, 1, greatest(length(text) - 20, 1))"
+            ).alias("text"),
+        )
+    )
+    got = {
+        (r.doc_id, r.n_spans, r.n_dup_spans, r.dup_ppm)
+        for r in dup_span_stats(corpus).collect()
+    }
+    # reference: expression form over a materialized token array
+    toked = corpus.select(
+        "doc_id", F.expr(TOKENIZE.format(col="text")).alias("_t")
+    )
+    spans = (
+        toked.select(
+            "doc_id",
+            F.expr(
+                "CASE WHEN size(_t) >= 20 THEN "
+                "transform(sequence(1, size(_t) - 19),"
+                " i -> array_join(slice(_t, i, 20), ' ')) "
+                "ELSE array() END"
+            ).alias("_s"),
+        )
+        .select("doc_id", F.explode("_s").alias("_span"))
+        .select("doc_id", F.md5("_span").alias("_h"))
+    )
+    dup = (
+        spans.groupBy("_h")
+        .agg(F.count_distinct("doc_id").alias("_nd"))
+        .filter(F.col("_nd") >= 2)
+        .select("_h")
+    )
+    want = {
+        (r.doc_id, r.n_spans, r.n_dup_spans, r.dup_ppm)
+        for r in spans.join(dup.withColumn("_d", F.lit(1)), "_h", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum(F.coalesce("_d", F.lit(0))).alias("n_dup_spans"),
+        )
+        .withColumn("dup_ppm", F.expr("(n_dup_spans * 1000000) div n_spans"))
+        .collect()
+    }
+    assert got == want
