@@ -397,16 +397,27 @@ def decontaminate(
     Returns (id_col, hits_col) for contaminated docs only — the caller
     anti-joins to drop them or inspects the hit counts.
     """
-    from sales_data_etl_pipeline_spark.operators.dedup import shingles
+    from sales_data_etl_pipeline_spark.operators.dedup import _shingle_expr
+    from sales_data_etl_pipeline_spark.operators.text import TOKENIZE
 
-    ev = (
-        evalset.select(F.explode(shingles(text_col, n)).alias("_ng"))
-        .distinct()
-    )
+    # tokenize ONCE into a column before shingling: _shingle_expr
+    # references its token input n+2 times (n zip slices + the sizes),
+    # so inlining the regex split would re-split the raw text that many
+    # times per row (same lesson as dedup.shingle_sets)
+    def ngrams(df):
+        return df.select(
+            "*", F.expr(TOKENIZE.format(col=text_col)).alias("_toks")
+        ).select(
+            *[c for c in df.columns],
+            F.explode(F.expr(_shingle_expr("_toks", n))).alias("_ng"),
+        )
+
+    ev = ngrams(evalset.select(text_col)).select("_ng").distinct()
     return (
-        corpus.select(F.col(id_col), F.explode(shingles(text_col, n)).alias("_ng"))
+        ngrams(corpus.select(id_col, text_col))
+        .select(F.col(id_col), "_ng")
         .join(F.broadcast(ev), "_ng")
-        # shingles() is distinct-per-doc, so COUNT == distinct hit count
+        # shingles are distinct-per-doc, so COUNT == distinct hit count
         .groupBy(id_col)
         .agg(F.count(F.lit(1)).alias(hits_col))
     )
