@@ -1,0 +1,198 @@
+"""Randomized cross-engine fuzz of the OLAP analogs.
+
+The driver gate proves each query on ONE dataset (the sf0.01 corpus).
+This test re-proves the trickiest analogs on RANDOM star schemas: a
+seeded generator writes a miniature lineitem/orders/... directory, the
+Spark plan and the DuckDB oracle both run against those same parquet
+files, and the results must agree cell-for-cell under the driver's
+canonicalization (columns sorted by name, rows sorted, 6-sig floats).
+
+Catches the failure class the fixed dataset can't: predicates that
+happen to be vacuous on the driver data (empty groups, all-NULL
+branches, tie-breaks that never tie, boundary dates absent).
+"""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+import __spark_entry__ as entrymod
+
+TABLES = (
+    "lineitem orders customer supplier nation region part "
+    "events documents embeddings"
+).split()
+
+#: queries fuzzed here — every TPC-H analog (the generator covers every
+#: literal they reference: nation/region names, brands, types, sizes,
+#: date ranges), with the subquery/semi/anti/window shapes the fixed
+#: driver dataset could render vacuous
+FUZZED = [
+    "q1_pricing_summary",
+    "q2_min_balance_supplier",
+    "q3_unshipped_orders",
+    "q4_priority_late_ship",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q10_returned_items",
+    "q13_customer_distribution",
+    "q14_promo_revenue",
+    "q16_supplier_part_counts",
+    "q17_small_quantity_revenue",
+    "q18_large_orders",
+    "q19_disjunctive_revenue",
+    "q20_excess_shippers",
+    "q21_sole_late_shipper",
+    "q22_dormant_customers",
+    "sales_by_region_nation",
+    "customers_above_avg",
+]
+
+
+def _gen(seed: int, outdir: str) -> None:
+    rng = np.random.default_rng(seed)
+    n_nation, n_supp, n_cust, n_part = 6, 12, 40, 30
+    n_orders, n_items = 120, 400
+    days = pd.Timestamp("1996-01-01") + pd.to_timedelta(
+        rng.integers(0, 1400, n_orders), unit="D"
+    )
+    nation = pd.DataFrame(
+        {
+            "n_nationkey": np.arange(n_nation, dtype=np.int32),
+            "n_name": [f"NATION_{i}" for i in range(n_nation)],
+            "n_regionkey": (np.arange(n_nation) % 3).astype(np.int32),
+        }
+    )
+    region = pd.DataFrame(
+        {
+            "r_regionkey": np.arange(3, dtype=np.int32),
+            "r_name": ["AMERICA", "ASIA", "EUROPE"],
+        }
+    )
+    supplier = pd.DataFrame(
+        {
+            "s_suppkey": np.arange(1, n_supp + 1),
+            "s_name": [f"Supplier#{i}" for i in range(1, n_supp + 1)],
+            "s_nationkey": rng.integers(0, n_nation, n_supp).astype(np.int32),
+            "s_acctbal": np.round(rng.uniform(-500, 5000, n_supp), 2),
+        }
+    )
+    customer = pd.DataFrame(
+        {
+            "c_custkey": np.arange(1, n_cust + 1),
+            "c_name": [f"Customer#{i}" for i in range(1, n_cust + 1)],
+            "c_nationkey": rng.integers(0, n_nation, n_cust).astype(np.int32),
+            "c_acctbal": np.round(rng.uniform(-999, 9999, n_cust), 2),
+            "c_mktsegment": rng.choice(
+                ["AUTOMOBILE", "BUILDING", "MACHINERY"], n_cust
+            ),
+        }
+    )
+    part = pd.DataFrame(
+        {
+            "p_partkey": np.arange(1, n_part + 1),
+            "p_name": rng.choice(
+                ["red gizmo", "blue bolt", "small gizmo", "hot gear"], n_part
+            ),
+            "p_brand": rng.choice(
+                ["Brand#5", "Brand#12", "Brand#23", "Brand#34"], n_part
+            ),
+            "p_type": rng.choice(["PROMO", "ECONOMY", "LARGE"], n_part),
+            "p_size": rng.choice(
+                np.array([1, 9, 14, 15, 19, 23, 36, 45, 49], dtype=np.int32),
+                n_part,
+            ).astype(np.int32),
+            "p_retailprice": np.round(rng.uniform(100, 2000, n_part), 2),
+        }
+    )
+    orders = pd.DataFrame(
+        {
+            "o_orderkey": np.arange(1, n_orders + 1),
+            "o_custkey": rng.integers(1, n_cust + 1, n_orders),
+            "o_orderstatus": rng.choice(["O", "F", "P"], n_orders),
+            "o_totalprice": np.round(rng.uniform(1000, 300000, n_orders), 2),
+            "o_orderdate": days.astype("datetime64[us]"),
+            "o_orderpriority": rng.choice(
+                ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-LOW"], n_orders
+            ),
+        }
+    )
+    ok = rng.integers(1, n_orders + 1, n_items)
+    ship_lag = pd.to_timedelta(rng.integers(1, 120, n_items), unit="D")
+    odate = orders.set_index("o_orderkey").loc[ok, "o_orderdate"].values
+    lineitem = pd.DataFrame(
+        {
+            "l_orderkey": ok,
+            "l_partkey": rng.integers(1, n_part + 1, n_items),
+            "l_suppkey": rng.integers(1, n_supp + 1, n_items),
+            "l_linenumber": np.arange(n_items, dtype=np.int32) % 7 + 1,
+            "l_quantity": rng.integers(1, 51, n_items).astype(float),
+            "l_extendedprice": np.round(rng.uniform(100, 90000, n_items), 2),
+            "l_discount": np.round(rng.integers(0, 11, n_items) / 100.0, 2),
+            "l_tax": np.round(rng.integers(0, 9, n_items) / 100.0, 2),
+            "l_returnflag": rng.choice(["A", "N", "R"], n_items),
+            "l_linestatus": rng.choice(["O", "F"], n_items),
+            "l_shipdate": (pd.Series(odate) + ship_lag).values.astype(
+                "datetime64[us]"
+            ),
+        }
+    )
+    for name, df in (
+        ("nation", nation),
+        ("region", region),
+        ("supplier", supplier),
+        ("customer", customer),
+        ("part", part),
+        ("orders", orders),
+        ("lineitem", lineitem),
+    ):
+        df.to_parquet(f"{outdir}/{name}.parquet", index=False)
+
+
+def _canon(pdf: pd.DataFrame) -> list[tuple]:
+    cols = sorted(pdf.columns)
+    rows = []
+    for t in pdf[cols].itertuples(index=False):
+        row = []
+        for v in t:
+            if isinstance(v, float):
+                row.append("NaN" if math.isnan(v) else float(f"{v:.6g}"))
+            elif hasattr(v, "isoformat"):
+                row.append(v.isoformat())
+            else:
+                row.append(v)
+        rows.append(tuple(row))
+    rows.sort(key=lambda r: tuple((x is None, str(x)) for x in r))
+    return rows
+
+
+@pytest.mark.parametrize("seed", [7, 23, 99])
+def test_analogs_agree_with_oracle_on_random_data(spark, tmp_path, seed):
+    outdir = str(tmp_path / f"fuzz{seed}")
+    import os
+
+    os.makedirs(outdir)
+    _gen(seed, outdir)
+    qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{outdir}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')"
+            )
+    for name in FUZZED:
+        got = _canon(qs[name](spark, outdir).toPandas())
+        want = _canon(con.execute(oracles[name]).fetchdf())
+        assert got == want, f"{name} diverged on seed {seed}"
+        # non-vacuity: at least one fuzzed query must return rows
+    assert any(
+        _canon(qs[n](spark, outdir).toPandas()) for n in FUZZED
+    )
