@@ -53,6 +53,16 @@ FUZZED = [
     "q22_dormant_customers",
     "sales_by_region_nation",
     "customers_above_avg",
+    # temporal family — event-time semantics fuzzed on random streams
+    "events_top_per_day",
+    "events_windowed_agg",
+    "events_sliding_agg",
+    "events_json_props",
+    "events_salted_agg",
+    "events_anomaly_iqr",
+    "events_range_count",
+    "events_sessionization",
+    "events_asof_join",
 ]
 
 
@@ -144,6 +154,22 @@ def _gen(seed: int, outdir: str) -> None:
             ),
         }
     )
+    n_events = 600
+    ets = pd.Timestamp("2024-01-01") + pd.to_timedelta(
+        rng.integers(0, 20 * 86400, n_events), unit="s"
+    )
+    events = pd.DataFrame(
+        {
+            "event_id": np.arange(1, n_events + 1),
+            "ts": pd.Series(ets).sort_values().values.astype("datetime64[us]"),
+            "user_id": rng.integers(0, 25, n_events),
+            "event_type": rng.choice(
+                ["view", "click", "purchase", "signup", "error"], n_events
+            ),
+            "value": np.round(rng.uniform(0.01, 500, n_events), 2),
+            "props": [f'{{"k": {int(k)}}}' for k in rng.integers(0, 100, n_events)],
+        }
+    )
     for name, df in (
         ("nation", nation),
         ("region", region),
@@ -152,6 +178,7 @@ def _gen(seed: int, outdir: str) -> None:
         ("part", part),
         ("orders", orders),
         ("lineitem", lineitem),
+        ("events", events),
     ):
         df.to_parquet(f"{outdir}/{name}.parquet", index=False)
 
