@@ -536,6 +536,15 @@ def embedding_near_dup_pairs(
     IEEE result across engines). Brute-force pairwise; the scale path is
     the IVF/LSH bucketing in ``operators.similarity``.
     """
+    # zero-norm vectors have undefined cosine: exclude them up front
+    # (same contract as similarity.cosine_topk — without the guard the
+    # verification divide is an ANSI-mode error, and the oracle's NULL
+    # semantics would silently diverge)
+    _nrm = (
+        "sqrt(aggregate(transform({v}, x -> cast(x as double)),"
+        " 0D, (acc, x) -> acc + x * x))"
+    )
+    emb = emb.filter(F.expr(_nrm.format(v=vec_col)) > 0)
     dot = (
         "aggregate(zip_with(transform(a.{v}, x -> cast(x as double)),"
         " transform(b.{v}, x -> cast(x as double)), (x, y) -> x * y),"
@@ -609,6 +618,15 @@ def embedding_lsh_pairs(
         _band_signatures,
     )
 
+    # zero-norm vectors have undefined cosine: exclude them up front
+    # (same contract as similarity.cosine_topk — without the guard the
+    # verification divide is an ANSI-mode error, and the oracle's NULL
+    # semantics would silently diverge)
+    _nrm = (
+        "sqrt(aggregate(transform({v}, x -> cast(x as double)),"
+        " 0D, (acc, x) -> acc + x * x))"
+    )
+    emb = emb.filter(F.expr(_nrm.format(v=vec_col)) > 0)
     R = hyperplane_signs(planes, dim)
     # Vectorized Arrow kernel, left-associated dim fold + 6dp-round sign
     # (bit-identical to the expression form, which exceeds janino's

@@ -48,12 +48,16 @@ def token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
         F.size(F.expr(f"filter(split({text_col}, '\\\\s+'), x -> x != '')")).alias(
             "n_ws_words"
         ),
+        # try_divide: a token-less doc (empty/punctuation-only) must
+        # yield NULL like the oracle's x/0, not an ANSI-mode error
         F.round(
-            F.expr(
-                f"aggregate(transform({TOKENIZE.format(col=text_col)}, x -> length(x)),"
-                " 0L, (acc, x) -> acc + x)"
-            )
-            / F.size(t),
+            F.try_divide(
+                F.expr(
+                    f"aggregate(transform({TOKENIZE.format(col=text_col)},"
+                    " x -> length(x)), 0L, (acc, x) -> acc + x)"
+                ),
+                F.size(t),
+            ),
             4,
         ).alias("mean_token_len"),
     )
@@ -99,15 +103,20 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     n_chars = F.length(text_col)
     n_tokens = F.size(t)
     alnum = F.length(F.regexp_replace(text_col, "[^a-zA-Z0-9 ]", ""))
-    punct_ratio = F.round((n_chars - alnum) / n_chars, 6)
+    # try_divide: empty text (n_chars=0) and token-less docs must yield
+    # NULL ratios like the oracle's x/0, not an ANSI-mode error; the
+    # NULL then propagates into the composite in both engines alike
+    punct_ratio = F.round(F.try_divide(n_chars - alnum, n_chars), 6)
     stop_ratio = F.round(
-        F.size(
-            F.expr(
-                f"filter({TOKENIZE.format(col=text_col)},"
-                " x -> x IN ('the','a','of','and','to','in','is','it','that','for'))"
-            )
-        )
-        / n_tokens,
+        F.try_divide(
+            F.size(
+                F.expr(
+                    f"filter({TOKENIZE.format(col=text_col)},"
+                    " x -> x IN ('the','a','of','and','to','in','is','it','that','for'))"
+                )
+            ),
+            n_tokens,
+        ),
         6,
     )
     len_score = F.least(n_tokens / F.lit(100.0), F.lit(1.0))

@@ -808,14 +808,19 @@ ORACLES = {
         ORDER BY doc_id
     """,
     "similarity_topk": f"""
+        -- norm > 0 on both sides mirrors the plan's zero-norm exclusion
+        -- (cosine_topk contract): a zero-norm query must return NO rows,
+        -- not five NULL-cosine ranks
         WITH q AS (SELECT vec_id AS query_id, embedding AS qvec
-                   FROM embeddings WHERE vec_id < 10),
+                   FROM embeddings WHERE vec_id < 10
+                     AND {_NORM.format(v='embedding')} > 0),
         scored AS (
             SELECT q.query_id, e.vec_id AS neighbor_id,
                    ROUND({_DOT.format(a='q.qvec', b='e.embedding')}
                          / ({_NORM.format(v='q.qvec')}
                             * {_NORM.format(v='e.embedding')}), 6) AS cosine
-            FROM embeddings e, q WHERE e.vec_id <> q.query_id),
+            FROM embeddings e, q WHERE e.vec_id <> q.query_id
+              AND {_NORM.format(v='e.embedding')} > 0),
         ranked AS (
             SELECT *, row_number() OVER (
                 PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
@@ -1016,8 +1021,13 @@ def _emb_lsh_oracle(
         f" / ({_NORM.format(v='ea.embedding')}"
         f" * {_NORM.format(v='eb.embedding')}), 6)"
     )
+    # zero-norm filter mirrors the plan's up-front exclusion so the two
+    # formulations are bit-equivalent by construction (an all-zero
+    # vector would band as all-'1' and cosine as NULL here otherwise)
     return f"""
-        WITH e AS ({_NEAR_DUP_EMB}),
+        WITH e0 AS ({_NEAR_DUP_EMB}),
+        e AS (SELECT * FROM e0
+              WHERE {_NORM.format(v='embedding')} > 0),
         bs AS ({band_selects}),
         cand AS (
             SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
@@ -2838,13 +2848,15 @@ def embedding_knn_label(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES["embedding_knn_label"] = embedding_knn_label
 ORACLES["embedding_knn_label"] = f"""
     WITH q AS (SELECT vec_id AS query_id, embedding AS qvec
-               FROM embeddings WHERE vec_id % 37 = 0),
+               FROM embeddings WHERE vec_id % 37 = 0
+                 AND {_NORM.format(v='embedding')} > 0),
     scored AS (
         SELECT q.query_id, e.vec_id AS neighbor_id, e.label,
                ROUND({_DOT.format(a='q.qvec', b='e.embedding')}
                      / ({_NORM.format(v='q.qvec')}
                         * {_NORM.format(v='e.embedding')}), 6) AS cosine
-        FROM embeddings e, q WHERE e.vec_id <> q.query_id),
+        FROM embeddings e, q WHERE e.vec_id <> q.query_id
+          AND {_NORM.format(v='e.embedding')} > 0),
     ranked AS (
         SELECT *, row_number() OVER (
             PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank

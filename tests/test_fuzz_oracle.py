@@ -223,3 +223,124 @@ def test_analogs_agree_with_oracle_on_random_data(spark, tmp_path, seed):
     assert any(
         _canon(qs[n](spark, outdir).toPandas()) for n in FUZZED
     )
+
+
+def _gen_corpus(seed: int, outdir: str) -> None:
+    """documents + embeddings with adversarial edges the driver data
+    lacks: empty docs, punctuation-only docs, single-token docs, exact
+    duplicate texts, zero-norm and tiny-norm embedding vectors."""
+    rng = np.random.default_rng(seed)
+    vocab = np.array(
+        "the a of to in is it key row scan table value part hash merge "
+        "batch spark query line sort window stream fast slow big small "
+        "data column agg join order group customer".split()
+    )
+    n_docs = 120
+    texts = []
+    for i in range(n_docs):
+        if i % 17 == 0:
+            texts.append("")  # empty
+        elif i % 17 == 1:
+            texts.append("!!! ... ---")  # punctuation-only → 0 tokens
+        elif i % 17 == 2:
+            texts.append("solitary")  # single token
+        else:
+            m = int(rng.integers(3, 220))
+            texts.append(" ".join(rng.choice(vocab, m)))
+    # exact duplicates: doc 9 == doc 10 etc.
+    for i in range(9, n_docs, 40):
+        if i + 1 < n_docs:
+            texts[i + 1] = texts[i]
+    docs = pd.DataFrame(
+        {
+            "doc_id": np.arange(n_docs),
+            "text": texts,
+            "lang": rng.choice(["en", "pt", "de", "fr"], n_docs),
+            "source": rng.choice(["web", "books", "news"], n_docs),
+            "n_chars": np.array([len(t) for t in texts], dtype=np.int64),
+        }
+    )
+    n_vec, dim = 80, 64
+    vecs = rng.normal(0, 1, (n_vec, dim)).astype(np.float32)
+    vecs[5] = 0.0  # zero-norm vector
+    vecs[11] = 1e-8  # tiny norm
+    emb = pd.DataFrame(
+        {
+            "vec_id": np.arange(n_vec),
+            "embedding": [v for v in vecs],
+            "label": rng.integers(0, 10, n_vec).astype(np.int32),
+        }
+    )
+    docs.to_parquet(f"{outdir}/documents.parquet", index=False)
+    emb.to_parquet(f"{outdir}/embeddings.parquet", index=False)
+
+
+#: documents/embeddings entries fuzzed on the adversarial corpus. Kept
+#: to deterministic, corpus-shaped ops (streaming and iterative plans
+#: have their own dedicated tests).
+FUZZED_CORPUS = [
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_incremental",
+    "text_token_stats",
+    "text_language_id",
+    "text_quality_score",
+    "text_fingerprint",
+    "text_term_frequencies",
+    "text_tfidf_top_terms",
+    "text_repetition",
+    "text_unigram_logprob",
+    "text_bigram_logprob",
+    "text_gopher_quality",
+    "text_paragraph_dedup",
+    "text_dup_span_stats",
+    "text_bpe_token_count",
+    "corpus_hash_split",
+    "corpus_stratified_sample",
+    "corpus_token_shards",
+    "corpus_pack_sequences",
+    "corpus_mixture_epochs",
+    "corpus_quality_resample",
+    "corpus_shuffle_deterministic",
+    "corpus_decontaminate",
+    "corpus_chunk_documents",
+    "corpus_temperature_mixture",
+    "stats_length_histogram",
+    "pii_detect",
+    "pii_redact",
+    "embedding_normalize",
+    "embedding_quantize_int8",
+    "embedding_knn_label",
+    "similarity_topk",
+    "similarity_topk_lsh",
+    "dedup_embedding_cosine",
+    "dedup_embedding_lsh",
+    "source_jsonl_roundtrip",
+]
+
+
+@pytest.mark.parametrize("seed", [11, 42])
+def test_corpus_ops_agree_with_oracle_on_adversarial_data(
+    spark, tmp_path, seed
+):
+    import os
+
+    outdir = str(tmp_path / f"cfuzz{seed}")
+    os.makedirs(outdir)
+    _gen_corpus(seed, outdir)
+    qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+    con = duckdb.connect()
+    for t in ("documents", "embeddings"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{outdir}/{t}.parquet')"
+        )
+    diverged = []
+    for name in FUZZED_CORPUS:
+        got = _canon(qs[name](spark, outdir).toPandas())
+        want = _canon(con.execute(oracles[name]).fetchdf())
+        if got != want:
+            diverged.append(name)
+    assert not diverged, f"seed {seed}: {diverged}"
