@@ -79,6 +79,12 @@ _VERIFY_FIRST = [
     "text_paragraph_dedup",
     "similarity_topk_lsh",
     "dedup_minhash_lsh",
+    # changed by the adversarial-fuzz edge fixes (try_divide NULL
+    # ratios; zero-norm exclusion + oracle parity) — re-verify
+    "text_token_stats",
+    "text_quality_score",
+    "similarity_topk",
+    "dedup_embedding_lsh",
     # (b) pre-NTZ entries that scan a timestamp-bearing table
     "sales_rollup",
     "sales_pivot",
@@ -99,16 +105,16 @@ _VERIFY_FIRST = [
     "corpus_prep_pipeline",
     "dedup_ngram_jaccard",
     "dedup_exact",
+    # ---- window boundary (50). Below: timestamp-free scans with
+    # unchanged code since their green row (see (c) note above), or
+    # entries whose latest driver-green row postdates the NTZ commit —
+    # both invariants pinned by tests/test_verify_window.py ----
     "dedup_cluster_representatives",
     "text_unigram_logprob",
     "text_repetition",
     "text_tfidf_top_terms",
     "text_term_frequencies",
-    # ---- window boundary (50). Below: timestamp-free scans with
-    # unchanged code since their green row (see (c) note above) ----
-    "text_token_stats",
     "text_language_id",
-    "text_quality_score",
     "text_fingerprint",
     "corpus_pack_sequences",
     "corpus_token_shards",
