@@ -84,6 +84,7 @@ _VERIFY_FIRST = [
     "text_token_stats",
     "text_quality_score",
     "similarity_topk",
+    "similarity_topk_ivf",
     "dedup_embedding_lsh",
     # (b) pre-NTZ entries that scan a timestamp-bearing table
     "sales_rollup",
@@ -104,11 +105,11 @@ _VERIFY_FIRST = [
     # (c) pre-NTZ, timestamp-free scans — rotate as many as fit
     "corpus_prep_pipeline",
     "dedup_ngram_jaccard",
-    "dedup_exact",
     # ---- window boundary (50). Below: timestamp-free scans with
     # unchanged code since their green row (see (c) note above), or
     # entries whose latest driver-green row postdates the NTZ commit —
     # both invariants pinned by tests/test_verify_window.py ----
+    "dedup_exact",
     "dedup_cluster_representatives",
     "text_unigram_logprob",
     "text_repetition",

@@ -828,6 +828,9 @@ ORACLES = {
         SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 5
     """,
     "similarity_topk_ivf": f"""
+        -- norm > 0 filters mirror the kernel's zero-norm contract:
+        -- zero-norm queries probe nothing, zero-norm corpus rows are
+        -- never candidates (similarity.py cosine_topk_ivf)
         WITH cent AS (SELECT vec_id AS centroid_id, embedding AS cvec
                       FROM embeddings WHERE vec_id % 50 = 0),
         assigned AS (
@@ -838,9 +841,11 @@ ORACLES = {
                                  / ({_NORM.format(v='c.cvec')}
                                     * {_NORM.format(v='e.embedding')}), 6) DESC,
                            c.centroid_id) AS rn
-                FROM embeddings e, cent c) WHERE rn = 1),
+                FROM embeddings e, cent c
+                WHERE {_NORM.format(v='e.embedding')} > 0) WHERE rn = 1),
         q AS (SELECT vec_id AS query_id, embedding AS qvec
-              FROM embeddings WHERE vec_id < 10),
+              FROM embeddings WHERE vec_id < 10
+                AND {_NORM.format(v='embedding')} > 0),
         probes AS (
             SELECT query_id, centroid_id FROM (
                 SELECT q.query_id, c.centroid_id,

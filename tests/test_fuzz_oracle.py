@@ -184,6 +184,8 @@ def _gen(seed: int, outdir: str) -> None:
 
 
 def _canon(pdf: pd.DataFrame) -> list[tuple]:
+    import datetime
+
     cols = sorted(pdf.columns)
     rows = []
     for t in pdf[cols].itertuples(index=False):
@@ -191,8 +193,13 @@ def _canon(pdf: pd.DataFrame) -> list[tuple]:
         for v in t:
             if isinstance(v, float):
                 row.append("NaN" if math.isnan(v) else float(f"{v:.6g}"))
-            elif hasattr(v, "isoformat"):
-                row.append(v.isoformat())
+            elif isinstance(
+                v, (datetime.date, datetime.datetime, pd.Timestamp)
+            ):
+                # driver convention (tools/check_correctness.py): DATE and
+                # midnight TIMESTAMP compare equal — Spark DateType →
+                # datetime.date while DuckDB DATE → Timestamp via fetchdf
+                row.append(str(pd.Timestamp(v)))
             else:
                 row.append(v)
         rows.append(tuple(row))
@@ -343,4 +350,89 @@ def test_corpus_ops_agree_with_oracle_on_adversarial_data(
         want = _canon(con.execute(oracles[name]).fetchdf())
         if got != want:
             diverged.append(name)
+    assert not diverged, f"seed {seed}: {diverged}"
+
+
+#: remaining batch families fuzzed on the same random data. Excluded by
+#: design: streaming_* (micro-batch harness has dedicated tests),
+#: source_synthetic_* (generator-only, no table input),
+#: stats_approx_sketches (error-contract vs sketch internals — the
+#: contract bound is calibrated to the driver corpus, not arbitrary
+#: data), clean_et_chain/corpus_*_pipeline at fuzz time (compositions
+#: of fuzzed stages; golden-pinned separately).
+FUZZED_MORE = [
+    "sales_by_employee",
+    "sales_by_employee_sql",
+    "average_ticket_by_product",
+    "sales_by_category",
+    "top5_employees",
+    "sales_by_period",
+    "sales_rollup",
+    "sales_pivot",
+    "sales_monthly_growth",
+    "top_products_per_brand",
+    "sales_pareto_share",
+    "clean_dedup_keep_first",
+    "clean_duplicate_keys",
+    "clean_fill_constant",
+    "clean_canonical_name",
+    "clean_fill_missing_name",
+    "clean_coerce_numeric",
+    "clean_derived_total",
+    "clean_clamp_range",
+    "clean_group_median_impute",
+    "clean_date_cascade",
+    "clean_sequential_ids",
+    "clean_fuzzy_supplier_match",
+    "quality_checks",
+    "stats_profile",
+    "stats_value_counts",
+    "events_asof_join_forward",
+    "events_cohort_retention",
+    "events_funnel",
+    "events_multires_rollup",
+    "events_value_quantiles",
+    "events_user_value_deciles",
+    "events_windowed_distinct_users",
+    "table_upsert",
+    "table_insert_missing",
+    "table_scd2_apply",
+    "table_cdc_apply",
+    "dedup_clusters",
+    "dedup_cluster_representatives",
+    "similarity_topk_ivf",
+    "multimodal_decode",
+    "multimodal_resize",
+    "multimodal_frame_sample",
+]
+
+
+@pytest.mark.parametrize("seed", [13])
+def test_remaining_families_agree_with_oracle_on_random_data(
+    spark, tmp_path, seed
+):
+    import os
+
+    outdir = str(tmp_path / f"mfuzz{seed}")
+    os.makedirs(outdir)
+    _gen(seed, outdir)
+    _gen_corpus(seed + 1, outdir)
+    qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{outdir}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')"
+            )
+    diverged = []
+    for name in FUZZED_MORE:
+        try:
+            got = _canon(qs[name](spark, outdir).toPandas())
+            want = _canon(con.execute(oracles[name]).fetchdf())
+        except Exception as e:  # noqa: BLE001 — collect, assert below
+            diverged.append((name, f"ERROR {str(e)[:120]}"))
+            continue
+        if got != want:
+            diverged.append((name, f"{len(got)} vs {len(want)} rows"))
     assert not diverged, f"seed {seed}: {diverged}"
