@@ -358,8 +358,7 @@ def test_corpus_ops_agree_with_oracle_on_adversarial_data(
 #: source_synthetic_* (generator-only, no table input),
 #: stats_approx_sketches (error-contract vs sketch internals — the
 #: contract bound is calibrated to the driver corpus, not arbitrary
-#: data), clean_et_chain/corpus_*_pipeline at fuzz time (compositions
-#: of fuzzed stages; golden-pinned separately).
+#: data).
 FUZZED_MORE = [
     "sales_by_employee",
     "sales_by_employee_sql",
@@ -404,6 +403,11 @@ FUZZED_MORE = [
     "multimodal_decode",
     "multimodal_resize",
     "multimodal_frame_sample",
+    # compositions — every stage is individually fuzzed above, but the
+    # end-to-end chains get their own random-data row too
+    "clean_et_chain",
+    "corpus_dedup_pipeline",
+    "corpus_prep_pipeline",
 ]
 
 
