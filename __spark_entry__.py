@@ -35,10 +35,15 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # The driver verifies only the FIRST 50 queries() entries per round
 # (CORRECTNESS_r{N}.json). Round-6 window, in priority order:
-# (a) every entry whose code is NEW or CHANGED since its last green row
-#     (the r6 additions plus the four entries touched by the LSH gate
-#     swap / paragraph zero-token guard / ANN-LSH oracle parity /
-#     MinHash stop-shingle cap) — these must not ship unverified;
+# (a) every entry whose code is NEW or CHANGED since its last green row:
+#     the 22 round-6 additions (TPC-H analog batch 2, incremental
+#     dedup, kNN labels, daily top-k, dup-span stats, deterministic
+#     shuffle, JSONL round trip, gopher/bigram/resample/multimodal),
+#     the four entries touched by the LSH gate swap / paragraph
+#     zero-token guard / ANN-LSH oracle parity / MinHash stop-shingle
+#     cap, and the five entries whose edge semantics the adversarial
+#     fuzz fixed (try_divide NULL ratios, zero-norm contracts) — these
+#     must not ship unverified;
 # (b) the pre-NTZ (commit d345e77) entries whose plans SCAN a table
 #     with a TIMESTAMP column (events/lineitem/orders — verified via
 #     df.inputFiles() per entry), i.e. the only entries the all-table
