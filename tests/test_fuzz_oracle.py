@@ -440,3 +440,30 @@ def test_remaining_families_agree_with_oracle_on_random_data(
         if got != want:
             diverged.append((name, f"{len(got)} vs {len(want)} rows"))
     assert not diverged, f"seed {seed}: {diverged}"
+
+
+def test_every_gated_entry_is_fuzzed_or_excluded():
+    """Coverage accounting: each queries() entry must appear in a fuzz
+    list or carry a documented exclusion — a new operator can't ship
+    with only fixed-dataset coverage unnoticed."""
+    EXCLUDED = {
+        # streaming micro-batch harness has dedicated tests
+        # (tests/test_streaming.py: watermarks, late data, restart)
+        "streaming_dedup",
+        "streaming_enriched_counts",
+        "streaming_session_counts",
+        "streaming_stream_join",
+        "streaming_user_totals",
+        "streaming_windowed_counts",
+        # generator-only sources: no table input to randomize
+        "source_synthetic_events",
+        "source_synthetic_stream",
+        # error-contract bound calibrated to the driver corpus
+        "stats_approx_sketches",
+    }
+    fuzzed = set(FUZZED) | set(FUZZED_CORPUS) | set(FUZZED_MORE)
+    qs = set(entrymod.queries())
+    uncovered = qs - fuzzed - EXCLUDED
+    assert not uncovered, sorted(uncovered)
+    stale = (EXCLUDED & fuzzed) | (EXCLUDED - qs)
+    assert not stale, sorted(stale)
