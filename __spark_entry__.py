@@ -56,6 +56,8 @@ def entry(spark: SparkSession) -> DataFrame:
 #     r2/r4 green rows remain valid for unchanged code (git-verified).
 _VERIFY_FIRST = [
     # (a) new or changed this round — must not ship unverified
+    "q15_top_supplier",
+    "q9_product_profit",
     "q4_priority_late_ship",
     "q6_forecast_revenue",
     "q7_volume_shipping",
@@ -107,13 +109,12 @@ _VERIFY_FIRST = [
     "stats_value_counts",
     "quality_checks",
     "sales_by_employee_sql",
-    # (c) pre-NTZ, timestamp-free scans — rotate as many as fit
-    "corpus_prep_pipeline",
-    "dedup_ngram_jaccard",
     # ---- window boundary (50). Below: timestamp-free scans with
     # unchanged code since their green row (see (c) note above), or
     # entries whose latest driver-green row postdates the NTZ commit —
     # both invariants pinned by tests/test_verify_window.py ----
+    "corpus_prep_pipeline",
+    "dedup_ngram_jaccard",
     "dedup_exact",
     "dedup_cluster_representatives",
     "text_unigram_logprob",
@@ -179,6 +180,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q2_min_balance_supplier": analytics.td_q2_min_balance_supplier,
         "q20_excess_shippers": analytics.td_q20_excess_shippers,
         "q21_sole_late_shipper": analytics.td_q21_sole_late_shipper,
+        "q15_top_supplier": analytics.td_q15_top_supplier,
+        "q9_product_profit": analytics.td_q9_product_profit,
         # §2.2/2.5 cleaning layer (reference extract-transform-data/et_*.py)
         **cleaning_demo.QUERIES,
         # extension layer: text analysis / dedup / similarity / event windows
@@ -432,6 +435,36 @@ def oracle_sql() -> dict[str, str]:
                 GROUP BY l.l_suppkey, l.l_partkey
                 HAVING SUM(l.l_quantity) > 40)
             ORDER BY s.s_suppkey
+        """,
+        "q15_top_supplier": f"""
+            WITH rev AS (
+                SELECT l_suppkey,
+                       {r2.format(x=f'SUM({revenue})')} AS total_revenue
+                FROM lineitem
+                WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+                  AND l_shipdate < TIMESTAMP '1997-04-01'
+                GROUP BY l_suppkey)
+            SELECT s.s_suppkey, s.s_name, r.total_revenue
+            FROM supplier s JOIN rev r ON s.s_suppkey = r.l_suppkey
+            WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM rev)
+            ORDER BY s.s_suppkey
+        """,
+        "q9_product_profit": f"""
+            -- per-row integer quantization before the sum: see the plan
+            SELECT n.n_name AS nation,
+                   EXTRACT(YEAR FROM o.o_orderdate) AS o_year,
+                   floor(SUM(CAST(floor(({revenue}
+                            - 0.1 * p.p_retailprice * l.l_quantity)
+                            * 10000 + 0.5) AS BIGINT)) / 100.0 + 0.5) / 100
+                       AS sum_profit
+            FROM lineitem l
+            JOIN part p ON l.l_partkey = p.p_partkey
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN nation n ON s.s_nationkey = n.n_nationkey
+            WHERE p.p_name LIKE '%gizmo%'
+            GROUP BY nation, o_year
+            ORDER BY nation, o_year DESC
         """,
         "q21_sole_late_shipper": """
             WITH li AS (

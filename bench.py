@@ -103,6 +103,8 @@ HEADLINE = [
     "q2_min_balance_supplier",
     "q20_excess_shippers",
     "q21_sole_late_shipper",
+    "q15_top_supplier",
+    "q9_product_profit",
     "text_dup_span_stats",
     "corpus_shuffle_deterministic",
     "source_jsonl_roundtrip",

@@ -1172,3 +1172,85 @@ def td_q21_sole_late_shipper(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("numwait"), "s_suppkey")
         .limit(20)
     )
+
+
+def td_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: the top-revenue-supplier view — an aggregate
+    reused twice (once per supplier, once for the global MAX) with the
+    scalar maximum applied as a 1-row broadcast, so the per-supplier
+    aggregate is computed ONCE and the correlated `revenue = (SELECT
+    MAX…)` never becomes a per-row subquery. Ties: every supplier at
+    the max is returned (original Q15 semantics)."""
+    t = load_testdata(spark, sf_dir, ("lineitem", "supplier"))
+    rev = (
+        t["lineitem"]
+        .filter(
+            (F.col("l_shipdate") >= F.to_timestamp(F.lit("1997-01-01")))
+            & (F.col("l_shipdate") < F.to_timestamp(F.lit("1997-04-01")))
+        )
+        .groupBy("l_suppkey")
+        .agg(_r2(F.sum(_revenue())).alias("total_revenue"))
+        .localCheckpoint(eager=False)  # reuse: supplier rows + global max
+    )
+    mx = rev.agg(F.max("total_revenue").alias("_mx"))
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("_mx"))
+        .join(
+            F.broadcast(t["supplier"].select("s_suppkey", "s_name")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+def td_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: profit by supplier nation and order year for a
+    part-name family — the 5-way join with a computed measure. The
+    testdata has no partsupp, so supply cost is proxied as 10% of
+    p_retailprice per unit (same plan shape: every dim broadcasts, the
+    only shuffles are fact⋈orders and the (nation, year) aggregate)."""
+    t = load_testdata(
+        spark, sf_dir, ("lineitem", "part", "supplier", "orders", "nation")
+    )
+    gizmo = (
+        t["part"]
+        .filter(F.col("p_name").like("%gizmo%"))
+        .select("p_partkey", "p_retailprice")
+    )
+    supp_n = (
+        t["supplier"]
+        .join(
+            F.broadcast(t["nation"].select("n_nationkey", "n_name")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "n_name")
+    )
+    profit = _revenue() - 0.1 * F.col("p_retailprice") * F.col("l_quantity")
+    # integer-quantize BEFORE the sum (module convention, same as
+    # text_unigram_logprob): a double sum's order differs between
+    # engines, and this measure mixes signs — one ulp near a .xx5
+    # boundary flips the rounded cent. Per-row floor(x·10⁴+0.5) is the
+    # identical double op-sequence in both engines; the bigint sum is
+    # then exact and order-free.
+    profit_q = F.floor(profit * 10000 + F.lit(0.5)).cast("long")
+    return (
+        t["lineitem"]
+        .join(F.broadcast(gizmo), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(supp_n), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(
+            t["orders"].select("o_orderkey", "o_orderdate"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(
+            (F.floor(F.sum(profit_q) / 100.0 + F.lit(0.5)) / 100).alias(
+                "sum_profit"
+            )
+        )
+        .orderBy("nation", F.desc("o_year"))
+    )

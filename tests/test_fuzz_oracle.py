@@ -41,9 +41,11 @@ FUZZED = [
     "q6_forecast_revenue",
     "q7_volume_shipping",
     "q8_market_share",
+    "q9_product_profit",
     "q10_returned_items",
     "q13_customer_distribution",
     "q14_promo_revenue",
+    "q15_top_supplier",
     "q16_supplier_part_counts",
     "q17_small_quantity_revenue",
     "q18_large_orders",

@@ -158,3 +158,18 @@ def test_q21_no_self_join_survives(spark):
     # exactly one join (orders), plus the supplier-name broadcast
     assert plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") <= 1
     assert "CartesianProduct" not in plan
+
+
+def test_q15_scalar_max_is_broadcast_not_rescan(spark):
+    """Q15 shape: the revenue aggregate feeds both the supplier rows and
+    the global MAX; the max arrives as a 1-row broadcast, never a
+    per-row subquery, and no cartesian beyond it."""
+    plan = _plan(analytics.td_q15_top_supplier(spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "TakeOrderedAndProject" in plan or "Sort" in plan
+
+
+def test_q9_dims_broadcast_single_fact_shuffle_chain(spark):
+    plan = _plan(analytics.td_q9_product_profit(spark, SF_DIR))
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in plan
