@@ -28,6 +28,7 @@ SF_DIR = "/root/testdata/sf0.001"
 #: documents/embeddings-only by construction (their loaders are
 #: _docs/_emb helpers in plans/llm_demo.py).
 LINEAGE_OPAQUE_OK = {
+    "corpus_prep_pipeline",
     "corpus_token_shards",
     "corpus_pack_sequences",
     "corpus_mixture_epochs",
