@@ -36,7 +36,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # The driver verifies only the FIRST 50 queries() entries per round
 # (CORRECTNESS_r{N}.json). Round-6 window, in priority order:
 # (a) every entry whose code is NEW or CHANGED since its last green row:
-#     the 22 round-6 additions (TPC-H analog batch 2, incremental
+#     the 24 round-6 additions (TPC-H analog batch 2 incl. Q15/Q9, incremental
 #     dedup, kNN labels, daily top-k, dup-span stats, deterministic
 #     shuffle, JSONL round trip, gopher/bigram/resample/multimodal),
 #     the four entries touched by the LSH gate swap / paragraph
