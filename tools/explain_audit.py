@@ -35,6 +35,8 @@ CARTESIAN_OK = {
     # 1-row global-average-balance broadcast (scalar-subquery pattern);
     # the BroadcastNestedLoopJoin carries exactly one build-side row
     "q22_dormant_customers",
+    # 1-row global-MAX broadcast (Q15's correlated scalar, decorrelated)
+    "q15_top_supplier",
 }
 
 
