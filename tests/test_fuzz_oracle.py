@@ -209,7 +209,7 @@ def _canon(pdf: pd.DataFrame) -> list[tuple]:
     return rows
 
 
-@pytest.mark.parametrize("seed", [7, 23, 99])
+@pytest.mark.parametrize("seed", [7, 23, 99, 151, 202])
 def test_analogs_agree_with_oracle_on_random_data(spark, tmp_path, seed):
     outdir = str(tmp_path / f"fuzz{seed}")
     import os
@@ -330,7 +330,7 @@ FUZZED_CORPUS = [
 ]
 
 
-@pytest.mark.parametrize("seed", [11, 42])
+@pytest.mark.parametrize("seed", [11, 42, 77])
 def test_corpus_ops_agree_with_oracle_on_adversarial_data(
     spark, tmp_path, seed
 ):
