@@ -95,3 +95,23 @@ def test_out_of_window_entries_scan_no_timestamp_tables(spark):
         elif tabs & ts_tables:
             offenders.append((name, sorted(tabs & ts_tables)))
     assert not offenders, offenders
+
+
+def test_rotation_planner_priorities():
+    """The planner must put never-green entries first, changed files
+    second, and stale greens last — and fill exactly the window."""
+    from tools.rotation_planner import plan
+
+    rows = plan(window=50, changed={"sales_data_etl_pipeline_spark/plans/analytics.py"})
+    names = [n for n, _, _ in rows]
+    assert len(names) == len(set(names)) == len(entrymod.queries())
+    in_window = [n for n, _, iw in rows if iw]
+    assert len(in_window) == 50
+    whys = dict((n, w) for n, w, _ in rows)
+    # every never-green entry ranks above every changed/stale entry
+    first_other = next(
+        i for i, (_, w, _) in enumerate(rows) if not w.startswith("never-green")
+    )
+    assert all(w == "never-green" for _, w, _ in rows[:first_other])
+    # a changed-file entry ranks above an unchanged same-round entry
+    assert whys["sales_by_employee"].startswith("changed:analytics.py")
