@@ -129,12 +129,14 @@ def ngram_jaccard_pairs(
         inter.join(F.broadcast(sza), "id_a")
         .join(F.broadcast(szb), "id_b")
         .withColumn(
-            "jaccard",
-            F.round(
-                F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 6
-            ),
+            "_ratio",
+            F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
         )
-        .filter(F.col("jaccard") >= threshold)
+        # threshold the RAW ratio (oracle convention); the 6dp rounding
+        # is presentation-only on the emitted column — a raw jaccard in
+        # [threshold - 5e-7, threshold) must NOT be admitted by rounding
+        .filter(F.col("_ratio") >= threshold)
+        .withColumn("jaccard", F.round("_ratio", 6))
         .select("id_a", "id_b", "jaccard")
     )
 
@@ -321,12 +323,12 @@ def minhash_lsh_pairs(
         verified = inter.join(sza, "id_a").join(szb, "id_b")
     return (
         verified.withColumn(
-            "jaccard",
-            F.round(
-                F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 6
-            ),
+            "_ratio",
+            F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
         )
-        .filter(F.col("jaccard") >= threshold)
+        # raw-ratio threshold, rounded emit — same contract as the oracle
+        .filter(F.col("_ratio") >= threshold)
+        .withColumn("jaccard", F.round("_ratio", 6))
         .select("id_a", "id_b", "jaccard")
     )
 
@@ -794,6 +796,7 @@ def minhash_lsh_incremental(
     n: int = 3,
     threshold: float = 0.5,
     text_col: str = "text",
+    verify: str = "sets",
 ) -> DataFrame:
     """Incremental MinHash-LSH dedup: match INCOMING docs against an
     existing BASE corpus — the daily-ingest shape of a 100 TB pipeline.
@@ -806,15 +809,26 @@ def minhash_lsh_incremental(
     persisted (bucketed by (band, sig)); recomputing it here keeps the
     operator self-contained while the join shape stays identical.
 
+    ``verify`` mirrors :func:`minhash_lsh_pairs` exactly: ``"sets"``
+    carries each doc's shingle set through the per-doc aggregate
+    (bounded docs, one fewer shuffle of the shingle table); ``"join"``
+    computes |A∩B| by joining the candidate pairs back to the exploded
+    shingle tables — NO ``collect_list`` anywhere, so per-row memory is
+    O(1) regardless of document length. At 100 TB daily-ingest against
+    book-length documents, ``"join"`` is the right mode.
+
     Returns one row per matched incoming doc: (doc_id, base_id,
     jaccard) — its BEST base match (highest rounded jaccard, smallest
     base id on ties). Unmatched incoming docs are absent (the caller
     anti-joins to get the admit set).
     """
+    if verify not in ("sets", "join"):
+        raise ValueError(f"verify must be 'sets' or 'join', got {verify!r}")
     rows = num_hashes // bands
+    sh_base = shingle_sets(base, text_col, n)
+    sh_inc = shingle_sets(incoming, text_col, n)
 
-    def per_doc(df: DataFrame) -> DataFrame:
-        sh = shingle_sets(df, text_col, n)
+    def per_doc(sh: DataFrame) -> DataFrame:
         ids = sh.select(
             "doc_id", "sh", F.expr(hash_id_expr("sh", MINHASH_P)).alias("sid")
         )
@@ -824,11 +838,10 @@ def minhash_lsh_incremental(
             ).alias(f"_mh{k}")
             for k in range(num_hashes)
         ]
-        return ids.groupBy("doc_id").agg(
-            *aggs,
-            F.count(F.lit(1)).alias("sz"),
-            F.collect_list("sh").alias("_shset"),
-        )
+        aggs.append(F.count(F.lit(1)).alias("sz"))
+        if verify == "sets":
+            aggs.append(F.collect_list("sh").alias("_shset"))
+        return ids.groupBy("doc_id").agg(*aggs)
 
     def band_sig(pd: DataFrame) -> DataFrame:
         structs = [
@@ -848,8 +861,8 @@ def minhash_lsh_incremental(
             F.col("bs.sig").alias("sig"),
         )
 
-    base_pd = per_doc(base).localCheckpoint(eager=False)
-    inc_pd = per_doc(incoming).localCheckpoint(eager=False)
+    base_pd = per_doc(sh_base).localCheckpoint(eager=False)
+    inc_pd = per_doc(sh_inc).localCheckpoint(eager=False)
     candidates = (
         band_sig(base_pd)
         .select(
@@ -864,26 +877,54 @@ def minhash_lsh_incremental(
         .select("base_id", "doc_id")
         .distinct()
     )
-    va = base_pd.select(
-        F.col("doc_id").alias("base_id"),
-        F.col("sz").alias("sz_a"),
-        F.col("_shset").alias("_set_a"),
-    )
-    vb = inc_pd.select(
-        "doc_id", F.col("sz").alias("sz_b"), F.col("_shset").alias("_set_b")
-    )
-    verified = (
-        candidates.join(va, "base_id")
-        .join(vb, "doc_id")
-        .withColumn("inter", F.size(F.array_intersect("_set_a", "_set_b")))
-        .withColumn(
-            "jaccard",
-            F.round(
-                F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
-                6,
-            ),
+    if verify == "sets":
+        va = base_pd.select(
+            F.col("doc_id").alias("base_id"),
+            F.col("sz").alias("sz_a"),
+            F.col("_shset").alias("_set_a"),
         )
-        .filter(F.col("jaccard") >= threshold)
+        vb = inc_pd.select(
+            "doc_id", F.col("sz").alias("sz_b"), F.col("_shset").alias("_set_b")
+        )
+        verified = (
+            candidates.join(va, "base_id")
+            .join(vb, "doc_id")
+            .withColumn(
+                "inter", F.size(F.array_intersect("_set_a", "_set_b"))
+            )
+        )
+    else:
+        # candidate-join counting (the minhash_lsh_pairs verify='join'
+        # form): only candidate docs' shingles flow through the
+        # intersect join, rows stay O(1)-wide
+        inter = (
+            candidates.join(
+                sh_base.select(
+                    F.col("doc_id").alias("base_id"), F.col("sh").alias("_sh")
+                ),
+                "base_id",
+            )
+            .join(
+                sh_inc.select("doc_id", F.col("sh").alias("_sh")),
+                ["doc_id", "_sh"],
+            )
+            .groupBy("base_id", "doc_id")
+            .agg(F.count(F.lit(1)).alias("inter"))
+        )
+        verified = inter.join(
+            base_pd.select(
+                F.col("doc_id").alias("base_id"), F.col("sz").alias("sz_a")
+            ),
+            "base_id",
+        ).join(inc_pd.select("doc_id", F.col("sz").alias("sz_b")), "doc_id")
+    verified = (
+        verified.withColumn(
+            "_ratio",
+            F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
+        )
+        # raw-ratio threshold (oracle convention); rounded emit/rank
+        .filter(F.col("_ratio") >= threshold)
+        .withColumn("jaccard", F.round("_ratio", 6))
     )
     w = Window.partitionBy("doc_id").orderBy(
         F.desc("jaccard"), F.asc("base_id")

@@ -711,15 +711,22 @@ def dup_span_stats(
     # and measured 6-13 s at sf0.1; the kernel tokenizes once per doc
     # and computes all window hashes as ONE numpy sliding-window dot
     # product with uint64 wraparound (a degree-(n-1) polynomial rolling
-    # hash over crc32 token hashes — no span strings ever built).
-    # The hash never leaves the plan (output is counts), so it only
-    # needs INTRA-engine consistency; the DuckDB oracle hashes the
+    # hash over 64-bit blake2b token hashes — no span strings ever
+    # built). Per-token hashes are 64-bit, NOT crc32: a 32-bit token
+    # hash goes birthday-probable once the vocabulary nears ~10^5
+    # distinct tokens, and a colliding token pair makes textually
+    # different spans hash-equal on this side only, inflating
+    # n_dup_spans relative to the oracle. blake2b(digest_size=8) keeps
+    # cross-span collisions at the 2^-64 level; a per-task memo keyed
+    # by token amortizes the digest to once per distinct vocabulary
+    # word. The hash never leaves the plan (output is counts), so it
+    # only needs INTRA-engine consistency; the DuckDB oracle hashes the
     # joined span text on its side. Python ``re.split`` on
     # ``[^a-z0-9]+`` after ``lower()`` matches the JVM/DuckDB TOKENIZE
     # convention exactly on ASCII corpora (same guarantee simhash
     # documents).
+    import hashlib
     import re as _re
-    import zlib
 
     import numpy as np
     import pandas as pd
@@ -730,14 +737,25 @@ def dup_span_stats(
     pw = np.uint64(31) ** np.arange(n - 1, -1, -1, dtype=np.uint64)
 
     def span_hashes(batches):
+        memo: dict[str, int] = {}
+
+        def h64(t: str) -> int:
+            v = memo.get(t)
+            if v is None:
+                v = int.from_bytes(
+                    hashlib.blake2b(t.encode(), digest_size=8).digest(), "big"
+                )
+                memo[t] = v
+            return v
+
         for pdf in batches:
             ids, hs = [], []
             for doc_id, txt in zip(pdf["doc_id"], pdf[text_col]):
                 toks = [t for t in tok_re.split((txt or "").lower()) if t]
                 if len(toks) < n:
                     continue
-                th = np.array(
-                    [zlib.crc32(t.encode()) for t in toks], dtype=np.uint64
+                th = np.fromiter(
+                    (h64(t) for t in toks), dtype=np.uint64, count=len(toks)
                 )
                 with np.errstate(over="ignore"):
                     h = (sliding_window_view(th, n) * pw).sum(axis=1)

@@ -2972,12 +2972,17 @@ def source_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     inference pass), and aggregate — the oracle computes the same
     aggregate from the parquet, so any loss in the round trip (type
     flips, escaping, truncation) breaks the hash."""
+    import os
     import tempfile
 
     from sales_data_etl_pipeline_spark.sources import jsonl
 
     docs = _docs(spark, sf_dir)
-    path = tempfile.mkdtemp(prefix="jsonl_gate_") + "/docs"
+    # deterministic scratch path keyed by sf_dir: write_jsonl overwrites
+    # in place, so repeated gate/bench runs reuse ONE directory instead
+    # of leaking a fresh mkdtemp per invocation
+    tag = sf_dir.strip("/").replace("/", "_")
+    path = os.path.join(tempfile.gettempdir(), f"jsonl_gate_{tag}", "docs")
     jsonl.write_jsonl(docs, path, max_records_per_file=200)
     back = jsonl.read_jsonl(spark, path, docs.schema)
     return (

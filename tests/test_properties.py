@@ -386,3 +386,40 @@ def test_incremental_minhash_equals_cross_parity_pairs(spark):
     want = {(hi, lo, j) for hi, (lo, j) in cross.items()}
     assert got == want
     assert got  # non-degenerate: truncation keeps jaccard above 0.5
+
+
+def test_incremental_minhash_verify_join_matches_sets(spark):
+    """verify='join' (bounded-memory candidate-join counting — the
+    100 TB mode for unbounded document sizes) must produce the exact
+    same best-match set as the default carried-set verification, and
+    its plan must carry NO collect_list (that's the point)."""
+    from pyspark.sql import functions as F
+
+    from sales_data_etl_pipeline_spark.operators import dedup
+    from sales_data_etl_pipeline_spark.sources.tables import load_testdata
+
+    base = (
+        load_testdata(spark, "/root/testdata/sf0.001", ("documents",))[
+            "documents"
+        ]
+        .select("doc_id", "text")
+        .limit(60)
+    )
+    inc = base.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 5000).alias("doc_id"),
+        F.expr("substring(text, 1, greatest(length(text) - 25, 1))").alias(
+            "text"
+        ),
+    )
+    joined = dedup.minhash_lsh_incremental(base, inc, verify="join")
+    plan = joined._jdf.queryExecution().analyzed().toString()
+    assert "collect_list" not in plan
+    got_join = {(r.doc_id, r.base_id, r.jaccard) for r in joined.collect()}
+    got_sets = {
+        (r.doc_id, r.base_id, r.jaccard)
+        for r in dedup.minhash_lsh_incremental(
+            base, inc, verify="sets"
+        ).collect()
+    }
+    assert got_join == got_sets
+    assert got_join

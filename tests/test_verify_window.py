@@ -97,6 +97,45 @@ def test_out_of_window_entries_scan_no_timestamp_tables(spark):
     assert not offenders, offenders
 
 
+def test_rotation_planner_green_requires_schema_match():
+    """The planner's green predicate must equal the driver's: a
+    schema-only failure is classified changed/never-green, not green."""
+    from tools.rotation_planner import is_green
+
+    ok = {"rows_match": True, "schema_match": True, "hash_match": True}
+    assert is_green(ok)
+    for broken in ("rows_match", "schema_match", "hash_match"):
+        assert not is_green({**ok, broken: False})
+        assert not is_green({k: v for k, v in ok.items() if k != broken})
+
+
+def test_scale_flag_means_superlinear():
+    """The scale-experiment flag must fire on a real quadratic and stay
+    silent on sublinear fixed-cost-amortization slopes (which every
+    measured query in SCALE_EXPERIMENT.json exhibits)."""
+    import json
+
+    from tools.scale_experiment import COPIES, is_superlinear
+
+    # synthetic quadratic: an all-pairs primitive costs ~n², so a
+    # COPIES× replica multiplies wall clock by ~COPIES² with flat output
+    assert is_superlinear(float(COPIES**2), 1.0)
+    assert is_superlinear(float(COPIES**2), None)
+    # output-bound is explained: slope 45 with 45× more pairs emitted
+    assert not is_superlinear(45.0, 45.0)
+    # sublinear growth (amortization ending) is never a flag
+    assert not is_superlinear(3.95, 1.0)
+    # every currently recorded measurement must be unflagged
+    with open("/root/repo/SCALE_EXPERIMENT.json") as f:
+        rec = json.load(f)
+    refired = [
+        n
+        for n, t in rec["queries"].items()
+        if is_superlinear(t["ratio_10x_rows"], t.get("output_ratio"))
+    ]
+    assert refired == [], refired
+
+
 def test_rotation_planner_priorities():
     """The planner must put never-green entries first, changed files
     second, and stale greens last — and fill exactly the window."""
@@ -114,4 +153,7 @@ def test_rotation_planner_priorities():
     )
     assert all(w == "never-green" for _, w, _ in rows[:first_other])
     # a changed-file entry ranks above an unchanged same-round entry
-    assert whys["sales_by_employee"].startswith("changed:analytics.py")
+    # (paths are matched repo-relative, never by basename)
+    assert whys["sales_by_employee"].startswith(
+        "changed:sales_data_etl_pipeline_spark/plans/analytics.py"
+    )

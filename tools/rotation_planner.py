@@ -4,73 +4,298 @@ The driver checks only the FIRST 50 ``queries()`` entries per round, so
 each round the window must rotate: entries whose code changed since
 their last driver-green row go first, then the stalest green entries.
 This tool computes that ordering from the recorded correctness history
-plus ``git diff`` so the rotation is derived, not hand-maintained.
+plus per-entry code fingerprints so the rotation is derived, not
+hand-maintained.
 
 Priority order emitted:
 
 1. **never-green** — entries with no green row in any CORRECTNESS_r*.json
    (new operators): must be in-window or they ship unverified.
-2. **changed-since-green** — entries whose implementing file (the plan
-   function's source file, or any file passed via ``--changed``) was
-   touched by commits after the round of their last green row.
+2. **changed-since-green** — entries whose code changed since the round
+   of their last green row, detected three ways (any hit marks it):
+   (a) its current fingerprint differs from the one recorded in the
+   newest committed ``entry_fingerprints_r*.json`` (see below);
+   (b) any file in its dependency set appears in ``--changed`` (git
+   paths, compared REPO-RELATIVE, never by basename);
+   (c) it is named in ``--force-changed``.
 3. **stalest-green** — remaining entries, oldest green round first.
 
-Caveat (documented, deliberate): an entry's "implementing file" is the
-file defining its ``queries()`` callable. Edits to deeper operator
-modules surface through ``--changed`` (pass ``git diff --name-only
-<last-round-tag>`` output); the round-6 workflow is::
+Green means the driver's full predicate — ``rows_match AND
+schema_match AND hash_match`` — a schema-only failure is NOT green.
 
-    python tools/rotation_planner.py --changed $(git diff --name-only <snap>..HEAD -- 'sales_data_etl_pipeline_spark/')
+Dependency sets are per-ENTRY, not per-file: an entry's set is the
+package modules its queries() callable actually references (bytecode
+scan for LOAD_GLOBAL module / LOAD_GLOBAL+LOAD_ATTR function pairs,
+recursing into nested code objects), transitively closed over each
+referenced module's package-level imports (AST scan). The defining
+plans file itself is deliberately NOT in the set — plans modules are
+registries of many independent entries, and file-level granularity
+there marks ~80 entries for a one-function edit. Changes to the entry
+function itself are caught by its FINGERPRINT: sha256 of the
+function's own source plus the content of every file in its dependency
+set. ``--emit-fingerprints`` writes the current map; committing it as
+``tools/entry_fingerprints_r{N}.json`` at round close gives the next
+round precise changed-since-green detection.
 
-Usage: python tools/rotation_planner.py [--window 50] [--changed f1 f2 …]
+``--emit-window`` writes ``tools/verify_window.json`` recording the
+inputs (rounds used, changed paths, forced entries) and the full
+ordering; ``__spark_entry__._VERIFY_FIRST`` must equal its first
+``window`` names (pinned by tests/test_verify_window.py, which also
+replans from the recorded inputs to prove the artifact is derived).
+
+Usage::
+
+    python tools/rotation_planner.py [--window 50] [--max-round N]
+        [--changed f1 f2 ...] [--force-changed e1 e2 ...]
+        [--emit-window] [--emit-fingerprints]
 """
 
 from __future__ import annotations
 
 import argparse
+import ast
+import dis
 import glob
+import hashlib
+import inspect
 import json
+import os
 import sys
+import types
 
-sys.path.insert(0, "/root/repo")
+REPO = "/root/repo"
+PKG = "sales_data_etl_pipeline_spark"
 
-import __spark_entry__ as entrymod
+sys.path.insert(0, REPO)
+
+import __spark_entry__ as entrymod  # noqa: E402
 
 
-def last_green_rounds(repo: str = "/root/repo") -> dict[str, int]:
-    """entry -> latest round with a green row (rows+schema+hash)."""
+def is_green(row: dict) -> bool:
+    """The driver's definition, exactly: all three matches must hold."""
+    return bool(
+        row.get("rows_match") and row.get("schema_match") and row.get("hash_match")
+    )
+
+
+def last_green_rounds(
+    repo: str = REPO, max_round: int | None = None
+) -> dict[str, int]:
+    """entry -> latest round with a green row."""
     green: dict[str, int] = {}
     for path in sorted(glob.glob(f"{repo}/CORRECTNESS_r*.json")):
         rnd = int(path.rsplit("_r", 1)[1].split(".")[0])
+        if max_round is not None and rnd > max_round:
+            continue
         with open(path) as f:
             rows = json.load(f)
         for name, v in rows.items():
-            if v.get("rows_match") and v.get("hash_match", True):
+            if is_green(v):
                 green[name] = max(green.get(name, 0), rnd)
     return green
 
 
-def entry_files() -> dict[str, str]:
-    """entry -> file defining its queries() callable."""
-    out = {}
-    for name, fn in entrymod.queries().items():
-        f = getattr(fn, "__code__", None)
-        out[name] = f.co_filename if f else "<builtin>"
+def _rel(path: str) -> str:
+    return os.path.relpath(path, REPO) if path.startswith("/") else path
+
+
+def _module_file(mod: types.ModuleType) -> str | None:
+    f = getattr(mod, "__file__", None)
+    if f and f"/{PKG}/" in f or (f and f.startswith(f"{PKG}/")):
+        return _rel(f)
+    return None
+
+
+def _ast_import_graph() -> dict[str, set[str]]:
+    """repo-relative package file -> package files it imports (direct)."""
+    graph: dict[str, set[str]] = {}
+    for path in glob.glob(f"{REPO}/{PKG}/**/*.py", recursive=True):
+        rel = _rel(path)
+        deps: set[str] = set()
+        try:
+            tree = ast.parse(open(path).read())
+        except SyntaxError:
+            graph[rel] = deps
+            continue
+        for node in ast.walk(tree):
+            mods: list[str] = []
+            if isinstance(node, ast.Import):
+                mods = [a.name for a in node.names]
+            elif isinstance(node, ast.ImportFrom) and node.module:
+                mods = [node.module] + [
+                    f"{node.module}.{a.name}" for a in node.names
+                ]
+            for m in mods:
+                if not m.startswith(PKG):
+                    continue
+                cand = m.replace(".", "/")
+                for suffix in (f"{cand}.py", f"{cand}/__init__.py"):
+                    if os.path.exists(f"{REPO}/{suffix}"):
+                        deps.add(suffix)
+                        break
+        graph[rel] = deps
+    return graph
+
+
+def _closure(files: set[str], graph: dict[str, set[str]]) -> set[str]:
+    out, todo = set(), list(files)
+    while todo:
+        f = todo.pop()
+        if f in out:
+            continue
+        out.add(f)
+        todo.extend(graph.get(f, ()))
     return out
 
 
-def plan(window: int = 50, changed: set[str] | None = None) -> list[tuple]:
-    changed = {c.split("/")[-1] for c in (changed or set())}
-    green = last_green_rounds()
-    files = entry_files()
+def _code_objects(fn) -> list:
+    """fn's code object plus all nested ones (closures, lambdas)."""
+    out, todo = [], [getattr(fn, "__code__", None)]
+    while todo:
+        c = todo.pop()
+        if c is None:
+            continue
+        out.append(c)
+        todo.extend(k for k in c.co_consts if isinstance(k, types.CodeType))
+    return out
+
+
+def _analyze() -> tuple[
+    dict[str, set[str]], dict[str, list[str]], dict[str, str]
+]:
+    """Per entry: (dep FILES, local-helper SOURCES, defining FILE).
+
+    Walk the entry callable's bytecode for referenced globals. A
+    referenced package MODULE (or a function defined in a DIFFERENT
+    package file) contributes its file + that file's transitive
+    package-import closure to the dep set. A helper defined in the SAME
+    plans file (``_docs``-style loaders) is instead traversed like part
+    of the entry — its own references are scanned recursively and its
+    source is recorded for the fingerprint — so an edit to one entry or
+    its private helpers never marks the ~80 sibling entries sharing the
+    registry file.
+    """
+    graph = _ast_import_graph()
+    dep_files: dict[str, set[str]] = {}
+    local_srcs: dict[str, list[str]] = {}
+    defining_file: dict[str, str] = {}
+    for name, fn in entrymod.queries().items():
+        # unwrap functools.partial-style wrappers
+        target = getattr(fn, "func", fn)
+        defining = _rel(getattr(target, "__code__").co_filename)
+        direct: set[str] = set()
+        srcs: list[str] = []
+        seen: set[int] = set()
+        todo = [target]
+        while todo:
+            f_obj = todo.pop()
+            if id(f_obj) in seen:
+                continue
+            seen.add(id(f_obj))
+            g = getattr(f_obj, "__globals__", {})
+            for code in _code_objects(f_obj):
+                for nm in code.co_names:
+                    obj = g.get(nm)
+                    if obj is None:
+                        continue
+                    if isinstance(obj, types.ModuleType):
+                        f = _module_file(obj)
+                        if f and f != defining:
+                            direct.add(f)
+                    elif getattr(obj, "__module__", "").startswith(PKG):
+                        mod = sys.modules.get(obj.__module__)
+                        f = _module_file(mod) if mod else None
+                        if f == defining and callable(obj):
+                            # same-file helper: traverse, don't file-dep
+                            if id(obj) not in seen:
+                                todo.append(obj)
+                                try:
+                                    srcs.append(inspect.getsource(obj))
+                                except (OSError, TypeError):
+                                    srcs.append(repr(obj))
+                        elif f:
+                            direct.add(f)
+        dep_files[name] = _closure(direct, graph) - {defining}
+        local_srcs[name] = sorted(set(srcs))
+        defining_file[name] = defining
+    return dep_files, local_srcs, defining_file
+
+
+def entry_deps() -> dict[str, set[str]]:
+    return _analyze()[0]
+
+
+def entry_fingerprints(analysis=None) -> dict[str, str]:
+    """entry -> sha256(fn source + same-file helper sources + dep-file
+    contents). Changes to the entry's own body, its private helpers, OR
+    any module it depends on move the fingerprint; edits to sibling
+    entries in the same plans file do not."""
+    deps, local_srcs, _defining = (
+        analysis if analysis is not None else _analyze()
+    )
+    file_hash: dict[str, str] = {}
+
+    def fh(rel: str) -> str:
+        if rel not in file_hash:
+            with open(f"{REPO}/{rel}", "rb") as f:
+                file_hash[rel] = hashlib.sha256(f.read()).hexdigest()
+        return file_hash[rel]
+
+    out: dict[str, str] = {}
+    for name, fn in entrymod.queries().items():
+        target = getattr(fn, "func", fn)
+        try:
+            src = inspect.getsource(target)
+        except (OSError, TypeError):
+            src = repr(target)
+        h = hashlib.sha256(src.encode())
+        for helper_src in local_srcs.get(name, ()):
+            h.update(helper_src.encode())
+        for dep in sorted(deps.get(name, ())):
+            h.update(fh(dep).encode())
+        out[name] = h.hexdigest()
+    return out
+
+
+def _latest_recorded_fingerprints() -> tuple[dict[str, str], str | None]:
+    paths = sorted(glob.glob(f"{REPO}/tools/entry_fingerprints_r*.json"))
+    if not paths:
+        return {}, None
+    with open(paths[-1]) as f:
+        return json.load(f), _rel(paths[-1])
+
+
+def plan(
+    window: int = 50,
+    changed: set[str] | None = None,
+    force_changed: set[str] | None = None,
+    max_round: int | None = None,
+    use_fingerprints: bool = True,
+) -> list[tuple[str, str, bool]]:
+    changed = {_rel(c) for c in (changed or set())}
+    force_changed = set(force_changed or ())
+    green = last_green_rounds(max_round=max_round)
+    analysis = _analyze()
+    deps, _local, defining = analysis
+    recorded, _src = (
+        _latest_recorded_fingerprints() if use_fingerprints else ({}, None)
+    )
+    current = entry_fingerprints(analysis) if recorded else {}
     rows = []
     for name in entrymod.queries():
         g = green.get(name)
-        f = files[name].split("/")[-1]
+        # --changed matches the entry's dep set PLUS its defining plans
+        # file (coarse in the safe direction: an edited registry file
+        # marks all its entries; fingerprints give the precise signal)
+        hit = sorted((deps[name] | {defining[name]}) & changed)
         if g is None:
             prio, why = 0, "never-green"
-        elif f in changed:
-            prio, why = 1, f"changed:{f} (green r{g})"
+        elif name in force_changed:
+            prio, why = 1, f"forced-changed (green r{g})"
+        elif hit:
+            prio, why = 1, f"changed:{hit[0]} (green r{g})"
+        elif recorded.get(name) and recorded[name] != current.get(name):
+            prio, why = 1, f"fingerprint-drift (green r{g})"
         else:
             prio, why = 2, f"green r{g}"
         rows.append((prio, g if g is not None else -1, name, why))
@@ -81,11 +306,42 @@ def plan(window: int = 50, changed: set[str] | None = None) -> list[tuple]:
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--window", type=int, default=50)
+    ap.add_argument("--max-round", type=int, default=None)
     ap.add_argument("--changed", nargs="*", default=[])
+    ap.add_argument("--force-changed", nargs="*", default=[])
+    ap.add_argument("--emit-window", action="store_true")
+    ap.add_argument("--emit-fingerprints", metavar="PATH", default=None)
+    ap.add_argument("--no-fingerprints", action="store_true")
     args = ap.parse_args()
-    for name, why, in_window in plan(args.window, set(args.changed)):
+    result = plan(
+        args.window,
+        set(args.changed),
+        set(args.force_changed),
+        args.max_round,
+        use_fingerprints=not args.no_fingerprints,
+    )
+    for name, why, in_window in result:
         marker = "IN " if in_window else "out"
         print(f"{marker} {name:38s} {why}")
+    if args.emit_window:
+        artifact = {
+            "inputs": {
+                "window": args.window,
+                "max_round": args.max_round,
+                "changed": sorted(args.changed),
+                "force_changed": sorted(args.force_changed),
+                "use_fingerprints": not args.no_fingerprints,
+            },
+            "order": [n for n, _, _ in result],
+            "reasons": {n: w for n, w, _ in result},
+        }
+        with open(f"{REPO}/tools/verify_window.json", "w") as f:
+            json.dump(artifact, f, indent=1)
+        print("wrote tools/verify_window.json")
+    if args.emit_fingerprints:
+        with open(args.emit_fingerprints, "w") as f:
+            json.dump(entry_fingerprints(), f, indent=1, sort_keys=True)
+        print(f"wrote {args.emit_fingerprints}")
     return 0
 
 
