@@ -182,6 +182,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q21_sole_late_shipper": analytics.td_q21_sole_late_shipper,
         "q15_top_supplier": analytics.td_q15_top_supplier,
         "q9_product_profit": analytics.td_q9_product_profit,
+        "q11_important_parts": analytics.td_q11_important_parts,
+        "q12_late_priority_split": analytics.td_q12_late_priority_split,
+        "stats_correlation": analytics.td_stats_correlation,
         # §2.2/2.5 cleaning layer (reference extract-transform-data/et_*.py)
         **cleaning_demo.QUERIES,
         # extension layer: text analysis / dedup / similarity / event windows
@@ -489,6 +492,45 @@ def oracle_sql() -> dict[str, str]:
             WHERE p.n_supp >= 2 AND p.n_late = 1
             GROUP BY s.s_suppkey, s.s_name
             ORDER BY numwait DESC, s.s_suppkey LIMIT 20
+        """,
+        "q11_important_parts": f"""
+            -- integer cents throughout: the global total is an exact
+            -- bigint sum, so the 0.1%-share filter has no double-sum
+            -- boundary (mirrors the plan exactly)
+            WITH per AS (
+                SELECT l_partkey,
+                       CAST(floor(SUM({revenue}) * 100 + 0.5) AS BIGINT)
+                           AS _cents
+                FROM lineitem GROUP BY l_partkey),
+            tot AS (SELECT CAST(SUM(_cents) AS BIGINT) AS _tot,
+                           COUNT(*) AS _np FROM per)
+            SELECT p.p_partkey, p.p_name, per._cents / 100.0 AS part_value
+            FROM per JOIN part p ON per.l_partkey = p.p_partkey, tot
+            WHERE per._cents * tot._np * 4 > tot._tot * 5
+            ORDER BY part_value DESC, p.p_partkey
+        """,
+        "q12_late_priority_split": """
+            SELECT l.l_linestatus,
+                   CAST(SUM(CASE WHEN o.o_orderpriority
+                                 IN ('1-URGENT', '2-HIGH')
+                            THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+                   CAST(SUM(CASE WHEN o.o_orderpriority
+                                 IN ('1-URGENT', '2-HIGH')
+                            THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            WHERE l.l_shipdate > o.o_orderdate + INTERVAL 45 DAY
+            GROUP BY l.l_linestatus ORDER BY l.l_linestatus
+        """,
+        "stats_correlation": """
+            SELECT floor(corr(l_quantity, l_extendedprice) * 10000 + 0.5)
+                       / 10000 AS corr_qty_price,
+                   floor(corr(l_extendedprice, l_discount) * 10000 + 0.5)
+                       / 10000 AS corr_price_disc,
+                   floor(corr(l_quantity, l_discount) * 10000 + 0.5)
+                       / 10000 AS corr_qty_disc,
+                   COUNT(*) AS n_rows
+            FROM lineitem
         """,
         "sales_by_employee": sales_by_employee,
         "sales_by_employee_sql": sales_by_employee,

@@ -108,6 +108,19 @@ HEADLINE = [
     "text_dup_span_stats",
     "corpus_shuffle_deterministic",
     "source_jsonl_roundtrip",
+    # round-7: containment/profile/mixture/k-means/heatmap/CSV additions
+    "q11_important_parts",
+    "q12_late_priority_split",
+    "stats_correlation",
+    "dedup_containment",
+    "text_sentence_stats",
+    "text_char_diversity",
+    "corpus_ngram_counts",
+    "corpus_domain_mixture",
+    "embedding_kmeans_assign",
+    "events_hourly_heatmap",
+    "events_rolling_active_users",
+    "source_csv_roundtrip",
 ]
 
 

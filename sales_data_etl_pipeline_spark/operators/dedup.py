@@ -934,3 +934,61 @@ def minhash_lsh_incremental(
         .filter(F.col("_rn") == 1)
         .select("doc_id", "base_id", "jaccard")
     )
+
+
+def containment_pairs(
+    df: DataFrame, *, n: int = 3, threshold: float = 0.6, text_col: str = "text"
+) -> DataFrame:
+    """Asymmetric n-gram CONTAINMENT pairs: |A∩B| / |A| ≥ threshold —
+    the quote/excerpt detector. Jaccard misses a short doc embedded in
+    a long one (the union term swamps it); containment is the standard
+    fix (Broder's resemblance vs containment distinction).
+
+    One row per DIRECTED hit: (doc_id, host_id, containment) = doc_id's
+    shingles are ≥ threshold contained in host_id's. Both directions of
+    a pair are emitted independently (a near-exact dup scores ~1 both
+    ways; a quote scores high only doc→host).
+
+    Plan shape: identical to :func:`ngram_jaccard_pairs` — shared-
+    shingle equi-join candidates, ONE intersection count per unordered
+    pair, then both directed ratios derived from that single row (the
+    intersection is symmetric; computing it twice would double the
+    dominant join). Raw-ratio threshold, rounded emit (module
+    convention). Candidate volume is bounded by shared shingles, so at
+    100 TB this composes with the same stop-shingle cap as MinHash;
+    for unbounded corpora the LSH-banded variant drops in upstream
+    unchanged.
+    """
+    sh = shingle_sets(df, text_col, n)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, F.col("a.sh") == F.col("b.sh"))
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sza = sizes.select(F.col("doc_id").alias("id_a"), F.col("sz").alias("sz_a"))
+    szb = sizes.select(F.col("doc_id").alias("id_b"), F.col("sz").alias("sz_b"))
+    both = inter.join(F.broadcast(sza), "id_a").join(F.broadcast(szb), "id_b")
+    directed = both.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("id_a").alias("doc_id"),
+                    F.col("id_b").alias("host_id"),
+                    (F.col("inter") / F.col("sz_a")).alias("_ratio"),
+                ),
+                F.struct(
+                    F.col("id_b").alias("doc_id"),
+                    F.col("id_a").alias("host_id"),
+                    (F.col("inter") / F.col("sz_b")).alias("_ratio"),
+                ),
+            )
+        ).alias("d")
+    ).select("d.doc_id", "d.host_id", "d._ratio")
+    return (
+        directed.filter(F.col("_ratio") >= threshold)
+        .withColumn("containment", F.round("_ratio", 6))
+        .select("doc_id", "host_id", "containment")
+    )

@@ -496,3 +496,75 @@ def cosine_topk_lsh(
             "rank",
         )
     )
+
+
+def kmeans_assign(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_id_col: str = "centroid_id",
+) -> DataFrame:
+    """One k-means assignment step by cosine: each corpus vector goes to
+    its nearest centroid (max rounded cosine, ties → smallest centroid
+    id) — the Lloyd's-iteration / IVF-list-build primitive, factored
+    out so clustering composes from gated pieces the way
+    ``cosine_topk_ivf`` already consumes its centroid table.
+
+    Same execution shape as :func:`_pandas_scored`: the centroid matrix
+    is collected once (K·dim — list-build inputs are small by
+    definition) and broadcast into an Arrow kernel; each batch scores
+    against all centroids in ONE BLAS matmul and emits (vec_id,
+    centroid_id, cosine_q6) — cosine pre-rounded to 6dp and quantized
+    to an exact integer so any downstream aggregate sums bigints,
+    order-free across engines. Zero-norm corpus vectors are excluded
+    (cosine undefined — the fuzz-pinned module contract); zero-norm
+    centroids can never win (scored -inf).
+
+    Per-row work only — no shuffle at all in the assignment itself; at
+    100 TB this is the embarrassingly parallel half of Lloyd's, and the
+    re-centering half is a plain keyed mean the caller composes.
+    """
+    import numpy as np
+    import pandas as pd
+
+    c_rows = sorted(
+        centroids.select(centroid_id_col, vec_col).collect(),
+        key=lambda r: r[0],
+    )
+    c_ids = np.array([r[0] for r in c_rows], dtype=np.int64)
+    C = np.array([r[1] for r in c_rows], dtype=np.float64)
+    c_norm = np.linalg.norm(C, axis=1, keepdims=True)
+    Cn = np.divide(C, c_norm, out=np.zeros_like(C), where=c_norm > 0)
+    dead_c = (c_norm == 0).ravel()
+
+    def assign(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            V = np.array(list(pdf[vec_col]), dtype=np.float64)
+            v_norm = np.linalg.norm(V, axis=1, keepdims=True)
+            live = (v_norm > 0).ravel()
+            if not live.any():
+                continue
+            Vn = np.divide(V, v_norm, out=np.zeros_like(V), where=v_norm > 0)
+            S = np.round(Vn[live] @ Cn.T, 6)
+            S[:, dead_c] = -np.inf
+            # argmax over columns sorted by centroid id ascending: the
+            # first max IS the smallest-id tiebreak
+            best = S.argmax(axis=1)
+            yield pd.DataFrame(
+                {
+                    id_col: ids[live],
+                    centroid_id_col: c_ids[best],
+                    "cosine_q6": np.floor(
+                        S[np.arange(len(best)), best] * 1_000_000 + 0.5
+                    ).astype(np.int64),
+                }
+            )
+
+    return corpus.select(id_col, vec_col).mapInPandas(
+        assign, f"{id_col} long, {centroid_id_col} long, cosine_q6 long"
+    )

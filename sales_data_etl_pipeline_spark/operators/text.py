@@ -798,3 +798,135 @@ def dup_span_stats(
         )
         .orderBy("doc_id")
     )
+
+
+def sentence_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Sentence segmentation stats per doc: sentence count, mean
+    sentence length in characters and in tokens — the readability-
+    profile counters a quality pipeline runs next to the token stats.
+
+    Sentences are maximal runs between ``[.!?]`` terminators, trimmed,
+    empties dropped (a deterministic heuristic, not a model — same
+    design stance as ``language_id``). All JVM higher-order-function
+    expressions: per-row, zero shuffle, scales linearly with executors.
+    Ratios use the module's floor(x·100+0.5)/100 rounding (bit-identical
+    across engines; inputs are exact small ints so the division is the
+    same double in both) and try_divide semantics for sentence-less
+    docs (NULL, not an ANSI error).
+    """
+    sent = (
+        f"filter(transform(split({text_col}, '[.!?]+'), x -> trim(x)),"
+        " x -> x != '')"
+    )
+    n_sent = F.size(F.expr(sent))
+    sum_chars = F.expr(
+        f"aggregate(transform({sent}, x -> length(x)), 0L, (a, x) -> a + x)"
+    )
+    n_toks = F.size(tokens(text_col))
+    return df.select(
+        "doc_id",
+        n_sent.alias("n_sentences"),
+        (F.floor(F.try_divide(sum_chars, n_sent) * 100 + F.lit(0.5)) / 100).alias(
+            "avg_sentence_chars"
+        ),
+        (F.floor(F.try_divide(n_toks, n_sent) * 100 + F.lit(0.5)) / 100).alias(
+            "avg_sentence_tokens"
+        ),
+    )
+
+
+def sentence_stats_sql(rel: str = "documents", text_col: str = "text") -> str:
+    """DuckDB oracle for :func:`sentence_stats` (same split/trim/drop)."""
+    sent = (
+        f"list_filter(list_transform(string_split_regex({text_col},"
+        " '[.!?]+'), x -> trim(x)), x -> x <> '')"
+    )
+    toks = f"list_filter(string_split_regex(lower({text_col}), '[^a-z0-9]+'), x -> x <> '')"
+    return f"""
+        SELECT doc_id,
+               len({sent}) AS n_sentences,
+               floor(CAST(list_sum(list_transform({sent}, x -> length(x)))
+                          AS DOUBLE) / nullif(len({sent}), 0) * 100 + 0.5)
+                   / 100 AS avg_sentence_chars,
+               floor(CAST(len({toks}) AS DOUBLE) / nullif(len({sent}), 0)
+                     * 100 + 0.5) / 100 AS avg_sentence_tokens
+        FROM {rel}
+    """
+
+
+def char_diversity(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Character-diversity profile per doc: effective char count,
+    distinct chars, and the Gini–Simpson diversity index in ppm — the
+    boilerplate/mojibake detector that needs no log() (repetitive docs
+    → low diversity, natural text → ~0.93-0.96 for English).
+
+    Gini–Simpson 1 − Σ(c/n)² is computed as EXACT integer arithmetic:
+    ``((n² − Σc²)·2·10⁶ + n²) div (2n²)`` — round-half-up with zero
+    floating point, so there is no cross-engine boundary at all (the
+    entropy formulation was rejected precisely because libm log2 can
+    differ by 1 ulp between engines). Runs as one Arrow kernel pass
+    (per-doc ``np.unique`` counting; the expression form would be
+    O(distinct·len) per doc) — narrow, zero shuffle. Empty/NULL texts
+    are excluded (diversity undefined at n=0), matching the oracle's
+    ``WHERE length(text) > 0``.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    def kern(batches):
+        for pdf in batches:
+            out = {"doc_id": [], "n_chars_eff": [], "n_distinct_chars": [],
+                   "diversity_ppm": []}
+            for doc_id, txt in zip(pdf["doc_id"], pdf[text_col]):
+                if not txt:
+                    continue
+                cp = np.frombuffer(txt.encode("utf-32-le"), dtype=np.uint32)
+                _, counts = np.unique(cp, return_counts=True)
+                n = int(cp.size)
+                s = int((counts.astype(np.int64) ** 2).sum())
+                n2 = n * n
+                out["doc_id"].append(doc_id)
+                out["n_chars_eff"].append(n)
+                out["n_distinct_chars"].append(int(counts.size))
+                out["diversity_ppm"].append(
+                    ((n2 - s) * 2_000_000 + n2) // (2 * n2)
+                )
+            if out["doc_id"]:
+                yield pd.DataFrame(out)
+
+    return df.select("doc_id", text_col).mapInPandas(
+        kern,
+        T.StructType(
+            [
+                T.StructField("doc_id", T.LongType(), False),
+                T.StructField("n_chars_eff", T.LongType(), False),
+                T.StructField("n_distinct_chars", T.LongType(), False),
+                T.StructField("diversity_ppm", T.LongType(), False),
+            ]
+        ),
+    )
+
+
+def char_diversity_sql(rel: str = "documents", text_col: str = "text") -> str:
+    """DuckDB oracle for :func:`char_diversity` — same integer formula
+    over a codepoint unnest (DuckDB string_split('') yields codepoints,
+    matching the kernel's utf-32 view)."""
+    return f"""
+        WITH ch AS (
+            SELECT doc_id, unnest(string_split({text_col}, '')) AS c
+            FROM {rel} WHERE length({text_col}) > 0),
+        cnt AS (SELECT doc_id, c, COUNT(*) AS k FROM ch GROUP BY 1, 2),
+        agg AS (
+            SELECT doc_id,
+                   CAST(SUM(k) AS BIGINT) AS n,
+                   CAST(SUM(k * k) AS BIGINT) AS s,
+                   COUNT(*) AS d
+            FROM cnt GROUP BY 1)
+        SELECT doc_id,
+               n AS n_chars_eff,
+               d AS n_distinct_chars,
+               ((n * n - s) * 2000000 + n * n) // (2 * n * n)
+                   AS diversity_ppm
+        FROM agg
+    """

@@ -1254,3 +1254,93 @@ def td_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nation", F.desc("o_year"))
     )
+
+
+def td_q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: the HAVING-scalar-subquery share filter — parts
+    whose revenue exceeds a fixed fraction of TOTAL revenue. The
+    testdata has no partsupp, so the "inventory value" is lineitem
+    revenue per part (same plan shape: one keyed aggregate reused
+    against its own global sum, applied as a 1-row broadcast — the
+    correlated subquery never becomes per-row work, and the fact table
+    is scanned ONCE thanks to the localCheckpoint reuse).
+    Reference parity note: the reference engine has no Q11 analog; this
+    extends the OLAP sweep (SURVEY.md §2 extension layer)."""
+    t = load_testdata(spark, sf_dir, ("lineitem", "part"))
+    # integer cents from the aggregate edge onward: the global total is
+    # then an EXACT bigint sum (order-free across engines) and the
+    # 0.1%-share filter is pure integer arithmetic — no double-sum
+    # boundary can flip a part in one engine only
+    per_part = (
+        t["lineitem"]
+        .groupBy("l_partkey")
+        .agg(
+            F.floor(F.sum(_revenue()) * 100 + F.lit(0.5))
+            .cast("long")
+            .alias("_cents")
+        )
+        .localCheckpoint(eager=False)  # reuse: per-part rows + global sum
+    )
+    total = per_part.agg(
+        F.sum("_cents").alias("_tot"), F.count(F.lit(1)).alias("_np")
+    )
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        # scale-free share cut: value > 1.25× the mean part value
+        # (TPC-H's 0.0001/SF fraction is scale-dependent by design; the
+        # ×-mean form returns a stable "important" top-decile-ish subset
+        # at every SF — the synthetic per-part revenue is near-uniform,
+        # max/mean ≈ 1.75) — still pure bigint arithmetic, no boundary
+        .filter(F.col("_cents") * F.col("_np") * 4 > F.col("_tot") * 5)
+        .withColumn("part_value", F.col("_cents") / 100.0)
+        .join(
+            F.broadcast(t["part"].select("p_partkey", "p_name")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .select("p_partkey", "p_name", "part_value")
+        .orderBy(F.desc("part_value"), "p_partkey")
+    )
+
+
+def td_q12_late_priority_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: the CASE-sum priority split over late
+    shipments. The testdata lineitem has no shipmode/commitdate, so the
+    grouping key is l_linestatus and "late" is shipped > 45 days after
+    the order date (same plan: one fact⋈orders join — orders projected
+    to two columns, broadcastable at dim-like selectivity after the
+    date filter is pushed — then a 2×|groups| CASE-sum aggregate with
+    map-side partial reduction)."""
+    t = load_testdata(spark, sf_dir, ("lineitem", "orders"))
+    o = t["orders"].select("o_orderkey", "o_orderdate", "o_orderpriority")
+    joined = t["lineitem"].join(
+        o, F.col("l_orderkey") == F.col("o_orderkey")
+    )
+    late = joined.filter(
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 45 DAYS")
+    )
+    is_high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        late.groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(is_high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(is_high, 0).otherwise(1)).alias("low_line_count"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+def td_stats_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Numeric-profile correlations over the fact table: Pearson r for
+    the measure pairs an analyst profiles first. corr() is a single
+    map-side-combinable moment aggregate (count/sum/sumsq/cross-sum per
+    partition, merged once) — one pass, one 1-row shuffle, no window.
+    Rounded to 4dp at the aggregate edge: the per-partition moment sums
+    are order-free doubles at this precision."""
+    li = load_testdata(spark, sf_dir, ("lineitem",))["lineitem"]
+    r4 = lambda c: F.floor(c * 10000 + F.lit(0.5)) / 10000  # noqa: E731
+    return li.agg(
+        r4(F.corr("l_quantity", "l_extendedprice")).alias("corr_qty_price"),
+        r4(F.corr("l_extendedprice", "l_discount")).alias("corr_price_disc"),
+        r4(F.corr("l_quantity", "l_discount")).alias("corr_qty_disc"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )

@@ -3007,3 +3007,283 @@ ORACLES["source_jsonl_roundtrip"] = """
            COUNT(DISTINCT source) AS n_sources
     FROM documents GROUP BY lang ORDER BY lang
 """
+
+
+# --- round-7 additions: containment, sentence/char profiles, corpus
+# mixture reporting, k-means assignment, event heatmaps, CSV source ----------
+
+
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed n-gram containment pairs (|A∩B|/|A| ≥ 0.6) over the
+    near-dup fixture — catches a truncated copy whose Jaccard vs the
+    original falls below threshold because the union swamps it."""
+    return dedup.containment_pairs(
+        _docs_with_near_dups(spark, sf_dir), threshold=0.6
+    )
+
+
+QUERIES["dedup_containment"] = dedup_containment
+ORACLES["dedup_containment"] = f"""
+    WITH d AS ({_NEAR_DUP_DOCS}),
+    sh AS (SELECT doc_id, UNNEST({_SHINGLES}) AS sh FROM d),
+    sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+        FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        GROUP BY 1, 2),
+    pairsz AS (
+        SELECT id_a, id_b, inter, sa.sz AS sz_a, sb.sz AS sz_b
+        FROM inter
+        JOIN sz sa ON sa.doc_id = id_a
+        JOIN sz sb ON sb.doc_id = id_b),
+    directed AS (
+        SELECT id_a AS doc_id, id_b AS host_id,
+               CAST(inter AS DOUBLE) / sz_a AS r FROM pairsz
+        UNION ALL
+        SELECT id_b AS doc_id, id_a AS host_id,
+               CAST(inter AS DOUBLE) / sz_b AS r FROM pairsz)
+    SELECT doc_id, host_id, ROUND(r, 6) AS containment
+    FROM directed WHERE r >= 0.6
+"""
+
+
+def text_sentence_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.sentence_stats(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+QUERIES["text_sentence_stats"] = text_sentence_stats
+ORACLES["text_sentence_stats"] = (
+    text.sentence_stats_sql("documents") + " ORDER BY doc_id"
+)
+
+
+def text_char_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.char_diversity(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+QUERIES["text_char_diversity"] = text_char_diversity
+ORACLES["text_char_diversity"] = (
+    text.char_diversity_sql("documents") + " ORDER BY doc_id"
+)
+
+
+def corpus_ngram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 corpus 3-gram document frequencies — the vocabulary/
+    boilerplate report every corpus audit starts with. Map-side
+    combinable count on the shingle key (shingle_sets is per-doc
+    DISTINCT, so the count IS document frequency); TakeOrdered for the
+    top slice — no global sort, no second shuffle. Full (count, gram)
+    tiebreak so the limit is deterministic in both engines."""
+    sh = dedup.shingle_sets(_docs(spark, sf_dir))
+    return (
+        sh.groupBy("sh")
+        .agg(F.count(F.lit(1)).alias("doc_freq"))
+        .orderBy(F.desc("doc_freq"), "sh")
+        .limit(50)
+    )
+
+
+QUERIES["corpus_ngram_counts"] = corpus_ngram_counts
+ORACLES["corpus_ngram_counts"] = f"""
+    WITH sh AS (
+        SELECT doc_id, UNNEST({_SHINGLES}) AS sh FROM documents)
+    SELECT sh, COUNT(*) AS doc_freq
+    FROM sh GROUP BY sh
+    ORDER BY doc_freq DESC, sh LIMIT 50
+"""
+
+
+def corpus_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source mixture report: doc counts, token totals, and each
+    source's token share in ppm — the table a mixture-weight decision
+    reads. Shares are EXACT integer arithmetic against a 1-row
+    broadcast total (bigint token sums — no double division until
+    nothing depends on it)."""
+    docs = _docs(spark, sf_dir)
+    per_src = (
+        docs.select("source", F.size(text.tokens()).alias("_nt"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("_nt").alias("sum_tokens"),
+        )
+        .localCheckpoint(eager=False)  # reuse: per-source rows + total
+    )
+    total = per_src.agg(F.sum("sum_tokens").alias("_tot"))
+    return (
+        per_src.crossJoin(F.broadcast(total))
+        .select(
+            "source",
+            "n_docs",
+            "sum_tokens",
+            F.expr("sum_tokens * 1000000 div _tot").alias("token_share_ppm"),
+        )
+        .orderBy("source")
+    )
+
+
+QUERIES["corpus_domain_mixture"] = corpus_domain_mixture
+ORACLES["corpus_domain_mixture"] = f"""
+    WITH per AS (
+        SELECT source, COUNT(*) AS n_docs,
+               CAST(SUM(len({_TOKS.format(col='text')})) AS BIGINT)
+                   AS sum_tokens
+        FROM documents GROUP BY source)
+    SELECT source, n_docs, sum_tokens,
+           CAST(sum_tokens * 1000000
+                // (SELECT SUM(sum_tokens) FROM per) AS BIGINT)
+               AS token_share_ppm
+    FROM per ORDER BY source
+"""
+
+
+def embedding_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One Lloyd's assignment step: every vector to its nearest of 8
+    deterministic seed centroids (vec_id < 8), aggregated to cluster
+    sizes + exact integer cosine mass — composed from the
+    kmeans_assign kernel that also builds IVF lists."""
+    emb = _emb(spark, sf_dir).select("vec_id", "embedding")
+    cents = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    assigned = similarity.kmeans_assign(emb, cents)
+    return (
+        assigned.groupBy("centroid_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.sum("cosine_q6").alias("sum_cosine_q6"),
+        )
+        .orderBy("centroid_id")
+    )
+
+
+QUERIES["embedding_kmeans_assign"] = embedding_kmeans_assign
+_KM_COS = (
+    f"ROUND({_DOT.format(a='e.embedding', b='c.embedding')}"
+    f" / (nullif({_NORM.format(v='e.embedding')}, 0.0)"
+    f" * nullif({_NORM.format(v='c.embedding')}, 0.0)), 6)"
+)
+ORACLES["embedding_kmeans_assign"] = f"""
+    WITH c AS (SELECT vec_id AS centroid_id, embedding
+               FROM embeddings WHERE vec_id < 8),
+    scored AS (
+        SELECT e.vec_id, c.centroid_id, {_KM_COS} AS cosine
+        FROM embeddings e, c
+        WHERE {_NORM.format(v='e.embedding')} > 0),
+    ranked AS (
+        SELECT vec_id, centroid_id,
+               CAST(floor(cosine * 1000000 + 0.5) AS BIGINT) AS cosine_q6,
+               row_number() OVER (PARTITION BY vec_id
+                   ORDER BY cosine DESC, centroid_id) AS rn
+        FROM scored WHERE cosine IS NOT NULL)
+    SELECT centroid_id, COUNT(*) AS n_members,
+           CAST(SUM(cosine_q6) AS BIGINT) AS sum_cosine_q6
+    FROM ranked WHERE rn = 1
+    GROUP BY centroid_id ORDER BY centroid_id
+"""
+
+
+def events_hourly_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week × hour activity heatmap with exact-integer value
+    mass (per-row cent quantization BEFORE the sum — the module's
+    order-free aggregation convention). One map-side-combinable
+    aggregate over ≤ 7×24 groups; at 100 TB it is scan-bound."""
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy(
+            (F.dayofweek("ts") - 1).alias("dow"),  # 0=Sunday, DuckDB parity
+            F.hour("ts").alias("hour"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (
+                F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long"))
+                / 100.0
+            ).alias("sum_value"),
+        )
+        .orderBy("dow", "hour")
+    )
+
+
+QUERIES["events_hourly_heatmap"] = events_hourly_heatmap
+ORACLES["events_hourly_heatmap"] = """
+    SELECT CAST(date_part('dow', ts) AS INT) AS dow,
+           CAST(date_part('hour', ts) AS INT) AS hour,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               / 100.0 AS sum_value
+    FROM events GROUP BY 1, 2 ORDER BY dow, hour
+"""
+
+
+def events_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day distinct active users per day — the DAU/WAU
+    windowed-distinct kernel. Exact form: distinct (day, user) pairs
+    (one shuffle), each exploded to the ≤7 report days it supports
+    (map-side fanout — no range join, no nested loop), then one
+    count_distinct per day, reported only for days that actually have
+    events. At 100 TB the same plan carries an HLL sketch instead of
+    the exact distinct (stats_approx_sketches is the gated twin of
+    that config)."""
+    ev = _events(spark, sf_dir)
+    du = ev.select(F.to_date("ts").alias("d"), "user_id").distinct()
+    days = du.select(F.col("d").alias("day")).distinct()
+    fanned = du.select(
+        F.explode(F.expr("sequence(d, date_add(d, 6))")).alias("day"),
+        "user_id",
+    )
+    return (
+        fanned.join(days, "day", "left_semi")
+        .groupBy("day")
+        .agg(F.count_distinct("user_id").alias("active_users_7d"))
+        .select(F.date_format("day", "yyyy-MM-dd").alias("day"), "active_users_7d")
+        .orderBy("day")
+    )
+
+
+QUERIES["events_rolling_active_users"] = events_rolling_active_users
+ORACLES["events_rolling_active_users"] = """
+    WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events),
+    days AS (SELECT DISTINCT d AS day FROM du),
+    fanned AS (
+        SELECT CAST(UNNEST(generate_series(d, d + INTERVAL 6 DAY,
+                                           INTERVAL 1 DAY)) AS DATE) AS day,
+               user_id
+        FROM du)
+    SELECT strftime(f.day, '%Y-%m-%d') AS day,
+           COUNT(DISTINCT f.user_id) AS active_users_7d
+    FROM fanned f JOIN days USING (day)
+    GROUP BY f.day ORDER BY day
+"""
+
+
+def source_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFC-4180 CSV sink→source round trip on the documents table (the
+    jsonl gate's twin for the other interchange format): quoted fields
+    with doubled-quote escapes and multiLine read, explicit schema, no
+    inference. The oracle aggregates the parquet directly, so any loss
+    (newline splits, quote mangling, type flips) breaks the hash."""
+    import os
+    import tempfile
+
+    from sales_data_etl_pipeline_spark.sources import csv as csv_src
+
+    docs = _docs(spark, sf_dir)
+    tag = sf_dir.strip("/").replace("/", "_")
+    path = os.path.join(tempfile.gettempdir(), f"csv_gate_{tag}", "docs")
+    csv_src.write_csv_rfc(docs, path, max_records_per_file=200)
+    back = csv_src.read_csv_rfc(spark, path, docs.schema)
+    return (
+        back.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.sum(F.length("text")).alias("sum_text_len"),
+            F.count_distinct("source").alias("n_sources"),
+        )
+        .orderBy("lang")
+    )
+
+
+QUERIES["source_csv_roundtrip"] = source_csv_roundtrip
+ORACLES["source_csv_roundtrip"] = ORACLES["source_jsonl_roundtrip"]

@@ -60,3 +60,48 @@ def read_csv_with_ordinal(
     """
     df = read_csv(spark, path, schema, sep=sep, header=header, encoding=encoding)
     return df.coalesce(1).withColumn(ROW_ORDINAL, F.monotonically_increasing_id())
+
+
+def write_csv_rfc(
+    df: DataFrame,
+    path: str,
+    *,
+    max_records_per_file: int | None = None,
+) -> None:
+    """RFC-4180 CSV sink: header, quoted fields, quotes escaped by
+    DOUBLING (escape='"') so embedded newlines/quotes/separators round
+    trip losslessly — the interchange dialect every warehouse bulk
+    loader accepts. Same ``maxRecordsPerFile`` split discipline as the
+    parquet/jsonl sinks."""
+    w = (
+        df.write.mode("overwrite")
+        .option("header", True)
+        .option("quoteAll", True)
+        .option("escape", '"')
+    )
+    if max_records_per_file:
+        w = w.option("maxRecordsPerFile", max_records_per_file)
+    w.csv(path)
+
+
+def read_csv_rfc(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+) -> DataFrame:
+    """Read back :func:`write_csv_rfc` output: explicit schema (no
+    inference pass — the jsonl source's rule), doubled-quote escapes,
+    and ``multiLine`` so quoted embedded newlines stay one record.
+
+    ``multiLine`` makes a single file non-splittable (records can span
+    line boundaries, so Spark can't chop at arbitrary offsets); the
+    sink's ``maxRecordsPerFile`` is what preserves read parallelism at
+    scale — many bounded files, one task each.
+    """
+    return (
+        spark.read.option("header", True)
+        .option("escape", '"')
+        .option("multiLine", True)
+        .schema(schema)
+        .csv(path)
+    )

@@ -37,6 +37,12 @@ CARTESIAN_OK = {
     "q22_dormant_customers",
     # 1-row global-MAX broadcast (Q15's correlated scalar, decorrelated)
     "q15_top_supplier",
+    # 1-row global-total broadcasts (share-of-total arithmetic)
+    "q11_important_parts",
+    "corpus_domain_mixture",
+    # shared-shingle candidate join, the documented exact-containment
+    # primitive (same family as dedup_ngram_jaccard)
+    "dedup_containment",
 }
 
 
