@@ -65,6 +65,12 @@ FUZZED = [
     "events_range_count",
     "events_sessionization",
     "events_asof_join",
+    # round-7 star-schema/events additions
+    "q11_important_parts",
+    "q12_late_priority_split",
+    "stats_correlation",
+    "events_hourly_heatmap",
+    "events_rolling_active_users",
 ]
 
 
@@ -306,6 +312,11 @@ FUZZED_CORPUS = [
     "text_paragraph_dedup",
     "text_dup_span_stats",
     "text_bpe_token_count",
+    "text_sentence_stats",
+    "text_char_diversity",
+    "dedup_containment",
+    "corpus_ngram_counts",
+    "corpus_domain_mixture",
     "corpus_hash_split",
     "corpus_stratified_sample",
     "corpus_token_shards",
@@ -410,6 +421,9 @@ FUZZED_MORE = [
     "clean_et_chain",
     "corpus_dedup_pipeline",
     "corpus_prep_pipeline",
+    # round-7 additions on the mixed-family fuzz
+    "embedding_kmeans_assign",
+    "source_csv_roundtrip",
 ]
 
 

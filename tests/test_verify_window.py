@@ -74,11 +74,12 @@ def test_out_of_window_entries_scan_no_timestamp_tables(spark):
     names = list(qs)
     ts_tables = _ts_tables()
     assert ts_tables == {"events", "lineitem", "orders"}
-    with open("/root/repo/CORRECTNESS_r05.json") as f:
-        r5 = json.load(f)
+    from tools.rotation_planner import last_green_rounds
+
+    # post-NTZ = any driver-green row in r5 or later (r5 was the first
+    # round on the normalized reader)
     post_ntz_green = {
-        k for k, v in r5.items()
-        if v.get("rows_match") and v.get("hash_match", True)
+        k for k, rnd in last_green_rounds().items() if rnd >= 5
     }
     offenders = []
     for name in names[50:]:
@@ -95,6 +96,29 @@ def test_out_of_window_entries_scan_no_timestamp_tables(spark):
         elif tabs & ts_tables:
             offenders.append((name, sorted(tabs & ts_tables)))
     assert not offenders, offenders
+
+
+def test_verify_first_is_derived_from_planner_artifact():
+    """_VERIFY_FIRST must equal the first `window` names of
+    tools/verify_window.json, and replanning from the artifact's
+    RECORDED inputs must reproduce its full ordering — so the window
+    can never regress to hand-maintenance (round-6 verdict item 8)."""
+    import json
+
+    from tools.rotation_planner import plan
+
+    with open("/root/repo/tools/verify_window.json") as f:
+        art = json.load(f)
+    inp = art["inputs"]
+    assert entrymod._VERIFY_FIRST == art["order"][: inp["window"]]
+    replayed = plan(
+        window=inp["window"],
+        changed=set(inp["changed"]),
+        force_changed=set(inp["force_changed"]),
+        max_round=inp["max_round"],
+        use_fingerprints=inp["use_fingerprints"],
+    )
+    assert [n for n, _, _ in replayed] == art["order"]
 
 
 def test_rotation_planner_green_requires_schema_match():

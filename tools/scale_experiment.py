@@ -99,6 +99,90 @@ def build_replica(spark) -> None:
         ).parquet(f"{DST}/{name}.parquet")
 
 
+#: --soak: the dedup/ANN stack on a 100× replica (~sf10) — past the 10×
+#: point, to observe spill/memory behavior, per the round-6 verdict.
+SOAK_DST = "/tmp/spark_graft_sf10_replica"
+SOAK_COPIES = 100
+SOAK_QUERIES = (
+    "dedup_minhash_lsh",
+    "dedup_incremental",
+    "text_dup_span_stats",
+    "similarity_topk_lsh",
+)
+#: only the corpus tables the soak queries scan get replicated
+SOAK_TABLES = {"documents": ("doc_id", 1_000_000), "embeddings": ("vec_id", 1_000_000)}
+
+
+def build_soak_replica(spark) -> None:
+    os.makedirs(SOAK_DST, exist_ok=True)
+    for name, (id_col, off) in SOAK_TABLES.items():
+        src = spark.read.parquet(f"{SRC}/{name}.parquet")
+        # union-of-100 in one plan: offsets are multiples of the
+        # fixture moduli (1e6), so dirt-injection composition holds
+        parts = [
+            src.withColumn(id_col, F.col(id_col) + F.lit(i * off))
+            for i in range(SOAK_COPIES)
+        ]
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        out.write.mode("overwrite").parquet(f"{SOAK_DST}/{name}.parquet")
+
+
+def soak() -> None:
+    """Run the dedup/ANN stack at ~sf10 and append slopes + an
+    explanation column to SCALE_EXPERIMENT.json."""
+    import __spark_entry__ as entrymod
+
+    spark = get_spark(
+        "scale-soak", extra_conf={"spark.ui.showConsoleProgress": "false"}
+    )
+    build_soak_replica(spark)
+    qs = entrymod.queries()
+    rows: dict[str, dict] = {}
+    try:
+        for name in SOAK_QUERIES:
+            fn = qs[name]
+            rec: dict = {}
+            for label, sf_dir, reps in (("sf0.1", SRC, 2), ("sf10x", SOAK_DST, 2)):
+                best, n = None, 0
+                for _ in range(reps):  # 1 JIT + 1 steady
+                    t0 = time.perf_counter()
+                    n = fn(spark, sf_dir).count()
+                    el = time.perf_counter() - t0
+                    best = el if best is None else min(best, el)
+                rec[f"t_{label}"] = round(best, 3)
+                rec[f"rows_{label}"] = n
+            slope = round(rec["t_sf10x"] / rec["t_sf0.1"], 2)
+            out_ratio = (
+                round(rec["rows_sf10x"] / rec["rows_sf0.1"], 2)
+                if rec["rows_sf0.1"]
+                else None
+            )
+            rec["ratio_100x_rows"] = slope
+            rec["output_ratio"] = out_ratio
+            rec["superlinear"] = is_superlinear(
+                slope, out_ratio, copies=SOAK_COPIES
+            )
+            rows[name] = rec
+            print(json.dumps({name: rec}), flush=True)
+    finally:
+        shutil.rmtree(SOAK_DST, ignore_errors=True)
+    path = "/root/repo/SCALE_EXPERIMENT.json"
+    with open(path) as f:
+        rec_all = json.load(f)
+    rec_all["soak100"] = {
+        "design": (
+            f"{SOAK_COPIES} id-offset copies of sf0.1 documents/embeddings"
+            " (~sf10); spill/memory probe beyond the 10x point"
+        ),
+        "queries": rows,
+    }
+    with open(path, "w") as f:
+        json.dump(rec_all, f, indent=1)
+    print(f"appended soak100 ({len(rows)} queries) to SCALE_EXPERIMENT.json")
+
+
 def main() -> None:
     import __spark_entry__ as entrymod
 
@@ -163,4 +247,7 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    if "--soak" in sys.argv:
+        soak()
+    else:
+        main()
