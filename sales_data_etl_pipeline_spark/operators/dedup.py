@@ -959,7 +959,12 @@ def containment_pairs(
     for unbounded corpora the LSH-banded variant drops in upstream
     unchanged.
     """
-    sh = shingle_sets(df, text_col, n)
+    # materialize the exploded shingle table once for its three
+    # consumers (self-join build+probe sides, per-doc sizes): the
+    # tokenize→shingle explode is the compute-heavy stage and would
+    # otherwise run 3×. At cluster scale this is a stage-boundary
+    # write to reliable storage (same move as minhash_lsh_pairs).
+    sh = shingle_sets(df, text_col, n).localCheckpoint(eager=False)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (

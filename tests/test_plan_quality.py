@@ -173,3 +173,67 @@ def test_q9_dims_broadcast_single_fact_shuffle_chain(spark):
     plan = _plan(analytics.td_q9_product_profit(spark, SF_DIR))
     assert plan.count("BroadcastHashJoin") >= 2
     assert "CartesianProduct" not in plan
+
+
+def test_kmeans_assignment_is_shuffle_free(spark):
+    """The k-means assignment kernel is per-row Arrow work against a
+    broadcast centroid matrix — any Exchange before the caller's own
+    aggregate is a regression."""
+    from pyspark.sql import functions as F
+
+    from sales_data_etl_pipeline_spark.operators import similarity
+    from sales_data_etl_pipeline_spark.sources.tables import load_testdata
+
+    emb = load_testdata(spark, SF_DIR, ("embeddings",))["embeddings"].select(
+        "vec_id", "embedding"
+    )
+    cents = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    plan = _plan(similarity.kmeans_assign(emb, cents))
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan  # Arrow, not row-at-a-time
+
+
+def test_q11_scans_lineitem_once(spark):
+    """Q11's share-of-total must reuse ONE per-part aggregate (via the
+    checkpoint) for both the rows and the global total — a second
+    lineitem scan means the decorrelation regressed."""
+    plan = _plan(analytics.td_q11_important_parts(spark, SF_DIR))
+    assert plan.count("Scan parquet") <= 2  # lineitem once + part dim
+    assert "SortMergeJoin" not in plan
+
+
+def test_rolling_active_users_has_no_range_join(spark):
+    """The trailing-7-day DAU plan must use the map-side day fanout —
+    a BroadcastNestedLoopJoin/CartesianProduct means someone rewrote
+    it as a range join."""
+    from sales_data_etl_pipeline_spark.plans import llm_demo
+
+    plan = _plan(llm_demo.events_rolling_active_users(spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_containment_checkpoints_shingles_once(spark):
+    """containment_pairs must reuse one materialized shingle table for
+    its three consumers — re-deriving the tokenize→shingle explode per
+    consumer triples the dominant stage."""
+    from sales_data_etl_pipeline_spark.plans import llm_demo
+
+    plan = _plan(llm_demo.dedup_containment(spark, SF_DIR))
+    # the explode operator appears once per DISTINCT derivation; with
+    # the checkpoint all consumers read the same scan
+    assert plan.count("Generate explode") <= 1
+
+
+def test_new_profile_ops_are_shuffle_free(spark):
+    """sentence stats and char diversity are pure per-row work."""
+    from sales_data_etl_pipeline_spark.operators import text
+    from sales_data_etl_pipeline_spark.sources.tables import load_testdata
+
+    docs = load_testdata(spark, SF_DIR, ("documents",))["documents"]
+    assert "Exchange" not in _plan(text.sentence_stats(docs))
+    plan = _plan(text.char_diversity(docs))
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan

@@ -1,0 +1,150 @@
+"""Semantic property tests for the round-7 operators — invariants the
+cross-engine fuzz can't express (it only proves Spark == DuckDB; these
+pin that both engines compute the RIGHT thing)."""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+
+def test_containment_catches_embedded_quote_jaccard_misses(spark):
+    """A short doc embedded verbatim in a long doc: containment
+    (short→long) must be 1.0 while Jaccard stays under any useful
+    threshold — the operator's reason to exist."""
+    from sales_data_etl_pipeline_spark.operators import dedup
+
+    quote = "the quick brown fox jumps over the lazy dog again and again"
+    filler = " ".join(f"w{i} x{i} y{i}" for i in range(60))
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text=quote),
+            Row(doc_id=2, text=f"{filler} {quote} {filler}"),
+        ]
+    )
+    cont = {
+        (r.doc_id, r.host_id): r.containment
+        for r in dedup.containment_pairs(docs, threshold=0.9).collect()
+    }
+    assert cont[(1, 2)] == 1.0  # every shingle of the quote is in the host
+    assert (2, 1) not in cont  # the host is NOT contained in the quote
+    jac = dedup.ngram_jaccard_pairs(docs, threshold=0.3).collect()
+    assert jac == []  # union-swamped: jaccard misses what containment finds
+
+
+def test_containment_is_one_both_ways_for_exact_dups(spark):
+    from sales_data_etl_pipeline_spark.operators import dedup
+
+    t = "alpha beta gamma delta epsilon zeta eta theta"
+    docs = spark.createDataFrame(
+        [Row(doc_id=1, text=t), Row(doc_id=2, text=t)]
+    )
+    got = {
+        (r.doc_id, r.host_id, r.containment)
+        for r in dedup.containment_pairs(docs, threshold=0.5).collect()
+    }
+    assert got == {(1, 2, 1.0), (2, 1, 1.0)}
+
+
+def test_kmeans_assign_matches_numpy_argmax(spark):
+    """Every live vector is assigned exactly once, to the centroid a
+    numpy reference computes (rounded-cosine argmax, smallest-id tie);
+    zero-norm vectors are excluded."""
+    from sales_data_etl_pipeline_spark.operators import similarity
+
+    rng = np.random.default_rng(5)
+    vecs = rng.normal(0, 1, (40, 8)).astype(np.float64)
+    vecs[7] = 0.0  # excluded
+    df = spark.createDataFrame(
+        [Row(vec_id=i, embedding=[float(x) for x in v]) for i, v in enumerate(vecs)]
+    )
+    cents = df.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    got = {
+        r.vec_id: (r.centroid_id, r.cosine_q6)
+        for r in similarity.kmeans_assign(df, cents).collect()
+    }
+    assert 7 not in got and len(got) == 39
+    C = vecs[:4] / np.linalg.norm(vecs[:4], axis=1, keepdims=True)
+    for i, v in enumerate(vecs):
+        n = np.linalg.norm(v)
+        if n == 0:
+            continue
+        S = np.round((v / n) @ C.T, 6)
+        want = int(S.argmax())  # first max == smallest centroid id
+        assert got[i][0] == want, i
+        assert got[i][1] == int(np.floor(S[want] * 1_000_000 + 0.5))
+
+
+def test_char_diversity_boundary_values(spark):
+    """Gini–Simpson: single repeated char → 0; n all-distinct chars →
+    round_half_up((1 − 1/n)·1e6); empty/NULL docs excluded."""
+    from sales_data_etl_pipeline_spark.operators import text
+
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="aaaaaa"),
+            Row(doc_id=2, text="abcd"),
+            Row(doc_id=3, text=""),
+            Row(doc_id=4, text=None),
+        ]
+    )
+    got = {
+        r.doc_id: (r.n_chars_eff, r.n_distinct_chars, r.diversity_ppm)
+        for r in text.char_diversity(docs).collect()
+    }
+    assert set(got) == {1, 2}
+    assert got[1] == (6, 1, 0)
+    # 1 - 1/4 = 0.75 exactly
+    assert got[2] == (4, 4, 750000)
+
+
+def test_sentence_stats_edge_docs(spark):
+    from sales_data_etl_pipeline_spark.operators import text
+
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="One two. Three four five! Six?"),
+            Row(doc_id=2, text="!!! ... ---"),
+            Row(doc_id=3, text=""),
+        ]
+    )
+    got = {r.doc_id: r for r in text.sentence_stats(docs).collect()}
+    r1 = got[1]
+    assert r1.n_sentences == 3
+    # sentences: "One two"(7), "Three four five"(15), "Six"(3) → 25/3
+    assert r1.avg_sentence_chars == 8.33
+    assert r1.avg_sentence_tokens == 2.0
+    # punctuation-only: one '---' sentence, zero tokens
+    assert got[2].n_sentences == 1 and got[2].avg_sentence_tokens == 0.0
+    # empty: zero sentences, NULL averages (try_divide contract)
+    assert got[3].n_sentences == 0 and got[3].avg_sentence_chars is None
+
+
+def test_rolling_active_users_window_math(spark):
+    """A user active on day D counts toward days D..D+6 only, and only
+    days with events are reported."""
+    from sales_data_etl_pipeline_spark.plans import llm_demo
+
+    rows = [
+        Row(event_id=1, ts="2024-01-01 10:00:00", user_id=1),
+        Row(event_id=2, ts="2024-01-08 10:00:00", user_id=2),  # 7 days later
+        Row(event_id=3, ts="2024-01-08 11:00:00", user_id=1),
+    ]
+    ev = spark.createDataFrame(rows).withColumn("ts", F.to_timestamp("ts"))
+    import sales_data_etl_pipeline_spark.plans.llm_demo as m
+
+    orig = m._events
+    m._events = lambda s, d: ev
+    try:
+        got = {
+            r.day: r.active_users_7d
+            for r in llm_demo.events_rolling_active_users(spark, "unused").collect()
+        }
+    finally:
+        m._events = orig
+    # Jan 1: user 1 only. Jan 8: user 1's Jan-1 activity expired
+    # (window is D..D+6 → Jan 1 supports Jan 1-7), so users {1, 2}.
+    assert got == {"2024-01-01": 1, "2024-01-08": 2}
