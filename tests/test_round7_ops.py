@@ -101,6 +101,36 @@ def test_char_diversity_boundary_values(spark):
     assert got[2] == (4, 4, 750000)
 
 
+def test_char_diversity_unicode_codepoint_parity(spark):
+    """Non-ASCII docs: the Arrow kernel's utf-32 view and DuckDB's
+    string_split('') must both count CODEPOINTS (verified: DuckDB
+    splits 'a+combining acute' into two pieces and an astral-plane
+    emoji into one) — pin the kernel side on exactly those shapes,
+    plus the DuckDB oracle cell-for-cell."""
+    import duckdb
+
+    from sales_data_etl_pipeline_spark.operators import text
+
+    s = "áb\U0001f600c"  # a, combining acute, b, emoji, c → 5 cps
+    docs = spark.createDataFrame([(1, s), (2, "😀😀😀")], "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_chars_eff, r.n_distinct_chars, r.diversity_ppm)
+        for r in text.char_diversity(docs).collect()
+    }
+    assert got[1] == (5, 5, 800000)  # all distinct: 1 - 1/5
+    assert got[2] == (3, 1, 0)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM"
+        f" (VALUES (1, '{s}'), (2, '😀😀😀')) t(doc_id, text)"
+    )
+    want = {
+        r[0]: (r[1], r[2], r[3])
+        for r in con.execute(text.char_diversity_sql("documents")).fetchall()
+    }
+    assert got == want
+
+
 def test_sentence_stats_edge_docs(spark):
     from sales_data_etl_pipeline_spark.operators import text
 
