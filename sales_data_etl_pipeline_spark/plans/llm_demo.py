@@ -3234,7 +3234,13 @@ def events_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     the exact distinct (stats_approx_sketches is the gated twin of
     that config)."""
     ev = _events(spark, sf_dir)
-    du = ev.select(F.to_date("ts").alias("d"), "user_id").distinct()
+    # |days × users| distinct pairs feed BOTH the report-day list and
+    # the fanout — one cut, or the events-scan + distinct runs twice
+    du = (
+        ev.select(F.to_date("ts").alias("d"), "user_id")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
     days = du.select(F.col("d").alias("day")).distinct()
     fanned = du.select(
         F.explode(F.expr("sequence(d, date_add(d, 6))")).alias("day"),
