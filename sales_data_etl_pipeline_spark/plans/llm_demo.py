@@ -246,6 +246,10 @@ def corpus_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("n_tokens", F.size(text.tokens("text")))
         .filter(F.col("n_tokens") >= 20)
+        # one cut for four consumers (exact-keep build, semi probe,
+        # minhash input, final anti probe) — the union+tokenize stage
+        # otherwise re-derives per consumer
+        .localCheckpoint(eager=False)
     )
     exact_keep = (
         docs.groupBy(F.md5("text").alias("_h"))
