@@ -56,6 +56,8 @@ _VERIFY_FIRST = [
     "embedding_kmeans_assign",
     "events_hourly_heatmap",
     "events_rolling_active_users",
+    "events_user_lifetime_stats",
+    "multimodal_dhash",
     "q11_important_parts",
     "q12_late_priority_split",
     "source_csv_roundtrip",
@@ -100,8 +102,6 @@ _VERIFY_FIRST = [
     "table_upsert",
     "text_repetition",
     "text_unigram_logprob",
-    "average_ticket_by_product",
-    "clean_fuzzy_supplier_match",
 ]
 
 

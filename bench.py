@@ -121,6 +121,8 @@ HEADLINE = [
     "events_hourly_heatmap",
     "events_rolling_active_users",
     "source_csv_roundtrip",
+    "multimodal_dhash",
+    "events_user_lifetime_stats",
 ]
 
 

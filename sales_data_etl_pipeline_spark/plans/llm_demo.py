@@ -3305,3 +3305,102 @@ def source_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["source_csv_roundtrip"] = source_csv_roundtrip
 ORACLES["source_csv_roundtrip"] = ORACLES["source_jsonl_roundtrip"]
+
+
+def multimodal_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual dHash fingerprints over the synthetic BMP corpus —
+    the image near-dup primitive (hash equality / per-band buckets
+    feed the same banded-join dedup the text family gates). Every bit
+    re-derived analytically by the oracle from the generator fill
+    rule."""
+    from sales_data_etl_pipeline_spark.operators import multimodal
+
+    docs = _docs(spark, sf_dir).select(F.col("doc_id").alias("media_id"))
+    return multimodal.dhash_images(multimodal.synthesize_bmp(docs)).orderBy(
+        "media_id"
+    )
+
+
+QUERIES["multimodal_dhash"] = multimodal_dhash
+# gray(x) for sample column x in 0..8: src_x = (x*w)//9 with w = 16+id%32;
+# the three BGR bytes are (id + 3*src_x + c) % 256 (c=0,1,2), gray is their
+# integer-mean; all raster rows are identical so the 8 row bytes repeat.
+# bit x (MSB-first): gray(x+1) > gray(x).
+ORACLES["multimodal_dhash"] = """
+    WITH g AS (
+        SELECT doc_id,
+               list_transform(generate_series(0, 8), x ->
+                   ((doc_id + 3*((x*(16 + doc_id % 32))//9)) % 256
+                  + (doc_id + 3*((x*(16 + doc_id % 32))//9) + 1) % 256
+                  + (doc_id + 3*((x*(16 + doc_id % 32))//9) + 2) % 256) // 3
+               ) AS gray
+        FROM documents),
+    rb AS (
+        SELECT doc_id,
+               CAST(list_aggregate(list_transform(generate_series(0, 7),
+                   x -> CASE WHEN gray[x+2] > gray[x+1]
+                             THEN 1 << (7 - x) ELSE 0 END), 'sum')
+                    AS BIGINT) AS row_byte,
+               CAST(list_aggregate(list_transform(generate_series(0, 7),
+                   x -> CASE WHEN gray[x+2] > gray[x+1]
+                             THEN 1 ELSE 0 END), 'sum') AS BIGINT) AS rbits
+        FROM g)
+    SELECT doc_id AS media_id,
+           repeat(lower(lpad(to_hex(row_byte), 2, '0')), 8) AS dhash,
+           8 * rbits AS n_gradient_bits
+    FROM rb ORDER BY media_id
+"""
+
+
+def events_user_lifetime_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user lifecycle profile: first/last activity day, span in
+    days, distinct active days, total events, and events-per-active-day
+    in centi-units — the user-dimension rollup retention/LTV models
+    read. ONE map-side-combinable aggregate keyed by user (min/max/
+    count + a distinct-day count that pre-reduces on (user, day));
+    at 100 TB the distinct-day half becomes the HLL sketch config, the
+    rest is untouched."""
+    ev = _events(spark, sf_dir)
+    per_day = ev.select("user_id", F.to_date("ts").alias("d")).distinct()
+    days = per_day.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("active_days"),
+        F.min("d").alias("_first"),
+        F.max("d").alias("_last"),
+    )
+    counts = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_events"))
+    return (
+        days.join(counts, "user_id")
+        .select(
+            "user_id",
+            F.date_format("_first", "yyyy-MM-dd").alias("first_day"),
+            F.date_format("_last", "yyyy-MM-dd").alias("last_day"),
+            F.datediff("_last", "_first").alias("span_days"),
+            "active_days",
+            "n_events",
+            F.expr("n_events * 100 div active_days").alias(
+                "events_per_active_day_c"
+            ),
+        )
+        .orderBy("user_id")
+    )
+
+
+QUERIES["events_user_lifetime_stats"] = events_user_lifetime_stats
+ORACLES["events_user_lifetime_stats"] = """
+    WITH pd AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+    days AS (
+        SELECT user_id, COUNT(*) AS active_days,
+               MIN(d) AS f, MAX(d) AS l
+        FROM pd GROUP BY user_id),
+    cnt AS (SELECT user_id, COUNT(*) AS n_events FROM events GROUP BY user_id)
+    SELECT d.user_id,
+           strftime(d.f, '%Y-%m-%d') AS first_day,
+           strftime(d.l, '%Y-%m-%d') AS last_day,
+           CAST(date_diff('day', d.f, d.l) AS INT) AS span_days,
+           d.active_days,
+           c.n_events,
+           CAST(c.n_events * 100 // d.active_days AS BIGINT)
+               AS events_per_active_day_c
+    FROM days d JOIN cnt c ON d.user_id = c.user_id
+    ORDER BY d.user_id
+"""

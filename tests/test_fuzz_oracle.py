@@ -71,6 +71,7 @@ FUZZED = [
     "stats_correlation",
     "events_hourly_heatmap",
     "events_rolling_active_users",
+    "events_user_lifetime_stats",
 ]
 
 
@@ -424,6 +425,7 @@ FUZZED_MORE = [
     # round-7 additions on the mixed-family fuzz
     "embedding_kmeans_assign",
     "source_csv_roundtrip",
+    "multimodal_dhash",
 ]
 
 
