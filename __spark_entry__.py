@@ -49,7 +49,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # all r5/r6-green on current code (post-NTZ) or scan only
 # timestamp-free tables (also test-pinned).
 _VERIFY_FIRST = [
-    # never-green (round-7 additions)
+    # never-green (new entries: must not ship unverified)
     "corpus_domain_mixture",
     "corpus_ngram_counts",
     "dedup_containment",
@@ -64,7 +64,7 @@ _VERIFY_FIRST = [
     "stats_correlation",
     "text_char_diversity",
     "text_sentence_stats",
-    # changed since last green row (round-7 edits)
+    # changed since last green row
     "dedup_ngram_jaccard",
     "dedup_cluster_representatives",
     "corpus_dedup_pipeline",
@@ -73,7 +73,7 @@ _VERIFY_FIRST = [
     "dedup_minhash_lsh",
     "source_jsonl_roundtrip",
     "text_dup_span_stats",
-    # stalest-green rotation (driver-proven coverage completion)
+    # stalest-green rotation
     "clean_sequential_ids",
     "corpus_hash_split",
     "corpus_stratified_sample",
