@@ -84,24 +84,40 @@ def write_csv_rfc(
     w.csv(path)
 
 
+CORRUPT_COL = "_corrupt_record"
+
+
 def read_csv_rfc(
     spark: SparkSession,
     path: str,
     schema: T.StructType,
+    *,
+    corrupt_col: str | None = None,
 ) -> DataFrame:
     """Read back :func:`write_csv_rfc` output: explicit schema (no
     inference pass — the jsonl source's rule), doubled-quote escapes,
     and ``multiLine`` so quoted embedded newlines stay one record.
+
+    ``corrupt_col`` opts into the jsonl source's quarantine contract:
+    PERMISSIVE mode with a named corrupt-record column, so malformed
+    rows (bad casts, wrong arity) land in the quarantine column for
+    audit instead of killing a multi-TB load.
 
     ``multiLine`` makes a single file non-splittable (records can span
     line boundaries, so Spark can't chop at arbitrary offsets); the
     sink's ``maxRecordsPerFile`` is what preserves read parallelism at
     scale — many bounded files, one task each.
     """
-    return (
+    reader = (
         spark.read.option("header", True)
         .option("escape", '"')
         .option("multiLine", True)
-        .schema(schema)
-        .csv(path)
     )
+    if corrupt_col is not None:
+        schema = T.StructType(
+            [*schema.fields, T.StructField(corrupt_col, T.StringType(), True)]
+        )
+        reader = reader.option("mode", "PERMISSIVE").option(
+            "columnNameOfCorruptRecord", corrupt_col
+        )
+    return reader.schema(schema).csv(path)

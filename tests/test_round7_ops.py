@@ -178,3 +178,76 @@ def test_rolling_active_users_window_math(spark):
     # Jan 1: user 1 only. Jan 8: user 1's Jan-1 activity expired
     # (window is D..D+6 → Jan 1 supports Jan 1-7), so users {1, 2}.
     assert got == {"2024-01-01": 1, "2024-01-08": 2}
+
+
+def test_dhash_is_stable_under_2x_upscale(spark):
+    """The perceptual property itself: a 2x nearest-neighbor upscale of
+    the same image must produce the IDENTICAL dHash (the fingerprint is
+    a downsampled-gradient signature, so resolution must not move it)."""
+    from pyspark.sql import Row
+
+    from sales_data_etl_pipeline_spark.operators import multimodal as mm
+
+    rows = []
+    for seed in (0, 3, 7, 11, 25):
+        img = mm.bmp_bytes(20, 24, seed)
+        rows.append(Row(media_id=seed, payload=bytearray(img)))
+        rows.append(
+            Row(media_id=seed + 1000, payload=bytearray(mm.resize_bmp(img, 40, 48)))
+        )
+    # the synthetic fill is monotone in x (all gradients positive →
+    # hash ffff…), so non-degeneracy needs a DECREASING raster: same
+    # header, each row's bytes reversed
+    img0 = mm.bmp_bytes(20, 24, 0)
+    rows.append(
+        Row(
+            media_id=9000,
+            payload=bytearray(
+                img0[:54] + bytes(reversed(img0[54 : 54 + 60])) * 24
+            ),
+        )
+    )
+    df = spark.createDataFrame(rows)
+    got = {r.media_id: r.dhash for r in mm.dhash_images(df).collect()}
+    for seed in (0, 3, 7, 11, 25):
+        assert got[seed] == got[seed + 1000], seed
+    # increasing raster → all-ones hash; decreasing → all-zeros
+    assert got[0] == "ff" * 8
+    assert got[9000] == "00" * 8
+
+
+def test_csv_rfc_corrupt_record_quarantine(spark, tmp_path):
+    """A malformed row lands in the quarantine column with data columns
+    NULL — the load survives (the jsonl contract, on the CSV source)."""
+    from pyspark.sql import Row, types as T
+
+    from sales_data_etl_pipeline_spark.sources import csv as csv_src
+
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType(), True),
+            T.StructField("name", T.StringType(), True),
+            T.StructField("score", T.LongType(), True),
+        ]
+    )
+    good = spark.createDataFrame(
+        [Row(id=1, name='has "quotes"\nand a newline', score=10),
+         Row(id=2, name="plain", score=20)],
+        schema,
+    )
+    path = str(tmp_path / "csv_rfc")
+    csv_src.write_csv_rfc(good, path)
+    # inject a malformed part-file: non-numeric score
+    with open(f"{path}/part-99999-injected.csv", "w") as f:
+        f.write('"id","name","score"\n"3","bad","NOT_A_NUMBER"\n')
+    back = csv_src.read_csv_rfc(
+        spark, path, schema, corrupt_col=csv_src.CORRUPT_COL
+    )
+    ok = back.filter(back[csv_src.CORRUPT_COL].isNull())
+    bad = back.filter(back[csv_src.CORRUPT_COL].isNotNull()).collect()
+    assert {(r.id, r.name, r.score) for r in ok.collect()} == {
+        (1, 'has "quotes"\nand a newline', 10),
+        (2, "plain", 20),
+    }
+    assert len(bad) == 1 and bad[0].score is None
+    assert "NOT_A_NUMBER" in bad[0]._corrupt_record
