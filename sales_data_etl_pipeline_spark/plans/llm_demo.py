@@ -1754,8 +1754,16 @@ def events_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy("event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
+            # floor(x·100+0.5)/100, NOT round(): Spark round() and
+            # DuckDB ROUND() disagree when the interpolated quantile
+            # lands a hair under an .xx5 boundary (found by fuzz seed
+            # 717: identical raw doubles 392.28499999999997 rounded to
+            # 392.28 vs 392.29) — the IEEE composite is bit-identical
             *[
-                F.round(F.expr(f"percentile(value, {q})"), 2).alias(name)
+                (
+                    F.floor(F.expr(f"percentile(value, {q})") * 100 + F.lit(0.5))
+                    / 100
+                ).alias(name)
                 for name, q in qs.items()
             ],
         )
@@ -1767,10 +1775,10 @@ QUERIES["events_value_quantiles"] = events_value_quantiles
 ORACLES["events_value_quantiles"] = """
     SELECT event_type,
            COUNT(*) AS n_events,
-           ROUND(quantile_cont(value, 0.25), 2) AS p25,
-           ROUND(quantile_cont(value, 0.5), 2) AS p50,
-           ROUND(quantile_cont(value, 0.75), 2) AS p75,
-           ROUND(quantile_cont(value, 0.9), 2) AS p90
+           floor(quantile_cont(value, 0.25) * 100 + 0.5) / 100 AS p25,
+           floor(quantile_cont(value, 0.5) * 100 + 0.5) / 100 AS p50,
+           floor(quantile_cont(value, 0.75) * 100 + 0.5) / 100 AS p75,
+           floor(quantile_cont(value, 0.9) * 100 + 0.5) / 100 AS p90
     FROM events GROUP BY event_type ORDER BY event_type
 """
 

@@ -251,3 +251,33 @@ def test_csv_rfc_corrupt_record_quarantine(spark, tmp_path):
     }
     assert len(bad) == 1 and bad[0].score is None
     assert "NOT_A_NUMBER" in bad[0]._corrupt_record
+
+
+def test_quantile_rounding_boundary_seed717(spark, tmp_path):
+    """Regression pin (found by an extra-seed fuzz sweep): on seed 717
+    the signup p75 interpolates to 392.28499999999997 in BOTH engines,
+    but Spark round() gave 392.28 while DuckDB ROUND() gave 392.29 —
+    the .xx5-boundary divergence the repo convention exists for. The
+    entry must use the floor(x·100+0.5)/100 composite on both sides."""
+    import duckdb
+
+    import test_fuzz_oracle as tf
+    import __spark_entry__ as entrymod
+
+    import os
+
+    outdir = str(tmp_path / "q717")
+    os.makedirs(outdir)
+    tf._gen(717, outdir)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM"
+        f" read_parquet('{outdir}/events.parquet')"
+    )
+    got = tf._canon(
+        entrymod.queries()["events_value_quantiles"](spark, outdir).toPandas()
+    )
+    want = tf._canon(
+        con.execute(entrymod.oracle_sql()["events_value_quantiles"]).fetchdf()
+    )
+    assert got == want
