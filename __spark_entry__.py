@@ -69,6 +69,7 @@ _VERIFY_FIRST = [
     "dedup_cluster_representatives",
     "corpus_dedup_pipeline",
     "dedup_clusters",
+    "events_value_quantiles",
     "dedup_incremental",
     "dedup_minhash_lsh",
     "source_jsonl_roundtrip",
@@ -101,7 +102,6 @@ _VERIFY_FIRST = [
     "table_scd2_apply",
     "table_upsert",
     "text_repetition",
-    "text_unigram_logprob",
 ]
 
 
