@@ -35,6 +35,14 @@ from sales_data_etl_pipeline_spark.operators.text import TOKENIZE
 #: negligible (n²/2P even at millions of shingles per corpus).
 MINHASH_P = 2_147_483_647
 
+#: Spark SQL predicate: every element of vector column {v} is finite.
+#: Needed because Spark orders NaN ABOVE all doubles, so ``norm > 0``
+#: alone admits NaN vectors that DuckDB's NULL semantics reject.
+FINITE_VEC = (
+    "NOT exists({v}, x -> x IS NULL OR isnan(cast(x as double))"
+    " OR abs(cast(x as double)) = cast('Infinity' as double))"
+)
+
 
 def hash_id_expr(col: str, mod: int) -> str:
     """Spark SQL expr: deterministic id in [0, mod) from md5(col).
@@ -538,15 +546,19 @@ def embedding_near_dup_pairs(
     IEEE result across engines). Brute-force pairwise; the scale path is
     the IVF/LSH bucketing in ``operators.similarity``.
     """
-    # zero-norm vectors have undefined cosine: exclude them up front
-    # (same contract as similarity.cosine_topk — without the guard the
-    # verification divide is an ANSI-mode error, and the oracle's NULL
-    # semantics would silently diverge)
+    # zero-norm vectors have undefined cosine, and non-finite (NaN/Inf)
+    # vectors must not band or verify at all (Spark compares NaN > 0 as
+    # TRUE, so a plain norm filter would PASS a NaN vector): exclude
+    # both up front (same contract as similarity.cosine_topk; oracles
+    # mirror it with isfinite())
     _nrm = (
         "sqrt(aggregate(transform({v}, x -> cast(x as double)),"
         " 0D, (acc, x) -> acc + x * x))"
     )
-    emb = emb.filter(F.expr(_nrm.format(v=vec_col)) > 0)
+    emb = emb.filter(
+        F.expr(FINITE_VEC.format(v=vec_col))
+        & (F.expr(_nrm.format(v=vec_col)) > 0)
+    )
     dot = (
         "aggregate(zip_with(transform(a.{v}, x -> cast(x as double)),"
         " transform(b.{v}, x -> cast(x as double)), (x, y) -> x * y),"
@@ -620,15 +632,19 @@ def embedding_lsh_pairs(
         _band_signatures,
     )
 
-    # zero-norm vectors have undefined cosine: exclude them up front
-    # (same contract as similarity.cosine_topk — without the guard the
-    # verification divide is an ANSI-mode error, and the oracle's NULL
-    # semantics would silently diverge)
+    # zero-norm vectors have undefined cosine, and non-finite (NaN/Inf)
+    # vectors must not band or verify at all (Spark compares NaN > 0 as
+    # TRUE, so a plain norm filter would PASS a NaN vector): exclude
+    # both up front (same contract as similarity.cosine_topk; oracles
+    # mirror it with isfinite())
     _nrm = (
         "sqrt(aggregate(transform({v}, x -> cast(x as double)),"
         " 0D, (acc, x) -> acc + x * x))"
     )
-    emb = emb.filter(F.expr(_nrm.format(v=vec_col)) > 0)
+    emb = emb.filter(
+        F.expr(FINITE_VEC.format(v=vec_col))
+        & (F.expr(_nrm.format(v=vec_col)) > 0)
+    )
     R = hyperplane_signs(planes, dim)
     # Vectorized Arrow kernel, left-associated dim fold + 6dp-round sign
     # (bit-identical to the expression form, which exceeds janino's

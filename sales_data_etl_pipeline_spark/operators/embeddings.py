@@ -35,6 +35,20 @@ _NORM_SQL = (
     " x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'), 0.0))"
 )
 
+#: non-finite (NaN/Inf) vectors — a failed upstream embedding job —
+#: produce NULL outputs instead of NaN-poisoned or ANSI-error results.
+#: Spark orders NaN above all doubles, so magnitude guards alone would
+#: admit them; the predicate is explicit on both engines.
+_FINITE = (
+    "NOT exists({v}, x -> x IS NULL OR isnan(cast(x as double))"
+    " OR abs(cast(x as double)) = cast('Infinity' as double))"
+)
+_FINITE_SQL = (
+    "NOT coalesce(list_bool_or(list_transform({v},"
+    " x -> x IS NULL OR isnan(CAST(x AS DOUBLE))"
+    " OR isinf(CAST(x AS DOUBLE)))), FALSE)"
+)
+
 
 def l2_normalize(
     df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id"
@@ -43,17 +57,23 @@ def l2_normalize(
     vector at 1e-6 resolution as a comma-joined integer string
     (``unit_q6``) — zero-vector rows get NULLs."""
     norm = _NORM.format(v=vec_col)
+    finite = _FINITE.format(v=vec_col)
     # whole-column NULL for zero vectors: Spark's array_join silently
     # drops NULL elements ('' result) while DuckDB's string_agg of
-    # all-NULLs is NULL — guard both engines to the same NULL
+    # all-NULLs is NULL — guard both engines to the same NULL. A
+    # non-finite vector NULLs BOTH columns (norm included — floor(NaN)
+    # is an ANSI error and floor(Inf) overflows the bigint cast).
     unit = (
-        f"IF(nullif({norm}, 0.0) IS NULL, NULL,"
+        f"IF(NOT ({finite}) OR nullif({norm}, 0.0) IS NULL, NULL,"
         f" array_join(transform({vec_col}, x -> cast(floor(cast(x as double)"
         f" / {norm} * 1000000 + 0.5) as bigint)), ','))"
     )
     return df.select(
         id_col,
-        F.expr(f"cast(floor({norm} * 1000000 + 0.5) as bigint)").alias("norm_q6"),
+        F.expr(
+            f"IF({finite},"
+            f" cast(floor({norm} * 1000000 + 0.5) as bigint), NULL)"
+        ).alias("norm_q6"),
         F.expr(unit).alias("unit_q6"),
     )
 
@@ -62,15 +82,18 @@ def l2_normalize_sql(
     rel: str = "embeddings", vec_col: str = "embedding", id_col: str = "vec_id"
 ) -> str:
     norm = _NORM_SQL.format(v=vec_col)
+    finite = _FINITE_SQL.format(v=vec_col)
     unit = (
-        f"CASE WHEN nullif({norm}, 0.0) IS NULL THEN NULL ELSE"
+        f"CASE WHEN NOT ({finite}) OR nullif({norm}, 0.0) IS NULL THEN NULL ELSE"
         f" list_aggregate(list_transform({vec_col}, x -> CAST(floor(CAST(x AS DOUBLE)"
         f" / {norm} * 1000000 + 0.5) AS BIGINT)::VARCHAR),"
         " 'string_agg', ',') END"
     )
     return f"""
         SELECT {id_col},
-               CAST(floor({norm} * 1000000 + 0.5) AS BIGINT) AS norm_q6,
+               CASE WHEN {finite}
+                    THEN CAST(floor({norm} * 1000000 + 0.5) AS BIGINT)
+               END AS norm_q6,
                {unit} AS unit_q6
         FROM {rel}
     """
@@ -86,14 +109,18 @@ def quantize_int8(
     comma-joined integer string."""
     amax = f"array_max(transform({vec_col}, x -> abs(cast(x as double))))"
     scale = f"(127.0 / nullif({amax}, 0.0))"
+    finite = _FINITE.format(v=vec_col)
     q = (
-        f"IF({scale} IS NULL, NULL,"
+        f"IF(NOT ({finite}) OR {scale} IS NULL, NULL,"
         f" array_join(transform({vec_col}, x -> cast(floor(cast(x as double)"
         f" * {scale} + 0.5) as bigint)), ','))"
     )
     return df.select(
         id_col,
-        F.expr(f"cast(floor({scale} * 1000000 + 0.5) as bigint)").alias("scale_q6"),
+        F.expr(
+            f"IF({finite},"
+            f" cast(floor({scale} * 1000000 + 0.5) as bigint), NULL)"
+        ).alias("scale_q6"),
         F.expr(q).alias("q_int8"),
     )
 
@@ -103,14 +130,17 @@ def quantize_int8_sql(
 ) -> str:
     amax = f"list_max(list_transform({vec_col}, x -> abs(CAST(x AS DOUBLE))))"
     scale = f"(127.0 / nullif({amax}, 0.0))"
+    finite = _FINITE_SQL.format(v=vec_col)
     q = (
-        f"CASE WHEN {scale} IS NULL THEN NULL ELSE"
+        f"CASE WHEN NOT ({finite}) OR {scale} IS NULL THEN NULL ELSE"
         f" list_aggregate(list_transform({vec_col}, x -> CAST(floor(CAST(x AS DOUBLE)"
         f" * {scale} + 0.5) AS BIGINT)::VARCHAR), 'string_agg', ',') END"
     )
     return f"""
         SELECT {id_col},
-               CAST(floor({scale} * 1000000 + 0.5) AS BIGINT) AS scale_q6,
+               CASE WHEN {finite}
+                    THEN CAST(floor({scale} * 1000000 + 0.5) AS BIGINT)
+               END AS scale_q6,
                {q} AS q_int8
         FROM {rel}
     """

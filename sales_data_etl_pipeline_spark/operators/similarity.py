@@ -131,9 +131,13 @@ def _pandas_scored(
     q_rows = queries.select(id_col, vec_col).collect()
     q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
     Q = np.array([r[1] for r in q_rows], dtype=np.float64)
+    # non-finite (NaN/Inf) vectors are DEAD like zero-norm ones: a
+    # failed upstream embedding job must not poison ranks or crash the
+    # scan (module contract, mirrored by the oracles' isfinite filter)
+    Q[~np.isfinite(Q).all(axis=1)] = 0.0
     q_norm = np.linalg.norm(Q, axis=1, keepdims=True)
     Qn = np.divide(Q, q_norm, out=np.zeros_like(Q), where=q_norm > 0)
-    dead_q = (q_norm == 0).ravel()  # zero-norm queries: no neighbors
+    dead_q = (q_norm == 0).ravel()  # zero-norm/non-finite: no neighbors
     n_q = len(q_ids)
     out_schema = f"{id_col} long, {query_id_col} long, cosine double"
 
@@ -146,12 +150,13 @@ def _pandas_scored(
                 continue
             ids = pdf[id_col].to_numpy(dtype=np.int64)
             V = np.array(list(pdf[vec_col]), dtype=np.float64)
+            V[~np.isfinite(V).all(axis=1)] = 0.0  # dead, like zero-norm
             v_norm = np.linalg.norm(V, axis=1, keepdims=True)
             Vn = np.divide(V, v_norm, out=np.zeros_like(V), where=v_norm > 0)
             # round BEFORE pruning: the window ranks on the rounded value
             S = np.round(Vn @ Qn.T, 6)  # (batch, n_queries)
             S[ids[:, None] == q_ids[None, :]] = -np.inf  # self-match
-            S[(v_norm == 0).ravel(), :] = -np.inf  # zero-norm corpus rows
+            S[(v_norm == 0).ravel(), :] = -np.inf  # dead corpus rows
             S[:, dead_q] = -np.inf
             all_s = np.vstack([run_s, S])
             all_i = np.vstack([run_i, np.broadcast_to(ids[:, None], S.shape)])
@@ -213,6 +218,9 @@ def assign_ivf_buckets(
     def assign(batches):
         for pdf in batches:
             V = np.array(list(pdf[vec_col]), dtype=np.float64)
+            # non-finite rows score 0 everywhere → deterministic
+            # first-centroid bucket (they are dead at query time anyway)
+            V[~np.isfinite(V).all(axis=1)] = 0.0
             v_norm = np.linalg.norm(V, axis=1, keepdims=True)
             # zero-norm vectors score 0 vs every centroid -> deterministic
             # assignment to the smallest centroid id (argmax first index)
@@ -271,6 +279,7 @@ def cosine_topk_ivf(
     C = np.array([r[1] for r in c_rows], dtype=np.float64)
     Q = np.array([r[1] for r in q_rows], dtype=np.float64)
     Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+    Q[~np.isfinite(Q).all(axis=1)] = 0.0  # dead, like zero-norm
     q_norm = np.linalg.norm(Q, axis=1, keepdims=True)
     Qn = np.divide(Q, q_norm, out=np.zeros_like(Q), where=q_norm > 0)
     S = np.round(Qn @ Cn.T, 6)
@@ -295,13 +304,14 @@ def cosine_topk_ivf(
         for pdf in batches:
             ids = pdf[id_col].to_numpy(dtype=np.int64)
             V = np.array(list(pdf[vec_col]), dtype=np.float64)
+            V[~np.isfinite(V).all(axis=1)] = 0.0  # dead, like zero-norm
             v_norm = np.linalg.norm(V, axis=1, keepdims=True)
             Vn = np.divide(V, v_norm, out=np.zeros_like(V), where=v_norm > 0)
             # same rounded-argmax assignment convention as assign_ivf_buckets
             bucket = c_ids[np.argmax(np.round(Vn @ Cn.T, 6), axis=1)]
             mask = np.vstack([probe_mask[int(b)] for b in bucket])
             mask &= ids[:, None] != q_ids[None, :]
-            mask &= v_norm > 0  # zero-norm corpus rows: never candidates
+            mask &= v_norm > 0  # dead corpus rows: never candidates
             vi, qi = np.nonzero(mask)
             if not len(vi):
                 continue
@@ -432,7 +442,10 @@ def cosine_topk_lsh(
     reproduces every bit. May return fewer than ``k`` neighbors — the
     recall tradeoff is the point; brute force is the ground truth.
     """
-    from sales_data_etl_pipeline_spark.operators.dedup import hyperplane_signs
+    from sales_data_etl_pipeline_spark.operators.dedup import (
+        FINITE_VEC,
+        hyperplane_signs,
+    )
 
     rows_per = planes // bands
     R = hyperplane_signs(planes, dim)
@@ -442,7 +455,10 @@ def cosine_topk_lsh(
             df, R, bands, out_id=out_id, vec_col=vec_col
         )
 
-    live = F.expr(_norm(vec_col)) > 0  # zero-norm: cosine undefined
+    # zero-norm: cosine undefined; non-finite/NULL-element: dead by the
+    # module contract (Spark compares NaN > 0 as TRUE, so the norm
+    # filter alone would band a NaN vector)
+    live = F.expr(FINITE_VEC.format(v=vec_col)) & (F.expr(_norm(vec_col)) > 0)
     c_live = corpus.filter(live)
     q_live = queries.filter(live).select(
         F.col(id_col).alias(query_id_col), F.col(vec_col)
@@ -535,6 +551,7 @@ def kmeans_assign(
     )
     c_ids = np.array([r[0] for r in c_rows], dtype=np.int64)
     C = np.array([r[1] for r in c_rows], dtype=np.float64)
+    C[~np.isfinite(C).all(axis=1)] = 0.0  # dead, like zero-norm
     c_norm = np.linalg.norm(C, axis=1, keepdims=True)
     Cn = np.divide(C, c_norm, out=np.zeros_like(C), where=c_norm > 0)
     dead_c = (c_norm == 0).ravel()
@@ -545,6 +562,7 @@ def kmeans_assign(
                 continue
             ids = pdf[id_col].to_numpy(dtype=np.int64)
             V = np.array(list(pdf[vec_col]), dtype=np.float64)
+            V[~np.isfinite(V).all(axis=1)] = 0.0  # dead, like zero-norm
             v_norm = np.linalg.norm(V, axis=1, keepdims=True)
             live = (v_norm > 0).ravel()
             if not live.any():

@@ -625,6 +625,17 @@ _NORM = (
     " x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))"
 )
 
+#: vector is LIVE for cosine work: no NULL/NaN/Inf element and norm>0.
+#: Element-level, not isfinite(norm): DuckDB's list 'sum' IGNORES NULL
+#: elements, so a NULL-element vector has a finite norm yet must be
+#: dead (the Spark kernels coerce NULL→NaN and exclude it).
+_LIVE = (
+    "(NOT coalesce(list_bool_or(list_transform({v},"
+    " x -> x IS NULL OR isnan(CAST(x AS DOUBLE))"
+    " OR isinf(CAST(x AS DOUBLE)))), FALSE)"
+    " AND " + _NORM + " > 0)"
+)
+
 _STOP_EN = "('the','a','of','and','to','in','is','it','that','for')"
 
 ORACLES = {
@@ -817,14 +828,14 @@ ORACLES = {
         -- not five NULL-cosine ranks
         WITH q AS (SELECT vec_id AS query_id, embedding AS qvec
                    FROM embeddings WHERE vec_id < 10
-                     AND {_NORM.format(v='embedding')} > 0),
+                     AND {_LIVE.format(v='embedding')}),
         scored AS (
             SELECT q.query_id, e.vec_id AS neighbor_id,
                    ROUND({_DOT.format(a='q.qvec', b='e.embedding')}
                          / ({_NORM.format(v='q.qvec')}
                             * {_NORM.format(v='e.embedding')}), 6) AS cosine
             FROM embeddings e, q WHERE e.vec_id <> q.query_id
-              AND {_NORM.format(v='e.embedding')} > 0),
+              AND {_LIVE.format(v='e.embedding')}),
         ranked AS (
             SELECT *, row_number() OVER (
                 PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
@@ -846,10 +857,10 @@ ORACLES = {
                                     * {_NORM.format(v='e.embedding')}), 6) DESC,
                            c.centroid_id) AS rn
                 FROM embeddings e, cent c
-                WHERE {_NORM.format(v='e.embedding')} > 0) WHERE rn = 1),
+                WHERE {_LIVE.format(v='e.embedding')}) WHERE rn = 1),
         q AS (SELECT vec_id AS query_id, embedding AS qvec
               FROM embeddings WHERE vec_id < 10
-                AND {_NORM.format(v='embedding')} > 0),
+                AND {_LIVE.format(v='embedding')}),
         probes AS (
             SELECT query_id, centroid_id FROM (
                 SELECT q.query_id, c.centroid_id,
@@ -1036,7 +1047,7 @@ def _emb_lsh_oracle(
     return f"""
         WITH e0 AS ({_NEAR_DUP_EMB}),
         e AS (SELECT * FROM e0
-              WHERE {_NORM.format(v='embedding')} > 0),
+              WHERE {_LIVE.format(v='embedding')}),
         bs AS ({band_selects}),
         cand AS (
             SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
@@ -2151,7 +2162,7 @@ def _ann_lsh_oracle(planes: int = 32, bands: int = 8, dim: int = 64, k: int = 5)
     # bit-equivalent by construction, not by dataset luck — a zero-norm
     # embedding would otherwise give the oracle all-'1' signatures and
     # inf/NaN cosines the plan excludes.
-    live = f"{_NORM.format(v='embedding')} > 0"
+    live = f"{_LIVE.format(v='embedding')}"
     return f"""
         WITH e AS (SELECT * FROM embeddings WHERE {live}),
         bs AS ({band_selects.replace('FROM embeddings', 'FROM e')}),
@@ -2874,14 +2885,14 @@ QUERIES["embedding_knn_label"] = embedding_knn_label
 ORACLES["embedding_knn_label"] = f"""
     WITH q AS (SELECT vec_id AS query_id, embedding AS qvec
                FROM embeddings WHERE vec_id % 37 = 0
-                 AND {_NORM.format(v='embedding')} > 0),
+                 AND {_LIVE.format(v='embedding')}),
     scored AS (
         SELECT q.query_id, e.vec_id AS neighbor_id, e.label,
                ROUND({_DOT.format(a='q.qvec', b='e.embedding')}
                      / ({_NORM.format(v='q.qvec')}
                         * {_NORM.format(v='e.embedding')}), 6) AS cosine
         FROM embeddings e, q WHERE e.vec_id <> q.query_id
-          AND {_NORM.format(v='e.embedding')} > 0),
+          AND {_LIVE.format(v='e.embedding')}),
     ranked AS (
         SELECT *, row_number() OVER (
             PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
@@ -3184,12 +3195,16 @@ _KM_COS = (
     f" * nullif({_NORM.format(v='c.embedding')}, 0.0)), 6)"
 )
 ORACLES["embedding_kmeans_assign"] = f"""
+    -- dead (zero-norm / non-finite) centroids can never win in the
+    -- kernel, so excluding them here is outcome-equivalent
     WITH c AS (SELECT vec_id AS centroid_id, embedding
-               FROM embeddings WHERE vec_id < 8),
+               FROM embeddings
+               WHERE vec_id < 8
+                 AND {_LIVE.format(v='embedding')}),
     scored AS (
         SELECT e.vec_id, c.centroid_id, {_KM_COS} AS cosine
         FROM embeddings e, c
-        WHERE {_NORM.format(v='e.embedding')} > 0),
+        WHERE {_LIVE.format(v='e.embedding')}),
     ranked AS (
         SELECT vec_id, centroid_id,
                CAST(floor(cosine * 1000000 + 0.5) AS BIGINT) AS cosine_q6,

@@ -281,3 +281,78 @@ def test_quantile_rounding_boundary_seed717(spark, tmp_path):
         con.execute(entrymod.oracle_sql()["events_value_quantiles"]).fetchdf()
     )
     assert got == want
+
+
+def test_embedding_family_parity_on_nonfinite_vectors(spark, tmp_path):
+    """The finite-vector contract, cross-engine: vectors with NaN, ±Inf
+    or NULL elements are DEAD everywhere (never a neighbor, never a
+    query with results, never a winning centroid, NULL normalize/
+    quantize outputs) — and both engines agree cell-for-cell on a
+    corpus poisoned with all four defect classes. Guards exist on both
+    sides because Spark compares NaN > 0 as TRUE (a plain norm filter
+    admits NaN vectors) while DuckDB's list 'sum' IGNORES NULL elements
+    (a NULL-element vector has a finite norm yet must be dead)."""
+    import os
+
+    import duckdb
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import test_fuzz_oracle as tf
+    import __spark_entry__ as entrymod
+
+    outdir = str(tmp_path / "nonfinite")
+    os.makedirs(outdir)
+    tf._gen(77, outdir)
+    tf._gen_corpus(78, outdir)
+    emb = pd.read_parquet(f"{outdir}/embeddings.parquet")
+    v = np.array(list(emb["embedding"]))
+    dim = v.shape[1]
+    vals = [list(map(float, row)) for row in v]
+    vals[3] = [float("nan")] * dim
+    vals[9] = [float("inf")] + vals[9][1:]
+    vals[15] = [None] + vals[15][1:]
+    vals[21] = [float("-inf")] + vals[21][1:]
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(emb["vec_id"], pa.int64()),
+                "embedding": pa.array(vals, pa.list_(pa.float32())),
+                "label": pa.array(emb["label"], pa.int32()),
+            }
+        ),
+        f"{outdir}/embeddings.parquet",
+    )
+    con = duckdb.connect()
+    for t in tf.TABLES:
+        p = f"{outdir}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')"
+            )
+    qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+    diverged = []
+    for name in (
+        "similarity_topk",
+        "similarity_topk_ivf",
+        "similarity_topk_lsh",
+        "dedup_embedding_cosine",
+        "dedup_embedding_lsh",
+        "embedding_knn_label",
+        "embedding_kmeans_assign",
+        "embedding_normalize",
+        "embedding_quantize_int8",
+    ):
+        got = tf._canon(qs[name](spark, outdir).toPandas())
+        want = tf._canon(con.execute(oracles[name]).fetchdf())
+        if got != want:
+            diverged.append(name)
+    assert not diverged, diverged
+    # spot contract: poisoned vectors yield NULL normalize outputs
+    norm = {
+        r.vec_id: r.norm_q6
+        for r in qs["embedding_normalize"](spark, outdir).collect()
+    }
+    assert all(norm[i] is None for i in (3, 9, 15, 21))
