@@ -237,7 +237,9 @@ def pack_sequences(
         pdf = pdf.sort_values(id_col).reset_index(drop=True)
         seq, fill = -1, cap + 1  # force a new sequence on the first doc
         seqs, offs = [], []
-        for t in pdf[tokens_col].astype("int64"):
+        # NULL token counts (a NULL-text doc upstream) pack as
+        # zero-length — one missing field must not kill a corpus job
+        for t in pdf[tokens_col].fillna(0).astype("int64"):
             t = int(t)
             if fill + t <= cap:
                 offs.append(fill)

@@ -53,7 +53,11 @@ def pii_detect(df: DataFrame, text_col: str = "text") -> DataFrame:
         "doc_id",
         *[counts[name].alias(f"n_{name}") for name, _, _ in PII_RULES],
         total.alias("n_pii"),
-        (total > 0).alias("has_pii"),
+        # coalesce: NULL text (counts unknown → NULL) reports has_pii
+        # FALSE, never boolean-NULL — a NULL bool renders differently
+        # across engines' pandas bridges (None vs NaN) and would break
+        # the value hash on data with missing text fields
+        F.coalesce(total > 0, F.lit(False)).alias("has_pii"),
     )
 
 
@@ -90,7 +94,7 @@ def pii_detect_sql(col: str = "text") -> str:
     ]
     total = " + ".join(_count_sql(col, pat) for _, pat, _ in PII_RULES)
     parts.append(f"({total}) AS n_pii")
-    parts.append(f"(({total}) > 0) AS has_pii")
+    parts.append(f"coalesce(({total}) > 0, FALSE) AS has_pii")
     return ", ".join(parts)
 
 

@@ -156,7 +156,13 @@ def repetition_stats(
     Fractions use the ``floor(x*1e6 + 0.5)/1e6`` IEEE composite (module
     convention) and are NULL when a doc has no n-grams.
     """
-    out = df.select("doc_id", tokens(text_col).alias("_t"))
+    # coalesce: NULL text has ZERO n-grams (bigint counts stay
+    # non-NULL; fracs are NULL via nullif) — matches the oracle's
+    # range-over-NULL-list behavior
+    out = df.select(
+        "doc_id",
+        F.coalesce(tokens(text_col), F.expr("array()")).alias("_t"),
+    )
     names: list[str] = ["doc_id"]
     for n in ns:
         gram = ", ".join(f"element_at(_t, i + {j})" if j else "element_at(_t, i)" for j in range(n))

@@ -542,8 +542,11 @@ def corpus_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 def corpus_token_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-budget sharding via the distributed prefix-sum scan — the
     deterministic sharding step before sequence packing."""
+    # coalesce: a NULL-text doc counts 0 tokens (NULL-safe contract,
+    # mirrored in the oracle) instead of poisoning the prefix sum
     d = _docs(spark, sf_dir).select(
-        "doc_id", F.size(text.tokens()).alias("n_tokens")
+        "doc_id",
+        F.coalesce(F.size(text.tokens()), F.lit(0)).alias("n_tokens"),
     )
     return corpus.shard_by_token_budget(d, _SHARD_BUDGET)
 
@@ -1102,7 +1105,9 @@ ORACLES["corpus_stratified_sample"] = f"""
 
 
 ORACLES["corpus_token_shards"] = f"""
-    WITH t AS (SELECT doc_id, len({_TOKS.format(col='text')}) AS n_tokens
+    WITH t AS (SELECT doc_id,
+                      coalesce(len({_TOKS.format(col='text')}), 0)
+                          AS n_tokens
                FROM documents)
     SELECT doc_id, n_tokens,
            CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
@@ -1200,7 +1205,8 @@ def corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Greedy sequence packing after token-budget sharding — the step
     that turns a sharded corpus into fixed-capacity training sequences."""
     d = _docs(spark, sf_dir).select(
-        "doc_id", F.size(text.tokens()).alias("n_tokens")
+        "doc_id",
+        F.coalesce(F.size(text.tokens()), F.lit(0)).alias("n_tokens"),
     )
     return corpus.pack_sequences(d, _SEQ_LEN, shard_budget=_SHARD_BUDGET)
 

@@ -356,3 +356,56 @@ def test_embedding_family_parity_on_nonfinite_vectors(spark, tmp_path):
         for r in qs["embedding_normalize"](spark, outdir).collect()
     }
     assert all(norm[i] is None for i in (3, 9, 15, 21))
+
+
+def test_text_family_parity_on_null_text(spark, tmp_path):
+    """NULL text (a missing JSONL field) must neither crash a kernel
+    nor diverge across engines. Contract: token-derived counts treat
+    NULL text as zero tokens where bigint columns must stay non-NULL
+    (repetition gram counts, shard/pack token counts — the pack kernel
+    previously crashed on the NULL), has_pii is FALSE (never
+    boolean-NULL, whose pandas rendering differs across engines), and
+    everything else propagates NULL identically on both sides."""
+    import os
+
+    import duckdb
+    import pandas as pd
+
+    import test_fuzz_oracle as tf
+    import __spark_entry__ as entrymod
+
+    outdir = str(tmp_path / "nulltext")
+    os.makedirs(outdir)
+    tf._gen(77, outdir)
+    tf._gen_corpus(78, outdir)
+    docs = pd.read_parquet(f"{outdir}/documents.parquet")
+    docs.loc[docs.index[5], "text"] = None
+    docs.loc[docs.index[40], "text"] = None
+    docs["n_chars"] = [len(t) if t is not None else 0 for t in docs["text"]]
+    docs.to_parquet(f"{outdir}/documents.parquet", index=False)
+    con = duckdb.connect()
+    for t in tf.TABLES:
+        p = f"{outdir}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')"
+            )
+    qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+    diverged = []
+    for name in (
+        "text_repetition",
+        "pii_detect",
+        "pii_redact",
+        "corpus_pack_sequences",
+        "corpus_token_shards",
+        "corpus_prep_pipeline",
+        "text_token_stats",
+        "text_quality_score",
+        "dedup_exact",
+        "text_dup_span_stats",
+    ):
+        got = tf._canon(qs[name](spark, outdir).toPandas())
+        want = tf._canon(con.execute(oracles[name]).fetchdf())
+        if got != want:
+            diverged.append(name)
+    assert not diverged, diverged
