@@ -58,6 +58,35 @@ def salted_count(
     return partial.groupBy(*keys).agg(F.sum("_partial").alias(out_col))
 
 
+def salted_count_sum(
+    df: DataFrame,
+    keys: list[str],
+    value_col: str,
+    *,
+    n_salts: int = 16,
+    count_col: str = "n",
+    sum_col: str | None = None,
+) -> DataFrame:
+    """Two-stage salted COUNT(*) + SUM in ONE pass grouped by ``keys``.
+
+    One salted partial and one final aggregate carry BOTH measures —
+    half the shuffles of running :func:`salted_count` and
+    :func:`salted_sum` separately, and crucially NO join between them:
+    an equi-join on the group key would silently DROP NULL-key groups
+    (SQL join semantics), where a plain GROUP BY keeps NULL as a group.
+    Result is identical to ``groupBy(keys).agg(count(*), sum(value))``
+    including the NULL-key group.
+    """
+    sum_col = sum_col or f"sum_{value_col}"
+    salted = df.withColumn("_salt", (F.rand(seed=42) * n_salts).cast("int"))
+    partial = salted.groupBy(*keys, "_salt").agg(
+        F.count(F.lit(1)).alias("_pn"), F.sum(value_col).alias("_ps")
+    )
+    return partial.groupBy(*keys).agg(
+        F.sum("_pn").alias(count_col), F.sum("_ps").alias(sum_col)
+    )
+
+
 def salted_join(
     skewed: DataFrame,
     other: DataFrame,

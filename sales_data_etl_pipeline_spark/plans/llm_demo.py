@@ -1694,10 +1694,15 @@ def events_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sales_data_etl_pipeline_spark.operators import skew
 
     ev = _events(spark, sf_dir)
-    counts = skew.salted_count(ev, ["event_type"], out_col="n_events")
-    sums = skew.salted_sum(ev, ["event_type"], "value", out_col="_sv")
+    # ONE two-stage pass for both measures: the previous counts ⋈ sums
+    # composition equi-joined on the group key, which silently dropped
+    # a NULL-key group (found by a NULL-fields probe — the plain
+    # GROUP BY oracle keeps NULL as a group, SQL joins never match it)
+    both = skew.salted_count_sum(
+        ev, ["event_type"], "value", count_col="n_events", sum_col="_sv"
+    )
     return (
-        counts.join(sums, "event_type")
+        both
         .select(
             "event_type",
             "n_events",

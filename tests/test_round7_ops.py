@@ -409,3 +409,52 @@ def test_text_family_parity_on_null_text(spark, tmp_path):
         if got != want:
             diverged.append(name)
     assert not diverged, diverged
+
+
+def test_events_family_parity_on_null_fields(spark, tmp_path):
+    """NULL event_type / value / props through the whole events family:
+    cross-engine parity must hold — a NULL group key is a GROUP (plain
+    GROUP BY semantics) and must survive skew-safe rewrites (the salted
+    count+sum previously equi-joined its two passes on the group key,
+    silently dropping the NULL-key group)."""
+    import os
+
+    import duckdb
+    import pandas as pd
+
+    import test_fuzz_oracle as tf
+    import __spark_entry__ as entrymod
+
+    outdir = str(tmp_path / "nullev")
+    os.makedirs(outdir)
+    tf._gen(77, outdir)
+    tf._gen_corpus(78, outdir)
+    ev = pd.read_parquet(f"{outdir}/events.parquet")
+    ev.loc[ev.index[3], "value"] = None
+    ev.loc[ev.index[11], "value"] = None
+    ev.loc[ev.index[7], "props"] = None
+    ev.loc[ev.index[13], "event_type"] = None
+    ev.to_parquet(f"{outdir}/events.parquet", index=False)
+    con = duckdb.connect()
+    for t in tf.TABLES:
+        p = f"{outdir}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')"
+            )
+    qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+    names = [
+        n
+        for n in (list(tf.FUZZED) + list(tf.FUZZED_MORE))
+        if n.startswith("events_")
+    ]
+    diverged = []
+    for name in names:
+        got = tf._canon(qs[name](spark, outdir).toPandas())
+        want = tf._canon(con.execute(oracles[name]).fetchdf())
+        if got != want:
+            diverged.append(name)
+    assert not diverged, diverged
+    # the NULL-key group itself must be present in the salted aggregate
+    got_salted = qs["events_salted_agg"](spark, outdir).toPandas()
+    assert got_salted["event_type"].isna().any()
