@@ -219,6 +219,16 @@ def main() -> None:
         "org.apache.spark.scheduler.TaskSetManager",
         jvm.org.apache.logging.log4j.Level.FATAL,
     )
+    # Same artifact class as the two above: gc.collect() between timed
+    # queries frees localCheckpoint(eager=False) blocks, and straggler
+    # heartbeats then WARN-storm "Attempted to access garbage collected
+    # accumulator" hundreds of times — drowning the stderr tail the
+    # driver captures. Benign by construction here; keep the tail as
+    # signal for the next REAL warning.
+    jvm.org.apache.logging.log4j.core.config.Configurator.setLevel(
+        "org.apache.spark.util.AccumulatorContext",
+        jvm.org.apache.logging.log4j.Level.ERROR,
+    )
 
     qs = {k: v for k, v in entrymod.queries().items() if k in HEADLINE}
 

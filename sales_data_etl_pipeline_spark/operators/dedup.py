@@ -44,6 +44,18 @@ FINITE_VEC = (
 )
 
 
+def q6(col: Column) -> Column:
+    """Cross-engine-stable 6dp rounding: floor(x·10⁶ + 0.5)/10⁶.
+
+    ``F.round`` is BigDecimal HALF_UP on the shortest decimal repr while
+    DuckDB ``ROUND`` rounds the binary value — a quotient whose decimal
+    repr ends in a 7th-place 5 (e.g. 1/640 = 0.0015625) diverges between
+    them. The floor composite is pure double arithmetic, bit-identical
+    in both engines; oracles use the same ``floor(x*1e6 + 0.5)/1e6``.
+    """
+    return F.floor(col * 1_000_000 + F.lit(0.5)) / 1_000_000
+
+
 def hash_id_expr(col: str, mod: int) -> str:
     """Spark SQL expr: deterministic id in [0, mod) from md5(col).
 
@@ -133,9 +145,14 @@ def ngram_jaccard_pairs(
     )
     sza = sizes.select(F.col("doc_id").alias("id_a"), F.col("sz").alias("sz_a"))
     szb = sizes.select(F.col("doc_id").alias("id_b"), F.col("sz").alias("sz_b"))
+    # NO broadcast hint on the sizes joins: `sizes` is one row PER
+    # DOCUMENT — at sf0.1 AQE picks broadcast on its own (sub-threshold),
+    # but at the 10⁹-doc design point a forced broadcast of a multi-GB
+    # table fails outright, while the un-hinted plan degrades gracefully
+    # to a shuffle join on the shared id key.
     return (
-        inter.join(F.broadcast(sza), "id_a")
-        .join(F.broadcast(szb), "id_b")
+        inter.join(sza, "id_a")
+        .join(szb, "id_b")
         .withColumn(
             "_ratio",
             F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
@@ -144,7 +161,7 @@ def ngram_jaccard_pairs(
         # is presentation-only on the emitted column — a raw jaccard in
         # [threshold - 5e-7, threshold) must NOT be admitted by rounding
         .filter(F.col("_ratio") >= threshold)
-        .withColumn("jaccard", F.round("_ratio", 6))
+        .withColumn("jaccard", q6(F.col("_ratio")))
         .select("id_a", "id_b", "jaccard")
     )
 
@@ -336,7 +353,7 @@ def minhash_lsh_pairs(
         )
         # raw-ratio threshold, rounded emit — same contract as the oracle
         .filter(F.col("_ratio") >= threshold)
-        .withColumn("jaccard", F.round("_ratio", 6))
+        .withColumn("jaccard", q6(F.col("_ratio")))
         .select("id_a", "id_b", "jaccard")
     )
 
@@ -940,7 +957,7 @@ def minhash_lsh_incremental(
         )
         # raw-ratio threshold (oracle convention); rounded emit/rank
         .filter(F.col("_ratio") >= threshold)
-        .withColumn("jaccard", F.round("_ratio", 6))
+        .withColumn("jaccard", q6(F.col("_ratio")))
     )
     w = Window.partitionBy("doc_id").orderBy(
         F.desc("jaccard"), F.asc("base_id")
@@ -991,7 +1008,10 @@ def containment_pairs(
     )
     sza = sizes.select(F.col("doc_id").alias("id_a"), F.col("sz").alias("sz_a"))
     szb = sizes.select(F.col("doc_id").alias("id_b"), F.col("sz").alias("sz_b"))
-    both = inter.join(F.broadcast(sza), "id_a").join(F.broadcast(szb), "id_b")
+    # un-hinted sizes joins (one row per doc): AQE broadcasts while the
+    # table is small and falls back to a shuffle join at 10⁹ docs —
+    # a forced broadcast would fail outright there (VERDICT r7 §wrong-1)
+    both = inter.join(sza, "id_a").join(szb, "id_b")
     directed = both.select(
         F.explode(
             F.array(
@@ -1010,6 +1030,6 @@ def containment_pairs(
     ).select("d.doc_id", "d.host_id", "d._ratio")
     return (
         directed.filter(F.col("_ratio") >= threshold)
-        .withColumn("containment", F.round("_ratio", 6))
+        .withColumn("containment", q6(F.col("_ratio")))
         .select("doc_id", "host_id", "containment")
     )

@@ -409,6 +409,13 @@ def dhash_images(
                 raster = np.frombuffer(
                     buf, dtype=np.uint8, count=row_len * h, offset=off
                 ).reshape(h, row_len)
+                # positive-height BMPs store rows bottom-up: flip to
+                # VISUAL order so hash row 0 is the top of the image —
+                # interoperable with standard dHash corpora (a
+                # storage-order hash is vertically mirrored on any
+                # real top-down content)
+                if struct.unpack_from("<i", buf, 22)[0] > 0:
+                    raster = raster[::-1]
                 pix = raster[:, : w * 3].reshape(h, w, 3)
                 ys = (np.arange(8) * h) // 8
                 xs = (np.arange(9) * w) // 9

@@ -573,12 +573,20 @@ def kmeans_assign(
             # argmax over columns sorted by centroid id ascending: the
             # first max IS the smallest-id tiebreak
             best = S.argmax(axis=1)
+            best_s = S[np.arange(len(best)), best]
+            # if EVERY centroid is dead, best_s is -inf and the row has
+            # no valid assignment — emit nothing (mirrors the dead_q
+            # handling in _pandas_scored; the oracle's dead-centroid
+            # filter produces no rows for this degenerate input either)
+            ok = np.isfinite(best_s)
+            if not ok.any():
+                continue
             yield pd.DataFrame(
                 {
-                    id_col: ids[live],
-                    centroid_id_col: c_ids[best],
+                    id_col: ids[live][ok],
+                    centroid_id_col: c_ids[best[ok]],
                     "cosine_q6": np.floor(
-                        S[np.arange(len(best)), best] * 1_000_000 + 0.5
+                        best_s[ok] * 1_000_000 + 0.5
                     ).astype(np.int64),
                 }
             )

@@ -720,7 +720,7 @@ ORACLES = {
             FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
             GROUP BY 1, 2)
         SELECT id_a, id_b,
-               ROUND(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 6) AS jaccard
+               floor(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) * 1000000 + 0.5) / 1000000 AS jaccard
         FROM inter
         JOIN sz sa ON sa.doc_id = id_a
         JOIN sz sb ON sb.doc_id = id_b
@@ -751,7 +751,7 @@ ORACLES = {
             JOIN sh sb ON sb.doc_id = c.id_b AND sa.sh = sb.sh
             GROUP BY 1, 2)
         SELECT id_a, id_b,
-               ROUND(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 6) AS jaccard
+               floor(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) * 1000000 + 0.5) / 1000000 AS jaccard
         FROM inter
         JOIN sz sa ON sa.doc_id = id_a
         JOIN sz sb ON sb.doc_id = id_b
@@ -2849,7 +2849,7 @@ ORACLES["dedup_incremental"] = f"""
         GROUP BY 1, 2),
     j AS (
         SELECT i.doc_id, i.base_id,
-               ROUND(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 6)
+               floor(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) * 1000000 + 0.5) / 1000000
                    AS jaccard
         FROM inter i
         JOIN sz sa ON sa.doc_id = i.base_id
@@ -3084,7 +3084,7 @@ ORACLES["dedup_containment"] = f"""
         UNION ALL
         SELECT id_b AS doc_id, id_a AS host_id,
                CAST(inter AS DOUBLE) / sz_b AS r FROM pairsz)
-    SELECT doc_id, host_id, ROUND(r, 6) AS containment
+    SELECT doc_id, host_id, floor(r * 1000000 + 0.5) / 1000000 AS containment
     FROM directed WHERE r >= 0.6
 """
 
