@@ -123,6 +123,12 @@ HEADLINE = [
     "source_csv_roundtrip",
     "multimodal_dhash",
     "events_user_lifetime_stats",
+    # round-8: banded containment, join-verify incremental, integer-DCT
+    # pHash, session-scoped funnel
+    "dedup_minhash_containment",
+    "dedup_incremental_join",
+    "multimodal_phash",
+    "events_session_funnel",
 ]
 
 

@@ -259,18 +259,7 @@ def minhash_lsh_pairs(
     # scale this is a stage-boundary write to reliable storage.
     sh = shingle_sets(df, text_col, n)
     if max_shingle_df is not None:
-        # doc-frequency agg is map-side combinable (output: |distinct
-        # shingles| rows); the 1-row doc count rides a broadcast
-        # cross-join, and only the tiny hot set is broadcast back.
-        n_docs = sh.agg(F.count_distinct("doc_id").alias("_nd"))
-        hot = (
-            sh.groupBy("sh")
-            .agg(F.count(F.lit(1)).alias("_df"))
-            .crossJoin(F.broadcast(n_docs))
-            .filter(F.col("_df") > F.col("_nd") * F.lit(max_shingle_df))
-            .select("sh")
-        )
-        sh = sh.join(F.broadcast(hot), "sh", "left_anti")
+        sh = _drop_hot_shingles(sh, max_shingle_df)
     ids = sh.select(
         "doc_id", "sh", F.expr(hash_id_expr("sh", MINHASH_P)).alias("sid")
     )
@@ -969,8 +958,33 @@ def minhash_lsh_incremental(
     )
 
 
+def _drop_hot_shingles(sh: DataFrame, max_shingle_df: float) -> DataFrame:
+    """Stop-shingle cap: remove shingles whose document frequency
+    exceeds ``max_shingle_df`` (a FRACTION of documents) — standard
+    near-dup practice; a boilerplate shingle otherwise concentrates
+    candidates in a few buckets (the quadratic-in-hot-shingles tail).
+    The hot set is tiny by construction (≤ avg-shingles-per-doc / f
+    shingles can exceed document frequency f), so the removal is a
+    broadcast anti-join: the corpus-side shingle table never shuffles.
+    """
+    n_docs = sh.agg(F.count_distinct("doc_id").alias("_nd"))
+    hot = (
+        sh.groupBy("sh")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .crossJoin(F.broadcast(n_docs))
+        .filter(F.col("_df") > F.col("_nd") * F.lit(max_shingle_df))
+        .select("sh")
+    )
+    return sh.join(F.broadcast(hot), "sh", "left_anti")
+
+
 def containment_pairs(
-    df: DataFrame, *, n: int = 3, threshold: float = 0.6, text_col: str = "text"
+    df: DataFrame,
+    *,
+    n: int = 3,
+    threshold: float = 0.6,
+    text_col: str = "text",
+    max_shingle_df: float | None = None,
 ) -> DataFrame:
     """Asymmetric n-gram CONTAINMENT pairs: |A∩B| / |A| ≥ threshold —
     the quote/excerpt detector. Jaccard misses a short doc embedded in
@@ -987,17 +1001,20 @@ def containment_pairs(
     pair, then both directed ratios derived from that single row (the
     intersection is symmetric; computing it twice would double the
     dominant join). Raw-ratio threshold, rounded emit (module
-    convention). Candidate volume is bounded by shared shingles, so at
-    100 TB this composes with the same stop-shingle cap as MinHash;
-    for unbounded corpora the LSH-banded variant drops in upstream
-    unchanged.
+    convention). Candidate volume is bounded by shared shingles;
+    ``max_shingle_df`` (:func:`_drop_hot_shingles`) caps the hot-
+    shingle tail exactly as in MinHash, and for unbounded corpora
+    :func:`minhash_containment_pairs` is the banded drop-in.
     """
     # materialize the exploded shingle table once for its three
     # consumers (self-join build+probe sides, per-doc sizes): the
     # tokenize→shingle explode is the compute-heavy stage and would
     # otherwise run 3×. At cluster scale this is a stage-boundary
     # write to reliable storage (same move as minhash_lsh_pairs).
-    sh = shingle_sets(df, text_col, n).localCheckpoint(eager=False)
+    sh = shingle_sets(df, text_col, n)
+    if max_shingle_df is not None:
+        sh = _drop_hot_shingles(sh, max_shingle_df)
+    sh = sh.localCheckpoint(eager=False)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
@@ -1011,6 +1028,112 @@ def containment_pairs(
     # un-hinted sizes joins (one row per doc): AQE broadcasts while the
     # table is small and falls back to a shuffle join at 10⁹ docs —
     # a forced broadcast would fail outright there (VERDICT r7 §wrong-1)
+    both = inter.join(sza, "id_a").join(szb, "id_b")
+    directed = both.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("id_a").alias("doc_id"),
+                    F.col("id_b").alias("host_id"),
+                    (F.col("inter") / F.col("sz_a")).alias("_ratio"),
+                ),
+                F.struct(
+                    F.col("id_b").alias("doc_id"),
+                    F.col("id_a").alias("host_id"),
+                    (F.col("inter") / F.col("sz_b")).alias("_ratio"),
+                ),
+            )
+        ).alias("d")
+    ).select("d.doc_id", "d.host_id", "d._ratio")
+    return (
+        directed.filter(F.col("_ratio") >= threshold)
+        .withColumn("containment", q6(F.col("_ratio")))
+        .select("doc_id", "host_id", "containment")
+    )
+
+
+def minhash_containment_pairs(
+    df: DataFrame,
+    *,
+    num_hashes: int = 16,
+    bands: int = 4,
+    n: int = 3,
+    threshold: float = 0.6,
+    text_col: str = "text",
+    max_shingle_df: float | None = None,
+) -> DataFrame:
+    """Banded-LSH CONTAINMENT pairs — the unbounded-corpus variant of
+    :func:`containment_pairs`, mirroring the jaccard→minhash pair
+    exactly: MinHash signatures band into (band, sig) buckets, the
+    bucket equi-join yields candidates, and the exact directed
+    containment |A∩B|/|A| is re-checked on candidates only.
+
+    Same output schema as the exact primitive ((doc_id, host_id,
+    containment), both directions emitted independently); every emitted
+    pair IS in the exact primitive's output (the re-check is exact —
+    banding only limits WHICH pairs are examined). Recall follows the
+    banding S-curve in JACCARD: a contained-but-tiny excerpt has low
+    jaccard and can be missed — that is the documented trade; where
+    excerpt recall matters, raise ``bands`` (more, narrower bands) or
+    run the exact primitive with a stop-shingle cap. Verification uses
+    the candidate-join counting form only (no ``collect_list``), so
+    per-row width is O(1) regardless of document size — the 100 TB
+    setting.
+    """
+    rows = num_hashes // bands
+    sh = shingle_sets(df, text_col, n)
+    if max_shingle_df is not None:
+        sh = _drop_hot_shingles(sh, max_shingle_df)
+    # one materialization for the signature aggregate + the two
+    # candidate-side intersection joins (same move as containment_pairs)
+    sh = sh.localCheckpoint(eager=False)
+    ids = sh.select(
+        "doc_id", F.expr(hash_id_expr("sh", MINHASH_P)).alias("sid")
+    )
+    mh_aggs = [
+        F.min(
+            F.expr(f"pmod(({2 * k + 1}) * sid + ({3 * k + 7}), {MINHASH_P})")
+        ).alias(f"_mh{k}")
+        for k in range(num_hashes)
+    ]
+    per_doc = ids.groupBy("doc_id").agg(
+        *mh_aggs, F.count(F.lit(1)).alias("sz")
+    )
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.concat_ws(
+                ",", *[F.col(f"_mh{b * rows + r}") for r in range(rows)]
+            ).alias("sig"),
+        )
+        for b in range(bands)
+    ]
+    band_sig = per_doc.select(
+        "doc_id", F.explode(F.array(*band_structs)).alias("bs")
+    ).select("doc_id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
+    a, b = band_sig.alias("a"), band_sig.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band")) & (F.col("a.sig") == F.col("b.sig")),
+        )
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .distinct()
+    )
+    inter = (
+        candidates.join(
+            sh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("_sh")),
+            "id_a",
+        )
+        .join(sh.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("_sh")), ["id_b", "_sh"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sza = per_doc.select(F.col("doc_id").alias("id_a"), F.col("sz").alias("sz_a"))
+    szb = per_doc.select(F.col("doc_id").alias("id_b"), F.col("sz").alias("sz_b"))
+    # un-hinted sizes joins: AQE broadcasts while small (see
+    # ngram_jaccard_pairs rationale)
     both = inter.join(sza, "id_a").join(szb, "id_b")
     directed = both.select(
         F.explode(

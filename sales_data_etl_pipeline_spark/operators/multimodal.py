@@ -436,3 +436,114 @@ def dhash_images(
         .repartition(sc.defaultParallelism, id_col)
         .mapInPandas(kernel, DHASH_SCHEMA)
     )
+
+
+#: Integer-DCT scale for pHash: basis entries are round(2^14 · cos),
+#: so every downstream product/sum is EXACT int64 arithmetic — no libm
+#: cosine ever runs per-row, and the oracle reproduces each coefficient
+#: bit-for-bit from the same literal basis (a float DCT would hinge on
+#: cross-engine cos()/rounding agreement at bit 52).
+PHASH_SCALE = 16384
+PHASH_GRID = 32  # sampled raster (PHASH_GRID × PHASH_GRID)
+PHASH_OUT = 8  # low-frequency block kept (PHASH_OUT × PHASH_OUT)
+
+
+def phash_basis(
+    n_out: int = PHASH_OUT, n_in: int = PHASH_GRID
+) -> list[list[int]]:
+    """Integer DCT-II basis matrix: B[u][x] = round(2¹⁴·cos(π(2x+1)u/2N)).
+
+    Computed once driver-side from math.cos and embedded as literals in
+    both the kernel (numpy int64 matmul) and the DuckDB oracle — the
+    per-row pipeline itself is pure integer arithmetic.
+    """
+    import math
+
+    return [
+        [
+            round(PHASH_SCALE * math.cos(math.pi * (2 * x + 1) * u / (2 * n_in)))
+            for x in range(n_in)
+        ]
+        for u in range(n_out)
+    ]
+
+
+PHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("phash", T.StringType(), True),
+        T.StructField("n_bits_set", T.LongType(), True),
+    ]
+)
+
+
+def phash_images(
+    df: DataFrame,
+    *,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """DCT-based perceptual hash (pHash) over REAL decoded rasters:
+    parse the BMP, nearest-neighbor-sample a 32×32 grayscale grid
+    (integer BGR mean, visual row order), 2-D integer DCT-II (the
+    :func:`phash_basis` matrix on both axes — exact int64 matmuls),
+    keep the low-frequency 8×8 block, and emit one bit per coefficient:
+    1 iff 2·c exceeds the sum of the 32nd+33rd smallest coefficients
+    (the exact-integer form of "above the median of 64" — no half-
+    integer median ever materializes). 64 bits pack MSB-first in
+    (v, u) row-major order into a 16-hex string, composing with the
+    same per-band banded equi-join dedup infrastructure as dHash.
+
+    dHash catches crops/shifts poorly and reacts to any gradient
+    flip; pHash is the complementary fingerprint robust to blur,
+    rescale, and mild noise (low-frequency spectrum shape). Pure-numpy
+    Arrow kernel, no image libs; the gate oracle re-derives every bit
+    analytically from the generator fill rule + the same basis
+    literals.
+    """
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+
+        import numpy as np
+
+        B = np.array(phash_basis(), dtype=np.int64)  # (8, 32)
+        weights = 1 << (7 - np.arange(8, dtype=np.int64))  # MSB-first
+        g = PHASH_GRID
+        for pdf in batches:
+            ids, hashes, bits_n = [], [], []
+            for mid, p in zip(pdf[id_col], pdf[payload_col]):
+                buf = bytes(p)
+                w, h, ch = decode_image_header(buf)
+                if ch != 3:
+                    raise ValueError("phash_images expects 24-bit BMP")
+                off = struct.unpack_from("<I", buf, 10)[0]
+                row_len = (w * 3 + 3) & ~3
+                raster = np.frombuffer(
+                    buf, dtype=np.uint8, count=row_len * h, offset=off
+                ).reshape(h, row_len)
+                if struct.unpack_from("<i", buf, 22)[0] > 0:
+                    raster = raster[::-1]  # visual order (see dhash)
+                pix = raster[:, : w * 3].reshape(h, w, 3)
+                ys = (np.arange(g) * h) // g
+                xs = (np.arange(g) * w) // g
+                gray = pix[ys][:, xs].sum(axis=2, dtype=np.int64) // 3
+                D = B @ gray @ B.T  # (8, 8) exact int64
+                flat = D.ravel()  # (v, u) row-major
+                s = np.sort(flat)
+                thresh = int(s[31]) + int(s[32])  # 2·median, exact
+                bits = (2 * flat > thresh).reshape(8, 8)
+                row_bytes = (bits * weights).sum(axis=1)
+                ids.append(mid)
+                hashes.append("".join(f"{b:02x}" for b in row_bytes))
+                bits_n.append(int(bits.sum()))
+            yield pd.DataFrame(
+                {"media_id": ids, "phash": hashes, "n_bits_set": bits_n}
+            )
+
+    sc = df.sparkSession.sparkContext
+    return (
+        df.select(id_col, payload_col)
+        .repartition(sc.defaultParallelism, id_col)
+        .mapInPandas(kernel, PHASH_SCHEMA)
+    )

@@ -224,3 +224,124 @@ def funnel_counts_sql(
         for i, s in enumerate(steps)
     ]
     return "WITH " + ", ".join(ctes) + " " + " UNION ALL ".join(selects)
+
+
+def session_funnel_counts(
+    events: DataFrame,
+    steps: tuple[str, ...],
+    *,
+    gap_seconds: float = 1800.0,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Funnel restricted to within-SESSION windows: a session counts at
+    step k only when the ordered chain ``t_0 <= … <= t_k`` completes
+    inside ONE gap-based session (``gap_seconds`` inactivity splits) —
+    composing the sessionization idiom (lag + cumulative new-session
+    sum) with :func:`funnel_counts` semantics, keyed by (user, session)
+    instead of user. A user who views today and purchases tomorrow is a
+    funnel conversion but NOT a session conversion.
+
+    Shape: ONE window pass per user assigns session ids (lag and the
+    running sum share the (user, ts, id) sort), then one conditional-min
+    aggregation per step on (user, session) — every round's join is
+    co-partitioned with the aggregation before it (AQE reuses the
+    exchange), and no per-session event lists materialize. At 100 TB
+    the window partitions by user (millions of small partitions — no
+    skew beyond a bot user, the same exposure sessionization has).
+    Output: (step_idx, step, n_sessions).
+    """
+    w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
+    sess = (
+        events.withColumn("_prev", F.lag(ts_col).over(w))
+        .withColumn(
+            "_new",
+            (
+                F.col("_prev").isNull()
+                | (
+                    (epoch_seconds(ts_col) - epoch_seconds("_prev"))
+                    > float(gap_seconds)
+                )
+            ).cast("long"),
+        )
+        .withColumn(
+            "_sid",
+            F.sum("_new").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        .select(user_col, "_sid", type_col, ts_col)
+    )
+    key = [user_col, "_sid"]
+    cur = sess.groupBy(*key).agg(
+        F.min(F.when(F.col(type_col) == steps[0], F.col(ts_col))).alias("t0")
+    )
+    for i, s in enumerate(steps[1:], 1):
+        nxt = (
+            sess.join(cur.select(*key, f"t{i-1}"), key)
+            .groupBy(*key)
+            .agg(
+                F.min(
+                    F.when(
+                        (F.col(type_col) == s)
+                        & (F.col(ts_col) >= F.col(f"t{i-1}")),
+                        F.col(ts_col),
+                    )
+                ).alias(f"t{i}")
+            )
+        )
+        cur = cur.join(nxt, key, "left")
+    counts = cur.agg(
+        *[F.count(f"t{i}").alias(f"n{i}") for i in range(len(steps))]
+    )
+    stack = ", ".join(f"{i}, '{s}', n{i}" for i, s in enumerate(steps))
+    return counts.selectExpr(
+        f"stack({len(steps)}, {stack}) AS (step_idx, step, n_sessions)"
+    )
+
+
+def session_funnel_counts_sql(
+    events_rel: str,
+    steps: tuple[str, ...],
+    *,
+    gap_seconds: float = 1800.0,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> str:
+    """DuckDB oracle twin of :func:`session_funnel_counts`."""
+    sess = (
+        f"sess AS (SELECT {user_col}, {type_col}, {ts_col},"
+        f" SUM(CASE WHEN prev IS NULL"
+        f" OR (epoch({ts_col}) - epoch(prev)) > {float(gap_seconds)}"
+        f" THEN 1 ELSE 0 END) OVER (PARTITION BY {user_col}"
+        f" ORDER BY {ts_col}, {id_col}"
+        f" ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid"
+        f" FROM (SELECT {user_col}, {type_col}, {ts_col}, {id_col},"
+        f" lag({ts_col}) OVER (PARTITION BY {user_col}"
+        f" ORDER BY {ts_col}, {id_col}) AS prev FROM {events_rel}))"
+    )
+    ctes = [
+        sess,
+        f"s0 AS (SELECT {user_col}, sid,"
+        f" MIN(CASE WHEN {type_col} = '{steps[0]}' THEN {ts_col} END) AS t0"
+        f" FROM sess GROUP BY 1, 2)",
+    ]
+    for i, s in enumerate(steps[1:], 1):
+        ctes.append(
+            f"s{i} AS (SELECT e.{user_col}, e.sid,"
+            f" MIN(CASE WHEN e.{type_col} = '{s}' AND e.{ts_col} >= p.t{i-1}"
+            f" THEN e.{ts_col} END) AS t{i}"
+            f" FROM sess e JOIN s{i-1} p"
+            f" ON e.{user_col} = p.{user_col} AND e.sid = p.sid"
+            f" GROUP BY 1, 2)"
+        )
+    selects = [
+        f"SELECT {i} AS step_idx, '{s}' AS step,"
+        f" COUNT(t{i}) AS n_sessions FROM s{i}"
+        for i, s in enumerate(steps)
+    ]
+    return "WITH " + ", ".join(ctes) + " " + " UNION ALL ".join(selects)

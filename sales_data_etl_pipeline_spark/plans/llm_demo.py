@@ -3438,3 +3438,189 @@ ORACLES["events_user_lifetime_stats"] = """
     FROM days d JOIN cnt c ON d.user_id = c.user_id
     ORDER BY d.user_id
 """
+
+
+# --- round-8 additions: banded containment, join-verify incremental dedup,
+# DCT pHash, session-scoped funnel ------------------------------------------
+
+
+def dedup_minhash_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded-LSH containment pairs over the near-dup fixture — the
+    unbounded-corpus variant of ``dedup_containment``: MinHash band
+    buckets generate candidates, exact directed |A∩B|/|A| re-checks
+    them (candidate-join counting only, no collect_list)."""
+    return dedup.minhash_containment_pairs(
+        _docs_with_near_dups(spark, sf_dir), threshold=0.6
+    )
+
+
+QUERIES["dedup_minhash_containment"] = dedup_minhash_containment
+ORACLES["dedup_minhash_containment"] = f"""
+    WITH d AS ({_NEAR_DUP_DOCS}),
+    sh AS (SELECT doc_id, UNNEST({_SHINGLES}) AS sh FROM d),
+    ids AS (SELECT doc_id, {dedup.hash_id_sql('sh', dedup.MINHASH_P)} AS sid
+            FROM sh),
+    hashed AS (
+        SELECT doc_id, k, ((2*k + 1) * sid + (3*k + 7)) % {dedup.MINHASH_P} AS h
+        FROM ids, UNNEST(generate_series(0, 15)) AS u(k)),
+    sig AS (SELECT doc_id, k, MIN(h) AS minhash FROM hashed GROUP BY 1, 2),
+    band_sig AS (
+        SELECT doc_id, CAST(k // 4 AS INT) AS band,
+               string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY k) AS sig
+        FROM sig GROUP BY 1, 2),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM band_sig a JOIN band_sig b
+          ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+    sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT c.id_a, c.id_b, COUNT(*) AS inter
+        FROM cand c
+        JOIN sh sa ON sa.doc_id = c.id_a
+        JOIN sh sb ON sb.doc_id = c.id_b AND sa.sh = sb.sh
+        GROUP BY 1, 2),
+    pairsz AS (
+        SELECT id_a, id_b, inter, sa.sz AS sz_a, sb.sz AS sz_b
+        FROM inter
+        JOIN sz sa ON sa.doc_id = id_a
+        JOIN sz sb ON sb.doc_id = id_b),
+    directed AS (
+        SELECT id_a AS doc_id, id_b AS host_id,
+               CAST(inter AS DOUBLE) / sz_a AS r FROM pairsz
+        UNION ALL
+        SELECT id_b AS doc_id, id_a AS host_id,
+               CAST(inter AS DOUBLE) / sz_b AS r FROM pairsz)
+    SELECT doc_id, host_id,
+           floor(r * 1000000 + 0.5) / 1000000 AS containment
+    FROM directed WHERE r >= 0.6
+"""
+
+
+def dedup_incremental_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The bounded-memory mode of incremental MinHash-LSH dedup
+    (``verify='join'``): |A∩B| via candidate-join counting, NO
+    collect_list anywhere — per-row memory O(1) regardless of document
+    length, the 100 TB daily-ingest configuration. Same fixture and
+    output contract as ``dedup_incremental`` (whose gate runs the
+    carried-sets mode); this entry drives the join path through the
+    driver oracle."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    incoming = (
+        docs.filter(F.col("doc_id") % 20 == 0)
+        .select(
+            (F.col("doc_id") + 10000).alias("doc_id"),
+            F.expr(
+                "substring(text, 1, greatest(length(text) - 30, 1))"
+            ).alias("text"),
+        )
+        .unionByName(
+            docs.filter(F.col("doc_id") % 7 == 3).select(
+                (F.col("doc_id") + 20000).alias("doc_id"),
+                F.reverse("text").alias("text"),
+            )
+        )
+    )
+    return dedup.minhash_lsh_incremental(
+        docs, incoming, threshold=0.5, verify="join"
+    ).orderBy("doc_id")
+
+
+QUERIES["dedup_incremental_join"] = dedup_incremental_join
+# identical output contract: the join path must reproduce the sets
+# path bit-for-bit (property-tested equal; here the driver oracle
+# checks it against DuckDB independently)
+ORACLES["dedup_incremental_join"] = ORACLES["dedup_incremental"]
+
+
+def multimodal_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DCT-based perceptual hash over the synthetic BMP corpus — the
+    blur/rescale-robust complement to dHash (low-frequency spectrum
+    shape instead of per-pixel gradients). Integer DCT (pinned basis
+    literals, exact int64 matmuls), so the oracle re-derives every bit
+    analytically from the generator fill rule + the same basis."""
+    from sales_data_etl_pipeline_spark.operators import multimodal
+
+    docs = _docs(spark, sf_dir).select(F.col("doc_id").alias("media_id"))
+    return multimodal.phash_images(multimodal.synthesize_bmp(docs)).orderBy(
+        "media_id"
+    )
+
+
+QUERIES["multimodal_phash"] = multimodal_phash
+
+
+def _phash_oracle() -> str:
+    """Analytic pHash oracle: the generator raster is constant in y
+    (fill depends on x only), so the 2-D integer DCT factorizes into
+    (row-sum of the vertical basis)·(horizontal basis · gray), with the
+    SAME integer basis literals the kernel uses — every product exact
+    int64, every bit cross-engine reproducible."""
+    from sales_data_etl_pipeline_spark.operators import multimodal
+
+    B = multimodal.phash_basis()
+    b_lit = (
+        "[" + ", ".join("[" + ", ".join(map(str, r)) + "]" for r in B) + "]"
+    )
+    rs_lit = "[" + ", ".join(str(sum(r)) for r in B) + "]"
+    return f"""
+        WITH g AS (
+            SELECT doc_id,
+                   list_transform(generate_series(0, 31), x ->
+                       ((doc_id + 3*((x*(16 + doc_id % 32))//32)) % 256
+                      + (doc_id + 3*((x*(16 + doc_id % 32))//32) + 1) % 256
+                      + (doc_id + 3*((x*(16 + doc_id % 32))//32) + 2) % 256)
+                       // 3) AS gray
+            FROM documents),
+        cx AS (
+            SELECT doc_id,
+                   list_transform(generate_series(1, 8), u ->
+                       list_aggregate(list_transform(generate_series(1, 32),
+                           x -> {b_lit}[u][x] * gray[x]), 'sum')) AS cxs
+            FROM g),
+        co AS (
+            SELECT doc_id,
+                   flatten(list_transform(generate_series(1, 8), v ->
+                       list_transform(generate_series(1, 8), u ->
+                           {rs_lit}[v] * cxs[u]))) AS coeffs
+            FROM cx),
+        th AS (
+            SELECT doc_id, coeffs,
+                   list_sort(coeffs)[32] + list_sort(coeffs)[33] AS t
+            FROM co),
+        bits AS (
+            SELECT doc_id,
+                   list_transform(generate_series(1, 64), i ->
+                       CASE WHEN 2 * coeffs[i] > t THEN 1 ELSE 0 END) AS b
+            FROM th)
+        SELECT doc_id AS media_id,
+               array_to_string(list_transform(generate_series(0, 7), j ->
+                   lower(lpad(to_hex(list_aggregate(
+                       list_transform(generate_series(0, 7),
+                           k -> b[8*j + k + 1] * (1 << (7 - k))),
+                       'sum')), 2, '0'))), '') AS phash,
+               CAST(list_aggregate(b, 'sum') AS BIGINT) AS n_bits_set
+        FROM bits ORDER BY media_id
+    """
+
+
+ORACLES["multimodal_phash"] = _phash_oracle()
+
+
+def events_session_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """view→click→purchase funnel scored WITHIN 30-min sessions: the
+    chain must complete inside one gap-based session (a next-day
+    purchase converts the user funnel but not this one). Composes the
+    sessionization window idiom with the per-step conditional-min
+    funnel, keyed by (user, session)."""
+    from sales_data_etl_pipeline_spark.operators import temporal
+
+    return temporal.session_funnel_counts(_events(spark, sf_dir), _FUNNEL_STEPS)
+
+
+QUERIES["events_session_funnel"] = events_session_funnel
+
+from sales_data_etl_pipeline_spark.operators.temporal import (  # noqa: E402
+    session_funnel_counts_sql as _session_funnel_sql,
+)
+
+ORACLES["events_session_funnel"] = _session_funnel_sql("events", _FUNNEL_STEPS)

@@ -72,6 +72,8 @@ FUZZED = [
     "events_hourly_heatmap",
     "events_rolling_active_users",
     "events_user_lifetime_stats",
+    # round-8: session-scoped funnel on random streams
+    "events_session_funnel",
 ]
 
 
@@ -339,6 +341,9 @@ FUZZED_CORPUS = [
     "dedup_embedding_cosine",
     "dedup_embedding_lsh",
     "source_jsonl_roundtrip",
+    # round-8: banded containment + join-verify incremental dedup
+    "dedup_minhash_containment",
+    "dedup_incremental_join",
 ]
 
 
@@ -426,6 +431,8 @@ FUZZED_MORE = [
     "embedding_kmeans_assign",
     "source_csv_roundtrip",
     "multimodal_dhash",
+    # round-8: integer-DCT perceptual hash
+    "multimodal_phash",
 ]
 
 

@@ -1,0 +1,212 @@
+"""Round-8 operator tests: banded containment (recall/subset property +
+stop-shingle cap), join-verify incremental gate plan, integer-DCT pHash
+(independent reference + upscale stability), session-scoped funnel."""
+
+from __future__ import annotations
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+
+def _docs_fixture(spark, n=60):
+    from sales_data_etl_pipeline_spark.sources.tables import load_testdata
+
+    docs = (
+        load_testdata(spark, "/root/testdata/sf0.001", ("documents",))[
+            "documents"
+        ]
+        .select("doc_id", "text")
+        .limit(n)
+    )
+    copies = docs.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 5000).alias("doc_id"),
+        F.expr("substring(text, 1, greatest(length(text) - 25, 1))").alias(
+            "text"
+        ),
+    )
+    return docs.unionByName(copies)
+
+
+def test_minhash_containment_subset_of_exact_with_high_jaccard_recall(spark):
+    """Every banded pair must appear in the exact primitive's output
+    with the IDENTICAL containment value (the re-check is exact — LSH
+    only limits which pairs are examined), and every truncated-copy
+    pair (high jaccard, the banding S-curve's easy region) must be
+    recalled."""
+    from sales_data_etl_pipeline_spark.operators import dedup
+
+    d = _docs_fixture(spark)
+    exact = {
+        (r.doc_id, r.host_id): r.containment
+        for r in dedup.containment_pairs(d, threshold=0.6).collect()
+    }
+    banded = {
+        (r.doc_id, r.host_id): r.containment
+        for r in dedup.minhash_containment_pairs(d, threshold=0.6).collect()
+    }
+    assert banded  # non-degenerate
+    for k, v in banded.items():
+        assert k in exact and exact[k] == v, k
+    # truncated copies are near-dups (jaccard ≈ 0.8, the steep part of
+    # the 1-(1-j⁴)⁴ S-curve → per-pair candidate probability ≈ 0.88):
+    # recall is the banding trade, not a bug — require the majority of
+    # copy→original pairs back, all drawn from the exact set
+    copy_hits = {k for k in banded if k[0] >= 5000 and k[1] == k[0] - 5000}
+    expected = {k for k in exact if k[0] >= 5000 and k[1] == k[0] - 5000}
+    assert expected and copy_hits <= expected
+    assert len(copy_hits) * 2 >= len(expected)
+
+
+def test_containment_stop_shingle_cap_drops_boilerplate_pairs(spark):
+    """Two docs sharing ONLY a boilerplate shingle (present in every
+    doc) pair up without the cap and must NOT pair with it; a genuine
+    near-dup pair survives the cap."""
+    from sales_data_etl_pipeline_spark.operators import dedup
+
+    boiler = "all rights reserved by the corpus"
+    rows = [
+        Row(doc_id=1, text=f"alpha beta gamma delta epsilon zeta {boiler}"),
+        Row(doc_id=2, text=f"alpha beta gamma delta epsilon zeta eta {boiler}"),
+        Row(doc_id=3, text=f"one two three four five six {boiler}"),
+        Row(doc_id=4, text=f"seven eight nine ten eleven twelve {boiler}"),
+    ]
+    df = spark.createDataFrame(rows)
+    uncapped = {
+        (r.doc_id, r.host_id)
+        for r in dedup.containment_pairs(df, threshold=0.3).collect()
+    }
+    capped = {
+        (r.doc_id, r.host_id)
+        for r in dedup.containment_pairs(
+            df, threshold=0.3, max_shingle_df=0.9
+        ).collect()
+    }
+    # boilerplate-only overlap pairs (3,4)x exist only before the cap
+    assert (3, 4) in uncapped and (4, 3) in uncapped
+    assert (3, 4) not in capped and (4, 3) not in capped
+    # the genuine near-dup pair (1,2) survives the cap
+    assert (1, 2) in capped and (2, 1) in capped
+
+
+def test_dedup_incremental_join_gate_has_no_collect_list(spark):
+    """The gated join-verify entry must keep per-row width O(1): no
+    collect_list anywhere in its analyzed plan."""
+    from sales_data_etl_pipeline_spark.plans import llm_demo
+
+    df = llm_demo.dedup_incremental_join(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().analyzed().toString()
+    assert "collect_list" not in plan
+
+
+def _ref_phash(gray):
+    """Independent pHash reference: plain-Python double loops over the
+    same integer basis (no numpy matmul/argsort shared with the
+    kernel)."""
+    from sales_data_etl_pipeline_spark.operators.multimodal import phash_basis
+
+    B = phash_basis()
+    cx = [
+        [sum(B[u][x] * gray[y][x] for x in range(32)) for u in range(8)]
+        for y in range(32)
+    ]
+    coeffs = [
+        sum(B[v][y] * cx[y][u] for y in range(32))
+        for v in range(8)
+        for u in range(8)
+    ]
+    s = sorted(coeffs)
+    t = s[31] + s[32]
+    bits = [1 if 2 * c > t else 0 for c in coeffs]
+    out = []
+    for j in range(8):
+        byte = sum(bits[8 * j + k] << (7 - k) for k in range(8))
+        out.append(f"{byte:02x}")
+    return "".join(out), sum(bits)
+
+
+def test_phash_matches_independent_reference_on_nonuniform_raster(spark):
+    """Hand-built BMP whose rows DIFFER (the gate fixture is constant
+    in y, so this pins the vertical DCT + the bottom-up flip): kernel
+    output must equal a plain-Python reference computed on the VISUAL
+    raster."""
+    from sales_data_etl_pipeline_spark.operators import multimodal as mm
+
+    w, h, seed = 20, 24, 5
+    base = mm.bmp_bytes(w, h, seed)
+    row_len = (w * 3 + 3) & ~3
+    # storage rows vary with their index; storage row 0 is the BOTTOM
+    # visual row of a positive-height BMP
+    raster = b"".join(
+        bytes((seed + x + 7 * r) % 256 for x in range(row_len))
+        for r in range(h)
+    )
+    buf = base[:54] + raster
+    got = (
+        mm.phash_images(
+            spark.createDataFrame([Row(media_id=1, payload=bytearray(buf))])
+        )
+        .collect()[0]
+    )
+    # reference works on the visual (top-down) pixel grid
+    ys = [(i * h) // 32 for i in range(32)]
+    xs = [(i * w) // 32 for i in range(32)]
+    visual = [raster[(h - 1 - r) * row_len : (h - 1 - r) * row_len + w * 3]
+              for r in range(h)]
+    gray = [
+        [sum(visual[y][3 * x + c] for c in range(3)) // 3 for x in xs]
+        for y in ys
+    ]
+    want_hash, want_bits = _ref_phash(gray)
+    assert got.phash == want_hash
+    assert got.n_bits_set == want_bits
+
+
+def test_phash_is_stable_under_2x_upscale(spark):
+    """The perceptual property: nearest-neighbor 2× upscale must not
+    move the hash (the 32×32 sampling grid composes with the resize
+    index map into the identical source pixels)."""
+    from sales_data_etl_pipeline_spark.operators import multimodal as mm
+
+    rows = []
+    for seed in (0, 3, 7, 11):
+        img = mm.bmp_bytes(20, 24, seed)
+        rows.append(Row(media_id=seed, payload=bytearray(img)))
+        rows.append(
+            Row(
+                media_id=seed + 1000,
+                payload=bytearray(mm.resize_bmp(img, 40, 48)),
+            )
+        )
+    got = {
+        r.media_id: r.phash
+        for r in mm.phash_images(spark.createDataFrame(rows)).collect()
+    }
+    for seed in (0, 3, 7, 11):
+        assert got[seed] == got[seed + 1000], seed
+
+
+def test_session_funnel_counts_sessions_not_users(spark):
+    """A chain completing inside one 30-min session converts; the same
+    chain split across sessions does not. Sessions lacking the entry
+    step never count."""
+    from sales_data_etl_pipeline_spark.operators import temporal
+
+    rows = [
+        # user 1: full chain inside one session
+        Row(event_id=1, user_id=1, event_type="view", ts="2024-01-01 10:00:00"),
+        Row(event_id=2, user_id=1, event_type="click", ts="2024-01-01 10:05:00"),
+        Row(event_id=3, user_id=1, event_type="purchase", ts="2024-01-01 10:10:00"),
+        # user 2: purchase lands in a NEW session (gap > 30 min)
+        Row(event_id=4, user_id=2, event_type="view", ts="2024-01-01 10:00:00"),
+        Row(event_id=5, user_id=2, event_type="click", ts="2024-01-01 10:05:00"),
+        Row(event_id=6, user_id=2, event_type="purchase", ts="2024-01-01 12:00:00"),
+    ]
+    ev = spark.createDataFrame(rows).withColumn("ts", F.to_timestamp("ts"))
+    got = {
+        r.step_idx: r.n_sessions
+        for r in temporal.session_funnel_counts(
+            ev, ("view", "click", "purchase")
+        ).collect()
+    }
+    # two sessions reach view and click; only user 1's converts
+    assert got == {0: 2, 1: 2, 2: 1}
