@@ -34,74 +34,80 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver verifies only the FIRST 50 queries() entries per round
-# (CORRECTNESS_r{N}.json). The round-7 window is DERIVED, not
-# hand-maintained: tools/rotation_planner.py ranks (1) never-green
-# entries (the 12 round-7 additions), (2) entries whose code changed
-# since their last green row (the 8 touched by the raw-jaccard
-# threshold fix, the incremental verify='join' rewrite, the blake2b
-# span-token hash, and the jsonl scratch-path fix), then (3) the
-# stalest green entries — which pulls in EVERY remaining pre-NTZ
-# r2/r4 entry (the round-6 verdict's completion ask) plus the two
-# stalest r5 rows. tools/verify_window.json records the planner
-# inputs + full ordering; tests/test_verify_window.py asserts this
-# list equals its first 50 names AND that replanning from the
-# recorded inputs reproduces the artifact. Entries past slot 50 are
-# all r5/r6-green on current code (post-NTZ) or scan only
-# timestamp-free tables (also test-pinned).
+# (CORRECTNESS_r{N}.json). The round-8 window is DERIVED with
+# FINGERPRINTS ENABLED (the r7 ADVICE ask): tools/rotation_planner.py
+# --max-round 7 ranks (1) the 4 never-green round-8 additions,
+# (2) the 34 fingerprint-drift entries — everything whose dep closure
+# touches the round-8 edits to dedup.py (un-hinted sizes joins +
+# floor-composite rounding), similarity.py (kmeans dead-centroid
+# mask), multimodal.py (dHash visual row order), and temporal.py
+# (session funnel) — then (3) 12 stalest-green slots, headed by
+# text_unigram_logprob (r4, the round-7 verdict's rotation head).
+# The drift baseline is tools/entry_fingerprints_r07b.json: the r7
+# fingerprints REGENERATED at commit 2252b4c with the fixed analyzer
+# (function-local imports now reach dep sets — the r7 planner missed
+# multimodal.py edits through `from ... import multimodal` inside
+# entry bodies). ~23 r5-green entries remain past slot 50:
+# code-unchanged since their green row (fingerprint-verified) and
+# fuzz-covered; they head the r9 stalest rotation.
+# tools/verify_window.json records the planner inputs + full
+# ordering; tests/test_verify_window.py asserts this list equals its
+# first 50 names AND that replanning from the recorded inputs
+# reproduces the artifact.
 _VERIFY_FIRST = [
     # never-green (new entries: must not ship unverified)
-    "corpus_domain_mixture",
-    "corpus_ngram_counts",
-    "dedup_containment",
-    "embedding_kmeans_assign",
-    "events_hourly_heatmap",
-    "events_rolling_active_users",
-    "events_user_lifetime_stats",
-    "multimodal_dhash",
-    "q11_important_parts",
-    "q12_late_priority_split",
-    "source_csv_roundtrip",
-    "stats_correlation",
-    "text_char_diversity",
-    "text_sentence_stats",
+    "dedup_incremental_join",
+    "dedup_minhash_containment",
+    "events_session_funnel",
+    "multimodal_phash",
     # changed since last green row
-    "dedup_ngram_jaccard",
-    "dedup_cluster_representatives",
+    "corpus_decontaminate",
+    "corpus_temperature_mixture",
+    "dedup_simhash",
+    "events_asof_join",
+    "events_asof_join_forward",
+    "events_funnel",
+    "events_range_count",
+    "multimodal_decode",
+    "corpus_quality_resample",
+    "dedup_embedding_cosine",
+    "dedup_embedding_lsh",
+    "embedding_knn_label",
+    "multimodal_frame_sample",
+    "multimodal_resize",
+    "similarity_topk",
+    "similarity_topk_ivf",
+    "similarity_topk_lsh",
     "corpus_dedup_pipeline",
-    "dedup_clusters",
-    "events_value_quantiles",
-    "dedup_incremental",
-    "dedup_minhash_lsh",
-    "source_jsonl_roundtrip",
-    "text_dup_span_stats",
-    # stalest-green rotation
-    "clean_sequential_ids",
     "corpus_hash_split",
-    "corpus_stratified_sample",
-    "corpus_token_shards",
-    "dedup_exact",
-    "text_fingerprint",
-    "text_language_id",
-    "text_term_frequencies",
-    "text_tfidf_top_terms",
-    "clean_canonical_name",
-    "clean_clamp_range",
-    "clean_coerce_numeric",
-    "clean_et_chain",
-    "clean_fill_missing_name",
-    "clean_group_median_impute",
     "corpus_mixture_epochs",
+    "corpus_ngram_counts",
     "corpus_pack_sequences",
     "corpus_prep_pipeline",
-    "embedding_normalize",
-    "embedding_quantize_int8",
-    "pii_detect",
-    "pii_redact",
-    "stats_length_histogram",
-    "table_insert_missing",
-    "table_scd2_apply",
-    "table_upsert",
-    "text_repetition",
+    "corpus_stratified_sample",
+    "corpus_token_shards",
+    "dedup_cluster_representatives",
+    "dedup_clusters",
+    "dedup_containment",
+    "dedup_exact",
+    "dedup_incremental",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "embedding_kmeans_assign",
+    "multimodal_dhash",
+    # stalest-green rotation
+    "text_unigram_logprob",
+    "average_ticket_by_product",
+    "clean_fuzzy_supplier_match",
+    "corpus_chunk_documents",
+    "events_anomaly_iqr",
+    "events_cohort_retention",
+    "events_json_props",
+    "events_multires_rollup",
+    "events_salted_agg",
+    "events_sessionization",
+    "events_sliding_agg",
+    "events_user_value_deciles",
 ]
 
 

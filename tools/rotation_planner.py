@@ -179,6 +179,32 @@ def _analyze() -> tuple[
     dep_files: dict[str, set[str]] = {}
     local_srcs: dict[str, list[str]] = {}
     defining_file: dict[str, str] = {}
+
+    def _local_imports(code) -> set[str]:
+        """Package files imported INSIDE the function body (``from pkg
+        import mod`` at function scope never touches ``__globals__``,
+        so the co_names/globals scan alone misses it — the r7 window
+        missed multimodal.py edits for exactly this reason). Walks
+        IMPORT_NAME (+ paired IMPORT_FROM attrs) instructions."""
+        out: set[str] = set()
+        mods: list[str] = []
+        last = None
+        for ins in dis.get_instructions(code):
+            if ins.opname == "IMPORT_NAME":
+                last = ins.argval
+                mods.append(last)
+            elif ins.opname == "IMPORT_FROM" and last:
+                mods.append(f"{last}.{ins.argval}")
+        for m in mods:
+            if not m.startswith(PKG):
+                continue
+            cand = m.replace(".", "/")
+            for suffix in (f"{cand}.py", f"{cand}/__init__.py"):
+                if os.path.exists(f"{REPO}/{suffix}"):
+                    out.add(suffix)
+                    break
+        return out
+
     for name, fn in entrymod.queries().items():
         # unwrap functools.partial-style wrappers
         target = getattr(fn, "func", fn)
@@ -194,6 +220,7 @@ def _analyze() -> tuple[
             seen.add(id(f_obj))
             g = getattr(f_obj, "__globals__", {})
             for code in _code_objects(f_obj):
+                direct |= _local_imports(code) - {defining}
                 for nm in code.co_names:
                     obj = g.get(nm)
                     if obj is None:
