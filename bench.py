@@ -129,6 +129,8 @@ HEADLINE = [
     "dedup_incremental_join",
     "multimodal_phash",
     "events_session_funnel",
+    "embedding_pq_encode",
+    "events_salted_join",
 ]
 
 

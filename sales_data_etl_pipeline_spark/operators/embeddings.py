@@ -144,3 +144,112 @@ def quantize_int8_sql(
                {q} AS q_int8
         FROM {rel}
     """
+
+
+#: Global PQ quantization scale: q_i = clamp(round(x_i·16), ±127).
+#: A COMMON scale (not per-vector) keeps every distance comparison in
+#: one shared integer space — per-block code assignment is then exact
+#: int64 arithmetic, bit-identical across engines with no float
+#: distance anywhere.
+PQ_SCALE = 16
+PQ_CLAMP = 127
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebook: DataFrame,
+    *,
+    n_blocks: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_id_col: str = "centroid_id",
+) -> DataFrame:
+    """Product-quantization encoding — the IVF-PQ compression step that
+    makes billion-vector ANN affordable: each vector splits into
+    ``n_blocks`` contiguous sub-vectors, and every sub-vector is
+    replaced by the id of its nearest codebook entry (squared-L2 over
+    the SAME sub-dimensions, ties → smallest centroid id). A 64-dim
+    float vector becomes ``n_blocks`` small integers (+ one residual
+    scalar here), a 64×+ compression that turns a 100 TB vector corpus
+    into a memory-resident code table for asymmetric-distance scans.
+
+    Exactness contract: both vectors and codebook entries are first
+    quantized with the GLOBAL integer grid (``clamp(round(x·16),
+    ±127)`` — one rounding rule, no per-vector scale), so every
+    distance is an exact int64 sum of squared integer differences and
+    the DuckDB oracle reproduces the argmin bit-for-bit. Non-finite
+    corpus vectors are excluded (the module's FINITE contract);
+    non-finite codebook entries never win (excluded driver-side).
+
+    Execution shape mirrors :func:`~sales_data_etl_pipeline_spark.operators.similarity.kmeans_assign`:
+    the codebook is collected once (K·dim — codebooks are small by
+    definition) into an Arrow kernel; each batch scores all blocks
+    against all centroids in vectorized integer numpy. Zero shuffles —
+    the encode is embarrassingly parallel, the 100 TB path.
+
+    Output: (id, codes, d2_total) — ``codes`` the comma-joined
+    per-block centroid ids (block order), ``d2_total`` the summed
+    quantization error (exact bigint).
+    """
+    import numpy as np
+    import pandas as pd
+
+    c_rows = sorted(
+        codebook.select(centroid_id_col, vec_col).collect(), key=lambda r: r[0]
+    )
+    C_raw = [
+        (int(r[0]), np.asarray(r[1], dtype=np.float64))
+        for r in c_rows
+        if r[1] is not None
+    ]
+    C_raw = [
+        (cid, v) for cid, v in C_raw if np.isfinite(v).all()
+    ]
+    if not C_raw:
+        raise ValueError("pq_encode: codebook has no finite entries")
+    c_ids = np.array([cid for cid, _ in C_raw], dtype=np.int64)
+    C = np.clip(
+        np.floor(np.stack([v for _, v in C_raw]) * PQ_SCALE + 0.5),
+        -PQ_CLAMP,
+        PQ_CLAMP,
+    ).astype(np.int64)
+    dim = C.shape[1]
+    if dim % n_blocks:
+        raise ValueError(f"dim {dim} not divisible by n_blocks {n_blocks}")
+    bs = dim // n_blocks
+
+    def encode(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            V = np.array(list(pdf[vec_col]), dtype=np.float64)
+            live = np.isfinite(V).all(axis=1)
+            if not live.any():
+                continue
+            Q = np.clip(
+                np.floor(V[live] * PQ_SCALE + 0.5), -PQ_CLAMP, PQ_CLAMP
+            ).astype(np.int64)
+            codes = np.empty((len(Q), n_blocks), dtype=np.int64)
+            d2 = np.zeros(len(Q), dtype=np.int64)
+            for m in range(n_blocks):
+                qb = Q[:, m * bs : (m + 1) * bs]
+                cb = C[:, m * bs : (m + 1) * bs]
+                diff = qb[:, None, :] - cb[None, :, :]
+                dist = (diff * diff).sum(axis=2)
+                # argmin returns the FIRST minimum; centroids are sorted
+                # ascending by id, so the tie-break is smallest id
+                best = dist.argmin(axis=1)
+                codes[:, m] = c_ids[best]
+                d2 += dist[np.arange(len(Q)), best]
+            yield pd.DataFrame(
+                {
+                    id_col: ids[live],
+                    "codes": [",".join(map(str, row)) for row in codes],
+                    "d2_total": d2,
+                }
+            )
+
+    return corpus.select(id_col, vec_col).mapInPandas(
+        encode, f"{id_col} long, codes string, d2_total long"
+    )

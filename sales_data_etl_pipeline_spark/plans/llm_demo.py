@@ -3624,3 +3624,93 @@ from sales_data_etl_pipeline_spark.operators.temporal import (  # noqa: E402
 )
 
 ORACLES["events_session_funnel"] = _session_funnel_sql("events", _FUNNEL_STEPS)
+
+
+def embedding_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization encode of the embedding table against a
+    deterministic codebook (every 50th vector, the IVF fixture rule):
+    per-block nearest codeword over the GLOBAL integer grid — exact
+    int64 distances, the billion-vector ANN compression step."""
+    from sales_data_etl_pipeline_spark.operators import embeddings as emb_ops
+
+    emb = _emb(spark, sf_dir)
+    codebook = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    return emb_ops.pq_encode(
+        emb.select("vec_id", "embedding"), codebook
+    ).orderBy("vec_id")
+
+
+QUERIES["embedding_pq_encode"] = embedding_pq_encode
+_PQ_FINITE = (
+    "NOT coalesce(list_bool_or(list_transform({v},"
+    " x -> x IS NULL OR isnan(CAST(x AS DOUBLE))"
+    " OR isinf(CAST(x AS DOUBLE)))), FALSE)"
+)
+ORACLES["embedding_pq_encode"] = f"""
+    WITH q AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> least(greatest(
+                   CAST(floor(CAST(x AS DOUBLE) * 16 + 0.5) AS BIGINT),
+                   -127), 127)) AS qv
+        FROM embeddings
+        WHERE {_PQ_FINITE.format(v='embedding')}),
+    cb AS (SELECT vec_id AS centroid_id, qv AS cv FROM q
+           WHERE vec_id % 50 = 0),
+    d AS (
+        SELECT q.vec_id, m.m, cb.centroid_id,
+               list_aggregate(list_transform(generate_series(1, 16),
+                   i -> (q.qv[(m.m - 1) * 16 + i] - cb.cv[(m.m - 1) * 16 + i])
+                      * (q.qv[(m.m - 1) * 16 + i] - cb.cv[(m.m - 1) * 16 + i])),
+                   'sum') AS d2
+        FROM q, UNNEST(generate_series(1, 4)) AS m(m), cb),
+    best AS (
+        SELECT *, row_number() OVER (
+            PARTITION BY vec_id, m ORDER BY d2, centroid_id) AS rn
+        FROM d)
+    SELECT vec_id,
+           string_agg(CAST(centroid_id AS VARCHAR), ',' ORDER BY m) AS codes,
+           CAST(SUM(d2) AS BIGINT) AS d2_total
+    FROM best WHERE rn = 1
+    GROUP BY vec_id ORDER BY vec_id
+"""
+
+
+def events_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe dimension join: the fact side (events, where one hot
+    event_type can dominate a partition at 100 TB) joins a derived
+    per-type dimension through salt replication — the fact side never
+    concentrates on one (key) reducer; the dimension explodes ×16.
+    The gate pins multiplicity semantics: aggregated output must equal
+    the plain-join oracle exactly."""
+    from sales_data_etl_pipeline_spark.operators import skew
+
+    ev = _events(spark, sf_dir)
+    dim = (
+        ev.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("type_total"))
+    )
+    joined = skew.salted_join(ev.select("event_type", "value"), dim, "event_type")
+    return (
+        joined.groupBy("event_type", "type_total")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.floor(F.sum("value") * 100 + F.lit(0.5)).alias("value_c"),
+        )
+        .orderBy("event_type")
+    )
+
+
+QUERIES["events_salted_join"] = events_salted_join
+ORACLES["events_salted_join"] = """
+    WITH dim AS (
+        SELECT event_type, COUNT(*) AS type_total
+        FROM events GROUP BY event_type)
+    SELECT e.event_type, d.type_total,
+           COUNT(*) AS n_rows,
+           CAST(floor(SUM(e.value) * 100 + 0.5) AS BIGINT) AS value_c
+    FROM events e JOIN dim d ON e.event_type = d.event_type
+    GROUP BY e.event_type, d.type_total
+    ORDER BY e.event_type
+"""

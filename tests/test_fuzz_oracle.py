@@ -72,8 +72,9 @@ FUZZED = [
     "events_hourly_heatmap",
     "events_rolling_active_users",
     "events_user_lifetime_stats",
-    # round-8: session-scoped funnel on random streams
+    # round-8: session-scoped funnel + skew-safe dim join on random streams
     "events_session_funnel",
+    "events_salted_join",
 ]
 
 
@@ -341,9 +342,10 @@ FUZZED_CORPUS = [
     "dedup_embedding_cosine",
     "dedup_embedding_lsh",
     "source_jsonl_roundtrip",
-    # round-8: banded containment + join-verify incremental dedup
+    # round-8: banded containment + join-verify incremental dedup + PQ
     "dedup_minhash_containment",
     "dedup_incremental_join",
+    "embedding_pq_encode",
 ]
 
 

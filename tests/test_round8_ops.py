@@ -210,3 +210,69 @@ def test_session_funnel_counts_sessions_not_users(spark):
     }
     # two sessions reach view and click; only user 1's converts
     assert got == {0: 2, 1: 2, 2: 1}
+
+
+def test_pq_encode_exact_integer_reference(spark):
+    """Tiny hand case: codes and d2_total must equal a plain-Python
+    reference over the same global integer grid, non-finite corpus
+    vectors are excluded, ties break to the smallest centroid id."""
+    import numpy as np
+
+    from sales_data_etl_pipeline_spark.operators import embeddings as E
+
+    dim, nb = 8, 2
+    vecs = {
+        1: [0.1] * 8,
+        2: [1.0] * 4 + [-1.0] * 4,
+        3: [float("nan")] * 8,  # excluded
+        4: [0.0] * 8,  # zero vector encodes fine (PQ, not cosine)
+    }
+    cents = {10: [0.0] * 8, 20: [1.0] * 8, 30: [0.0] * 8}  # 30 ties 10
+    corpus = spark.createDataFrame(
+        [Row(vec_id=k, embedding=v) for k, v in vecs.items()]
+    )
+    codebook = spark.createDataFrame(
+        [Row(centroid_id=k, embedding=v) for k, v in cents.items()]
+    )
+    got = {
+        r.vec_id: (r.codes, r.d2_total)
+        for r in E.pq_encode(corpus, codebook, n_blocks=nb).collect()
+    }
+    assert set(got) == {1, 2, 4}
+
+    def q(v):
+        return [
+            max(min(int(np.floor(x * 16 + 0.5)), 127), -127) for x in v
+        ]
+
+    qc = {k: q(v) for k, v in cents.items()}
+    for vid in (1, 2, 4):
+        qv = q(vecs[vid])
+        codes, d2 = [], 0
+        for m in range(nb):
+            best = min(
+                sorted(qc),  # ascending id → smallest-id tie-break
+                key=lambda c: sum(
+                    (qv[i] - qc[c][i]) ** 2 for i in range(m * 4, m * 4 + 4)
+                ),
+            )
+            codes.append(best)
+            d2 += sum(
+                (qv[i] - qc[best][i]) ** 2 for i in range(m * 4, m * 4 + 4)
+            )
+        assert got[vid] == (",".join(map(str, codes)), d2), vid
+    # the zero vector ties centroids 10 and 30 → smallest id 10 wins
+    assert got[4][0] == "10,10"
+
+
+def test_pq_encode_rejects_all_dead_codebook(spark):
+    from sales_data_etl_pipeline_spark.operators import embeddings as E
+
+    corpus = spark.createDataFrame([Row(vec_id=1, embedding=[0.5] * 8)])
+    codebook = spark.createDataFrame(
+        [Row(centroid_id=1, embedding=[float("inf")] * 8)]
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="no finite entries"):
+        E.pq_encode(corpus, codebook, n_blocks=2)
