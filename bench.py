@@ -131,6 +131,8 @@ HEADLINE = [
     "events_session_funnel",
     "embedding_pq_encode",
     "events_salted_join",
+    "similarity_topk_pq",
+    "source_partitioned_roundtrip",
 ]
 
 

@@ -594,3 +594,122 @@ def kmeans_assign(
     return corpus.select(id_col, vec_col).mapInPandas(
         assign, f"{id_col} long, {centroid_id_col} long, cosine_q6 long"
     )
+
+
+#: Integer PQ grid expression (Spark SQL): quantize a float vector onto
+#: the pq_encode grid — clamp(round(x·16), ±127) per element, BIGINT.
+_PQ_GRID = (
+    "transform({v}, x -> least(greatest("
+    "cast(floor(cast(x as double) * 16 + 0.5) as bigint), -127L), 127L))"
+)
+
+#: Exact int64 squared-L2 over one PQ block (1-based slice offsets).
+_PQ_BLOCK_D2 = (
+    "aggregate(zip_with(slice({a}, {off}, {bs}), slice({b}, {off}, {bs}),"
+    " (x, y) -> (x - y) * (x - y)), 0L, (acc, x) -> acc + x)"
+)
+
+
+def pq_adc_topk(
+    corpus: DataFrame,
+    codebook: DataFrame,
+    queries: DataFrame,
+    *,
+    k: int = 5,
+    n_blocks: int = 4,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    centroid_id_col: str = "centroid_id",
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over PQ codes — the scan half of
+    IVF-PQ, the layout that makes 100 TB ANN affordable: the corpus is
+    touched only through its ``n_blocks`` small integer codes (from
+    :func:`~sales_data_etl_pipeline_spark.operators.embeddings.pq_encode`),
+    never its raw vectors. Per query, a distance LOOKUP TABLE
+    ``LUT[m][c] = ‖q_m − c_m‖²`` is built against the codebook (|q|·K·M
+    rows — tiny, broadcast), and each corpus vector's approximate
+    distance is the sum of M table lookups:
+    ``d2_adc(q, v) = Σ_m LUT[m][code_m(v)]``.
+
+    Everything runs on the shared integer grid (``clamp(round(x·16),
+    ±127)``) so every distance is exact int64 and the oracle reproduces
+    ranks bit-for-bit. Fully JVM-side: grid quantization and block
+    distances are array expressions, the LUT rides one broadcast hash
+    join keyed on (block, code), and the per-(query, vector) sum is a
+    map-side-combinable aggregate. At cluster scale the same plan
+    composes with IVF: restrict ``corpus`` to the probed lists first
+    (the codes table is partitioned by list id), and the scan cost per
+    query drops to the probed fraction.
+
+    Ranking: smallest d2_adc first, ties → smallest corpus id. Output:
+    (query_id, neighbor_id, d2_adc, rank), rank ≤ k. Non-finite
+    queries are excluded (FINITE contract); the corpus side inherits
+    pq_encode's exclusion.
+    """
+    from sales_data_etl_pipeline_spark.operators.dedup import FINITE_VEC
+    from sales_data_etl_pipeline_spark.operators.embeddings import pq_encode
+
+    if dim % n_blocks:
+        raise ValueError(f"dim {dim} not divisible by n_blocks {n_blocks}")
+    bs = dim // n_blocks
+    codes = pq_encode(
+        corpus,
+        codebook,
+        n_blocks=n_blocks,
+        id_col=id_col,
+        vec_col=vec_col,
+        centroid_id_col=centroid_id_col,
+    )
+    code_rows = codes.select(
+        F.col(id_col).alias("_vid"),
+        F.posexplode(F.split("codes", ",")).alias("m", "_c"),
+    ).select("_vid", "m", F.col("_c").cast("long").alias("code"))
+    q_grid = queries.filter(F.expr(FINITE_VEC.format(v=vec_col))).select(
+        F.col(id_col).alias(query_id_col),
+        F.expr(_PQ_GRID.format(v=vec_col)).alias("_qv"),
+    )
+    c_grid = codebook.filter(F.expr(FINITE_VEC.format(v=vec_col))).select(
+        F.col(centroid_id_col).alias("code"),
+        F.expr(_PQ_GRID.format(v=vec_col)).alias("_cv"),
+    )
+    lut = (
+        q_grid.crossJoin(F.broadcast(c_grid))
+        .select(
+            query_id_col,
+            "code",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(m).alias("m"),
+                            F.expr(
+                                _PQ_BLOCK_D2.format(
+                                    a="_qv", b="_cv", off=m * bs + 1, bs=bs
+                                )
+                            ).alias("d2p"),
+                        )
+                        for m in range(n_blocks)
+                    ]
+                )
+            ).alias("bd"),
+        )
+        .select(query_id_col, "code", F.col("bd.m").alias("m"), F.col("bd.d2p").alias("d2p"))
+    )
+    scored = (
+        code_rows.join(F.broadcast(lut), ["m", "code"])
+        .groupBy(query_id_col, "_vid")
+        .agg(F.sum("d2p").alias("d2_adc"))
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.asc("d2_adc"), F.asc("_vid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            query_id_col,
+            F.col("_vid").alias("neighbor_id"),
+            "d2_adc",
+            "rank",
+        )
+    )

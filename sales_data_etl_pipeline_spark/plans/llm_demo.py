@@ -3714,3 +3714,109 @@ ORACLES["events_salted_join"] = """
     GROUP BY e.event_type, d.type_total
     ORDER BY e.event_type
 """
+
+
+def similarity_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric-distance top-k over PQ codes (the IVF-PQ scan half):
+    every query ranks the whole corpus through 4 integer table lookups
+    per vector instead of a 64-dim float dot — exact int64 arithmetic
+    end-to-end, so the oracle reproduces ranks bit-for-bit."""
+    emb = _emb(spark, sf_dir)
+    codebook = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    return similarity.pq_adc_topk(
+        emb.select("vec_id", "embedding"),
+        codebook,
+        emb.filter(F.col("vec_id") % 37 == 0).select("vec_id", "embedding"),
+        k=5,
+    ).orderBy("query_id", "rank")
+
+
+QUERIES["similarity_topk_pq"] = similarity_topk_pq
+ORACLES["similarity_topk_pq"] = f"""
+    WITH q0 AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> least(greatest(
+                   CAST(floor(CAST(x AS DOUBLE) * 16 + 0.5) AS BIGINT),
+                   -127), 127)) AS qv
+        FROM embeddings
+        WHERE {_PQ_FINITE.format(v='embedding')}),
+    cb AS (SELECT vec_id AS centroid_id, qv AS cv FROM q0
+           WHERE vec_id % 50 = 0),
+    d AS (
+        SELECT q0.vec_id, m.m, cb.centroid_id,
+               list_aggregate(list_transform(generate_series(1, 16),
+                   i -> (q0.qv[(m.m - 1) * 16 + i] - cb.cv[(m.m - 1) * 16 + i])
+                      * (q0.qv[(m.m - 1) * 16 + i] - cb.cv[(m.m - 1) * 16 + i])),
+                   'sum') AS d2
+        FROM q0, UNNEST(generate_series(1, 4)) AS m(m), cb),
+    code AS (
+        SELECT vec_id, m, centroid_id AS code FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY vec_id, m ORDER BY d2, centroid_id) AS rn
+            FROM d) WHERE rn = 1),
+    qs AS (SELECT vec_id AS query_id, qv FROM q0 WHERE vec_id % 37 = 0),
+    lut AS (
+        SELECT qs.query_id, m.m, cb.centroid_id AS code,
+               list_aggregate(list_transform(generate_series(1, 16),
+                   i -> (qs.qv[(m.m - 1) * 16 + i] - cb.cv[(m.m - 1) * 16 + i])
+                      * (qs.qv[(m.m - 1) * 16 + i] - cb.cv[(m.m - 1) * 16 + i])),
+                   'sum') AS d2p
+        FROM qs, UNNEST(generate_series(1, 4)) AS m(m), cb),
+    sc AS (
+        SELECT l.query_id, c.vec_id, CAST(SUM(l.d2p) AS BIGINT) AS d2_adc
+        FROM code c JOIN lut l ON c.m = l.m AND c.code = l.code
+        GROUP BY 1, 2),
+    r AS (SELECT *, row_number() OVER (
+              PARTITION BY query_id ORDER BY d2_adc, vec_id) AS rank
+          FROM sc)
+    SELECT query_id, vec_id AS neighbor_id, d2_adc, rank
+    FROM r WHERE rank <= 5 ORDER BY query_id, rank
+"""
+
+
+def source_partitioned_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partitioned parquet sink→source round trip WITH partition
+    pruning: write events partitioned by event_type (hive-style
+    directory layout — the 100 TB fact-table norm), read back with a
+    partition-key filter, and aggregate. The physical scan lists only
+    the two selected partition directories (PartitionFilters — plan-
+    asserted in tests/test_round8_ops.py); the oracle computes the same
+    aggregate from the unpartitioned parquet, so a value lost or
+    re-typed by the partition round trip (the key moves into the
+    directory name and back) breaks the hash."""
+    import os
+    import tempfile
+
+    from sales_data_etl_pipeline_spark.sources import parquet as pq_src
+
+    ev = _events(spark, sf_dir)
+    tag = sf_dir.strip("/").replace("/", "_")
+    path = os.path.join(
+        tempfile.gettempdir(), f"part_gate_{tag}", "events"
+    )
+    pq_src.write_parquet(ev, path, partition_by=["event_type"])
+    back = pq_src.read_parquet(spark, path)
+    return (
+        back.filter(F.col("event_type").isin("view", "purchase"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.floor(F.sum("value") * 100 + F.lit(0.5)).alias("value_c"),
+            F.count_distinct("user_id").alias("n_users"),
+        )
+        .orderBy("event_type")
+    )
+
+
+QUERIES["source_partitioned_roundtrip"] = source_partitioned_roundtrip
+ORACLES["source_partitioned_roundtrip"] = """
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           CAST(floor(SUM(value) * 100 + 0.5) AS BIGINT) AS value_c,
+           COUNT(DISTINCT user_id) AS n_users
+    FROM events
+    WHERE event_type IN ('view', 'purchase')
+    GROUP BY event_type ORDER BY event_type
+"""

@@ -346,6 +346,7 @@ FUZZED_CORPUS = [
     "dedup_minhash_containment",
     "dedup_incremental_join",
     "embedding_pq_encode",
+    "similarity_topk_pq",
 ]
 
 
@@ -433,8 +434,9 @@ FUZZED_MORE = [
     "embedding_kmeans_assign",
     "source_csv_roundtrip",
     "multimodal_dhash",
-    # round-8: integer-DCT perceptual hash
+    # round-8: integer-DCT perceptual hash + partition-pruned source
     "multimodal_phash",
+    "source_partitioned_roundtrip",
 ]
 
 

@@ -276,3 +276,49 @@ def test_pq_encode_rejects_all_dead_codebook(spark):
 
     with _pytest.raises(ValueError, match="no finite entries"):
         E.pq_encode(corpus, codebook, n_blocks=2)
+
+
+def test_partitioned_roundtrip_scan_is_partition_pruned(spark):
+    """The gate's read-back plan must carry a PartitionFilters entry on
+    event_type — proof the selected-type scan lists only its partition
+    directories instead of reading the whole table."""
+    from sales_data_etl_pipeline_spark.plans import llm_demo
+
+    df = llm_demo.source_partitioned_roundtrip(
+        spark, "/root/testdata/sf0.001"
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    import re
+
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "event_type" in m.group(1), m
+
+
+def test_pq_adc_ranks_by_true_grid_distance(spark):
+    """ADC with a codebook equal to the corpus itself: every vector's
+    code IS itself (d2 quantization error 0), so the ADC distance to a
+    query equals the exact grid distance — top-1 must be the query's
+    own row at distance == its own-code error (0)."""
+    from sales_data_etl_pipeline_spark.operators import similarity as sim
+
+    rows = [
+        Row(vec_id=i, embedding=[float(i)] * 4 + [float(-i)] * 4)
+        for i in range(1, 6)
+    ]
+    corpus = spark.createDataFrame(rows)
+    got = sim.pq_adc_topk(
+        corpus,
+        corpus.select(
+            F.col("vec_id").alias("centroid_id"), "embedding"
+        ),
+        corpus.filter(F.col("vec_id") == 3),
+        k=3,
+        n_blocks=2,
+        dim=8,
+    ).collect()
+    by_rank = {r.rank: (r.neighbor_id, r.d2_adc) for r in got}
+    assert by_rank[1] == (3, 0)
+    # neighbors 2 and 4 are equidistant on the grid → smallest id first
+    assert by_rank[2][0] == 2 and by_rank[3][0] == 4
+    assert by_rank[2][1] == by_rank[3][1] > 0
