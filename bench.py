@@ -132,7 +132,9 @@ HEADLINE = [
     "embedding_pq_encode",
     "events_salted_join",
     "similarity_topk_pq",
+    "similarity_topk_ivfpq",
     "source_partitioned_roundtrip",
+    "source_orc_roundtrip",
 ]
 
 

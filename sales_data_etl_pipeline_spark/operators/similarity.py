@@ -622,6 +622,7 @@ def pq_adc_topk(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     centroid_id_col: str = "centroid_id",
+    candidates: DataFrame | None = None,
 ) -> DataFrame:
     """Asymmetric-distance (ADC) top-k over PQ codes — the scan half of
     IVF-PQ, the layout that makes 100 TB ANN affordable: the corpus is
@@ -647,6 +648,12 @@ def pq_adc_topk(
     (query_id, neighbor_id, d2_adc, rank), rank ≤ k. Non-finite
     queries are excluded (FINITE contract); the corpus side inherits
     pq_encode's exclusion.
+
+    ``candidates`` (optional, columns (query_id, id)): restrict each
+    query's scan to ITS candidate set — this is the IVF probe path:
+    pass the (query, vector) pairs from the probed coarse lists and
+    the ADC scan touches only that fraction of the code table (the
+    full IVF-PQ layout; see the ivf-pq gate for the composition).
     """
     from sales_data_etl_pipeline_spark.operators.dedup import FINITE_VEC
     from sales_data_etl_pipeline_spark.operators.embeddings import pq_encode
@@ -697,11 +704,22 @@ def pq_adc_topk(
         )
         .select(query_id_col, "code", F.col("bd.m").alias("m"), F.col("bd.d2p").alias("d2p"))
     )
-    scored = (
-        code_rows.join(F.broadcast(lut), ["m", "code"])
-        .groupBy(query_id_col, "_vid")
-        .agg(F.sum("d2p").alias("d2_adc"))
-    )
+    if candidates is not None:
+        cand = candidates.select(
+            query_id_col, F.col(id_col).alias("_vid")
+        )
+        scored = (
+            code_rows.join(cand, "_vid")
+            .join(F.broadcast(lut), [query_id_col, "m", "code"])
+            .groupBy(query_id_col, "_vid")
+            .agg(F.sum("d2p").alias("d2_adc"))
+        )
+    else:
+        scored = (
+            code_rows.join(F.broadcast(lut), ["m", "code"])
+            .groupBy(query_id_col, "_vid")
+            .agg(F.sum("d2p").alias("d2_adc"))
+        )
     w = Window.partitionBy(query_id_col).orderBy(F.asc("d2_adc"), F.asc("_vid"))
     return (
         scored.withColumn("rank", F.row_number().over(w))

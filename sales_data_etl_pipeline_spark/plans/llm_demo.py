@@ -3820,3 +3820,168 @@ ORACLES["source_partitioned_roundtrip"] = """
     WHERE event_type IN ('view', 'purchase')
     GROUP BY event_type ORDER BY event_type
 """
+
+
+def source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC sink→source round trip (the secondary columnar interchange
+    format — Spark ships the reader/writer natively): write the
+    documents table as ORC, read it back, and aggregate with a pushed
+    predicate; the oracle computes the same aggregate from the parquet,
+    so any type flip or value loss in the ORC round trip breaks the
+    hash. Pushdown into the ORC scan itself is plan-asserted in
+    tests/test_orc.py."""
+    import os
+    import tempfile
+
+    docs = _docs(spark, sf_dir)
+    tag = sf_dir.strip("/").replace("/", "_")
+    path = os.path.join(tempfile.gettempdir(), f"orc_gate_{tag}", "docs")
+    docs.write.mode("overwrite").orc(path)
+    back = spark.read.orc(path)
+    return (
+        back.filter(F.col("n_chars") > 200)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.sum(F.length("text")).alias("sum_text_len"),
+            F.count_distinct("lang").alias("n_langs"),
+        )
+        .orderBy("source")
+    )
+
+
+QUERIES["source_orc_roundtrip"] = source_orc_roundtrip
+ORACLES["source_orc_roundtrip"] = """
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           CAST(SUM(length(text)) AS BIGINT) AS sum_text_len,
+           COUNT(DISTINCT lang) AS n_langs
+    FROM documents
+    WHERE n_chars > 200
+    GROUP BY source ORDER BY source
+"""
+
+
+def similarity_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full IVF-PQ: coarse quantization assigns every vector to its
+    nearest centroid LIST (exact grid L2, = pq_encode with one block),
+    each query probes its 2 closest lists, and the ADC scan runs ONLY
+    over the probed lists' code rows — the complete billion-vector ANN
+    layout where per-query cost is the probed fraction of a compressed
+    code table, never a raw-vector scan. Composes three gated pieces
+    (pq_encode coarse + probe ranking + candidate-restricted
+    pq_adc_topk); exact int64 arithmetic end-to-end."""
+    from sales_data_etl_pipeline_spark.operators import embeddings as emb_ops
+    from sales_data_etl_pipeline_spark.operators.similarity import (
+        _PQ_BLOCK_D2,
+        _PQ_GRID,
+    )
+
+    emb = _emb(spark, sf_dir)
+    cents = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    corpus = emb.select("vec_id", "embedding")
+    queries = emb.filter(F.col("vec_id") % 37 == 0).select(
+        "vec_id", "embedding"
+    )
+    lists = emb_ops.pq_encode(corpus, cents, n_blocks=1).select(
+        "vec_id", F.col("codes").cast("long").alias("list_id")
+    )
+    finite = dedup.FINITE_VEC.format(v="embedding")
+    qg = queries.filter(F.expr(finite)).select(
+        F.col("vec_id").alias("query_id"),
+        F.expr(_PQ_GRID.format(v="embedding")).alias("_qv"),
+    )
+    cg = cents.filter(F.expr(finite)).select(
+        F.col("centroid_id").alias("list_id"),
+        F.expr(_PQ_GRID.format(v="embedding")).alias("_cv"),
+    )
+    probes = (
+        qg.crossJoin(F.broadcast(cg))
+        .withColumn(
+            "_d2", F.expr(_PQ_BLOCK_D2.format(a="_qv", b="_cv", off=1, bs=64))
+        )
+        .withColumn(
+            "_rn",
+            F.row_number().over(
+                _W.partitionBy("query_id").orderBy(
+                    F.asc("_d2"), F.asc("list_id")
+                )
+            ),
+        )
+        .filter(F.col("_rn") <= 2)
+        .select("query_id", "list_id")
+    )
+    cand = probes.join(lists, "list_id").select("query_id", "vec_id")
+    return similarity.pq_adc_topk(
+        corpus, cents, queries, k=5, candidates=cand
+    ).orderBy("query_id", "rank")
+
+
+QUERIES["similarity_topk_ivfpq"] = similarity_topk_ivfpq
+ORACLES["similarity_topk_ivfpq"] = f"""
+    WITH q0 AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> least(greatest(
+                   CAST(floor(CAST(x AS DOUBLE) * 16 + 0.5) AS BIGINT),
+                   -127), 127)) AS qv
+        FROM embeddings
+        WHERE {_PQ_FINITE.format(v='embedding')}),
+    cb AS (SELECT vec_id AS centroid_id, qv AS cv FROM q0
+           WHERE vec_id % 50 = 0),
+    cd AS (
+        SELECT q0.vec_id, cb.centroid_id,
+               list_aggregate(list_transform(generate_series(1, 64),
+                   i -> (q0.qv[i] - cb.cv[i]) * (q0.qv[i] - cb.cv[i])),
+                   'sum') AS d2
+        FROM q0, cb),
+    lists AS (
+        SELECT vec_id, centroid_id AS list_id FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY vec_id ORDER BY d2, centroid_id) AS rn
+            FROM cd) WHERE rn = 1),
+    qs AS (SELECT vec_id AS query_id, qv FROM q0 WHERE vec_id % 37 = 0),
+    probes AS (
+        SELECT query_id, list_id FROM (
+            SELECT qs.query_id, cd.centroid_id AS list_id,
+                   row_number() OVER (PARTITION BY qs.query_id
+                       ORDER BY cd.d2, cd.centroid_id) AS rn
+            FROM qs JOIN cd ON cd.vec_id = qs.query_id) WHERE rn <= 2),
+    cand AS (
+        SELECT p.query_id, l.vec_id
+        FROM probes p JOIN lists l ON l.list_id = p.list_id),
+    d AS (
+        SELECT q0.vec_id, m.m, cb.centroid_id,
+               list_aggregate(list_transform(generate_series(1, 16),
+                   i -> (q0.qv[(m.m - 1) * 16 + i] - cb.cv[(m.m - 1) * 16 + i])
+                      * (q0.qv[(m.m - 1) * 16 + i] - cb.cv[(m.m - 1) * 16 + i])),
+                   'sum') AS d2
+        FROM q0, UNNEST(generate_series(1, 4)) AS m(m), cb),
+    code AS (
+        SELECT vec_id, m, centroid_id AS code FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY vec_id, m ORDER BY d2, centroid_id) AS rn
+            FROM d) WHERE rn = 1),
+    lut AS (
+        SELECT qs.query_id, m.m, cb.centroid_id AS code,
+               list_aggregate(list_transform(generate_series(1, 16),
+                   i -> (qs.qv[(m.m - 1) * 16 + i] - cb.cv[(m.m - 1) * 16 + i])
+                      * (qs.qv[(m.m - 1) * 16 + i] - cb.cv[(m.m - 1) * 16 + i])),
+                   'sum') AS d2p
+        FROM qs, UNNEST(generate_series(1, 4)) AS m(m), cb),
+    sc AS (
+        SELECT ca.query_id, c.vec_id, CAST(SUM(l.d2p) AS BIGINT) AS d2_adc
+        FROM code c
+        JOIN cand ca ON ca.vec_id = c.vec_id
+        JOIN lut l ON l.query_id = ca.query_id
+                  AND l.m = c.m AND l.code = c.code
+        GROUP BY 1, 2),
+    r AS (SELECT *, row_number() OVER (
+              PARTITION BY query_id ORDER BY d2_adc, vec_id) AS rank
+          FROM sc)
+    SELECT query_id, vec_id AS neighbor_id, d2_adc, rank
+    FROM r WHERE rank <= 5 ORDER BY query_id, rank
+"""

@@ -347,6 +347,7 @@ FUZZED_CORPUS = [
     "dedup_incremental_join",
     "embedding_pq_encode",
     "similarity_topk_pq",
+    "similarity_topk_ivfpq",
 ]
 
 
@@ -434,9 +435,10 @@ FUZZED_MORE = [
     "embedding_kmeans_assign",
     "source_csv_roundtrip",
     "multimodal_dhash",
-    # round-8: integer-DCT perceptual hash + partition-pruned source
+    # round-8: integer-DCT perceptual hash + partition-pruned/ORC sources
     "multimodal_phash",
     "source_partitioned_roundtrip",
+    "source_orc_roundtrip",
 ]
 
 
