@@ -36,18 +36,19 @@ def entry(spark: SparkSession) -> DataFrame:
 # The driver verifies only the FIRST 50 queries() entries per round
 # (CORRECTNESS_r{N}.json). The round-8 window is DERIVED with
 # FINGERPRINTS ENABLED (the r7 ADVICE ask): tools/rotation_planner.py
-# --max-round 7 ranks (1) the 4 never-green round-8 additions,
-# (2) the 34 fingerprint-drift entries — everything whose dep closure
+# --max-round 7 ranks (1) the 10 never-green round-8 additions,
+# (2) the 36 fingerprint-drift entries — everything whose dep closure
 # touches the round-8 edits to dedup.py (un-hinted sizes joins +
-# floor-composite rounding), similarity.py (kmeans dead-centroid
-# mask), multimodal.py (dHash visual row order), and temporal.py
-# (session funnel) — then (3) 12 stalest-green slots, headed by
+# floor-composite rounding, banded containment), similarity.py
+# (kmeans dead-centroid mask, PQ/ADC), embeddings.py (pq_encode),
+# multimodal.py (dHash visual row order, pHash), and temporal.py
+# (session funnel) — then (3) 4 stalest-green slots, headed by
 # text_unigram_logprob (r4, the round-7 verdict's rotation head).
 # The drift baseline is tools/entry_fingerprints_r07b.json: the r7
 # fingerprints REGENERATED at commit 2252b4c with the fixed analyzer
 # (function-local imports now reach dep sets — the r7 planner missed
 # multimodal.py edits through `from ... import multimodal` inside
-# entry bodies). ~23 r5-green entries remain past slot 50:
+# entry bodies). The remaining r5-green entries past slot 50 are
 # code-unchanged since their green row (fingerprint-verified) and
 # fuzz-covered; they head the r9 stalest rotation.
 # tools/verify_window.json records the planner inputs + full
@@ -58,8 +59,14 @@ _VERIFY_FIRST = [
     # never-green (new entries: must not ship unverified)
     "dedup_incremental_join",
     "dedup_minhash_containment",
+    "embedding_pq_encode",
+    "events_salted_join",
     "events_session_funnel",
     "multimodal_phash",
+    "similarity_topk_ivfpq",
+    "similarity_topk_pq",
+    "source_orc_roundtrip",
+    "source_partitioned_roundtrip",
     # changed since last green row
     "corpus_decontaminate",
     "corpus_temperature_mixture",
@@ -94,20 +101,14 @@ _VERIFY_FIRST = [
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
     "embedding_kmeans_assign",
+    "embedding_normalize",
+    "embedding_quantize_int8",
     "multimodal_dhash",
     # stalest-green rotation
     "text_unigram_logprob",
     "average_ticket_by_product",
     "clean_fuzzy_supplier_match",
     "corpus_chunk_documents",
-    "events_anomaly_iqr",
-    "events_cohort_retention",
-    "events_json_props",
-    "events_multires_rollup",
-    "events_salted_agg",
-    "events_sessionization",
-    "events_sliding_agg",
-    "events_user_value_deciles",
 ]
 
 
