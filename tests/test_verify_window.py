@@ -117,6 +117,9 @@ def test_verify_first_is_derived_from_planner_artifact():
         force_changed=set(inp["force_changed"]),
         max_round=inp["max_round"],
         use_fingerprints=inp["use_fingerprints"],
+        # replay against the RECORDED baseline — a newer fingerprint
+        # file committed at round close must not invalidate the artifact
+        baseline=inp.get("fingerprint_baseline"),
     )
     assert [n for n, _, _ in replayed] == art["order"]
 

@@ -43,6 +43,11 @@ CARTESIAN_OK = {
     # shared-shingle candidate join, the documented exact-containment
     # primitive (same family as dedup_ngram_jaccard)
     "dedup_containment",
+    # ADC lookup-table build: queries × CODEBOOK (K entries — bounded
+    # by the codebook, never by the corpus; the corpus side itself is
+    # touched only through the (block, code) hash join)
+    "similarity_topk_pq",
+    "similarity_topk_ivfpq",
 }
 
 

@@ -284,7 +284,16 @@ def entry_fingerprints(analysis=None) -> dict[str, str]:
     return out
 
 
-def _latest_recorded_fingerprints() -> tuple[dict[str, str], str | None]:
+def _latest_recorded_fingerprints(
+    baseline: str | None = None,
+) -> tuple[dict[str, str], str | None]:
+    """Load the drift baseline: ``baseline`` (repo-relative path) when
+    given — the replay path, so a window artifact stays reproducible
+    after a NEWER fingerprint file is committed at round close — else
+    the newest committed entry_fingerprints_r*.json."""
+    if baseline:
+        with open(f"{REPO}/{baseline}") as f:
+            return json.load(f), baseline
     paths = sorted(glob.glob(f"{REPO}/tools/entry_fingerprints_r*.json"))
     if not paths:
         return {}, None
@@ -298,6 +307,7 @@ def plan(
     force_changed: set[str] | None = None,
     max_round: int | None = None,
     use_fingerprints: bool = True,
+    baseline: str | None = None,
 ) -> list[tuple[str, str, bool]]:
     changed = {_rel(c) for c in (changed or set())}
     force_changed = set(force_changed or ())
@@ -305,8 +315,11 @@ def plan(
     analysis = _analyze()
     deps, _local, defining = analysis
     recorded, _src = (
-        _latest_recorded_fingerprints() if use_fingerprints else ({}, None)
+        _latest_recorded_fingerprints(baseline)
+        if use_fingerprints
+        else ({}, None)
     )
+    plan.last_baseline = _src
     current = entry_fingerprints(analysis) if recorded else {}
     rows = []
     for name in entrymod.queries():
@@ -339,6 +352,12 @@ def main() -> int:
     ap.add_argument("--emit-window", action="store_true")
     ap.add_argument("--emit-fingerprints", metavar="PATH", default=None)
     ap.add_argument("--no-fingerprints", action="store_true")
+    ap.add_argument(
+        "--baseline",
+        default=None,
+        help="repo-relative fingerprint file to diff against "
+        "(default: newest committed entry_fingerprints_r*.json)",
+    )
     args = ap.parse_args()
     result = plan(
         args.window,
@@ -346,6 +365,7 @@ def main() -> int:
         set(args.force_changed),
         args.max_round,
         use_fingerprints=not args.no_fingerprints,
+        baseline=args.baseline,
     )
     for name, why, in_window in result:
         marker = "IN " if in_window else "out"
@@ -358,6 +378,10 @@ def main() -> int:
                 "changed": sorted(args.changed),
                 "force_changed": sorted(args.force_changed),
                 "use_fingerprints": not args.no_fingerprints,
+                # pin the baseline ACTUALLY diffed against, so replaying
+                # the artifact stays reproducible after the round-close
+                # fingerprint file (a NEWER baseline) is committed
+                "fingerprint_baseline": getattr(plan, "last_baseline", None),
             },
             "order": [n for n, _, _ in result],
             "reasons": {n: w for n, w, _ in result},
