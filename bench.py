@@ -135,6 +135,7 @@ HEADLINE = [
     "similarity_topk_ivfpq",
     "source_partitioned_roundtrip",
     "source_orc_roundtrip",
+    "dedup_incremental_containment",
 ]
 
 

@@ -1156,3 +1156,61 @@ def minhash_containment_pairs(
         .withColumn("containment", q6(F.col("_ratio")))
         .select("doc_id", "host_id", "containment")
     )
+
+
+def containment_incremental(
+    base: DataFrame,
+    incoming: DataFrame,
+    *,
+    n: int = 3,
+    threshold: float = 0.6,
+    text_col: str = "text",
+    max_shingle_df: float | None = None,
+) -> DataFrame:
+    """Incremental CONTAINMENT: match INCOMING docs against an existing
+    BASE corpus and report, per incoming doc, its best containing host
+    — |inc ∩ base| / |inc| ≥ threshold means the new document is mostly
+    a quote/excerpt of an existing one, the admission case the
+    jaccard-incremental filter PASSES because the union swamps the
+    ratio (an excerpt's jaccard vs a long host is tiny, so MinHash
+    banding would also never candidate it — banding collision
+    probability follows JACCARD, which is exactly what is low here).
+
+    Candidates therefore come from the shared-shingle equi-join
+    restricted to base × incoming — the right incremental shape: the
+    incoming batch is the SMALL side (a day's ingest vs the corpus), so
+    the join is one keyed hash join whose probe side is tiny, and at
+    100 TB the ``max_shingle_df`` stop-cap (applied to the base side,
+    :func:`_drop_hot_shingles`) bounds the hot-shingle fanout exactly
+    as in the pairwise operators. Verification is candidate-join
+    counting (no collect_list). Winner per incoming doc: highest
+    rounded containment, smallest base id. Output: (doc_id, base_id,
+    containment); unmatched docs are absent (the caller anti-joins for
+    the admit set).
+    """
+    sh_base = shingle_sets(base, text_col, n)
+    if max_shingle_df is not None:
+        sh_base = _drop_hot_shingles(sh_base, max_shingle_df)
+    sh_inc = shingle_sets(incoming, text_col, n).localCheckpoint(eager=False)
+    sizes_inc = sh_inc.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz_inc"))
+    inter = (
+        sh_base.select(F.col("doc_id").alias("base_id"), "sh")
+        .join(sh_inc, "sh")
+        .groupBy("base_id", "doc_id")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    verified = (
+        inter.join(sizes_inc, "doc_id")
+        .withColumn("_ratio", F.col("inter") / F.col("sz_inc"))
+        # raw-ratio threshold, q6-rounded emit (module convention)
+        .filter(F.col("_ratio") >= threshold)
+        .withColumn("containment", q6(F.col("_ratio")))
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("containment"), F.asc("base_id")
+    )
+    return (
+        verified.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("doc_id", "base_id", "containment")
+    )

@@ -3985,3 +3985,65 @@ ORACLES["similarity_topk_ivfpq"] = f"""
     SELECT query_id, vec_id AS neighbor_id, d2_adc, rank
     FROM r WHERE rank <= 5 ORDER BY query_id, rank
 """
+
+
+def dedup_incremental_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily-ingest quote detection: each INCOMING doc's best containing
+    base host by |inc ∩ base| / |inc| — catches a new document that is
+    mostly an excerpt of an existing (longer) one, which BOTH the
+    jaccard-incremental admit filter and MinHash banding miss (each
+    follows jaccard, which an excerpt keeps tiny). Candidates come
+    from the shared-shingle base×incoming equi-join — the incoming
+    batch is the small probe side, the incremental-correct shape."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    incoming = (
+        docs.filter(F.col("doc_id") % 20 == 0)
+        .select(
+            (F.col("doc_id") + 10000).alias("doc_id"),
+            F.expr(
+                "substring(text, 1, greatest(length(text) - 30, 1))"
+            ).alias("text"),
+        )
+        .unionByName(
+            docs.filter(F.col("doc_id") % 7 == 3).select(
+                (F.col("doc_id") + 20000).alias("doc_id"),
+                F.reverse("text").alias("text"),
+            )
+        )
+    )
+    return dedup.containment_incremental(
+        docs, incoming, threshold=0.6
+    ).orderBy("doc_id")
+
+
+QUERIES["dedup_incremental_containment"] = dedup_incremental_containment
+ORACLES["dedup_incremental_containment"] = """
+    WITH inc AS (
+        SELECT doc_id + 10000 AS doc_id,
+               substring(text, 1, greatest(length(text) - 30, 1)) AS text
+        FROM documents WHERE doc_id % 20 = 0
+        UNION ALL
+        SELECT doc_id + 20000 AS doc_id, reverse(text) AS text
+        FROM documents WHERE doc_id % 7 = 3),
+    b AS (SELECT doc_id, text FROM documents),
+    shb AS (SELECT doc_id AS base_id, UNNEST({sh}) AS sh FROM b),
+    shi AS (SELECT doc_id, UNNEST({sh2}) AS sh FROM inc),
+    sz AS (SELECT doc_id, COUNT(*) AS sz_inc FROM shi GROUP BY doc_id),
+    inter AS (
+        SELECT shb.base_id, shi.doc_id, COUNT(*) AS inter
+        FROM shb JOIN shi ON shb.sh = shi.sh
+        GROUP BY 1, 2),
+    j AS (
+        SELECT i.doc_id, i.base_id,
+               floor(CAST(inter AS DOUBLE) / sz.sz_inc * 1000000 + 0.5)
+                   / 1000000 AS containment
+        FROM inter i
+        JOIN sz ON sz.doc_id = i.doc_id
+        WHERE CAST(inter AS DOUBLE) / sz.sz_inc >= 0.6)
+    SELECT doc_id, base_id, containment FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY doc_id ORDER BY containment DESC, base_id) AS rn
+        FROM j)
+    WHERE rn = 1 ORDER BY doc_id
+""".format(sh=_SHINGLES.replace("text", "b.text"),
+           sh2=_SHINGLES.replace("text", "inc.text"))

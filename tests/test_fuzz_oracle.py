@@ -348,6 +348,7 @@ FUZZED_CORPUS = [
     "embedding_pq_encode",
     "similarity_topk_pq",
     "similarity_topk_ivfpq",
+    "dedup_incremental_containment",
 ]
 
 

@@ -322,3 +322,32 @@ def test_pq_adc_ranks_by_true_grid_distance(spark):
     # neighbors 2 and 4 are equidistant on the grid → smallest id first
     assert by_rank[2][0] == 2 and by_rank[3][0] == 4
     assert by_rank[2][1] == by_rank[3][1] > 0
+
+
+def test_incremental_containment_catches_excerpt_jaccard_misses(spark):
+    """The motivating case: a short excerpt of a long base doc has LOW
+    jaccard (union swamps it) but HIGH containment — the jaccard
+    incremental admit filter passes it, the containment incremental
+    flags it."""
+    from sales_data_etl_pipeline_spark.operators import dedup
+
+    words = [f"w{i}" for i in range(200)]
+    base = spark.createDataFrame(
+        [
+            Row(doc_id=1, text=" ".join(words)),
+            Row(doc_id=2, text=" ".join(f"x{i}" for i in range(50))),
+        ]
+    )
+    # incoming: a 20-word excerpt of base doc 1 (10% of its shingles)
+    incoming = spark.createDataFrame(
+        [Row(doc_id=100, text=" ".join(words[40:60]))]
+    )
+    jac = dedup.minhash_lsh_incremental(
+        base, incoming, threshold=0.5, verify="join"
+    ).collect()
+    con = dedup.containment_incremental(
+        base, incoming, threshold=0.9
+    ).collect()
+    assert jac == []  # jaccard ≈ 18/198 ≪ 0.5: admit filter passes it
+    assert len(con) == 1 and con[0].doc_id == 100 and con[0].base_id == 1
+    assert con[0].containment == 1.0  # every excerpt shingle is in base
