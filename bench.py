@@ -136,6 +136,8 @@ HEADLINE = [
     "source_partitioned_roundtrip",
     "source_orc_roundtrip",
     "dedup_incremental_containment",
+    "graph_pagerank",
+    "events_rfm_segmentation",
 ]
 
 

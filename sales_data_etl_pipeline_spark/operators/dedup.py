@@ -1214,3 +1214,70 @@ def containment_incremental(
         .filter(F.col("_rn") == 1)
         .select("doc_id", "base_id", "containment")
     )
+
+
+def pagerank(
+    pairs: DataFrame,
+    *,
+    iterations: int = 3,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Fixed-iteration PageRank over an undirected pair graph (e.g. the
+    near-dup candidate graph: a high-rank document is a hub quoted/
+    copied by many others — a centrality signal for representative
+    selection beyond plain max-score).
+
+    EXACT INTEGER arithmetic end-to-end so a SQL oracle reproduces every
+    rank bit-for-bit: ranks live in ppb (parts-per-billion, int64),
+    damping 0.85 is the integer pair (85, 100), and every division is
+    integer division applied in a pinned order —
+
+        r₀(v)    = 10⁹ / N
+        share(u) = r(u) / deg(u)                (per-edge, int div)
+        r'(v)    = 150_000_000 / N  +  (85 · Σ share) / 100
+
+    Each iteration is one shuffle (groupBy dst) against the cached edge
+    table; ``iterations`` is fixed (the analytics use-case wants a
+    centrality SCORE, not convergence detection — for components /
+    convergence, ``connected_components`` already exists with its
+    observe()-driven loop). At 100 TB the edge table partitions by dst
+    and the rank join is co-partitioned; no adjacency lists, no
+    collect. Output: (doc_id, rank_ppb) for every node in the graph.
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .unionByName(
+            pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    nodes = deg.select(F.col("src").alias("node"), "deg")
+    n_nodes = nodes.agg(F.count(F.lit(1)).alias("_n"))
+    ranks = nodes.crossJoin(F.broadcast(n_nodes)).select(
+        "node", "deg", "_n", F.expr("1000000000L div _n").alias("rank_ppb")
+    )
+    for _ in range(iterations):
+        shares = ranks.select(
+            F.col("node").alias("src"),
+            F.expr("rank_ppb div deg").alias("_share"),
+        )
+        incoming = (
+            edges.join(shares, "src")
+            .groupBy("dst")
+            .agg(F.sum("_share").alias("_in"))
+        )
+        ranks = (
+            ranks.join(incoming, ranks.node == incoming.dst, "left")
+            .select(
+                "node",
+                "deg",
+                "_n",
+                F.expr(
+                    "150000000L div _n + (85L * coalesce(_in, 0L)) div 100L"
+                ).alias("rank_ppb"),
+            )
+        )
+    return ranks.select(F.col("node").alias("doc_id"), "rank_ppb")

@@ -4047,3 +4047,142 @@ ORACLES["dedup_incremental_containment"] = """
     WHERE rn = 1 ORDER BY doc_id
 """.format(sh=_SHINGLES.replace("text", "b.text"),
            sh2=_SHINGLES.replace("text", "inc.text"))
+
+
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank centrality over the MinHash near-dup graph — a hub
+    document quoted/copied by many others outranks its copies, a
+    representative-selection signal beyond max-quality. Fixed 3
+    iterations in exact ppb integer arithmetic (pinned division
+    order), so the unrolled SQL oracle reproduces every rank."""
+    pairs = dedup.minhash_lsh_pairs(
+        _docs_with_near_dups(spark, sf_dir), threshold=0.5
+    )
+    return dedup.pagerank(pairs).orderBy("doc_id")
+
+
+QUERIES["graph_pagerank"] = graph_pagerank
+
+
+def _pagerank_oracle(iterations: int = 3) -> str:
+    pairs_body = ORACLES["dedup_minhash_lsh"]
+    ctes = [
+        f"p AS ({pairs_body})",
+        "e AS (SELECT id_a AS src, id_b AS dst FROM p"
+        " UNION SELECT id_b, id_a FROM p)",
+        "deg AS (SELECT src, COUNT(*) AS deg FROM e GROUP BY src)",
+        "nn AS (SELECT COUNT(*) AS n FROM deg)",
+        "r0 AS (SELECT d.src AS node, d.deg,"
+        " CAST(1000000000 // nn.n AS BIGINT) AS rank_ppb"
+        " FROM deg d CROSS JOIN nn)",
+    ]
+    for i in range(1, iterations + 1):
+        ctes.append(
+            f"s{i} AS (SELECT e.dst, SUM(r{i-1}.rank_ppb // r{i-1}.deg) AS t"
+            f" FROM e JOIN r{i-1} ON r{i-1}.node = e.src GROUP BY e.dst)"
+        )
+        ctes.append(
+            f"r{i} AS (SELECT d.src AS node, d.deg,"
+            f" CAST(150000000 // nn.n"
+            f" + (85 * COALESCE(s{i}.t, 0)) // 100 AS BIGINT) AS rank_ppb"
+            f" FROM deg d CROSS JOIN nn"
+            f" LEFT JOIN s{i} ON s{i}.dst = d.src)"
+        )
+    return (
+        "WITH " + ", ".join(ctes)
+        + f" SELECT node AS doc_id, rank_ppb FROM r{iterations}"
+        " ORDER BY doc_id"
+    )
+
+
+ORACLES["graph_pagerank"] = _pagerank_oracle()
+
+
+def events_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM user segmentation — the marketing-analytics rollup: per-user
+    recency (days since last event, vs the corpus max timestamp —
+    deterministic, no wall clock), frequency, and monetary value, each
+    cut into quintiles over a UNIQUE ordering (metric, user_id).
+    Quintile 1 = best (most recent / most frequent / highest spend).
+    Buckets come from ``rank.quantile_bucket`` — the range-partitioned
+    distributed rank, NOT a bare ``ntile() OVER (ORDER BY …)`` which
+    would collapse the user rollup onto one reducer; the events table
+    itself is touched once (one keyed aggregate)."""
+    from sales_data_etl_pipeline_spark.operators import rank as rank_ops
+
+    ev = _events(spark, sf_dir)
+    per_user = ev.groupBy("user_id").agg(
+        F.max("ts").alias("_last"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.floor(F.sum("value") * 100 + F.lit(0.5)).alias("monetary_c"),
+    )
+    ref = ev.agg(F.max("ts").alias("_ref"))
+    scored = per_user.crossJoin(F.broadcast(ref)).withColumn(
+        "recency_days", F.datediff(F.to_date("_ref"), F.to_date("_last"))
+    )
+    cut = rank_ops.quantile_bucket(
+        scored,
+        [F.asc("recency_days"), F.asc("user_id")],
+        n_buckets=5,
+        bucket_col="r_quintile",
+    )
+    cut = rank_ops.quantile_bucket(
+        cut,
+        [F.desc("frequency"), F.asc("user_id")],
+        n_buckets=5,
+        bucket_col="f_quintile",
+    )
+    cut = rank_ops.quantile_bucket(
+        cut,
+        [F.desc("monetary_c"), F.asc("user_id")],
+        n_buckets=5,
+        bucket_col="m_quintile",
+    )
+    return (
+        cut.select(
+            "user_id",
+            "recency_days",
+            "frequency",
+            "monetary_c",
+            "r_quintile",
+            "f_quintile",
+            "m_quintile",
+            (
+                F.col("r_quintile") * 100
+                + F.col("f_quintile") * 10
+                + F.col("m_quintile")
+            ).alias("rfm_code"),
+        )
+        .orderBy("user_id")
+    )
+
+
+QUERIES["events_rfm_segmentation"] = events_rfm_segmentation
+# quintile formula mirrors rank.quantile_bucket: (rk-1)*5 // n + 1 —
+# the append-stable div form, identical across engines
+ORACLES["events_rfm_segmentation"] = """
+    WITH pu AS (
+        SELECT user_id, MAX(ts) AS last_ts, COUNT(*) AS frequency,
+               CAST(floor(SUM(value) * 100 + 0.5) AS BIGINT) AS monetary_c
+        FROM events GROUP BY user_id),
+    ref AS (SELECT MAX(ts) AS ref_ts FROM events),
+    scored AS (
+        SELECT pu.*, CAST(date_diff('day', CAST(last_ts AS DATE),
+                         CAST(ref.ref_ts AS DATE)) AS INT) AS recency_days
+        FROM pu CROSS JOIN ref),
+    q AS (
+        SELECT *,
+               ROW_NUMBER() OVER (ORDER BY recency_days ASC, user_id) AS rr,
+               ROW_NUMBER() OVER (ORDER BY frequency DESC, user_id) AS fr,
+               ROW_NUMBER() OVER (ORDER BY monetary_c DESC, user_id) AS mr,
+               COUNT(*) OVER () AS n
+        FROM scored),
+    b AS (
+        SELECT user_id, recency_days, frequency, monetary_c,
+               CAST((rr - 1) * 5 // n + 1 AS BIGINT) AS r_quintile,
+               CAST((fr - 1) * 5 // n + 1 AS BIGINT) AS f_quintile,
+               CAST((mr - 1) * 5 // n + 1 AS BIGINT) AS m_quintile
+        FROM q)
+    SELECT *, r_quintile * 100 + f_quintile * 10 + m_quintile AS rfm_code
+    FROM b ORDER BY user_id
+"""

@@ -65,6 +65,8 @@ FUZZED = [
     "events_range_count",
     "events_sessionization",
     "events_asof_join",
+    # round-8: RFM quintiles on random streams
+    "events_rfm_segmentation",
     # round-7 star-schema/events additions
     "q11_important_parts",
     "q12_late_priority_split",
@@ -349,6 +351,7 @@ FUZZED_CORPUS = [
     "similarity_topk_pq",
     "similarity_topk_ivfpq",
     "dedup_incremental_containment",
+    "graph_pagerank",
 ]
 
 
