@@ -36,32 +36,39 @@ def entry(spark: SparkSession) -> DataFrame:
 # The driver verifies only the FIRST 50 queries() entries per round
 # (CORRECTNESS_r{N}.json). The round-8 window is DERIVED with
 # FINGERPRINTS ENABLED (the r7 ADVICE ask): tools/rotation_planner.py
-# --max-round 7 ranks (1) the 10 never-green round-8 additions,
-# (2) the 36 fingerprint-drift entries — everything whose dep closure
-# touches the round-8 edits to dedup.py (un-hinted sizes joins +
-# floor-composite rounding, banded containment), similarity.py
-# (kmeans dead-centroid mask, PQ/ADC), embeddings.py (pq_encode),
-# multimodal.py (dHash visual row order, pHash), and temporal.py
-# (session funnel) — then (3) 4 stalest-green slots, headed by
-# text_unigram_logprob (r4, the round-7 verdict's rotation head).
+# --max-round 7 --baseline entry_fingerprints_r07b.json ranks (1) the
+# 13 never-green round-8 additions, (2) the 36 fingerprint-drift
+# entries — everything whose dep closure touches the round-8 edits to
+# dedup.py (un-hinted sizes joins + floor-composite rounding, banded
+# containment, pagerank), similarity.py (kmeans dead-centroid mask,
+# PQ/ADC), embeddings.py (pq_encode), multimodal.py (dHash visual row
+# order, pHash), and temporal.py (session funnel) — then (3) the one
+# remaining stalest-green slot: text_unigram_logprob (r4, the round-7
+# verdict's rotation head).
 # The drift baseline is tools/entry_fingerprints_r07b.json: the r7
 # fingerprints REGENERATED at commit 2252b4c with the fixed analyzer
 # (function-local imports now reach dep sets — the r7 planner missed
 # multimodal.py edits through `from ... import multimodal` inside
-# entry bodies). The remaining r5-green entries past slot 50 are
-# code-unchanged since their green row (fingerprint-verified) and
-# fuzz-covered; they head the r9 stalest rotation.
+# entry bodies); the window artifact PINS that baseline
+# (inputs.fingerprint_baseline) so the replay test stays reproducible
+# after the round-close entry_fingerprints_r08.json lands. The
+# remaining r5-green entries past slot 50 are code-unchanged since
+# their green row (fingerprint-verified) and fuzz-covered; they head
+# the r9 stalest rotation.
 # tools/verify_window.json records the planner inputs + full
 # ordering; tests/test_verify_window.py asserts this list equals its
 # first 50 names AND that replanning from the recorded inputs
 # reproduces the artifact.
 _VERIFY_FIRST = [
     # never-green (new entries: must not ship unverified)
+    "dedup_incremental_containment",
     "dedup_incremental_join",
     "dedup_minhash_containment",
     "embedding_pq_encode",
+    "events_rfm_segmentation",
     "events_salted_join",
     "events_session_funnel",
+    "graph_pagerank",
     "multimodal_phash",
     "similarity_topk_ivfpq",
     "similarity_topk_pq",
@@ -106,9 +113,6 @@ _VERIFY_FIRST = [
     "multimodal_dhash",
     # stalest-green rotation
     "text_unigram_logprob",
-    "average_ticket_by_product",
-    "clean_fuzzy_supplier_match",
-    "corpus_chunk_documents",
 ]
 
 

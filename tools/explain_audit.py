@@ -48,6 +48,8 @@ CARTESIAN_OK = {
     # touched only through the (block, code) hash join)
     "similarity_topk_pq",
     "similarity_topk_ivfpq",
+    # 1-row node-count broadcast (the N in rank_ppb = 10⁹/N)
+    "graph_pagerank",
 }
 
 
