@@ -175,19 +175,49 @@ def _shingle_ids(sh: DataFrame) -> DataFrame:
     return sh.select("doc_id", F.expr(hash_id_expr("sh", MINHASH_P)).alias("sid"))
 
 
+def _minhash_aggs(num_hashes: int) -> list[Column]:
+    """The K per-doc min-hash aggregates: h_k(sid) = ((2k+1)·sid +
+    (3k+7)) mod P over a column named ``sid`` — shared by every
+    MinHash operator so the mixer family is defined exactly once."""
+    return [
+        F.min(
+            F.expr(f"pmod(({2 * k + 1}) * sid + ({3 * k + 7}), {MINHASH_P})")
+        ).alias(f"_mh{k}")
+        for k in range(num_hashes)
+    ]
+
+
+def _band_signatures_df(
+    per_doc: DataFrame, num_hashes: int, bands: int
+) -> DataFrame:
+    """Wide _mh0.._mh{K-1} columns → exploded (doc_id, band, sig) keys:
+    K hashes split into ``bands`` contiguous bands; a band's signature
+    is its rows comma-joined. Shared banding for pairs / incremental /
+    containment so bucket keys are byte-identical across operators."""
+    rows = num_hashes // bands
+    structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.concat_ws(
+                ",", *[F.col(f"_mh{b * rows + r}") for r in range(rows)]
+            ).alias("sig"),
+        )
+        for b in range(bands)
+    ]
+    return per_doc.select(
+        "doc_id", F.explode(F.array(*structs)).alias("bs")
+    ).select(
+        "doc_id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig")
+    )
+
+
 def _minhash_wide(ids: DataFrame, num_hashes: int) -> DataFrame:
     """(doc_id, sid) → one row per doc with columns _mh0.._mh{K-1}.
 
     K min-aggregates in ONE groupBy — no (doc, k) explode: the shuffle
     carries |docs| rows of K longs instead of |shingles|·K rows.
     """
-    aggs = [
-        F.min(
-            F.expr(f"pmod(({2 * k + 1}) * sid + ({3 * k + 7}), {MINHASH_P})")
-        ).alias(f"_mh{k}")
-        for k in range(num_hashes)
-    ]
-    return ids.groupBy("doc_id").agg(*aggs)
+    return ids.groupBy("doc_id").agg(*_minhash_aggs(num_hashes))
 
 
 def minhash_signatures(
@@ -246,7 +276,6 @@ def minhash_lsh_pairs(
     """
     if verify not in ("sets", "join"):
         raise ValueError(f"verify must be 'sets' or 'join', got {verify!r}")
-    rows = num_hashes // bands
     # ONE groupBy(doc_id) computes everything per-doc downstream work
     # needs: the K min-hashes, the distinct-shingle count, and the
     # shingle set itself. The 2M-row exploded shingle table is shuffled
@@ -263,30 +292,13 @@ def minhash_lsh_pairs(
     ids = sh.select(
         "doc_id", "sh", F.expr(hash_id_expr("sh", MINHASH_P)).alias("sid")
     )
-    mh_aggs = [
-        F.min(
-            F.expr(f"pmod(({2 * k + 1}) * sid + ({3 * k + 7}), {MINHASH_P})")
-        ).alias(f"_mh{k}")
-        for k in range(num_hashes)
-    ]
-    per_doc_aggs = [*mh_aggs, F.count(F.lit(1)).alias("sz")]
+    per_doc_aggs = [*_minhash_aggs(num_hashes), F.count(F.lit(1)).alias("sz")]
     if verify == "sets":
         per_doc_aggs.append(F.collect_list("sh").alias("_shset"))
     per_doc = (
         ids.groupBy("doc_id").agg(*per_doc_aggs).localCheckpoint(eager=False)
     )
-    band_structs = [
-        F.struct(
-            F.lit(b).alias("band"),
-            F.concat_ws(
-                ",", *[F.col(f"_mh{b * rows + r}") for r in range(rows)]
-            ).alias("sig"),
-        )
-        for b in range(bands)
-    ]
-    band_sig = per_doc.select(
-        "doc_id", F.explode(F.array(*band_structs)).alias("bs")
-    ).select("doc_id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
+    band_sig = _band_signatures_df(per_doc, num_hashes, bands)
     a, b = band_sig.alias("a"), band_sig.alias("b")
     candidates = (
         a.join(
@@ -846,7 +858,6 @@ def minhash_lsh_incremental(
     """
     if verify not in ("sets", "join"):
         raise ValueError(f"verify must be 'sets' or 'join', got {verify!r}")
-    rows = num_hashes // bands
     sh_base = shingle_sets(base, text_col, n)
     sh_inc = shingle_sets(incoming, text_col, n)
 
@@ -854,34 +865,13 @@ def minhash_lsh_incremental(
         ids = sh.select(
             "doc_id", "sh", F.expr(hash_id_expr("sh", MINHASH_P)).alias("sid")
         )
-        aggs = [
-            F.min(
-                F.expr(f"pmod(({2 * k + 1}) * sid + ({3 * k + 7}), {MINHASH_P})")
-            ).alias(f"_mh{k}")
-            for k in range(num_hashes)
-        ]
-        aggs.append(F.count(F.lit(1)).alias("sz"))
+        aggs = [*_minhash_aggs(num_hashes), F.count(F.lit(1)).alias("sz")]
         if verify == "sets":
             aggs.append(F.collect_list("sh").alias("_shset"))
         return ids.groupBy("doc_id").agg(*aggs)
 
     def band_sig(pd: DataFrame) -> DataFrame:
-        structs = [
-            F.struct(
-                F.lit(b).alias("band"),
-                F.concat_ws(
-                    ",", *[F.col(f"_mh{b * rows + r}") for r in range(rows)]
-                ).alias("sig"),
-            )
-            for b in range(bands)
-        ]
-        return pd.select(
-            "doc_id", F.explode(F.array(*structs)).alias("bs")
-        ).select(
-            "doc_id",
-            F.col("bs.band").alias("band"),
-            F.col("bs.sig").alias("sig"),
-        )
+        return _band_signatures_df(pd, num_hashes, bands)
 
     base_pd = per_doc(sh_base).localCheckpoint(eager=False)
     inc_pd = per_doc(sh_inc).localCheckpoint(eager=False)
@@ -1080,7 +1070,6 @@ def minhash_containment_pairs(
     per-row width is O(1) regardless of document size — the 100 TB
     setting.
     """
-    rows = num_hashes // bands
     sh = shingle_sets(df, text_col, n)
     if max_shingle_df is not None:
         sh = _drop_hot_shingles(sh, max_shingle_df)
@@ -1090,27 +1079,10 @@ def minhash_containment_pairs(
     ids = sh.select(
         "doc_id", F.expr(hash_id_expr("sh", MINHASH_P)).alias("sid")
     )
-    mh_aggs = [
-        F.min(
-            F.expr(f"pmod(({2 * k + 1}) * sid + ({3 * k + 7}), {MINHASH_P})")
-        ).alias(f"_mh{k}")
-        for k in range(num_hashes)
-    ]
     per_doc = ids.groupBy("doc_id").agg(
-        *mh_aggs, F.count(F.lit(1)).alias("sz")
+        *_minhash_aggs(num_hashes), F.count(F.lit(1)).alias("sz")
     )
-    band_structs = [
-        F.struct(
-            F.lit(b).alias("band"),
-            F.concat_ws(
-                ",", *[F.col(f"_mh{b * rows + r}") for r in range(rows)]
-            ).alias("sig"),
-        )
-        for b in range(bands)
-    ]
-    band_sig = per_doc.select(
-        "doc_id", F.explode(F.array(*band_structs)).alias("bs")
-    ).select("doc_id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
+    band_sig = _band_signatures_df(per_doc, num_hashes, bands)
     a, b = band_sig.alias("a"), band_sig.alias("b")
     candidates = (
         a.join(
