@@ -351,3 +351,26 @@ def test_incremental_containment_catches_excerpt_jaccard_misses(spark):
     assert jac == []  # jaccard ≈ 18/198 ≪ 0.5: admit filter passes it
     assert len(con) == 1 and con[0].doc_id == 100 and con[0].base_id == 1
     assert con[0].containment == 1.0  # every excerpt shingle is in base
+
+
+def test_pagerank_conservation_and_centrality(spark):
+    """Integer PageRank invariants: total mass stays ~10⁹ ppb (integer
+    division loses < 1 ppb per edge/node per iteration), and the hub of
+    a star graph outranks every leaf."""
+    from sales_data_etl_pipeline_spark.operators import dedup
+
+    pairs = spark.createDataFrame(
+        [Row(id_a=0, id_b=i) for i in range(1, 9)]  # star: 0 is the hub
+        + [Row(id_a=10, id_b=11)]  # plus a detached pair
+    )
+    got = {r.doc_id: r.rank_ppb for r in dedup.pagerank(pairs).collect()}
+    assert set(got) == {0, *range(1, 9), 10, 11}
+    total = sum(got.values())
+    n, iters, edges = 11, 3, 18  # directed edge count after mirroring
+    slack = iters * (edges + 100 * n) + n
+    assert 1_000_000_000 - slack <= total <= 1_000_000_000
+    hub = got[0]
+    assert all(hub > got[i] for i in range(1, 9))
+    # symmetric leaves tie exactly (deterministic integer arithmetic)
+    assert len({got[i] for i in range(1, 9)}) == 1
+    assert got[10] == got[11]
