@@ -704,19 +704,25 @@ def pq_adc_topk(
         )
         .select(query_id_col, "code", F.col("bd.m").alias("m"), F.col("bd.d2p").alias("d2p"))
     )
+    # NO broadcast hint on the LUT join: the LUT is |Q|·K·M rows —
+    # bounded in deployment (K≈256 codewords, batched queries) where
+    # AQE will pick broadcast on its own, but a FORCED broadcast fails
+    # outright when a fixture or caller scales |Q|·K (measured: the
+    # 100× soak's 540M-row LUT). Un-hinted, the plan degrades to a
+    # shuffle hash join on the (block, code) key.
     if candidates is not None:
         cand = candidates.select(
             query_id_col, F.col(id_col).alias("_vid")
         )
         scored = (
             code_rows.join(cand, "_vid")
-            .join(F.broadcast(lut), [query_id_col, "m", "code"])
+            .join(lut, [query_id_col, "m", "code"])
             .groupBy(query_id_col, "_vid")
             .agg(F.sum("d2p").alias("d2_adc"))
         )
     else:
         scored = (
-            code_rows.join(F.broadcast(lut), ["m", "code"])
+            code_rows.join(lut, ["m", "code"])
             .groupBy(query_id_col, "_vid")
             .agg(F.sum("d2p").alias("d2_adc"))
         )

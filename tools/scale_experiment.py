@@ -108,6 +108,16 @@ SOAK_QUERIES = (
     "dedup_incremental",
     "text_dup_span_stats",
     "similarity_topk_lsh",
+    # round-8 additions: banded containment + bounded-memory incremental.
+    # The PQ/ADC gates are deliberately NOT soaked: their fixtures tie
+    # codebook size (vec_id % 50) and query count (vec_id % 37) to the
+    # corpus, so a 100× replica scales K and |Q| 100× too and the soak
+    # would measure that fixture quadratic, not the operator (deployed
+    # PQ pins K≈256 and batches queries; per-query cost is O(N) codes
+    # for flat ADC and the probed fraction under IVF — the 10× run
+    # already covers both at fixture scale).
+    "dedup_minhash_containment",
+    "dedup_incremental_join",
 )
 #: only the corpus tables the soak queries scan get replicated
 SOAK_TABLES = {"documents": ("doc_id", 1_000_000), "embeddings": ("vec_id", 1_000_000)}
