@@ -505,12 +505,18 @@ def oracle_sql() -> dict[str, str]:
         "sales_by_employee": sales_by_employee,
         "sales_by_employee_sql": sales_by_employee,
         "sales_rollup": f"""
+            -- HAVING count>0: on EMPTY input DuckDB (per the SQL
+            -- standard) still emits the () grand-total grouping-set row
+            -- while Spark emits nothing; the guard is vacuous on any
+            -- non-empty input (every rollup group aggregates >= 1 row)
+            -- and aligns the engines on the empty-partition edge
             SELECT COALESCE(p.p_brand, 'ALL') AS brand,
                    COALESCE(p.p_type, 'ALL') AS tipo,
                    ROUND(SUM({revenue}), 2) AS revenue
             FROM lineitem l
             JOIN part p ON l.l_partkey = p.p_partkey
             GROUP BY ROLLUP (p.p_brand, p.p_type)
+            HAVING COUNT(*) > 0
             ORDER BY brand, tipo
         """,
         "sales_pivot": """

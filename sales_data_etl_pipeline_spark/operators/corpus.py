@@ -169,6 +169,13 @@ def shard_by_token_budget(
     totals = dict(
         d.groupBy("_pid").agg(F.sum(tokens_col).alias("_t")).collect()
     )
+    if not totals:
+        # empty input (an empty daily partition is routine at scale):
+        # a zero-arg create_map() is MAP<void,void> and indexing it is
+        # an analysis error — the schema-correct empty result instead
+        return d.withColumn(
+            shard_col, F.lit(0).cast("long")
+        ).drop("_pid")
     offsets, acc = {}, 0
     for pid in sorted(totals):
         offsets[pid] = acc

@@ -205,8 +205,13 @@ def pq_encode(
     C_raw = [
         (cid, v) for cid, v in C_raw if np.isfinite(v).all()
     ]
+    out_schema = f"{id_col} long, codes string, d2_total long"
     if not C_raw:
-        raise ValueError("pq_encode: codebook has no finite entries")
+        # empty (or all-non-finite) codebook: no code is definable —
+        # return the schema-correct EMPTY result, matching the oracle,
+        # whose finite-filtered codebook CTE yields zero rows (an empty
+        # partition is routine at scale, not an error)
+        return corpus.sparkSession.createDataFrame([], out_schema)
     c_ids = np.array([cid for cid, _ in C_raw], dtype=np.int64)
     C = np.clip(
         np.floor(np.stack([v for _, v in C_raw]) * PQ_SCALE + 0.5),
@@ -250,6 +255,4 @@ def pq_encode(
                 }
             )
 
-    return corpus.select(id_col, vec_col).mapInPandas(
-        encode, f"{id_col} long, codes string, d2_total long"
-    )
+    return corpus.select(id_col, vec_col).mapInPandas(encode, out_schema)

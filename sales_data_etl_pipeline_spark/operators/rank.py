@@ -46,6 +46,12 @@ def distributed_row_number(
         .localCheckpoint(eager=False)
     )
     counts = dict(d.groupBy("_pid").count().collect())
+    if not counts:
+        # empty input (an empty daily partition is routine at scale):
+        # a zero-arg create_map() is MAP<void,void> and indexing it is a
+        # DATATYPE_MISMATCH analysis error — short-circuit with the
+        # schema-correct empty result instead
+        return d.withColumn(rank_col, F.lit(0).cast("long")).drop("_pid"), 0
     offsets: dict[int, int] = {}
     acc = 0
     for pid in sorted(counts):

@@ -129,6 +129,12 @@ def _pandas_scored(
     import pandas as pd
 
     q_rows = queries.select(id_col, vec_col).collect()
+    out_schema = f"{id_col} long, {query_id_col} long, cosine double"
+    if not q_rows:
+        # empty query table (an empty partition is routine at scale):
+        # the (0,)-shaped query matrix breaks every axis-1 op below —
+        # the correct result is simply no ranks
+        return corpus.sparkSession.createDataFrame([], out_schema)
     q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
     Q = np.array([r[1] for r in q_rows], dtype=np.float64)
     # non-finite (NaN/Inf) vectors are DEAD like zero-norm ones: a
@@ -139,7 +145,6 @@ def _pandas_scored(
     Qn = np.divide(Q, q_norm, out=np.zeros_like(Q), where=q_norm > 0)
     dead_q = (q_norm == 0).ravel()  # zero-norm/non-finite: no neighbors
     n_q = len(q_ids)
-    out_schema = f"{id_col} long, {query_id_col} long, cosine double"
 
     def score(batches):
         run_s = np.full((k, n_q), -np.inf)
@@ -211,6 +216,12 @@ def assign_ivf_buckets(
         else centroids.select(id_col, vec_col).collect(),
         key=lambda r: r[0],
     )
+    out_schema = (
+        f"{id_col} long, {vec_col} array<float>, {centroid_id_col} long"
+    )
+    if not c_rows:
+        # no centroids → no assignment is definable; empty result
+        return corpus.sparkSession.createDataFrame([], out_schema)
     c_ids = np.array([r[0] for r in c_rows], dtype=np.int64)
     C = np.array([r[1] for r in c_rows], dtype=np.float64)
     Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
@@ -236,10 +247,7 @@ def assign_ivf_buckets(
                 }
             )
 
-    return corpus.select(id_col, vec_col).mapInPandas(
-        assign,
-        f"{id_col} long, {vec_col} array<float>, {centroid_id_col} long",
-    )
+    return corpus.select(id_col, vec_col).mapInPandas(assign, out_schema)
 
 
 def cosine_topk_ivf(
@@ -274,6 +282,13 @@ def cosine_topk_ivf(
 
     c_rows = sorted(centroids.select(id_col, vec_col).collect(), key=lambda r: r[0])
     q_rows = sorted(queries.select(id_col, vec_col).collect(), key=lambda r: r[0])
+    if not c_rows or not q_rows:
+        # no centroids → no probe lists; no queries → no ranks (empty
+        # partitions are routine at scale, not an error)
+        return corpus.sparkSession.createDataFrame(
+            [], f"{query_id_col} long, neighbor_id long, cosine double,"
+            " rank int"
+        )
     c_ids = np.array([r[0] for r in c_rows], dtype=np.int64)
     q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
     C = np.array([r[1] for r in c_rows], dtype=np.float64)
@@ -549,6 +564,10 @@ def kmeans_assign(
         centroids.select(centroid_id_col, vec_col).collect(),
         key=lambda r: r[0],
     )
+    out_schema = f"{id_col} long, {centroid_id_col} long, cosine_q6 long"
+    if not c_rows:
+        # no centroids → no assignment (empty partition, not an error)
+        return corpus.sparkSession.createDataFrame([], out_schema)
     c_ids = np.array([r[0] for r in c_rows], dtype=np.int64)
     C = np.array([r[1] for r in c_rows], dtype=np.float64)
     C[~np.isfinite(C).all(axis=1)] = 0.0  # dead, like zero-norm
@@ -591,9 +610,7 @@ def kmeans_assign(
                 }
             )
 
-    return corpus.select(id_col, vec_col).mapInPandas(
-        assign, f"{id_col} long, {centroid_id_col} long, cosine_q6 long"
-    )
+    return corpus.select(id_col, vec_col).mapInPandas(assign, out_schema)
 
 
 #: Integer PQ grid expression (Spark SQL): quantize a float vector onto

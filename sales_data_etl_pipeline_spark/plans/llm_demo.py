@@ -3797,7 +3797,10 @@ def source_partitioned_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         tempfile.gettempdir(), f"part_gate_{tag}", "events"
     )
     pq_src.write_parquet(ev, path, partition_by=["event_type"])
-    back = pq_src.read_parquet(spark, path)
+    # explicit schema (repo rule: no inference anywhere) — also the
+    # empty-input path: a zero-row partitioned write leaves no footers
+    # to infer from, and the read must still succeed with zero rows
+    back = spark.read.schema(ev.schema).parquet(path)
     return (
         back.filter(F.col("event_type").isin("view", "purchase"))
         .groupBy("event_type")

@@ -502,3 +502,41 @@ def test_every_gated_entry_is_fuzzed_or_excluded():
     assert not uncovered, sorted(uncovered)
     stale = (EXCLUDED & fuzzed) | (EXCLUDED - qs)
     assert not stale, sorted(stale)
+
+
+def test_all_fuzzed_entries_agree_on_empty_tables(spark, tmp_path):
+    """Empty-partition parity (round-8 probe made permanent): every
+    fuzz-covered entry must run — not crash — and agree with its oracle
+    when EVERY input table has zero rows. An empty daily partition is
+    routine at 100 TB; this pinned three real crash classes (zero-arg
+    create_map() in the distributed prefix-sum/rank offsets, (0,)-shaped
+    driver matrices in the ANN kernels, schema inference on a zero-file
+    partitioned read) and one semantic divergence (Spark emits no
+    ROLLUP grand-total row on empty input; DuckDB does)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    outdir = str(tmp_path / "empty")
+    os.makedirs(outdir)
+    for t in TABLES:
+        src = f"/root/testdata/sf0.001/{t}.parquet"
+        pq.write_table(pq.read_table(src).slice(0, 0), f"{outdir}/{t}.parquet")
+    qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{outdir}/{t}.parquet')"
+        )
+    diverged = []
+    for name in FUZZED + FUZZED_CORPUS + FUZZED_MORE:
+        try:
+            got = _canon(qs[name](spark, outdir).toPandas())
+            want = _canon(con.execute(oracles[name]).fetchdf())
+        except Exception as e:  # noqa: BLE001 — collect, assert below
+            diverged.append((name, f"ERROR {str(e)[:100]}"))
+            continue
+        if got != want:
+            diverged.append((name, f"{len(got)} vs {len(want)} rows"))
+    assert not diverged, diverged

@@ -265,17 +265,20 @@ def test_pq_encode_exact_integer_reference(spark):
     assert got[4][0] == "10,10"
 
 
-def test_pq_encode_rejects_all_dead_codebook(spark):
+def test_pq_encode_all_dead_codebook_yields_empty(spark):
+    """An all-non-finite (or empty) codebook defines no codes: the
+    result is the schema-correct EMPTY frame — matching the oracle,
+    whose finite-filtered codebook CTE yields zero rows — not an
+    exception (empty partitions are routine at scale)."""
     from sales_data_etl_pipeline_spark.operators import embeddings as E
 
     corpus = spark.createDataFrame([Row(vec_id=1, embedding=[0.5] * 8)])
     codebook = spark.createDataFrame(
         [Row(centroid_id=1, embedding=[float("inf")] * 8)]
     )
-    import pytest as _pytest
-
-    with _pytest.raises(ValueError, match="no finite entries"):
-        E.pq_encode(corpus, codebook, n_blocks=2)
+    out = E.pq_encode(corpus, codebook, n_blocks=2)
+    assert out.columns == ["vec_id", "codes", "d2_total"]
+    assert out.collect() == []
 
 
 def test_partitioned_roundtrip_scan_is_partition_pruned(spark):
