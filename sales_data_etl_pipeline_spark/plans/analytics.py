@@ -1338,9 +1338,19 @@ def td_stats_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     are order-free doubles at this precision."""
     li = load_testdata(spark, sf_dir, ("lineitem",))["lineitem"]
     r4 = lambda c: F.floor(c * 10000 + F.lit(0.5)) / 10000  # noqa: E731
+
+    def corr(x: str, y: str):
+        # covar_pop/(σx·σy) ≡ Pearson r, but NULL-safe on constant
+        # columns: builtin corr() DIVIDE_BY_ZEROs under ANSI when a
+        # variance is 0, while DuckDB's corr returns NULL — try_divide
+        # aligns the engines (var_pop is exactly 0.0 on constants)
+        return F.try_divide(
+            F.covar_pop(x, y), F.sqrt(F.var_pop(x)) * F.sqrt(F.var_pop(y))
+        )
+
     return li.agg(
-        r4(F.corr("l_quantity", "l_extendedprice")).alias("corr_qty_price"),
-        r4(F.corr("l_extendedprice", "l_discount")).alias("corr_price_disc"),
-        r4(F.corr("l_quantity", "l_discount")).alias("corr_qty_disc"),
+        r4(corr("l_quantity", "l_extendedprice")).alias("corr_qty_price"),
+        r4(corr("l_extendedprice", "l_discount")).alias("corr_price_disc"),
+        r4(corr("l_quantity", "l_discount")).alias("corr_qty_disc"),
         F.count(F.lit(1)).alias("n_rows"),
     )

@@ -540,3 +540,55 @@ def test_all_fuzzed_entries_agree_on_empty_tables(spark, tmp_path):
         if got != want:
             diverged.append((name, f"{len(got)} vs {len(want)} rows"))
     assert not diverged, diverged
+
+
+def test_all_fuzzed_entries_agree_on_identical_rows(spark, tmp_path):
+    """Mass-tie parity (round-8 probe made permanent): 50 copies of one
+    row per table (keys re-sequenced where the schema has one) stress
+    every tie-break, hot-key path, and zero-variance aggregate. Pinned
+    a real crash: builtin corr() DIVIDE_BY_ZEROs under ANSI on constant
+    columns while DuckDB returns NULL."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    keycols = {
+        "documents": "doc_id",
+        "embeddings": "vec_id",
+        "events": "event_id",
+        "orders": "o_orderkey",
+        "customer": "c_custkey",
+        "supplier": "s_suppkey",
+        "part": "p_partkey",
+    }
+    outdir = str(tmp_path / "same")
+    os.makedirs(outdir)
+    for t in TABLES:
+        df = (
+            pq.read_table(f"/root/testdata/sf0.001/{t}.parquet")
+            .slice(0, 1)
+            .to_pandas()
+        )
+        rep = pd.concat([df] * 50, ignore_index=True)
+        kc = keycols.get(t)
+        if kc:
+            rep[kc] = range(1, 51)
+        rep.to_parquet(f"{outdir}/{t}.parquet", index=False)
+    qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{outdir}/{t}.parquet')"
+        )
+    diverged = []
+    for name in FUZZED + FUZZED_CORPUS + FUZZED_MORE:
+        try:
+            got = _canon(qs[name](spark, outdir).toPandas())
+            want = _canon(con.execute(oracles[name]).fetchdf())
+        except Exception as e:  # noqa: BLE001 — collect, assert below
+            diverged.append((name, f"ERROR {str(e)[:100]}"))
+            continue
+        if got != want:
+            diverged.append((name, f"{len(got)} vs {len(want)} rows"))
+    assert not diverged, diverged
