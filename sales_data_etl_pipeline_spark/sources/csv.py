@@ -112,6 +112,12 @@ def read_csv_rfc(
         spark.read.option("header", True)
         .option("escape", '"')
         .option("multiLine", True)
+        # the sink always writes '\n' row separators, so pin lineSep on
+        # the read-back: without it the multiLine parser NORMALIZES
+        # \r\n → \n inside quoted fields and a carriage return in field
+        # content is silently lost (probe-found, one char per \r).
+        # Foreign CRLF-delimited files go through read_csv, not here.
+        .option("lineSep", "\n")
     )
     if corrupt_col is not None:
         schema = T.StructType(

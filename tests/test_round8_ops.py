@@ -377,3 +377,31 @@ def test_pagerank_conservation_and_centrality(spark):
     # symmetric leaves tie exactly (deterministic integer arithmetic)
     assert len({got[i] for i in range(1, 9)}) == 1
     assert got[10] == got[11]
+
+
+def test_csv_rfc_roundtrip_preserves_carriage_returns(spark, tmp_path):
+    """A \\r\\n (or bare \\r) inside a quoted field must survive the
+    sink→source round trip byte-for-byte: without lineSep pinned on the
+    read-back, the multiLine parser normalizes \\r\\n → \\n and one
+    character per carriage return is silently lost (probe-found)."""
+    from pyspark.sql import types as T
+
+    from sales_data_etl_pipeline_spark.sources import csv as csv_src
+
+    rows = [
+        Row(id=1, text="a\r\nb"),
+        Row(id=2, text="c\rd"),
+        Row(id=3, text="e\nf"),
+        Row(id=4, text='quo"te;and,sep'),
+    ]
+    df = spark.createDataFrame(rows)
+    path = str(tmp_path / "crlf")
+    csv_src.write_csv_rfc(df, path)
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    back = {r.id: r.text for r in csv_src.read_csv_rfc(spark, path, schema).collect()}
+    assert back == {r.id: r.text for r in rows}
