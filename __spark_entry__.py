@@ -36,25 +36,25 @@ def entry(spark: SparkSession) -> DataFrame:
 # The driver verifies only the FIRST 50 queries() entries per round
 # (CORRECTNESS_r{N}.json). The round-8 window is DERIVED with
 # FINGERPRINTS ENABLED (the r7 ADVICE ask): tools/rotation_planner.py
-# --max-round 7 --baseline entry_fingerprints_r07b.json ranks (1) the
-# 13 never-green round-8 additions, (2) the 36 fingerprint-drift
-# entries — everything whose dep closure touches the round-8 edits to
-# dedup.py (un-hinted sizes joins + floor-composite rounding, banded
+# --max-round 7 --baseline entry_fingerprints_r07b.json
+# --force-changed text_unigram_logprob ranks (1) text_unigram_logprob
+# (r4 — the round-7 verdict's explicit rotation head, forced because
+# round-8's drift set alone overflows the window), (2) the 13
+# never-green round-8 additions, then (3) fingerprint-drift entries —
+# everything whose dep closure touches the round-8 edits to dedup.py
+# (un-hinted sizes joins + floor-composite rounding, banded/incremental
 # containment, pagerank), similarity.py (kmeans dead-centroid mask,
-# PQ/ADC), embeddings.py (pq_encode), multimodal.py (dHash visual row
-# order, pHash), and temporal.py (session funnel) — then (3) the one
-# remaining stalest-green slot: text_unigram_logprob (r4, the round-7
-# verdict's rotation head).
+# PQ/ADC, empty-input guards), embeddings.py (pq_encode), rank.py /
+# corpus.py (empty-offsets guards), multimodal.py (visual row order,
+# pHash), temporal.py (session funnel), and sources/csv.py (CR-
+# preserving round trip) — stalest green round first; the drift tail
+# past slot 50 (r7-green entries incl. stats_correlation and
+# source_csv_roundtrip) is fuzz-covered and heads the r9 rotation.
 # The drift baseline is tools/entry_fingerprints_r07b.json: the r7
 # fingerprints REGENERATED at commit 2252b4c with the fixed analyzer
-# (function-local imports now reach dep sets — the r7 planner missed
-# multimodal.py edits through `from ... import multimodal` inside
-# entry bodies); the window artifact PINS that baseline
-# (inputs.fingerprint_baseline) so the replay test stays reproducible
-# after the round-close entry_fingerprints_r08.json lands. The
-# remaining r5-green entries past slot 50 are code-unchanged since
-# their green row (fingerprint-verified) and fuzz-covered; they head
-# the r9 stalest rotation.
+# (function-local imports now reach dep sets); the window artifact
+# PINS that baseline (inputs.fingerprint_baseline) so the replay test
+# stays reproducible after entry_fingerprints_r08.json lands.
 # tools/verify_window.json records the planner inputs + full
 # ordering; tests/test_verify_window.py asserts this list equals its
 # first 50 names AND that replanning from the recorded inputs
@@ -75,6 +75,7 @@ _VERIFY_FIRST = [
     "source_orc_roundtrip",
     "source_partitioned_roundtrip",
     # changed since last green row
+    "text_unigram_logprob",
     "corpus_decontaminate",
     "corpus_temperature_mixture",
     "dedup_simhash",
@@ -82,8 +83,17 @@ _VERIFY_FIRST = [
     "events_asof_join_forward",
     "events_funnel",
     "events_range_count",
+    "events_user_value_deciles",
     "multimodal_decode",
+    "source_synthetic_stream",
+    "streaming_dedup",
+    "streaming_enriched_counts",
+    "streaming_session_counts",
+    "streaming_stream_join",
+    "streaming_user_totals",
+    "streaming_windowed_counts",
     "corpus_quality_resample",
+    "corpus_shuffle_deterministic",
     "dedup_embedding_cosine",
     "dedup_embedding_lsh",
     "embedding_knn_label",
@@ -102,17 +112,6 @@ _VERIFY_FIRST = [
     "corpus_token_shards",
     "dedup_cluster_representatives",
     "dedup_clusters",
-    "dedup_containment",
-    "dedup_exact",
-    "dedup_incremental",
-    "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
-    "embedding_kmeans_assign",
-    "embedding_normalize",
-    "embedding_quantize_int8",
-    "multimodal_dhash",
-    # stalest-green rotation
-    "text_unigram_logprob",
 ]
 
 
