@@ -405,3 +405,25 @@ def test_csv_rfc_roundtrip_preserves_carriage_returns(spark, tmp_path):
     )
     back = {r.id: r.text for r in csv_src.read_csv_rfc(spark, path, schema).collect()}
     assert back == {r.id: r.text for r in rows}
+
+
+def test_session_funnel_gap_boundary_is_inclusive(spark):
+    """An event EXACTLY gap_seconds after its predecessor stays in the
+    same session (the split predicate is strictly >); one second more
+    opens a new session. Pins the boundary both engines must share."""
+    from sales_data_etl_pipeline_spark.operators import temporal
+
+    rows = [
+        Row(event_id=1, user_id=1, event_type="view", ts="2024-01-01 10:00:00"),
+        # exactly 1800s later: SAME session → converts at click
+        Row(event_id=2, user_id=1, event_type="click", ts="2024-01-01 10:30:00"),
+        Row(event_id=3, user_id=2, event_type="view", ts="2024-01-01 10:00:00"),
+        # 1801s later: NEW session → step-1 never fires for user 2
+        Row(event_id=4, user_id=2, event_type="click", ts="2024-01-01 10:30:01"),
+    ]
+    ev = spark.createDataFrame(rows).withColumn("ts", F.to_timestamp("ts"))
+    got = {
+        r.step_idx: r.n_sessions
+        for r in temporal.session_funnel_counts(ev, ("view", "click")).collect()
+    }
+    assert got == {0: 2, 1: 1}
