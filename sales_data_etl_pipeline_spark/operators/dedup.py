@@ -722,13 +722,19 @@ def connected_components(
 
     Iterative min-label propagation (large-star/small-star style): each
     round every node adopts the smallest label among itself and its
-    neighbours; converges in O(log n) rounds for typical dedup graphs
-    (diameter is tiny — dup clusters are near-cliques). Each round is
-    ONE job — a shuffle on node id whose convergence count rides along
-    as an ``observe()`` metric, so the driver never runs a separate
-    action to decide termination. This is the pairs→clusters step real
-    dedup needs: survivors are one doc per component, not pair-wise
-    greedy drops.
+    neighbours, so labels cross ONE edge per round — convergence is
+    O(graph diameter) rounds (tiny for typical dedup graphs, whose dup
+    clusters are near-cliques). Each round is ONE job — a shuffle on
+    node id whose convergence count rides along as an ``observe()``
+    metric, so the driver never runs a separate action to decide
+    termination. This is the pairs→clusters step real dedup needs:
+    survivors are one doc per component, not pair-wise greedy drops.
+
+    If the graph has NOT converged after ``max_iterations`` rounds
+    (a chain of near-dups longer than the budget), this RAISES rather
+    than silently returning split components — a wrong-but-plausible
+    clustering is worse than an error the caller can retry with a
+    bigger budget.
     """
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
@@ -746,6 +752,7 @@ def connected_components(
         .distinct()
         .withColumn("component", F.col("node"))
     )
+    last_changed = 0
     for _ in range(max_iterations):
         neighbour_min = (
             edges.join(labels, edges.dst == labels.node)
@@ -778,8 +785,16 @@ def connected_components(
             .localCheckpoint(eager=True)  # cut lineage + run the observed job
         )
         labels = updated
-        if not obs.get["changed"]:
+        last_changed = obs.get["changed"]
+        if not last_changed:
             break
+    if last_changed:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iterations} "
+            f"iterations ({last_changed} labels still changing): the pair "
+            "graph's diameter exceeds the budget — retry with a larger "
+            "max_iterations (propagation crosses one edge per round)"
+        )
     return labels.select(F.col("node").alias("doc_id"), "component")
 
 
@@ -1251,5 +1266,11 @@ def pagerank(
                     "150000000L div _n + (85L * coalesce(_in, 0L)) div 100L"
                 ).alias("rank_ppb"),
             )
+            # ranks is referenced TWICE next iteration (shares + the
+            # left join), so without this cut the unresolved plan
+            # doubles per loop — fine at 3 iterations, pathological at
+            # 30. Lazy checkpoint: no extra job, just a lineage truncation
+            # point materialized by the next action.
+            .localCheckpoint(eager=False)
         )
     return ranks.select(F.col("node").alias("doc_id"), "rank_ppb")

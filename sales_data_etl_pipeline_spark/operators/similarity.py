@@ -634,7 +634,7 @@ def pq_adc_topk(
     *,
     k: int = 5,
     n_blocks: int = 4,
-    dim: int = 64,
+    dim: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
@@ -675,6 +675,36 @@ def pq_adc_topk(
     from sales_data_etl_pipeline_spark.operators.dedup import FINITE_VEC
     from sales_data_etl_pipeline_spark.operators.embeddings import pq_encode
 
+    # Derive the true dimension FROM the codebook (one tiny action — a
+    # codebook is small by definition; pq_encode collects it outright).
+    # Trusting a caller-supplied dim is silently wrong: slice() past the
+    # array end yields EMPTY blocks whose distance sums to 0, while
+    # pq_encode blocks on the real dim — mismatched LUTs, wrong ranks,
+    # no error. A supplied dim is now only a cross-check.
+    span = (
+        codebook.filter(F.expr(FINITE_VEC.format(v=vec_col)))
+        .agg(
+            F.min(F.size(vec_col)).alias("lo"),
+            F.max(F.size(vec_col)).alias("hi"),
+        )
+        .first()
+    )
+    if span["lo"] is None:
+        # empty / all-non-finite codebook: no code is definable —
+        # pq_encode returns the empty code table, so the composed plan
+        # yields the schema-correct empty result for ANY dim
+        dim = n_blocks
+    else:
+        if span["lo"] != span["hi"]:
+            raise ValueError(
+                f"pq_adc_topk: ragged codebook dims {span['lo']}..{span['hi']}"
+            )
+        if dim is not None and dim != span["lo"]:
+            raise ValueError(
+                f"pq_adc_topk: dim={dim} but codebook vectors are "
+                f"{span['lo']}-dimensional"
+            )
+        dim = int(span["lo"])
     if dim % n_blocks:
         raise ValueError(f"dim {dim} not divisible by n_blocks {n_blocks}")
     bs = dim // n_blocks
@@ -692,7 +722,22 @@ def pq_adc_topk(
     ).select("_vid", "m", F.col("_c").cast("long").alias("code"))
     q_grid = queries.filter(F.expr(FINITE_VEC.format(v=vec_col))).select(
         F.col(id_col).alias(query_id_col),
-        F.expr(_PQ_GRID.format(v=vec_col)).alias("_qv"),
+        # a wrong-dim query would score every corpus vector at 0 via
+        # empty slices — error loudly instead (executor-side guard)
+        F.when(
+            F.size(vec_col) == F.lit(dim),
+            F.expr(_PQ_GRID.format(v=vec_col)),
+        )
+        .otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit("pq_adc_topk: query vector dim "),
+                    F.size(vec_col).cast("string"),
+                    F.lit(f" != codebook dim {dim}"),
+                )
+            )
+        )
+        .alias("_qv"),
     )
     c_grid = codebook.filter(F.expr(FINITE_VEC.format(v=vec_col))).select(
         F.col(centroid_id_col).alias("code"),
