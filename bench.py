@@ -138,6 +138,11 @@ HEADLINE = [
     "dedup_incremental_containment",
     "graph_pagerank",
     "events_rfm_segmentation",
+    # round-9: cross-corpus entity-resolution range join, Markov
+    # transitions, curriculum ordering
+    "similarity_range_join",
+    "events_markov_transitions",
+    "corpus_curriculum_order",
 ]
 
 

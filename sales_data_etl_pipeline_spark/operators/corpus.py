@@ -471,3 +471,61 @@ def quality_resample(
         .filter(F.col("u_ppm") < F.col("quality_ppm"))
         .select(id_col, "quality_ppm", "u_ppm")
     )
+
+
+def curriculum_order(
+    df: DataFrame,
+    text_col: str = "text",
+    *,
+    id_col: str = "doc_id",
+    n_buckets: int = 4,
+    seed: str = "seed42",
+) -> DataFrame:
+    """Curriculum training order: documents are quantile-bucketed by
+    quality (bucket 1 = highest-quality quartile, trained first) and
+    deterministically shuffled WITHIN each bucket — the standard
+    curriculum-learning data order (clean data early, noisy tail late)
+    with none of the distribution distortion a hard quality cutoff
+    causes.
+
+    Composes three already-gated primitives: the
+    :func:`~sales_data_etl_pipeline_spark.operators.text.quality_score`
+    composite (integer ppm), :func:`~sales_data_etl_pipeline_spark.operators.rank.quantile_bucket`
+    (range-partitioned rank — never a SinglePartition NTILE), and the
+    md5 seeded shuffle of ``corpus_shuffle_deterministic`` — so the
+    full curriculum is RNG-free and byte-identical across runs,
+    engines, and partitionings.
+
+    Shape at 100 TB: two range repartitions (the bucket rank and the
+    final position rank), each with a |partitions|-row offsets collect —
+    the distributed-scan idiom; no global sort on one reducer anywhere.
+
+    Output: (doc_id, quality_ppm, bucket, position), position 1..N.
+    """
+    from sales_data_etl_pipeline_spark.operators.rank import (
+        distributed_row_number,
+        quantile_bucket,
+    )
+    from sales_data_etl_pipeline_spark.operators.text import quality_score
+
+    q = quality_score(df, text_col).select(
+        id_col,
+        F.expr("cast(floor(quality * 1000000 + 0.5) as bigint)").alias(
+            "quality_ppm"
+        ),
+    )
+    bucketed = quantile_bucket(
+        q,
+        [F.col("quality_ppm").desc(), F.col(id_col)],
+        n_buckets=n_buckets,
+    )
+    keyed = bucketed.withColumn(
+        "_k",
+        F.md5(F.concat(F.lit(f"{seed}-"), F.col(id_col).cast("string"))),
+    )
+    out, _ = distributed_row_number(
+        keyed,
+        [F.col("bucket"), F.col("_k"), F.col(id_col)],
+        rank_col="position",
+    )
+    return out.select(id_col, "quality_ppm", "bucket", "position")

@@ -529,6 +529,94 @@ def cosine_topk_lsh(
     )
 
 
+def cosine_range_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    threshold: float = 0.8,
+    planes: int = 32,
+    bands: int = 4,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Cross-corpus cosine-threshold RANGE JOIN between two embedding
+    TABLES — the entity-resolution shape (link records of corpus A to
+    their near-matches in corpus B; the fuzzy-key generalization of the
+    reference's exact-key enrichment join, ``et_vendas.py:363-365``).
+
+    Neither side is assumed small: both tables band through the same
+    deterministic hyperplane kernel (:func:`_band_signatures`), and
+    candidates come from a plain shuffle EQUI-join on (band, sig) —
+    co-partitioned by the band key, never corpus×corpus. Candidates are
+    then verified with the exact sequential-fold cosine and filtered at
+    ``threshold``. This differs from ``cosine_topk_lsh`` (one side tiny
+    → broadcast, top-k per query) and from ``dedup.embedding_lsh_pairs``
+    (ONE corpus, a<b): here both sides scale independently and EVERY
+    qualifying cross pair is emitted, unranked.
+
+    At 100 TB×100 TB: work is bucket-volume-bound — each (band, sig)
+    bucket joins independently, the recall/cost dial is (planes,
+    bands), and a skewed bucket (e.g. near-zero vectors hashing
+    together) splits under AQE skew-join like any other equi-join.
+
+    Same md5-derived ±1 hyperplanes + left-associated fold + 6dp-round
+    sign convention as the whole module, so a DuckDB oracle reproduces
+    every bit. Zero-norm / non-finite vectors are dead on BOTH sides
+    (cosine undefined — the module contract). Output: (left_id,
+    right_id, cosine) with cosine rounded to 6 dp.
+    """
+    from sales_data_etl_pipeline_spark.operators.dedup import (
+        FINITE_VEC,
+        hyperplane_signs,
+    )
+
+    live = F.expr(FINITE_VEC.format(v=vec_col)) & (F.expr(_norm(vec_col)) > 0)
+    l_live = left.filter(live).select(
+        F.col(id_col).alias("left_id"), F.col(vec_col)
+    )
+    r_live = right.filter(live).select(
+        F.col(id_col).alias("right_id"), F.col(vec_col)
+    )
+    R = hyperplane_signs(planes, dim)
+    l_sig = _band_signatures(l_live, R, bands, out_id="left_id", vec_col=vec_col)
+    r_sig = _band_signatures(r_live, R, bands, out_id="right_id", vec_col=vec_col)
+    # NO broadcast hint: both corpora may be huge — this is a plain
+    # shuffle equi-join on (band, sig); AQE broadcasts if one side
+    # happens to be small
+    candidates = (
+        l_sig.join(r_sig, ["band", "sig"])
+        .select("left_id", "right_id")
+        .distinct()
+    )
+    dot = (
+        "aggregate(zip_with(transform(l.{v}, x -> cast(x as double)),"
+        " transform(r.{v}, x -> cast(x as double)), (x, y) -> x * y),"
+        " 0D, (acc, x) -> acc + x)"
+    ).format(v=vec_col)
+    norm = (
+        "sqrt(aggregate(transform({side}.{v}, x -> cast(x as double)),"
+        " 0D, (acc, x) -> acc + x * x))"
+    )
+    return (
+        candidates.join(l_live.alias("l"), "left_id")
+        .join(r_live.alias("r"), "right_id")
+        .withColumn(
+            "cosine",
+            F.round(
+                F.expr(dot)
+                / (
+                    F.expr(norm.format(side="l", v=vec_col))
+                    * F.expr(norm.format(side="r", v=vec_col))
+                ),
+                6,
+            ),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select("left_id", "right_id", "cosine")
+    )
+
+
 def kmeans_assign(
     corpus: DataFrame,
     centroids: DataFrame,

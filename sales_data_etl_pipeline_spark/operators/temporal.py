@@ -304,6 +304,82 @@ def session_funnel_counts(
     )
 
 
+def markov_transitions(
+    events: DataFrame,
+    *,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Event-type transition matrix: for every observed (from, to)
+    successive-event pair WITHIN a user's ordered stream, the count and
+    the row-normalized transition probability — the first-order Markov
+    model behind next-action prediction and anomaly scoring on
+    behavioral logs.
+
+    EXACT INTEGER output (same determinism discipline as
+    ``dedup.pagerank``): probabilities are ppm via integer division
+    ``(n · 10⁶) div row_total`` — no float division anywhere, so a SQL
+    oracle reproduces every cell bit-for-bit.
+
+    Shape: one shuffle for the per-user lag window (hash by user, sort
+    by (ts, id) — the deterministic tiebreak every temporal operator
+    here uses), one map-side-combinable shuffle for the (from, to)
+    count. Row normalization windows over the |types|² matrix — a few
+    hundred rows regardless of corpus size, so the final window is
+    free. At 100 TB: partitions by user (bot users are the only skew,
+    same exposure as sessionization), nothing collects.
+
+    Output: (from_type, to_type, n_transitions, prob_ppm).
+    """
+    w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
+    pairs = (
+        events.withColumn("_prev", F.lag(type_col).over(w))
+        .filter(F.col("_prev").isNotNull())
+        .groupBy(
+            F.col("_prev").alias("from_type"),
+            F.col(type_col).alias("to_type"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+    )
+    wt = Window.partitionBy("from_type")
+    return (
+        pairs.withColumn("_row_total", F.sum("n_transitions").over(wt))
+        .withColumn(
+            "prob_ppm",
+            F.expr("(n_transitions * 1000000L) div _row_total"),
+        )
+        .select("from_type", "to_type", "n_transitions", "prob_ppm")
+    )
+
+
+def markov_transitions_sql(
+    events_rel: str,
+    *,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> str:
+    """DuckDB oracle twin of :func:`markov_transitions`."""
+    return f"""
+        WITH p AS (
+            SELECT lag({type_col}) OVER (PARTITION BY {user_col}
+                       ORDER BY {ts_col}, {id_col}) AS from_type,
+                   {type_col} AS to_type
+            FROM {events_rel}),
+        c AS (
+            SELECT from_type, to_type, COUNT(*) AS n
+            FROM p WHERE from_type IS NOT NULL GROUP BY 1, 2)
+        SELECT from_type, to_type,
+               CAST(n AS BIGINT) AS n_transitions,
+               CAST((n * 1000000) // SUM(n) OVER (PARTITION BY from_type)
+                    AS BIGINT) AS prob_ppm
+        FROM c ORDER BY from_type, to_type
+    """
+
+
 def session_funnel_counts_sql(
     events_rel: str,
     steps: tuple[str, ...],

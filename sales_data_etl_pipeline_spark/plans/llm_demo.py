@@ -2199,6 +2199,91 @@ def _ann_lsh_oracle(planes: int = 32, bands: int = 8, dim: int = 64, k: int = 5)
 ORACLES["similarity_topk_lsh"] = _ann_lsh_oracle()
 
 
+def similarity_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-corpus cosine range join (``similarity.cosine_range_join``)
+    — link every even-id vector ("corpus A") to its cosine≥0.8 matches
+    in corpus B (the odd-id vectors plus perturbed copies of every 50th
+    even vector, id+10000 — the planted cross-corpus near-matches).
+    Entity resolution over fuzzy keys: banded hyperplane candidates on
+    a (band, sig) equi-join — both sides scale, no corpus×corpus."""
+    emb = _emb(spark, sf_dir).select("vec_id", "embedding")
+    left = emb.filter(F.col("vec_id") % 2 == 0)
+    right = emb.filter(F.col("vec_id") % 2 == 1).unionByName(
+        emb.filter(F.col("vec_id") % 50 == 0).select(
+            (F.col("vec_id") + 10000).alias("vec_id"),
+            F.expr(
+                "concat(array(cast(element_at(embedding, 1) + 0.05 as float)),"
+                " slice(embedding, 2, 63))"
+            ).alias("embedding"),
+        )
+    )
+    return similarity.cosine_range_join(
+        left, right, threshold=0.8
+    ).orderBy("left_id", "right_id")
+
+
+QUERIES["similarity_range_join"] = similarity_range_join
+
+
+def _range_join_oracle(
+    planes: int = 32, bands: int = 4, dim: int = 64, threshold: float = 0.8
+) -> str:
+    """DuckDB twin of the gated ``similarity.cosine_range_join`` — same
+    md5 hyperplanes, fold + 6dp-round sign convention, banding, and
+    exact-cosine verify, over the same left/right corpus split."""
+    R = dedup.hyperplane_signs(planes, dim)
+    rows = planes // bands
+
+    def bit(b: int) -> str:
+        proj = " + ".join(
+            f"CAST(embedding[{i + 1}] AS DOUBLE) * {R[b][i]:.1f}"
+            for i in range(dim)
+        )
+        return f"CASE WHEN round({proj}, 6) >= 0 THEN '1' ELSE '0' END"
+
+    def band_selects(src: str, idc: str) -> str:
+        return " UNION ALL ".join(
+            f"SELECT {idc}, {b} AS band, "
+            + " || ".join(bit(b * rows + r) for r in range(rows))
+            + f" AS sig FROM {src}"
+            for b in range(bands)
+        )
+
+    cos = (
+        f"ROUND({_DOT.format(a='el.embedding', b='er.embedding')}"
+        f" / ({_NORM.format(v='el.embedding')}"
+        f" * {_NORM.format(v='er.embedding')}), 6)"
+    )
+    return f"""
+        WITH lft AS (
+            SELECT vec_id AS left_id, embedding FROM embeddings
+            WHERE vec_id % 2 = 0 AND {_LIVE.format(v='embedding')}),
+        rgt0 AS (
+            SELECT vec_id AS right_id, embedding FROM embeddings
+            WHERE vec_id % 2 = 1
+            UNION ALL
+            SELECT vec_id + 10000 AS right_id,
+                   list_prepend(CAST(embedding[1] + 0.05 AS FLOAT),
+                                embedding[2:64]) AS embedding
+            FROM embeddings WHERE vec_id % 50 = 0),
+        rgt AS (SELECT * FROM rgt0 WHERE {_LIVE.format(v='embedding')}),
+        lbs AS ({band_selects('lft', 'left_id')}),
+        rbs AS ({band_selects('rgt', 'right_id')}),
+        cand AS (
+            SELECT DISTINCT l.left_id, r.right_id
+            FROM lbs l JOIN rbs r ON l.band = r.band AND l.sig = r.sig)
+        SELECT c.left_id, c.right_id, {cos} AS cosine
+        FROM cand c
+        JOIN lft el ON el.left_id = c.left_id
+        JOIN rgt er ON er.right_id = c.right_id
+        WHERE {cos} >= {threshold}
+        ORDER BY c.left_id, c.right_id
+    """
+
+
+ORACLES["similarity_range_join"] = _range_join_oracle()
+
+
 # --- sub-document (paragraph-level) exact dedup -----------------------------
 
 
@@ -3008,6 +3093,38 @@ ORACLES["corpus_shuffle_deterministic"] = """
 """
 
 
+def corpus_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum training order: quality-quartile buckets (bucket 1 =
+    best, trained first), md5-shuffled within bucket — quality scoring,
+    range-partitioned quantile bucketing, and the deterministic shuffle
+    composed into one RNG-free, engine-reproducible data order."""
+    return corpus.curriculum_order(_docs(spark, sf_dir)).orderBy("position")
+
+
+QUERIES["corpus_curriculum_order"] = corpus_curriculum_order
+ORACLES["corpus_curriculum_order"] = f"""
+    WITH q AS ({ORACLES["text_quality_score"]}),
+    qq AS (SELECT doc_id,
+                  CAST(floor(quality * 1000000 + 0.5) AS BIGINT)
+                      AS quality_ppm
+           FROM q),
+    n AS (SELECT COUNT(*) AS total FROM qq),
+    rk AS (SELECT doc_id, quality_ppm,
+                  row_number() OVER (ORDER BY quality_ppm DESC, doc_id)
+                      AS _rk
+           FROM qq),
+    b AS (SELECT doc_id, quality_ppm,
+                 CAST((_rk - 1) * 4 // total + 1 AS BIGINT) AS bucket
+          FROM rk, n)
+    SELECT doc_id, quality_ppm, bucket,
+           CAST(row_number() OVER (
+               ORDER BY bucket,
+                        md5('seed42-' || CAST(doc_id AS VARCHAR)),
+                        doc_id) AS BIGINT) AS position
+    FROM b ORDER BY position
+"""
+
+
 def source_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSONL sink→source round trip: write the documents table as
     newline-delimited JSON, read it back with the EXPLICIT schema (no
@@ -3624,6 +3741,26 @@ from sales_data_etl_pipeline_spark.operators.temporal import (  # noqa: E402
 )
 
 ORACLES["events_session_funnel"] = _session_funnel_sql("events", _FUNNEL_STEPS)
+
+
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over each user's ordered
+    event stream — counts and row-normalized probabilities in EXACT ppm
+    (integer division, the ``graph_pagerank`` determinism discipline)."""
+    from sales_data_etl_pipeline_spark.operators import temporal
+
+    return temporal.markov_transitions(_events(spark, sf_dir)).orderBy(
+        "from_type", "to_type"
+    )
+
+
+QUERIES["events_markov_transitions"] = events_markov_transitions
+
+from sales_data_etl_pipeline_spark.operators.temporal import (  # noqa: E402
+    markov_transitions_sql as _markov_sql,
+)
+
+ORACLES["events_markov_transitions"] = _markov_sql("events")
 
 
 def embedding_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -77,6 +77,8 @@ FUZZED = [
     # round-8: session-scoped funnel + skew-safe dim join on random streams
     "events_session_funnel",
     "events_salted_join",
+    # round-9: first-order Markov transition matrix on random streams
+    "events_markov_transitions",
 ]
 
 
@@ -352,6 +354,9 @@ FUZZED_CORPUS = [
     "similarity_topk_ivfpq",
     "dedup_incremental_containment",
     "graph_pagerank",
+    # round-9: cross-corpus cosine range join + curriculum order
+    "similarity_range_join",
+    "corpus_curriculum_order",
 ]
 
 

@@ -81,6 +81,169 @@ def test_pq_adc_rejects_wrong_dim_queries(spark):
         ).collect()
 
 
+def _range_fixture(spark):
+    """Two tiny corpora with planted cross-corpus near-matches."""
+    import math
+
+    def vec(seed, bump=0.0):
+        return [
+            float(math.sin(seed * 13 + d) + (bump if d == 0 else 0.0))
+            for d in range(8)
+        ]
+
+    left = spark.createDataFrame(
+        [Row(vec_id=i, embedding=vec(i)) for i in range(10)]
+    )
+    right = spark.createDataFrame(
+        # 100+i: a near-copy of left i (planted match); 200+i: unrelated
+        [Row(vec_id=100 + i, embedding=vec(i, bump=0.01)) for i in range(10)]
+        + [Row(vec_id=200 + i, embedding=vec(50 + i)) for i in range(10)]
+    )
+    return left, right
+
+
+def test_cosine_range_join_subset_and_recall_vs_brute(spark):
+    """Precision is exact by construction (candidates re-verified), so
+    the banded result must be a SUBSET of brute force; the planted
+    near-identical pairs (cosine→1) must ALL be found (a near-copy
+    agrees on every sign bit, so banding cannot miss it)."""
+    from sales_data_etl_pipeline_spark.operators import similarity as sim
+
+    left, right = _range_fixture(spark)
+    got = {
+        (r.left_id, r.right_id)
+        for r in sim.cosine_range_join(
+            left, right, threshold=0.8, dim=8
+        ).collect()
+    }
+    # brute force over the 10×20 cross product
+    l = left.select(
+        F.col("vec_id").alias("left_id"), F.col("embedding").alias("lv")
+    )
+    r = right.select(
+        F.col("vec_id").alias("right_id"), F.col("embedding").alias("rv")
+    )
+    dot = (
+        "aggregate(zip_with(transform(lv, x -> cast(x as double)),"
+        " transform(rv, x -> cast(x as double)), (x, y) -> x * y),"
+        " 0D, (acc, x) -> acc + x)"
+    )
+    nrm = (
+        "sqrt(aggregate(transform({v}, x -> cast(x as double)),"
+        " 0D, (acc, x) -> acc + x * x))"
+    )
+    brute = {
+        (row.left_id, row.right_id)
+        for row in l.crossJoin(r)
+        .withColumn(
+            "cosine",
+            F.round(
+                F.expr(dot)
+                / (F.expr(nrm.format(v="lv")) * F.expr(nrm.format(v="rv"))),
+                6,
+            ),
+        )
+        .filter(F.col("cosine") >= 0.8)
+        .collect()
+    }
+    assert got <= brute
+    planted = {(i, 100 + i) for i in range(10)} & brute
+    assert planted <= got and len(planted) == 10
+
+
+def test_cosine_range_join_plan_is_equi_join(spark):
+    """Both corpora may be huge: candidates must come from a (band, sig)
+    equi-join, never a corpus×corpus cartesian."""
+    from sales_data_etl_pipeline_spark.operators import similarity as sim
+
+    left, right = _range_fixture(spark)
+    plan = (
+        sim.cosine_range_join(left, right, threshold=0.8, dim=8)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_cosine_range_join_excludes_dead_vectors(spark):
+    """Zero-norm and non-finite vectors are dead on both sides."""
+    from sales_data_etl_pipeline_spark.operators import similarity as sim
+
+    left = spark.createDataFrame(
+        [
+            Row(vec_id=1, embedding=[1.0] * 8),
+            Row(vec_id=2, embedding=[0.0] * 8),
+            Row(vec_id=3, embedding=[float("nan")] * 8),
+        ]
+    )
+    right = spark.createDataFrame(
+        [
+            Row(vec_id=10, embedding=[1.0] * 8),
+            Row(vec_id=11, embedding=[float("inf")] + [1.0] * 7),
+        ]
+    )
+    got = sim.cosine_range_join(left, right, threshold=0.5, dim=8).collect()
+    assert {(r.left_id, r.right_id) for r in got} == {(1, 10)}
+    assert got[0].cosine == 1.0
+
+
+def test_markov_transitions_exact_ppm(spark):
+    """Hand-checkable stream: u1 does a→b→a→b, u2 does a→c.
+    Transitions: a→b ×2, b→a ×1, a→c ×1 → row a: b=666666ppm,
+    c=333333ppm (integer division truncates); row b: a=1000000ppm."""
+    import datetime as dt
+
+    from sales_data_etl_pipeline_spark.operators import temporal
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        Row(event_id=i, user_id=u, event_type=e,
+            ts=t0 + dt.timedelta(minutes=i))
+        for i, (u, e) in enumerate(
+            [(1, "a"), (1, "b"), (1, "a"), (1, "b"), (2, "a"), (2, "c")]
+        )
+    ]
+    got = {
+        (r.from_type, r.to_type): (r.n_transitions, r.prob_ppm)
+        for r in temporal.markov_transitions(
+            spark.createDataFrame(rows)
+        ).collect()
+    }
+    assert got == {
+        ("a", "b"): (2, 666666),
+        ("a", "c"): (1, 333333),
+        ("b", "a"): (1, 1000000),
+    }
+
+
+def test_curriculum_order_buckets_and_determinism(spark):
+    """Positions are a permutation 1..N, bucket is non-decreasing along
+    the position order (curriculum: best bucket first), and the whole
+    ordering is reproducible run-to-run (md5, no RNG)."""
+    from sales_data_etl_pipeline_spark.operators import corpus as corpus_ops
+
+    docs = spark.createDataFrame(
+        [
+            Row(
+                doc_id=i,
+                text=("good clean sentence with the words. " * (1 + i % 7))[
+                    : 40 + 13 * i % 200
+                ],
+            )
+            for i in range(40)
+        ]
+    )
+    a = corpus_ops.curriculum_order(docs).orderBy("position").collect()
+    b = corpus_ops.curriculum_order(docs).orderBy("position").collect()
+    assert [r.doc_id for r in a] == [r.doc_id for r in b]
+    assert [r.position for r in a] == list(range(1, 41))
+    buckets = [r.bucket for r in a]
+    assert buckets == sorted(buckets)
+    assert set(buckets) == {1, 2, 3, 4}
+
+
 def test_pagerank_deep_iterations_stay_bounded(spark):
     """10 iterations must not double the unresolved plan per round: the
     per-iteration lazy checkpoint keeps lineage flat, so this completes
