@@ -2518,6 +2518,45 @@ ORACLES["streaming_session_counts"] = """
 """
 
 
+def streaming_session_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of ``events_session_funnel``: the view→click→
+    purchase chain scored within live 30-min ``session_window``
+    sessions. The stream emits per-session step-completion times (one
+    stateful operator); the step-count rollup is a batch aggregate over
+    the completed sink — chained stateful aggs are illegal in
+    streaming. Oracle: the SAME batch sessionized-funnel SQL as the
+    batch gate."""
+    from sales_data_etl_pipeline_spark.streaming import events as streaming
+
+    out = streaming.run_stream_to_memory(
+        streaming.session_funnel(
+            streaming.stream_events(spark, sf_dir), _FUNNEL_STEPS
+        ),
+        "q_stream_session_funnel",
+        output_mode="complete",
+    )
+    counts = out.agg(
+        *[F.count(f"t{i}").alias(f"n{i}") for i in range(len(_FUNNEL_STEPS))]
+    )
+    stack = ", ".join(
+        f"{i}, '{s}', n{i}" for i, s in enumerate(_FUNNEL_STEPS)
+    )
+    return counts.selectExpr(
+        f"stack({len(_FUNNEL_STEPS)}, {stack}) AS (step_idx, step, n_sessions)"
+    )
+
+
+QUERIES["streaming_session_funnel"] = streaming_session_funnel
+
+from sales_data_etl_pipeline_spark.operators.temporal import (  # noqa: E402
+    session_funnel_counts_sql as _sess_funnel_sql_early,
+)
+
+ORACLES["streaming_session_funnel"] = _sess_funnel_sql_early(
+    "events", _FUNNEL_STEPS
+)
+
+
 # --- sliding-window document chunking (long-doc split with overlap) ---------
 
 _CHUNK_SEQ = 32

@@ -119,6 +119,62 @@ def session_counts(
     )
 
 
+def session_funnel(
+    events: DataFrame,
+    steps: tuple[str, ...],
+    *,
+    gap: str = "30 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming twin of the batch
+    :func:`~sales_data_etl_pipeline_spark.operators.temporal.session_funnel_counts`:
+    per (user, gap-session), the completion time of every ordered funnel
+    step — ``t_i = min(ts where type = step_i AND ts >= t_{i-1})`` —
+    computed live as sessions close.
+
+    Shape: ONE stateful operator (``session_window`` aggregation; state
+    sharded by (user, session), expired by the watermark) collecting
+    each session's (ts, type) pairs, then the step chain as STATELESS
+    array expressions over the closed session — ``array_min`` over
+    ``filter``/``transform`` is order-free, so no sort is needed and no
+    second stateful aggregation appears (streaming forbids chaining
+    them; the final step-count rollup is a trivial batch aggregate over
+    the sink, see the gate entry). Per-session state is bounded by the
+    session's own event count — the same bot-user exposure every
+    sessionization has; the watermark closes and frees sessions
+    continuously.
+
+    Output: (session_start, session_end, user_id, t0..t{k-1}) — t_i
+    NULL when the chain broke before step i.
+    """
+    per_session = (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap), "user_id")
+        .agg(
+            F.collect_list(
+                F.struct(F.col("ts"), F.col("event_type"))
+            ).alias("_ev")
+        )
+    )
+    cur = per_session
+    for i, s in enumerate(steps):
+        cond = f"e.event_type = '{s}'"
+        if i:
+            # t_{i-1} NULL → NULL condition → filter drops the row →
+            # t_i NULL: exactly the batch chain semantics
+            cond += f" AND e.ts >= t{i - 1}"
+        cur = cur.withColumn(
+            f"t{i}",
+            F.expr(f"array_min(transform(filter(_ev, e -> {cond}), e -> e.ts))"),
+        )
+    return cur.select(
+        F.col("session_window.start").alias("session_start"),
+        F.col("session_window.end").alias("session_end"),
+        "user_id",
+        *[f"t{i}" for i in range(len(steps))],
+    )
+
+
 def dedup_within_watermark(
     events: DataFrame,
     *,

@@ -492,6 +492,7 @@ def test_every_gated_entry_is_fuzzed_or_excluded():
         "streaming_dedup",
         "streaming_enriched_counts",
         "streaming_session_counts",
+        "streaming_session_funnel",
         "streaming_stream_join",
         "streaming_user_totals",
         "streaming_windowed_counts",

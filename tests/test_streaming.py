@@ -184,6 +184,65 @@ def test_late_data_dropped_by_watermark(spark, tmp_path):
     assert rows == [(str(base), 3)]
 
 
+def test_session_funnel_two_batch_late_step_dropped(spark, tmp_path):
+    """Two-micro-batch session-funnel run: batch 1 gives user 1 a
+    view→click session and advances the watermark past it; batch 2
+    delivers the user's purchase LATE (behind the watermark) plus a
+    fresh event that closes the session. The finalized session must
+    show t2 (purchase) NULL — a broken watermark would complete the
+    funnel with the late row."""
+    import datetime as dt
+
+    ddl = (
+        "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double, props string"
+    )
+    base = dt.datetime(2024, 3, 1, 10, 0, 0)
+
+    def write_batch(rows):
+        spark.createDataFrame(
+            [
+                (i, base + dt.timedelta(minutes=m), u, e, 1.0, "{}")
+                for i, m, u, e in rows
+            ],
+            ddl,
+        ).coalesce(1).write.mode("append").parquet(str(tmp_path / "src"))
+
+    # user 1: view 10:00, click 10:05; user 2 at 12:00 pushes the
+    # watermark to 11:50 (10-minute delay)
+    write_batch([(1, 0, 1, "view"), (2, 5, 1, "click"), (3, 120, 2, "view")])
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(ddl)
+        .load(str(tmp_path / "src"))
+    )
+    agg = streaming.session_funnel(
+        stream, ("view", "click", "purchase"), gap="30 minutes",
+        watermark="10 minutes",
+    )
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("t_sess_funnel")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # 10:10 purchase is behind the 11:50 watermark → dropped;
+        # 14:00 advances the watermark to 13:50, finalizing sessions
+        write_batch([(4, 10, 1, "purchase"), (5, 240, 2, "view")])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    u1 = [
+        r for r in spark.table("t_sess_funnel").collect() if r.user_id == 1
+    ]
+    assert len(u1) == 1
+    r = u1[0]
+    assert r.t0 == base and r.t1 == base + dt.timedelta(minutes=5)
+    assert r.t2 is None
+
+
 def test_stateful_user_totals_tws_matches_batch(spark):
     pytest.importorskip(
         "google.protobuf", reason="TWS state protocol needs protobuf"
