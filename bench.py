@@ -139,10 +139,11 @@ HEADLINE = [
     "graph_pagerank",
     "events_rfm_segmentation",
     # round-9: cross-corpus entity-resolution range join, Markov
-    # transitions, curriculum ordering
+    # transitions, curriculum ordering, prepared-base incremental dedup
     "similarity_range_join",
     "events_markov_transitions",
     "corpus_curriculum_order",
+    "dedup_incremental_prepared",
 ]
 
 

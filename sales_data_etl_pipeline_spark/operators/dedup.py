@@ -963,6 +963,149 @@ def minhash_lsh_incremental(
     )
 
 
+def save_minhash_base(
+    base: DataFrame,
+    table_prefix: str,
+    *,
+    num_hashes: int = 16,
+    bands: int = 4,
+    n: int = 3,
+    text_col: str = "text",
+    buckets: int = 32,
+) -> None:
+    """Persist the base-corpus MinHash artifacts that
+    :func:`minhash_lsh_incremental` otherwise re-derives on EVERY
+    ingest batch — the daily-pipeline amortization step: shingling,
+    hashing, and min-aggregating the (huge, unchanging) base corpus is
+    paid once per base version, and each batch pays only for itself.
+
+    Three tables under ``table_prefix``:
+
+    - ``{prefix}_shingles`` (doc_id, sh, sid), BUCKETED by doc_id —
+      the join-verify intersect reads it pre-partitioned on the key it
+      joins on, no base-side shuffle per batch;
+    - ``{prefix}_per_doc`` (doc_id, _mh0.._mhK, sz) — the narrow
+      signature table (no shingle sets: the artifact path is the
+      bounded-memory ``verify='join'`` production mode);
+    - ``{prefix}_band_sig`` (doc_id, band, sig), BUCKETED by sig —
+      the candidate join's base side arrives hash-distributed on a
+      subset of its join key, so only the (small) incoming side moves.
+
+    Bucketed writes require the table catalog (``saveAsTable``); at
+    cluster scale these are exactly the bucketed warehouse tables a
+    production pipeline owns.
+    """
+    from sales_data_etl_pipeline_spark.sources.parquet import overwrite_table
+
+    sh = shingle_sets(base, text_col, n)
+    ids = sh.select(
+        "doc_id", "sh", F.expr(hash_id_expr("sh", MINHASH_P)).alias("sid")
+    )
+    overwrite_table(
+        ids, f"{table_prefix}_shingles", bucket_by=(buckets, "doc_id")
+    )
+    spark = base.sparkSession
+    stored = spark.table(f"{table_prefix}_shingles")
+    per_doc = stored.groupBy("doc_id").agg(
+        *_minhash_aggs(num_hashes), F.count(F.lit(1)).alias("sz")
+    )
+    overwrite_table(per_doc, f"{table_prefix}_per_doc")
+    band_sig = _band_signatures_df(
+        spark.table(f"{table_prefix}_per_doc"), num_hashes, bands
+    )
+    overwrite_table(
+        band_sig, f"{table_prefix}_band_sig", bucket_by=(buckets, "sig")
+    )
+
+
+def minhash_lsh_incremental_prepared(
+    spark: "SparkSession",
+    table_prefix: str,
+    incoming: DataFrame,
+    *,
+    num_hashes: int = 16,
+    bands: int = 4,
+    n: int = 3,
+    threshold: float = 0.5,
+    text_col: str = "text",
+) -> DataFrame:
+    """Incremental MinHash-LSH against a PREPARED base
+    (:func:`save_minhash_base`) — the amortized daily-ingest form: the
+    base corpus is touched only through its persisted shingle /
+    signature tables, so per-batch cost is O(|incoming| + candidates)
+    in COMPUTE as well as in join shape (the self-contained
+    :func:`minhash_lsh_incremental` re-shingles and re-aggregates the
+    whole base every call — measured 3.6× the carried-sets mode at the
+    ~sf10 soak; this path removes that recompute entirely).
+
+    Verification is the bounded-memory candidate-join counting form
+    (``verify='join'``): no ``collect_list``, O(1)-wide rows, and the
+    base shingle table arrives bucketed by doc_id so the intersect
+    join never shuffles it. Output contract is identical to
+    :func:`minhash_lsh_incremental`: (doc_id, base_id, jaccard), best
+    base match per incoming doc.
+    """
+    base_pd = spark.table(f"{table_prefix}_per_doc")
+    base_bs = spark.table(f"{table_prefix}_band_sig")
+    sh_base = spark.table(f"{table_prefix}_shingles")
+
+    sh_inc = shingle_sets(incoming, text_col, n)
+    ids_inc = sh_inc.select(
+        "doc_id", "sh", F.expr(hash_id_expr("sh", MINHASH_P)).alias("sid")
+    )
+    inc_pd = (
+        ids_inc.groupBy("doc_id")
+        .agg(*_minhash_aggs(num_hashes), F.count(F.lit(1)).alias("sz"))
+        .localCheckpoint(eager=False)
+    )
+    candidates = (
+        base_bs.select(F.col("doc_id").alias("base_id"), "band", "sig")
+        .join(
+            _band_signatures_df(inc_pd, num_hashes, bands),
+            ["band", "sig"],
+        )
+        .select("base_id", "doc_id")
+        .distinct()
+    )
+    inter = (
+        candidates.join(
+            sh_base.select(
+                F.col("doc_id").alias("base_id"), F.col("sh").alias("_sh")
+            ),
+            "base_id",
+        )
+        .join(
+            sh_inc.select("doc_id", F.col("sh").alias("_sh")),
+            ["doc_id", "_sh"],
+        )
+        .groupBy("base_id", "doc_id")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    verified = (
+        inter.join(
+            base_pd.select(
+                F.col("doc_id").alias("base_id"), F.col("sz").alias("sz_a")
+            ),
+            "base_id",
+        )
+        .join(inc_pd.select("doc_id", F.col("sz").alias("sz_b")), "doc_id")
+        .withColumn(
+            "_ratio",
+            F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
+        )
+        .filter(F.col("_ratio") >= threshold)
+        .withColumn("jaccard", q6(F.col("_ratio")))
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("jaccard"), F.asc("base_id")
+    )
+    return (
+        verified.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("doc_id", "base_id", "jaccard")
+    )
+
+
 def _drop_hot_shingles(sh: DataFrame, max_shingle_df: float) -> DataFrame:
     """Stop-shingle cap: remove shingles whose document frequency
     exceeds ``max_shingle_df`` (a FRACTION of documents) — standard

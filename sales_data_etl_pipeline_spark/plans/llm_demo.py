@@ -3688,6 +3688,41 @@ QUERIES["dedup_incremental_join"] = dedup_incremental_join
 ORACLES["dedup_incremental_join"] = ORACLES["dedup_incremental"]
 
 
+def dedup_incremental_prepared(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Amortized daily-ingest incremental dedup: the base corpus's
+    MinHash artifacts (bucketed shingle / signature tables) are
+    persisted once (``dedup.save_minhash_base``) and every ingest
+    batch matches against the STORED tables — no base re-shingling or
+    re-aggregation per batch (``dedup.minhash_lsh_incremental_prepared``).
+    Same fixture and output contract as ``dedup_incremental``; this
+    gate drives the artifact path end-to-end (save + match) through
+    the driver oracle."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    incoming = (
+        docs.filter(F.col("doc_id") % 20 == 0)
+        .select(
+            (F.col("doc_id") + 10000).alias("doc_id"),
+            F.expr(
+                "substring(text, 1, greatest(length(text) - 30, 1))"
+            ).alias("text"),
+        )
+        .unionByName(
+            docs.filter(F.col("doc_id") % 7 == 3).select(
+                (F.col("doc_id") + 20000).alias("doc_id"),
+                F.reverse("text").alias("text"),
+            )
+        )
+    )
+    dedup.save_minhash_base(docs, "minhash_base_gate")
+    return dedup.minhash_lsh_incremental_prepared(
+        spark, "minhash_base_gate", incoming, threshold=0.5
+    ).orderBy("doc_id")
+
+
+QUERIES["dedup_incremental_prepared"] = dedup_incremental_prepared
+ORACLES["dedup_incremental_prepared"] = ORACLES["dedup_incremental"]
+
+
 def multimodal_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DCT-based perceptual hash over the synthetic BMP corpus — the
     blur/rescale-robust complement to dHash (low-frequency spectrum

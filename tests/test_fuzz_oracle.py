@@ -354,9 +354,11 @@ FUZZED_CORPUS = [
     "similarity_topk_ivfpq",
     "dedup_incremental_containment",
     "graph_pagerank",
-    # round-9: cross-corpus cosine range join + curriculum order
+    # round-9: cross-corpus cosine range join + curriculum order +
+    # prepared-base incremental dedup
     "similarity_range_join",
     "corpus_curriculum_order",
+    "dedup_incremental_prepared",
 ]
 
 

@@ -244,6 +244,47 @@ def test_curriculum_order_buckets_and_determinism(spark):
     assert set(buckets) == {1, 2, 3, 4}
 
 
+def test_minhash_incremental_prepared_matches_direct(spark):
+    """The artifact path (save_minhash_base + match against the stored
+    bucketed tables) must reproduce the self-contained incremental
+    operator bit-for-bit, including after an artifact overwrite."""
+    base = spark.createDataFrame(
+        [
+            Row(
+                doc_id=i,
+                text=(
+                    f"document number {i} about spark minhash dedup "
+                    f"with shared words and unique token{i} tail piece"
+                ),
+            )
+            for i in range(30)
+        ]
+    )
+    incoming = base.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 1000).alias("doc_id"),
+        F.expr("substring(text, 1, length(text) - 12)").alias("text"),
+    )
+    want = sorted(
+        (r.doc_id, r.base_id, r.jaccard)
+        for r in dedup.minhash_lsh_incremental(
+            base, incoming, threshold=0.3, verify="join"
+        ).collect()
+    )
+    try:
+        for _ in range(2):  # overwrite semantics: second save must work
+            dedup.save_minhash_base(base, "t_mh_base")
+            got = sorted(
+                (r.doc_id, r.base_id, r.jaccard)
+                for r in dedup.minhash_lsh_incremental_prepared(
+                    spark, "t_mh_base", incoming, threshold=0.3
+                ).collect()
+            )
+            assert got == want and len(got) == 6
+    finally:
+        for t in ("_shingles", "_per_doc", "_band_sig"):
+            spark.sql(f"DROP TABLE IF EXISTS t_mh_base{t}")
+
+
 def test_pagerank_deep_iterations_stay_bounded(spark):
     """10 iterations must not double the unresolved plan per round: the
     per-iteration lazy checkpoint keeps lineage flat, so this completes

@@ -139,6 +139,59 @@ def build_soak_replica(spark) -> None:
         out.write.mode("overwrite").parquet(f"{SOAK_DST}/{name}.parquet")
 
 
+def _soak_prepared(spark) -> dict:
+    """Prepared-base incremental dedup at both scales: save the base
+    artifacts once (untimed per batch — reported as t_prepare_*), then
+    time the per-batch match only."""
+    from sales_data_etl_pipeline_spark.operators import dedup as dedup_ops
+
+    rec: dict = {}
+    for label, sf_dir, reps in (("sf0.1", SRC, 2), ("sf10x", SOAK_DST, 2)):
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+            "doc_id", "text"
+        )
+        incoming = (
+            docs.filter(F.col("doc_id") % 20 == 0)
+            .select(
+                (F.col("doc_id") + 10_000_000).alias("doc_id"),
+                F.expr(
+                    "substring(text, 1, greatest(length(text) - 30, 1))"
+                ).alias("text"),
+            )
+            .unionByName(
+                docs.filter(F.col("doc_id") % 7 == 3).select(
+                    (F.col("doc_id") + 20_000_000).alias("doc_id"),
+                    F.reverse(F.col("text")).alias("text"),
+                )
+            )
+        )
+        t0 = time.perf_counter()
+        dedup_ops.save_minhash_base(docs, "soak_minhash_base")
+        rec[f"t_prepare_{label}"] = round(time.perf_counter() - t0, 3)
+        best, n = None, 0
+        for _ in range(reps):  # 1 JIT + 1 steady
+            t0 = time.perf_counter()
+            n = dedup_ops.minhash_lsh_incremental_prepared(
+                spark, "soak_minhash_base", incoming, threshold=0.5
+            ).count()
+            el = time.perf_counter() - t0
+            best = el if best is None else min(best, el)
+        rec[f"t_{label}"] = round(best, 3)
+        rec[f"rows_{label}"] = n
+    for t in ("_shingles", "_per_doc", "_band_sig"):
+        spark.sql(f"DROP TABLE IF EXISTS soak_minhash_base{t}")
+    slope = round(rec["t_sf10x"] / rec["t_sf0.1"], 2)
+    out_ratio = (
+        round(rec["rows_sf10x"] / rec["rows_sf0.1"], 2)
+        if rec["rows_sf0.1"]
+        else None
+    )
+    rec["ratio_100x_rows"] = slope
+    rec["output_ratio"] = out_ratio
+    rec["superlinear"] = is_superlinear(slope, out_ratio, copies=SOAK_COPIES)
+    return rec
+
+
 def soak() -> None:
     """Run the dedup/ANN stack at ~sf10 and append slopes + an
     explanation column to SCALE_EXPERIMENT.json."""
@@ -176,6 +229,22 @@ def soak() -> None:
             )
             rows[name] = rec
             print(json.dumps({name: rec}), flush=True)
+        # --- prepared-base incremental: the amortized daily-ingest form.
+        # The one-time save_minhash_base cost is reported separately
+        # (t_prepare_*); the per-batch row times ONLY the match against
+        # the stored bucketed artifacts — the number a daily pipeline
+        # actually pays per batch.
+        rows["dedup_incremental_prepared_batch"] = _soak_prepared(spark)
+        print(
+            json.dumps(
+                {
+                    "dedup_incremental_prepared_batch": rows[
+                        "dedup_incremental_prepared_batch"
+                    ]
+                }
+            ),
+            flush=True,
+        )
     finally:
         shutil.rmtree(SOAK_DST, ignore_errors=True)
     path = "/root/repo/SCALE_EXPERIMENT.json"
