@@ -144,6 +144,7 @@ HEADLINE = [
     "events_markov_transitions",
     "corpus_curriculum_order",
     "dedup_incremental_prepared",
+    "similarity_topk_ivfpq_residual",
 ]
 
 

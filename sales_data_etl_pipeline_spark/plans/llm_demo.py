@@ -4201,6 +4201,120 @@ ORACLES["similarity_topk_ivfpq"] = f"""
 """
 
 
+def similarity_topk_ivfpq_residual(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """IVF-PQ with RESIDUAL encoding (full faiss semantics): vectors
+    are stored as (coarse list, residual PQ codes); each query probes
+    its 2 nearest lists and ADC-scans them with a per-list LUT over
+    the shared residual codebook (residuals of every 40th vector).
+    Exact int64 grid arithmetic end-to-end — the oracle reproduces
+    every code and rank bit-for-bit."""
+    emb = _emb(spark, sf_dir)
+    cents = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    rcb = emb.filter(F.col("vec_id") % 40 == 0).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    queries = emb.filter(F.col("vec_id") % 37 == 0).select(
+        "vec_id", "embedding"
+    )
+    return similarity.ivfpq_residual_topk(
+        emb.select("vec_id", "embedding"),
+        cents,
+        rcb,
+        queries,
+        k=5,
+        n_blocks=4,
+        n_probe=2,
+    ).orderBy("query_id", "rank")
+
+
+QUERIES["similarity_topk_ivfpq_residual"] = similarity_topk_ivfpq_residual
+ORACLES["similarity_topk_ivfpq_residual"] = f"""
+    WITH q0 AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> least(greatest(
+                   CAST(floor(CAST(x AS DOUBLE) * 16 + 0.5) AS BIGINT),
+                   -127), 127)) AS qv
+        FROM embeddings
+        WHERE {_PQ_FINITE.format(v='embedding')}),
+    cb AS (SELECT vec_id AS centroid_id, qv AS cv FROM q0
+           WHERE vec_id % 50 = 0),
+    cd AS (
+        SELECT q0.vec_id, cb.centroid_id,
+               list_aggregate(list_transform(generate_series(1, 64),
+                   i -> (q0.qv[i] - cb.cv[i]) * (q0.qv[i] - cb.cv[i])),
+                   'sum') AS d2
+        FROM q0, cb),
+    lists AS (
+        SELECT vec_id, centroid_id AS list_id FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY vec_id ORDER BY d2, centroid_id) AS rn
+            FROM cd) WHERE rn = 1),
+    rc AS (
+        SELECT q0.vec_id AS code,
+               list_transform(generate_series(1, 64),
+                   i -> q0.qv[i] - cb.cv[i]) AS rv
+        FROM q0
+        JOIN lists l ON l.vec_id = q0.vec_id
+        JOIN cb ON cb.centroid_id = l.list_id
+        WHERE q0.vec_id % 40 = 0),
+    resid AS (
+        SELECT q0.vec_id, l.list_id,
+               list_transform(generate_series(1, 64),
+                   i -> q0.qv[i] - cb.cv[i]) AS rv
+        FROM q0
+        JOIN lists l ON l.vec_id = q0.vec_id
+        JOIN cb ON cb.centroid_id = l.list_id),
+    d AS (
+        SELECT resid.vec_id, resid.list_id, m.m, rc.code,
+               list_aggregate(list_transform(generate_series(1, 16),
+                   i -> (resid.rv[(m.m - 1) * 16 + i] - rc.rv[(m.m - 1) * 16 + i])
+                      * (resid.rv[(m.m - 1) * 16 + i] - rc.rv[(m.m - 1) * 16 + i])),
+                   'sum') AS d2
+        FROM resid, UNNEST(generate_series(1, 4)) AS m(m), rc),
+    code AS (
+        SELECT vec_id, list_id, m, code FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY vec_id, m ORDER BY d2, code) AS rn
+            FROM d) WHERE rn = 1),
+    qs AS (SELECT vec_id AS query_id, qv FROM q0 WHERE vec_id % 37 = 0),
+    probes AS (
+        SELECT query_id, list_id FROM (
+            SELECT qs.query_id, cd.centroid_id AS list_id,
+                   row_number() OVER (PARTITION BY qs.query_id
+                       ORDER BY cd.d2, cd.centroid_id) AS rn
+            FROM qs JOIN cd ON cd.vec_id = qs.query_id) WHERE rn <= 2),
+    qres AS (
+        SELECT p.query_id, p.list_id,
+               list_transform(generate_series(1, 64),
+                   i -> qs.qv[i] - cb.cv[i]) AS qr
+        FROM probes p
+        JOIN qs ON qs.query_id = p.query_id
+        JOIN cb ON cb.centroid_id = p.list_id),
+    lut AS (
+        SELECT q.query_id, q.list_id, m.m, rc.code,
+               list_aggregate(list_transform(generate_series(1, 16),
+                   i -> (q.qr[(m.m - 1) * 16 + i] - rc.rv[(m.m - 1) * 16 + i])
+                      * (q.qr[(m.m - 1) * 16 + i] - rc.rv[(m.m - 1) * 16 + i])),
+                   'sum') AS d2p
+        FROM qres q, UNNEST(generate_series(1, 4)) AS m(m), rc),
+    sc AS (
+        SELECT l.query_id, c.vec_id, CAST(SUM(l.d2p) AS BIGINT) AS d2_adc
+        FROM code c
+        JOIN lut l ON l.list_id = c.list_id AND l.m = c.m
+                  AND l.code = c.code
+        GROUP BY 1, 2),
+    r AS (SELECT *, row_number() OVER (
+              PARTITION BY query_id ORDER BY d2_adc, vec_id) AS rank
+          FROM sc)
+    SELECT query_id, vec_id AS neighbor_id, d2_adc, rank
+    FROM r WHERE rank <= 5 ORDER BY query_id, rank
+"""
+
+
 def dedup_incremental_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Daily-ingest quote detection: each INCOMING doc's best containing
     base host by |inc ∩ base| / |inc| — catches a new document that is

@@ -359,6 +359,7 @@ FUZZED_CORPUS = [
     "similarity_range_join",
     "corpus_curriculum_order",
     "dedup_incremental_prepared",
+    "similarity_topk_ivfpq_residual",
 ]
 
 

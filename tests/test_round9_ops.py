@@ -285,6 +285,81 @@ def test_minhash_incremental_prepared_matches_direct(spark):
             spark.sql(f"DROP TABLE IF EXISTS t_mh_base{t}")
 
 
+def test_residual_pq_beats_raw_pq_error(spark):
+    """The point of residual encoding: with the same codeword budget,
+    quantization error on centered residuals is no worse than raw PQ —
+    and a vector that IS a residual codeword sample encodes with zero
+    block error beyond its own-assignment residual."""
+    import math
+
+    from sales_data_etl_pipeline_spark.operators import embeddings as emb_ops
+
+    rows = [
+        Row(
+            vec_id=i,
+            embedding=[
+                10.0 * (i % 3) + math.sin(i * 7 + d) for d in range(8)
+            ],
+        )
+        for i in range(60)
+    ]
+    corpus = spark.createDataFrame(rows)
+    coarse = corpus.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    rcb = corpus.filter(F.col("vec_id") % 10 == 0).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    raw = emb_ops.pq_encode(corpus, rcb, n_blocks=2)
+    res = emb_ops.pq_encode_residual(corpus, coarse, rcb, n_blocks=2)
+    raw_err = raw.agg(F.sum("d2_total")).first()[0]
+    res_err = res.agg(F.sum("d2_total")).first()[0]
+    assert res.count() == 60
+    assert res_err <= raw_err
+
+
+def test_ivfpq_residual_self_match(spark):
+    """A query that exists in the corpus and probes its own list must
+    rank itself first, at exactly its own residual quantization error."""
+    import math
+
+    from sales_data_etl_pipeline_spark.operators import embeddings as emb_ops
+    from sales_data_etl_pipeline_spark.operators import similarity as sim
+
+    rows = [
+        Row(
+            vec_id=i,
+            embedding=[
+                6.0 * (i % 2) + math.cos(i * 5 + d) for d in range(8)
+            ],
+        )
+        for i in range(40)
+    ]
+    corpus = spark.createDataFrame(rows)
+    coarse = corpus.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    rcb = corpus.filter(F.col("vec_id") % 8 == 0).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    q = corpus.filter(F.col("vec_id") == 16)  # a codeword sample row
+    got = sim.ivfpq_residual_topk(
+        corpus, coarse, rcb, q, k=10, n_blocks=2, n_probe=1
+    ).collect()
+    own = (
+        emb_ops.pq_encode_residual(corpus, coarse, rcb, n_blocks=2)
+        .filter(F.col("vec_id") == 16)
+        .first()
+    )
+    assert own.d2_total == 0  # its residual IS a codeword
+    # ADC is a QUANTIZED distance: every vector sharing the query's
+    # codes ties at 0 (ties → smallest id); the query itself must be
+    # in that zero-distance group, and rank 1 must score 0
+    zero = {r.neighbor_id for r in got if r.d2_adc == 0}
+    assert 16 in zero
+    assert got[0].d2_adc == 0
+
+
 def test_pagerank_deep_iterations_stay_bounded(spark):
     """10 iterations must not double the unresolved plan per round: the
     per-iteration lazy checkpoint keeps lineage flat, so this completes
