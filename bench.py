@@ -145,6 +145,8 @@ HEADLINE = [
     "corpus_curriculum_order",
     "dedup_incremental_prepared",
     "similarity_topk_ivfpq_residual",
+    "text_dup_span_removal",
+    "corpus_domain_cap",
 ]
 
 

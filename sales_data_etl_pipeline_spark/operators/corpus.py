@@ -529,3 +529,53 @@ def curriculum_order(
         rank_col="position",
     )
     return out.select(id_col, "quality_ppm", "bucket", "position")
+
+
+def domain_cap(
+    df: DataFrame,
+    *,
+    domain_col: str = "source",
+    cap: int = 10,
+    id_col: str = "doc_id",
+    seed: str = "seed42",
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """Per-domain document cap — the CCNet/RefinedWeb "at most N pages
+    per domain" rule that stops a single boilerplate-heavy host from
+    dominating a web corpus. Keeps the ``cap`` documents per domain
+    that rank first under the seeded md5 pseudo-random order (the same
+    RNG-free determinism contract as ``shuffle_deterministic``: re-runs
+    and engine swaps pick byte-identical survivors).
+
+    Emits (id_col, domain_col, pick_rank), pick_rank 1..cap within the
+    domain.
+
+    Skew shape: a naive ``row_number() OVER (PARTITION BY domain)``
+    sends EVERY row of a hot domain through one reducer. This runs the
+    standard salted two-phase top-k instead: phase 1 ranks within
+    (domain, salt) — ``salt_buckets`` way parallel even for a one-domain
+    corpus — and keeps ≤ cap per salted group; phase 2 re-ranks the
+    ≤ salt_buckets·cap survivors per domain. Exact: every global
+    top-cap row is in its salt group's top-cap, so phase 2 sees all
+    candidates. Reducer row counts are bounded by |domain|/salt_buckets
+    and salt_buckets·cap respectively — no hot-domain reducer at any
+    corpus size.
+    """
+    key = F.md5(F.concat(F.lit(f"{seed}-"), F.col(id_col).cast("string")))
+    keyed = df.select(
+        id_col, domain_col, key.alias("_k")
+    ).withColumn(
+        "_salt", F.pmod(F.xxhash64(F.col(id_col)), F.lit(salt_buckets))
+    )
+    w1 = Window.partitionBy(domain_col, "_salt").orderBy("_k", id_col)
+    phase1 = (
+        keyed.withColumn("_r1", F.row_number().over(w1))
+        .filter(F.col("_r1") <= cap)
+        .drop("_r1", "_salt")
+    )
+    w2 = Window.partitionBy(domain_col).orderBy("_k", id_col)
+    return (
+        phase1.withColumn("pick_rank", F.row_number().over(w2))
+        .filter(F.col("pick_rank") <= cap)
+        .select(id_col, domain_col, F.col("pick_rank").cast("long").alias("pick_rank"))
+    )

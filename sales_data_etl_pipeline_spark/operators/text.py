@@ -806,6 +806,141 @@ def dup_span_stats(
     )
 
 
+def dup_span_removal(
+    df: DataFrame,
+    text_col: str = "text",
+    *,
+    n: int = 20,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Remove corpus-duplicated n-token spans from each document — the
+    REMOVAL half of Lee et al. exact-substring dedup (``dup_span_stats``
+    is the accounting half): every token covered by any n-token window
+    whose text occurs in ≥ ``min_docs`` distinct documents is dropped,
+    and the survivors are rejoined in original order.
+
+    Tokenization is the EXACT single-space split (empties preserved), so
+    ``array_join(tokens, ' ')`` is the identity on untouched documents —
+    the operator never reflows whitespace it didn't remove. Documents
+    shorter than ``n`` tokens pass through verbatim; a fully-duplicated
+    document comes back with ``clean_text = ''`` rather than vanishing.
+
+    Emits (doc_id, n_tokens, n_removed, clean_text).
+
+    Scale shape: span hashes come from the same Arrow rolling-hash
+    kernel as ``dup_span_stats`` (64-bit blake2b token hashes folded by
+    a degree-(n-1) polynomial — no span strings built, one pass per
+    doc); the duplicated set is ONE map-side-combinable count-distinct
+    on the hash; coverage positions explode only from DUPLICATED span
+    occurrences (output-bound, not |tokens|-bound); the kept-token
+    anti-join and the per-doc reassembly shuffle on (doc_id, pos) /
+    doc_id. Nothing corpus-sized is broadcast or collected; reducer row
+    width is bounded by the document length (the same bounded-doc
+    contract as ``minhash_lsh_pairs(verify='sets')``).
+
+    Cross-engine exactness: duplicated-ness is decided by the 64-bit
+    span hash on this side and by the span TEXT in the DuckDB oracle;
+    they agree unless blake2b-poly collides (~2⁻⁶⁴ per span pair — the
+    contract ``dup_span_stats`` already documents).
+    """
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+    from numpy.lib.stride_tricks import sliding_window_view
+    from pyspark.sql import types as T
+
+    pw = np.uint64(31) ** np.arange(n - 1, -1, -1, dtype=np.uint64)
+
+    def span_hashes(batches):
+        memo: dict[str, int] = {}
+
+        def h64(t: str) -> int:
+            v = memo.get(t)
+            if v is None:
+                v = int.from_bytes(
+                    hashlib.blake2b(t.encode(), digest_size=8).digest(), "big"
+                )
+                memo[t] = v
+            return v
+
+        for pdf in batches:
+            ids, poss, hs = [], [], []
+            for doc_id, txt in zip(pdf["doc_id"], pdf[text_col]):
+                toks = (txt or "").split(" ")
+                if len(toks) < n:
+                    continue
+                th = np.fromiter(
+                    (h64(t) for t in toks), dtype=np.uint64, count=len(toks)
+                )
+                with np.errstate(over="ignore"):
+                    h = (sliding_window_view(th, n) * pw).sum(axis=1)
+                ids.append(np.full(h.shape, doc_id, dtype=np.int64))
+                poss.append(np.arange(h.shape[0], dtype=np.int64))
+                hs.append(h.view(np.int64))
+            if ids:
+                yield pd.DataFrame(
+                    {
+                        "doc_id": np.concatenate(ids),
+                        "gpos": np.concatenate(poss),
+                        "_h": np.concatenate(hs),
+                    }
+                )
+
+    spans = df.select("doc_id", text_col).mapInPandas(
+        span_hashes,
+        T.StructType(
+            [
+                T.StructField("doc_id", T.LongType(), False),
+                T.StructField("gpos", T.LongType(), False),
+                T.StructField("_h", T.LongType(), False),
+            ]
+        ),
+    )
+    dup = (
+        spans.groupBy("_h")
+        .agg(F.count_distinct("doc_id").alias("_nd"))
+        .filter(F.col("_nd") >= min_docs)
+        .select("_h")
+    )
+    covered = (
+        spans.join(dup, "_h")
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("gpos"), F.col("gpos") + F.lit(n - 1))
+            ).alias("pos"),
+        )
+        .distinct()
+    )
+    toks = df.select(
+        "doc_id",
+        F.posexplode(F.split(F.col(text_col), " ", -1)).alias("pos", "tok"),
+    )
+    kept = toks.join(covered, ["doc_id", "pos"], "left_anti")
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("_n_kept"),
+        F.array_join(
+            F.expr("transform(array_sort(collect_list(struct(pos, tok))),"
+                   " x -> x.tok)"),
+            " ",
+        ).alias("_clean"),
+    )
+    n_tokens = F.size(F.split(F.col(text_col), " ", -1))
+    return (
+        df.select("doc_id", n_tokens.alias("n_tokens"))
+        .join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            (F.col("n_tokens") - F.coalesce(F.col("_n_kept"), F.lit(0)))
+            .cast("long")
+            .alias("n_removed"),
+            F.coalesce(F.col("_clean"), F.lit("")).alias("clean_text"),
+        )
+    )
+
+
 def sentence_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Sentence segmentation stats per doc: sentence count, mean
     sentence length in characters and in tokens — the readability-

@@ -3102,6 +3102,49 @@ ORACLES["text_dup_span_stats"] = f"""
 """
 
 
+def text_dup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lee et al. span REMOVAL over the near-dup corpus: every token
+    covered by a 20-token window duplicated across >= 2 docs is dropped
+    and the survivors rejoined in order — the truncated copies and
+    their sources lose their shared spans, short/unique docs pass
+    through byte-identical."""
+    return text.dup_span_removal(
+        _docs_with_near_dups(spark, sf_dir)
+    ).orderBy("doc_id")
+
+
+QUERIES["text_dup_span_removal"] = text_dup_span_removal
+ORACLES["text_dup_span_removal"] = f"""
+    WITH d AS ({_NEAR_DUP_DOCS}),
+    t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM d),
+    sp AS (
+        SELECT doc_id, i,
+               array_to_string(list_slice(toks, i, i + 19), ' ') AS s
+        FROM t, UNNEST(generate_series(1, greatest(len(toks) - 19, 0)))
+             AS u(i)),
+    dup AS (SELECT s FROM sp GROUP BY s HAVING COUNT(DISTINCT doc_id) >= 2),
+    cov AS (SELECT DISTINCT sp.doc_id, u2.p
+            FROM sp JOIN dup USING (s),
+                 UNNEST(generate_series(sp.i, sp.i + 19)) AS u2(p)),
+    tok AS (SELECT doc_id, generate_subscripts(toks, 1) AS pos,
+                   unnest(toks) AS tok
+            FROM t),
+    kept AS (SELECT tok.doc_id, tok.pos, tok.tok
+             FROM tok ANTI JOIN cov
+                  ON tok.doc_id = cov.doc_id AND tok.pos = cov.p),
+    agg AS (SELECT doc_id, COUNT(*) AS n_kept,
+                   string_agg(tok, ' ' ORDER BY pos) AS clean_text
+            FROM kept GROUP BY doc_id)
+    SELECT t.doc_id,
+           CAST(len(t.toks) AS BIGINT) AS n_tokens,
+           CAST(len(t.toks) - COALESCE(agg.n_kept, 0) AS BIGINT)
+               AS n_removed,
+           COALESCE(agg.clean_text, '') AS clean_text
+    FROM t LEFT JOIN agg ON t.doc_id = agg.doc_id
+    ORDER BY t.doc_id
+"""
+
+
 def corpus_shuffle_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Seeded deterministic global shuffle for training order: md5 of a
     seed-prefixed key gives a reproducible pseudo-random total order;
@@ -3161,6 +3204,30 @@ ORACLES["corpus_curriculum_order"] = f"""
                         md5('seed42-' || CAST(doc_id AS VARCHAR)),
                         doc_id) AS BIGINT) AS position
     FROM b ORDER BY position
+"""
+
+
+def corpus_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain document cap (CCNet/RefinedWeb "max N pages per
+    host"): keep the 10 docs per source that rank first under the
+    seeded md5 order — salted two-phase top-k, no hot-domain reducer."""
+    return corpus.domain_cap(_docs(spark, sf_dir), cap=10).orderBy(
+        "source", "pick_rank"
+    )
+
+
+QUERIES["corpus_domain_cap"] = corpus_domain_cap
+ORACLES["corpus_domain_cap"] = """
+    WITH k AS (SELECT doc_id, source,
+                      md5('seed42-' || CAST(doc_id AS VARCHAR)) AS _k
+               FROM documents),
+    r AS (SELECT doc_id, source,
+                 CAST(row_number() OVER (
+                     PARTITION BY source ORDER BY _k, doc_id) AS BIGINT)
+                     AS pick_rank
+          FROM k)
+    SELECT doc_id, source, pick_rank FROM r WHERE pick_rank <= 10
+    ORDER BY source, pick_rank
 """
 
 

@@ -44,7 +44,27 @@ def overwrite_table(df: DataFrame, name: str, *, bucket_by: tuple[int, str] | No
     row with ON CONFLICT DO NOTHING; since ET already deduped, that is
     exactly ``mode('overwrite').saveAsTable`` (SURVEY.md §7.4 item 8).
     ``bucket_by=(n, key)`` co-locates future joins on ``key``.
+
+    Stale-location guard: with the default session-scoped catalog the
+    table REGISTRATION dies with the session while its warehouse
+    directory persists on disk, and the next session's overwrite fails
+    with LOCATION_ALREADY_EXISTS (the catalog sees a CREATE, not an
+    overwrite). True DROP+CREATE semantics must remove that orphaned
+    location. A cluster deployment with a persistent metastore never
+    enters this branch — the table stays registered and Spark's own
+    overwrite path handles the location.
     """
+    spark = df.sparkSession
+    if not spark.catalog.tableExists(name):
+        import os
+        import shutil
+        from urllib.parse import urlparse
+
+        wh = urlparse(spark.conf.get("spark.sql.warehouse.dir"))
+        if wh.scheme in ("", "file"):
+            loc = os.path.join(wh.path, name.split(".")[-1].lower())
+            if os.path.isdir(loc):
+                shutil.rmtree(loc)
     writer = df.write.mode("overwrite").format("parquet")
     if bucket_by:
         n, key = bucket_by

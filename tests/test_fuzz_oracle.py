@@ -360,6 +360,9 @@ FUZZED_CORPUS = [
     "corpus_curriculum_order",
     "dedup_incremental_prepared",
     "similarity_topk_ivfpq_residual",
+    # round-9: span removal + per-domain cap
+    "text_dup_span_removal",
+    "corpus_domain_cap",
 ]
 
 

@@ -372,3 +372,92 @@ def test_pagerank_deep_iterations_stay_bounded(spark):
     total = sum(r.rank_ppb for r in got)
     # integer-division truncation loses at most a few ppb per node/round
     assert abs(total - 1_000_000_000) < 1000
+
+
+def test_dup_span_removal_removes_shared_spans_only(spark):
+    """Two docs sharing an exact 20-token run lose exactly that run
+    (plus any other duplicated windows it induces); a unique doc and a
+    short doc pass through byte-identical."""
+    from sales_data_etl_pipeline_spark.operators import text as text_ops
+
+    shared = " ".join(f"s{i}" for i in range(20))
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text=f"alpha beta {shared} gamma delta"),
+            Row(doc_id=2, text=f"x1 x2 x3 {shared} y1"),
+            Row(doc_id=3, text="unique words only here"),
+            Row(doc_id=4, text="tiny"),
+        ]
+    )
+    got = {
+        r.doc_id: r
+        for r in text_ops.dup_span_removal(docs).collect()
+    }
+    # the shared 20-token window is the ONLY duplicated span (the
+    # surrounding tokens differ), so exactly those 20 tokens vanish
+    assert got[1].clean_text == "alpha beta gamma delta"
+    assert got[1].n_removed == 20 and got[1].n_tokens == 24
+    assert got[2].clean_text == "x1 x2 x3 y1"
+    assert got[2].n_removed == 20
+    assert got[3].clean_text == "unique words only here"
+    assert got[3].n_removed == 0
+    assert got[4].clean_text == "tiny" and got[4].n_removed == 0
+
+
+def test_dup_span_removal_full_duplicate_empties_doc(spark):
+    """An exact duplicate pair ≥ 20 tokens long is fully covered by
+    duplicated windows on both sides → both come back empty, still
+    present in the output."""
+    from sales_data_etl_pipeline_spark.operators import text as text_ops
+
+    body = " ".join(f"w{i}" for i in range(30))
+    docs = spark.createDataFrame(
+        [Row(doc_id=1, text=body), Row(doc_id=2, text=body)]
+    )
+    got = {r.doc_id: r for r in text_ops.dup_span_removal(docs).collect()}
+    assert len(got) == 2
+    for r in got.values():
+        assert r.clean_text == "" and r.n_removed == 30 and r.n_tokens == 30
+
+
+def test_dup_span_removal_within_doc_repeat_not_removed(spark):
+    """min_docs counts DISTINCT documents: a span repeated twice inside
+    ONE doc is not corpus-duplicated and survives."""
+    from sales_data_etl_pipeline_spark.operators import text as text_ops
+
+    span = " ".join(f"r{i}" for i in range(20))
+    docs = spark.createDataFrame(
+        [Row(doc_id=1, text=f"{span} mid {span}"), Row(doc_id=2, text="other")]
+    )
+    got = text_ops.dup_span_removal(docs).filter(F.col("doc_id") == 1).collect()
+    assert got[0].n_removed == 0
+    assert got[0].clean_text == f"{span} mid {span}"
+
+
+def test_domain_cap_equals_single_window_form(spark):
+    """The salted two-phase top-k must pick EXACTLY the rows a plain
+    per-domain row_number() would — including on a skewed corpus where
+    one domain holds most documents."""
+    from pyspark.sql import Window
+
+    from sales_data_etl_pipeline_spark.operators import corpus as corpus_ops
+
+    rows = [Row(doc_id=i, source="hot") for i in range(200)]
+    rows += [Row(doc_id=1000 + i, source=f"s{i % 5}") for i in range(25)]
+    docs = spark.createDataFrame(rows)
+    got = corpus_ops.domain_cap(docs, cap=7).collect()
+    key = F.md5(F.concat(F.lit("seed42-"), F.col("doc_id").cast("string")))
+    w = Window.partitionBy("source").orderBy(key.alias("_k"), "doc_id")
+    want = (
+        docs.withColumn("pick_rank", F.row_number().over(w))
+        .filter(F.col("pick_rank") <= 7)
+        .collect()
+    )
+    assert {(r.doc_id, r.pick_rank) for r in got} == {
+        (r.doc_id, r.pick_rank) for r in want
+    }
+    # cap respected per domain; small domains keep everything
+    from collections import Counter
+
+    per = Counter(r.source for r in got)
+    assert per["hot"] == 7 and all(v <= 7 for v in per.values())
