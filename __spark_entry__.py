@@ -34,84 +34,101 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver verifies only the FIRST 50 queries() entries per round
-# (CORRECTNESS_r{N}.json). The round-8 window is DERIVED with
-# FINGERPRINTS ENABLED (the r7 ADVICE ask): tools/rotation_planner.py
-# --max-round 7 --baseline entry_fingerprints_r07b.json
-# --force-changed text_unigram_logprob ranks (1) text_unigram_logprob
-# (r4 — the round-7 verdict's explicit rotation head, forced because
-# round-8's drift set alone overflows the window), (2) the 13
-# never-green round-8 additions, then (3) fingerprint-drift entries —
-# everything whose dep closure touches the round-8 edits to dedup.py
-# (un-hinted sizes joins + floor-composite rounding, banded/incremental
-# containment, pagerank), similarity.py (kmeans dead-centroid mask,
-# PQ/ADC, empty-input guards), embeddings.py (pq_encode), rank.py /
-# corpus.py (empty-offsets guards), multimodal.py (visual row order,
-# pHash), temporal.py (session funnel), and sources/csv.py (CR-
-# preserving round trip) — stalest green round first; the drift tail
-# past slot 50 (r7-green entries incl. stats_correlation and
-# source_csv_roundtrip) is fuzz-covered and heads the r9 rotation.
-# The drift baseline is tools/entry_fingerprints_r07b.json: the r7
-# fingerprints REGENERATED at commit 2252b4c with the fixed analyzer
-# (function-local imports now reach dep sets); the window artifact
-# PINS that baseline (inputs.fingerprint_baseline) so the replay test
-# stays reproducible after entry_fingerprints_r08.json lands.
-# tools/verify_window.json records the planner inputs + full
-# ordering; tests/test_verify_window.py asserts this list equals its
-# first 50 names AND that replanning from the recorded inputs
-# reproduces the artifact.
+# (CORRECTNESS_r{N}.json). The round-10 window is DERIVED:
+# tools/rotation_planner.py --max-round 9
+# --baseline tools/entry_fingerprints_r09.json
+# --force-changed <28 names> --promote-stale <5 headline queries>.
+# Composition (closing the round-9 verdict's #1-#2 asks):
+# (1) 13 never-green: the 8 round-9 additions (the round-9 window was
+#     never rotated, so they shipped with zero driver rows) plus the
+#     5 round-10 additions (similarity_range_topk,
+#     streaming_dedup_minhash, similarity_knn_graph,
+#     table_snapshot_diff, events_attribution_linear);
+# (2) 28 forced changed-since-green: the 26 entries whose fingerprint
+#     moved between the r08 and r09 snapshots while their last green
+#     row predates r9 (r9 edits to text.py/corpus.py/dedup.py/
+#     embeddings.py/sources reached their dep closures without a fresh
+#     driver row) plus multimodal_dhash and stats_correlation (SURVEY
+#     §7.6: round-8 code changes that the r08 snapshot post-dates, so
+#     drift can never re-flag them — carried two rounds, forced now).
+#     NOTE the 41 entries that ALSO drifted r08->r09 but hold an r9
+#     green row are deliberately NOT re-queued: the driver ran the r9
+#     gate at round-9 close on the final r9 code, so their rows
+#     already postdate the change.
+# (3) 9 fingerprint-drift (alphabetical head of 43): the round-10
+#     ADVICE fixes (connected_components confirmation round,
+#     pq_adc_topk empty-codebook short-circuit, the parquet
+#     stale-location guard) plus the new similarity/merge/temporal/
+#     streaming kernels touch the dep closures of 43 green entries;
+#     the 34 that do not fit carry to r11 with judge-local gate
+#     evidence at this round's close (SURVEY §7.9 lists the exact
+#     force set).
+# The 5 headline analytics queries (--promote-stale, an honest
+# "refresh these r5 greens first" WITHIN the stalest tier — no fake
+# changed claim) were displaced by that drift: changed-since-green
+# outranks stale-green by the documented priority. They head the r11
+# stale refresh instead.
+# The drift baseline is tools/entry_fingerprints_r09.json, emitted at
+# the round-9 closing tree with the SAME analyzer version (planner
+# untouched since r8 — the r07b lesson); the window artifact PINS it
+# (inputs.fingerprint_baseline) so the replay test stays reproducible
+# after entry_fingerprints_r10.json lands. tools/verify_window.json
+# records the planner inputs + full ordering; tests/test_verify_window.py
+# asserts this list equals its first 50 names AND that replanning from
+# the recorded inputs reproduces the artifact.
 _VERIFY_FIRST = [
     # never-green (new entries: must not ship unverified)
-    "dedup_incremental_containment",
-    "dedup_incremental_join",
-    "dedup_minhash_containment",
-    "embedding_pq_encode",
-    "events_rfm_segmentation",
-    "events_salted_join",
-    "events_session_funnel",
-    "graph_pagerank",
-    "multimodal_phash",
-    "similarity_topk_ivfpq",
-    "similarity_topk_pq",
-    "source_orc_roundtrip",
-    "source_partitioned_roundtrip",
+    "corpus_curriculum_order",
+    "corpus_domain_cap",
+    "dedup_incremental_prepared",
+    "events_attribution_linear",
+    "events_markov_transitions",
+    "similarity_knn_graph",
+    "similarity_range_join",
+    "similarity_range_topk",
+    "similarity_topk_ivfpq_residual",
+    "streaming_dedup_minhash",
+    "streaming_session_funnel",
+    "table_snapshot_diff",
+    "text_dup_span_removal",
     # changed since last green row
-    "text_unigram_logprob",
+    "corpus_chunk_documents",
+    "table_cdc_apply",
+    "text_bpe_token_count",
+    "text_bigram_logprob",
+    "text_gopher_quality",
+    "text_paragraph_dedup",
+    "text_quality_score",
+    "text_token_stats",
+    "corpus_domain_mixture",
+    "dedup_containment",
+    "dedup_exact",
+    "dedup_incremental",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "embedding_kmeans_assign",
+    "embedding_normalize",
+    "embedding_quantize_int8",
+    "multimodal_dhash",
+    "source_csv_roundtrip",
+    "source_jsonl_roundtrip",
+    "stats_correlation",
+    "table_insert_missing",
+    "table_scd2_apply",
+    "table_upsert",
+    "text_char_diversity",
+    "text_dup_span_stats",
+    "text_fingerprint",
+    "text_language_id",
+    "text_repetition",
+    "text_sentence_stats",
+    "text_term_frequencies",
+    "text_tfidf_top_terms",
     "corpus_decontaminate",
-    "corpus_temperature_mixture",
-    "dedup_simhash",
-    "events_asof_join",
-    "events_asof_join_forward",
-    "events_funnel",
-    "events_range_count",
-    "events_user_value_deciles",
-    "multimodal_decode",
-    "source_synthetic_stream",
-    "streaming_dedup",
-    "streaming_enriched_counts",
-    "streaming_session_counts",
-    "streaming_stream_join",
-    "streaming_user_totals",
-    "streaming_windowed_counts",
-    "corpus_quality_resample",
-    "corpus_shuffle_deterministic",
-    "dedup_embedding_cosine",
-    "dedup_embedding_lsh",
-    "embedding_knn_label",
-    "multimodal_frame_sample",
-    "multimodal_resize",
-    "similarity_topk",
-    "similarity_topk_ivf",
-    "similarity_topk_lsh",
     "corpus_dedup_pipeline",
     "corpus_hash_split",
     "corpus_mixture_epochs",
     "corpus_ngram_counts",
-    "corpus_pack_sequences",
-    "corpus_prep_pipeline",
-    "corpus_stratified_sample",
-    "corpus_token_shards",
-    "dedup_cluster_representatives",
-    "dedup_clusters",
 ]
 
 

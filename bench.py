@@ -147,6 +147,13 @@ HEADLINE = [
     "similarity_topk_ivfpq_residual",
     "text_dup_span_removal",
     "corpus_domain_cap",
+    # round-10: bounded top-k range join, streaming banded near-dup,
+    # mutual-kNN graph, snapshot diff, linear attribution
+    "similarity_range_topk",
+    "streaming_dedup_minhash",
+    "similarity_knn_graph",
+    "table_snapshot_diff",
+    "events_attribution_linear",
 ]
 
 
@@ -164,6 +171,49 @@ def _approx_twins():
         ),
         "stats_approx_sketches": llm_demo.stats_approx_sketches_raw,
     }
+
+
+def _phase_splits(spark, sf_dir):
+    """Amortized-phase twins (r9 verdict item 6): the
+    ``dedup_incremental_prepared`` GATE row deliberately drives
+    ``save_minhash_base`` + match end-to-end every run — the driver
+    oracle must exercise the artifact path — so its headline timing
+    (~5 s at sf0.1) reads as operator cost when ~70% of it is the
+    once-per-corpus prepare (three bucketed saveAsTable writes). This
+    twin pays the prepare ONCE, untimed, then times the per-batch
+    steady state: match against the stored bucketed tables — the
+    number a daily-ingest deployment actually pays (cf. the ~sf10
+    soak row in SCALE_EXPERIMENT.json / SURVEY §7.7)."""
+    from sales_data_etl_pipeline_spark.operators import dedup
+    from sales_data_etl_pipeline_spark.plans import llm_demo
+
+    docs = llm_demo._docs(spark, sf_dir).select("doc_id", "text")
+    dedup.save_minhash_base(docs, "minhash_base_bench")  # untimed
+
+    def match_only(spark, sf):
+        from pyspark.sql import functions as F
+
+        d = llm_demo._docs(spark, sf).select("doc_id", "text")
+        incoming = (
+            d.filter(F.col("doc_id") % 20 == 0)
+            .select(
+                (F.col("doc_id") + 10000).alias("doc_id"),
+                F.expr(
+                    "substring(text, 1, greatest(length(text) - 30, 1))"
+                ).alias("text"),
+            )
+            .unionByName(
+                d.filter(F.col("doc_id") % 7 == 3).select(
+                    (F.col("doc_id") + 20000).alias("doc_id"),
+                    F.reverse("text").alias("text"),
+                )
+            )
+        )
+        return dedup.minhash_lsh_incremental_prepared(
+            spark, "minhash_base_bench", incoming, threshold=0.5
+        )
+
+    return {"dedup_incremental_prepared_match_only": match_only}
 
 
 #: Scale-curve set: the 5 reference-analytics queries plus the two
@@ -287,6 +337,9 @@ def main() -> None:
     approx, _ = _time_queries(
         spark, _approx_twins(), sf_dir, passes=1, jit_passes=1
     )
+    phase_splits, _ = _time_queries(
+        spark, _phase_splits(spark, sf_dir), sf_dir, passes=2, jit_passes=1
+    )
 
     # 2-point scaling curve: the same queries at a second SF. The main
     # SF's numbers are reused from the headline pass (same session).
@@ -320,6 +373,10 @@ def main() -> None:
         "queries": timings,
         "queries_mean": qmean,
         "approx_twins": approx,
+        # dedup_incremental_prepared's headline row includes the
+        # once-per-corpus prepare (gate contract); this is the
+        # amortized per-batch match alone — read THIS as operator cost
+        "phase_splits": phase_splits,
         "scale_curve": scale_curve,
         "sf": sf,
     }

@@ -753,7 +753,14 @@ def connected_components(
         .withColumn("component", F.col("node"))
     )
     last_changed = 0
-    for _ in range(max_iterations):
+    # max_iterations propagation rounds PLUS one confirmation round: a
+    # graph whose diameter is exactly max_iterations converges ON the
+    # final budgeted round (changed > 0 yet already at the fixed point),
+    # so raising on that round's count would reject a correct result —
+    # the effective budget would be max_iterations-1 (r9 ADVICE). The
+    # extra round either observes changed == 0 (true convergence) or
+    # proves propagation is genuinely unfinished.
+    for _ in range(max_iterations + 1):
         neighbour_min = (
             edges.join(labels, edges.dst == labels.node)
             .groupBy("src")
@@ -791,9 +798,10 @@ def connected_components(
     if last_changed:
         raise RuntimeError(
             f"connected_components did not converge in {max_iterations} "
-            f"iterations ({last_changed} labels still changing): the pair "
-            "graph's diameter exceeds the budget — retry with a larger "
-            "max_iterations (propagation crosses one edge per round)"
+            f"iterations plus the confirmation round ({last_changed} labels "
+            "still changing): the pair graph's diameter exceeds the budget "
+            "— retry with a larger max_iterations (propagation crosses one "
+            "edge per round)"
         )
     return labels.select(F.col("node").alias("doc_id"), "component")
 

@@ -248,3 +248,82 @@ def cdc_apply_sql(
         UNION ALL
         SELECT {col_list} FROM w WHERE {op_col} <> 'D'
     """
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    keys: tuple[str, ...] | str,
+    *,
+    compare_cols: list[str] | None = None,
+) -> DataFrame:
+    """Keyed diff of two table snapshots — the reconciliation complement
+    of :func:`cdc_apply`: where cdc_apply REPLAYS a changelog onto a
+    snapshot, snapshot_diff DERIVES the changelog between two
+    snapshots (migration validation, backfill audits, CDC bootstrap).
+
+    One full outer join on the key — co-partitioned, no window, no
+    per-key state; with both snapshots bucketed on the key the shuffle
+    disappears entirely. Per key emits change_type ∈ added / removed /
+    changed (unchanged keys are NOT emitted — at 100 TB the diff is
+    output-bound, not snapshot-bound, after the join) and
+    ``changed_cols``: the comma-joined sorted names of compared
+    columns whose values differ under NULL-SAFE equality (``<=>`` —
+    NULL→value and value→NULL both count as changes; added/removed
+    rows carry an empty string).
+    """
+    from pyspark.sql import functions as F
+
+    ks = _key_list(keys)
+    cols = compare_cols or [c for c in old.columns if c not in ks]
+    # explicit presence sentinels: a full outer join NULLs the absent
+    # side, and testing the DATA columns for null would misread a
+    # present row whose compared attributes are all NULL — the lit(True)
+    # flag is exact and free
+    o = old.select(
+        *ks,
+        F.lit(True).alias("_o_present"),
+        *[F.col(c).alias(f"_o_{c}") for c in cols],
+    )
+    n = new.select(
+        *ks,
+        F.lit(True).alias("_n_present"),
+        *[F.col(c).alias(f"_n_{c}") for c in cols],
+    )
+    joined = o.join(n, ks, "full_outer")
+    o_present = F.coalesce(F.col("_o_present"), F.lit(False))
+    n_present = F.coalesce(F.col("_n_present"), F.lit(False))
+    changed_arr = F.array_sort(
+        F.filter(
+            F.array(
+                *[
+                    F.when(
+                        ~F.col(f"_o_{c}").eqNullSafe(F.col(f"_n_{c}")),
+                        F.lit(c),
+                    )
+                    for c in cols
+                ]
+            ),
+            lambda x: x.isNotNull(),
+        )
+    )
+    return (
+        joined.withColumn(
+            "change_type",
+            F.when(~o_present, F.lit("added"))
+            .when(~n_present, F.lit("removed"))
+            .otherwise(F.lit("changed")),
+        )
+        .withColumn(
+            "changed_cols",
+            F.when(
+                F.col("change_type") == "changed",
+                F.concat_ws(",", changed_arr),
+            ).otherwise(F.lit("")),
+        )
+        .filter(
+            (F.col("change_type") != "changed")
+            | (F.col("changed_cols") != "")
+        )
+        .select(*ks, "change_type", "changed_cols")
+    )

@@ -775,6 +775,149 @@ def cosine_range_join(
     )
 
 
+def cosine_range_topk(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    k: int = 5,
+    threshold: float = 0.8,
+    planes: int = 32,
+    bands: int = 4,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """Top-k-per-left variant of :func:`cosine_range_join` — bounded
+    output for hub vectors (r9 runway item): a left record linking to
+    thousands of qualifying right matches emits only its ``k`` best,
+    so downstream joins and sinks see ≤ |left|·k rows no matter how
+    hot a hub is.
+
+    Candidates and the exact-cosine verify are exactly
+    :func:`cosine_range_join` (banded hyperplane equi-join on (band,
+    sig), threshold filter, 6dp-rounded cosine). Ranking is the salted
+    two-phase top-k (same exactness argument as
+    ``corpus.domain_cap``): phase 1 ranks within (left_id, salt) and
+    keeps ≤ k per salted group — parallel even for a one-hub result —
+    phase 2 re-ranks the ≤ salt_buckets·k survivors per left. Exact:
+    every global top-k row is in its salt group's top-k. Reducer width
+    is bounded by |matches(left)|/salt_buckets then salt_buckets·k —
+    a naive single row_number window would funnel every hub match
+    through one reducer.
+
+    Order: cosine DESC, right_id ASC (deterministic ties). Output:
+    (left_id, right_id, cosine, rank), rank 1..k.
+    """
+    pairs = cosine_range_join(
+        left,
+        right,
+        threshold=threshold,
+        planes=planes,
+        bands=bands,
+        dim=dim,
+        id_col=id_col,
+        vec_col=vec_col,
+    )
+    return _topk_per_left(pairs, k=k, salt_buckets=salt_buckets)
+
+
+def _topk_per_left(
+    pairs: DataFrame, *, k: int, salt_buckets: int
+) -> DataFrame:
+    """Salted two-phase top-k over (left_id, right_id, cosine) pairs:
+    phase 1 ranks within (left_id, salt) keeping ≤ k, phase 2 re-ranks
+    the ≤ salt_buckets·k survivors per left. Exact (every global top-k
+    row is in its salt group's top-k); reducer width bounded by
+    |matches(left)|/salt_buckets then salt_buckets·k."""
+    salted = pairs.withColumn(
+        "_salt", F.pmod(F.xxhash64("right_id"), F.lit(salt_buckets))
+    )
+    w1 = Window.partitionBy("left_id", "_salt").orderBy(
+        F.desc("cosine"), F.asc("right_id")
+    )
+    phase1 = (
+        salted.withColumn("_r1", F.row_number().over(w1))
+        .filter(F.col("_r1") <= k)
+        .drop("_r1", "_salt")
+    )
+    w2 = Window.partitionBy("left_id").orderBy(
+        F.desc("cosine"), F.asc("right_id")
+    )
+    return (
+        phase1.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select(
+            "left_id",
+            "right_id",
+            "cosine",
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )
+
+
+def knn_graph_mutual(
+    corpus: DataFrame,
+    *,
+    k: int = 5,
+    threshold: float = 0.0,
+    planes: int = 32,
+    bands: int = 4,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """Mutual-kNN graph edges over ONE embedding corpus — the offline
+    graph-construction primitive behind graph-ANN indexes and
+    graph-based dedup/clustering: an undirected edge (a, b) exists iff
+    b is in a's k nearest banded neighbors AND a is in b's.
+
+    Directed kNN lists come from the single-corpus form of
+    :func:`cosine_range_topk` (banded hyperplane candidates on a
+    (band, sig) equi-join — never corpus², self-pairs excluded before
+    ranking, exact cosine ≥ ``threshold``); mutuality is one
+    self-equi-join of the directed edge list on the reversed key. The
+    mutual filter is the standard symmetrization that drops hub-to-
+    satellite edges a hub's own top-k never reciprocates.
+
+    Output: (id_a, id_b, cosine, rank_ab, rank_ba) with id_a < id_b —
+    rank_ab = b's rank in a's list, rank_ba = a's in b's. At 100 TB
+    the directed list is ≤ |corpus|·k rows, so the mutual join is
+    output-bound and equi-keyed; candidate generation inherits the
+    range join's bucket-volume bound and AQE skew handling.
+    """
+    live = corpus.select(id_col, vec_col)
+    directed = _topk_per_left(
+        cosine_range_join(
+            live,
+            live,
+            threshold=threshold,
+            planes=planes,
+            bands=bands,
+            dim=dim,
+            id_col=id_col,
+            vec_col=vec_col,
+        ).filter(F.col("left_id") != F.col("right_id")),
+        k=k,
+        salt_buckets=salt_buckets,
+    )
+    fwd = directed.select(
+        F.col("left_id").alias("id_a"),
+        F.col("right_id").alias("id_b"),
+        "cosine",
+        F.col("rank").alias("rank_ab"),
+    ).filter(F.col("id_a") < F.col("id_b"))
+    rev = directed.select(
+        F.col("right_id").alias("id_a"),
+        F.col("left_id").alias("id_b"),
+        F.col("rank").alias("rank_ba"),
+    ).filter(F.col("id_a") < F.col("id_b"))
+    return fwd.join(rev, ["id_a", "id_b"]).select(
+        "id_a", "id_b", "cosine", "rank_ab", "rank_ba"
+    )
+
+
 def kmeans_assign(
     corpus: DataFrame,
     centroids: DataFrame,
@@ -936,10 +1079,28 @@ def pq_adc_topk(
         .first()
     )
     if span["lo"] is None:
-        # empty / all-non-finite codebook: no code is definable —
-        # pq_encode returns the empty code table, so the composed plan
-        # yields the schema-correct empty result for ANY dim
-        dim = n_blocks
+        # Empty / all-non-finite codebook: no code is definable, so the
+        # result is empty for ANY dim. Return it DIRECTLY instead of
+        # composing the full plan — the composed plan only stayed
+        # error-free because AQE's empty-relation propagation eliminated
+        # the join before the query-side raise_error projection ran;
+        # with AQE disabled a real 64-dim query row would hit the
+        # wrong-dim raise_error branch spuriously (r9 ADVICE).
+        from pyspark.sql import types as T
+
+        out_schema = T.StructType(
+            [
+                T.StructField(
+                    query_id_col, queries.schema[id_col].dataType, True
+                ),
+                T.StructField(
+                    "neighbor_id", corpus.schema[id_col].dataType, True
+                ),
+                T.StructField("d2_adc", T.LongType(), True),
+                T.StructField("rank", T.IntegerType(), True),
+            ]
+        )
+        return corpus.sparkSession.createDataFrame([], out_schema)
     else:
         if span["lo"] != span["hi"]:
             raise ValueError(

@@ -423,3 +423,89 @@ def session_funnel_counts_sql(
         for i, s in enumerate(steps)
     ]
     return "WITH " + ", ".join(ctes) + " " + " UNION ALL ".join(selects)
+
+
+def linear_attribution(
+    events: DataFrame,
+    *,
+    conversion_type: str = "purchase",
+    touch_types: tuple[str, ...] = ("view", "click"),
+    lookback_seconds: int = 604800,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Linear multi-touch attribution — the marketing-analytics
+    complement of the funnel ops: each conversion's value is split
+    equally across every qualifying touch (touch strictly before the
+    conversion, within ``lookback_seconds``, same user), then credit
+    rolls up per touch channel.
+
+    Exact integer arithmetic end-to-end so a SQL oracle reproduces
+    every cent: conversion value → cents (``floor(v·100 + 0.5)``,
+    the engine's cross-engine rounding form), per-touch credit =
+    ``(cents · 10⁶) div n_touches`` in micro-cents (floor division —
+    deterministic; the ≤ n_touches−1 micro-cent remainder per
+    conversion is dropped, not redistributed, and both engines drop it
+    identically).
+
+    Plan shape at 100 TB: the touch↔conversion match is the module's
+    bucketized range join (two equi-probes on (user, lookback-bucket),
+    never an unbounded theta join); ``n_touches`` is one window count
+    partitioned by conversion id (bounded by touches-per-conversion ≤
+    one user's lookback activity); the channel rollup is a map-side-
+    combinable aggregate over |touch_types| groups. Conversions with
+    ZERO qualifying touches receive no attribution rows (unattributed
+    — report them by anti-joining conversions to this output's
+    conversion ids if needed).
+
+    Output: (event_type, n_touches, n_conversions, credit_micros) per
+    touch channel.
+    """
+    bucket = lambda c: F.floor(epoch_seconds(c) / lookback_seconds)  # noqa: E731
+    conv = (
+        events.filter(F.col(type_col) == conversion_type)
+        .select(
+            F.col(id_col).alias("_pid"),
+            F.col(user_col).alias("_puser"),
+            F.col(ts_col).alias("_pts"),
+            F.expr(
+                f"cast(floor({value_col} * 100 + 0.5) as bigint)"
+            ).alias("_cents"),
+        )
+        .withColumn("_pb", bucket("_pts"))
+        .withColumn(
+            "_probe", F.explode(F.array(F.col("_pb"), F.col("_pb") - 1))
+        )
+    )
+    touch = events.filter(F.col(type_col).isin(*touch_types)).select(
+        F.col(user_col).alias("_tuser"),
+        F.col(type_col).alias("_ttype"),
+        F.col(ts_col).alias("_tts"),
+        bucket(ts_col).alias("_tb"),
+    )
+    matched = conv.join(
+        touch,
+        (F.col("_puser") == F.col("_tuser"))
+        & (F.col("_probe") == F.col("_tb")),
+    ).filter(
+        (epoch_seconds("_tts") < epoch_seconds("_pts"))
+        & (
+            epoch_seconds("_tts")
+            >= epoch_seconds("_pts") - lookback_seconds
+        )
+    )
+    w = Window.partitionBy("_pid")
+    credited = matched.withColumn(
+        "_n", F.count(F.lit(1)).over(w)
+    ).withColumn("_credit", F.expr("(_cents * 1000000L) div _n"))
+    return (
+        credited.groupBy(F.col("_ttype").alias("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_touches"),
+            F.countDistinct("_pid").alias("n_conversions"),
+            F.sum("_credit").alias("credit_micros"),
+        )
+    )

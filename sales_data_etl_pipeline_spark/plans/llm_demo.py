@@ -2225,14 +2225,11 @@ def similarity_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES["similarity_range_join"] = similarity_range_join
 
 
-def _range_join_oracle(
-    planes: int = 32, bands: int = 4, dim: int = 64, threshold: float = 0.8
-) -> str:
-    """DuckDB twin of the gated ``similarity.cosine_range_join`` — same
-    md5 hyperplanes, fold + 6dp-round sign convention, banding, and
-    exact-cosine verify, over the same left/right corpus split."""
-    R = dedup.hyperplane_signs(planes, dim)
-    rows = planes // bands
+def _hyperplane_band_selects_sql(R, rows: int, bands: int, dim: int):
+    """Shared DuckDB twin of ``similarity._band_signatures``: returns a
+    ``band_selects(src, idc)`` builder emitting one UNION ALL branch
+    per band whose sig is the concatenated 6dp-rounded projection-sign
+    bits — byte-identical to the Spark kernel's convention."""
 
     def bit(b: int) -> str:
         proj = " + ".join(
@@ -2249,10 +2246,41 @@ def _range_join_oracle(
             for b in range(bands)
         )
 
+    return band_selects
+
+
+def _range_join_oracle(
+    planes: int = 32,
+    bands: int = 4,
+    dim: int = 64,
+    threshold: float = 0.8,
+    extra_plant: bool = False,
+) -> str:
+    """DuckDB twin of the gated ``similarity.cosine_range_join`` — same
+    md5 hyperplanes, fold + 6dp-round sign convention, banding, and
+    exact-cosine verify, over the same left/right corpus split.
+    ``extra_plant`` adds a SECOND perturbed copy of every 50th even
+    vector (+20000, dim-2 bumped) so the top-k gate exercises
+    rank ≥ 2 per left."""
+    R = dedup.hyperplane_signs(planes, dim)
+    rows = planes // bands
+    band_selects = _hyperplane_band_selects_sql(R, rows, bands, dim)
+
     cos = (
         f"ROUND({_DOT.format(a='el.embedding', b='er.embedding')}"
         f" / ({_NORM.format(v='el.embedding')}"
         f" * {_NORM.format(v='er.embedding')}), 6)"
+    )
+    plant2 = (
+        """
+            UNION ALL
+            SELECT vec_id + 20000 AS right_id,
+                   list_concat(embedding[1:1],
+                       list_prepend(CAST(embedding[2] + 0.05 AS FLOAT),
+                                    embedding[3:64])) AS embedding
+            FROM embeddings WHERE vec_id % 50 = 0"""
+        if extra_plant
+        else ""
     )
     return f"""
         WITH lft AS (
@@ -2265,7 +2293,7 @@ def _range_join_oracle(
             SELECT vec_id + 10000 AS right_id,
                    list_prepend(CAST(embedding[1] + 0.05 AS FLOAT),
                                 embedding[2:64]) AS embedding
-            FROM embeddings WHERE vec_id % 50 = 0),
+            FROM embeddings WHERE vec_id % 50 = 0{plant2}),
         rgt AS (SELECT * FROM rgt0 WHERE {_LIVE.format(v='embedding')}),
         lbs AS ({band_selects('lft', 'left_id')}),
         rbs AS ({band_selects('rgt', 'right_id')}),
@@ -4580,4 +4608,323 @@ ORACLES["events_rfm_segmentation"] = """
         FROM q)
     SELECT *, r_quintile * 100 + f_quintile * 10 + m_quintile AS rfm_code
     FROM b ORDER BY user_id
+"""
+
+
+# --- round-10 additions ------------------------------------------------------
+
+
+def similarity_range_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k-per-left cosine range join
+    (``similarity.cosine_range_topk``) — the bounded-output variant of
+    ``similarity_range_join`` for hub vectors: each even-id left
+    vector links to at most k=3 of its cosine≥0.5 banded matches in
+    corpus B, ranked by (cosine DESC, right_id ASC) through the salted
+    two-phase top-k (no hot-hub reducer). Range-join fixture plus a
+    SECOND planted variant per 50th even vector (+20000, dim-2
+    bumped), so planted lefts carry ≥2 qualifying matches and ranks
+    ≥2 are actually exercised."""
+    emb = _emb(spark, sf_dir).select("vec_id", "embedding")
+    left = emb.filter(F.col("vec_id") % 2 == 0)
+    right = (
+        emb.filter(F.col("vec_id") % 2 == 1)
+        .unionByName(
+            emb.filter(F.col("vec_id") % 50 == 0).select(
+                (F.col("vec_id") + 10000).alias("vec_id"),
+                F.expr(
+                    "concat(array(cast(element_at(embedding, 1) + 0.05 as float)),"
+                    " slice(embedding, 2, 63))"
+                ).alias("embedding"),
+            )
+        )
+        .unionByName(
+            emb.filter(F.col("vec_id") % 50 == 0).select(
+                (F.col("vec_id") + 20000).alias("vec_id"),
+                F.expr(
+                    "concat(slice(embedding, 1, 1),"
+                    " array(cast(element_at(embedding, 2) + 0.05 as float)),"
+                    " slice(embedding, 3, 62))"
+                ).alias("embedding"),
+            )
+        )
+    )
+    return similarity.cosine_range_topk(
+        left, right, k=3, threshold=0.5
+    ).orderBy("left_id", "rank")
+
+
+QUERIES["similarity_range_topk"] = similarity_range_topk
+
+ORACLES["similarity_range_topk"] = f"""
+    SELECT left_id, right_id, cosine, rank FROM (
+        SELECT left_id, right_id, cosine,
+               row_number() OVER (
+                   PARTITION BY left_id
+                   ORDER BY cosine DESC, right_id ASC) AS rank
+        FROM ({_range_join_oracle(threshold=0.5, extra_plant=True)})
+    ) WHERE rank <= 3
+"""
+
+
+def streaming_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming MinHash-LSH near-dup bucket detection
+    (``streaming.minhash_band_buckets``) — the banded twin of
+    ``streaming_dedup``: the document stream plus planted duplicates
+    (every %10==1 doc re-sent verbatim at +30000; every %20==0 doc
+    re-sent truncated by 30 chars at +10000, both in the original's
+    synthetic minute) flows through row-wise MinHash signatures into
+    ONE stateful (window, band, sig) aggregation; buckets with ≥2
+    members are the near-dup alarms. Oracle: the identical banding SQL
+    over the same planted corpus, grouped by the same window
+    arithmetic."""
+    from sales_data_etl_pipeline_spark.streaming import events as streaming
+
+    stream = streaming.stream_documents(spark, sf_dir)
+    planted = stream.filter(F.col("doc_id") % 10 == 1).select(
+        (F.col("doc_id") + 30000).alias("doc_id"), "text", "ts"
+    ).unionByName(
+        stream.filter(F.col("doc_id") % 20 == 0).select(
+            (F.col("doc_id") + 10000).alias("doc_id"),
+            F.expr(
+                "substring(text, 1, greatest(length(text) - 30, 1))"
+            ).alias("text"),
+            "ts",
+        )
+    )
+    buckets = streaming.minhash_band_buckets(
+        stream.unionByName(planted)
+    )
+    out = streaming.run_stream_to_memory(
+        buckets, "q_stream_minhash_buckets", output_mode="complete"
+    )
+    return (
+        out.filter(F.col("n_docs") >= 2)
+        .orderBy("win_start", "band", "sig")
+    )
+
+
+QUERIES["streaming_dedup_minhash"] = streaming_dedup_minhash
+
+ORACLES["streaming_dedup_minhash"] = f"""
+    WITH ds AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 30000, text FROM documents WHERE doc_id % 10 = 1
+        UNION ALL
+        SELECT doc_id + 10000,
+               substring(text, 1, greatest(length(text) - 30, 1))
+        FROM documents WHERE doc_id % 20 = 0),
+    sh AS (SELECT doc_id, UNNEST({{sh}}) AS sh FROM ds),
+    ids AS (SELECT doc_id, {{sid}} AS sid FROM sh),
+    hashed AS (
+        SELECT doc_id, k, ((2*k + 1) * sid + (3*k + 7)) % {{p}} AS h
+        FROM ids, UNNEST(generate_series(0, 15)) AS u(k)),
+    sig AS (SELECT doc_id, k, MIN(h) AS minhash FROM hashed GROUP BY 1, 2),
+    band_sig AS (
+        SELECT doc_id, CAST(k // 4 AS INT) AS band,
+               string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY k) AS sig
+        FROM sig GROUP BY 1, 2)
+    SELECT CAST((((doc_id % 10000) * 60) // 3600) * 3600 AS BIGINT)
+               AS win_start,
+           band, sig,
+           MIN(doc_id) AS first_id, COUNT(*) AS n_docs
+    FROM band_sig
+    GROUP BY 1, 2, 3
+    HAVING COUNT(*) >= 2
+""".format(
+    sh=_SHINGLES,
+    sid=dedup.hash_id_sql("sh", dedup.MINHASH_P),
+    p=dedup.MINHASH_P,
+)
+
+
+def similarity_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual-kNN graph edges (``similarity.knn_graph_mutual``) over
+    the embedding corpus plus a perturbed copy of every 25th vector
+    (+10000, last dim bumped) — each copy and its original are
+    mutually nearest, so the planted edges survive symmetrization
+    while hub-to-satellite one-way edges drop. k=3, cosine≥0.5,
+    banded hyperplane candidates — never corpus²."""
+    emb = _emb(spark, sf_dir).select("vec_id", "embedding")
+    corpus = emb.unionByName(
+        emb.filter(F.col("vec_id") % 25 == 0).select(
+            (F.col("vec_id") + 10000).alias("vec_id"),
+            F.expr(
+                "concat(slice(embedding, 1, 63),"
+                " array(cast(element_at(embedding, 64) + 0.05 as float)))"
+            ).alias("embedding"),
+        )
+    )
+    return similarity.knn_graph_mutual(
+        corpus, k=3, threshold=0.5
+    ).orderBy("id_a", "id_b")
+
+
+QUERIES["similarity_knn_graph"] = similarity_knn_graph
+
+
+def _knn_graph_oracle(
+    k: int = 3,
+    threshold: float = 0.5,
+    planes: int = 32,
+    bands: int = 4,
+    dim: int = 64,
+) -> str:
+    """DuckDB twin of the gated ``similarity.knn_graph_mutual`` — same
+    hyperplane banding, self-exclusion, per-left top-k (cosine DESC,
+    right ASC), and mutual symmetrization over the same planted
+    corpus."""
+    R = dedup.hyperplane_signs(planes, dim)
+    band_selects = _hyperplane_band_selects_sql(
+        R, planes // bands, bands, dim
+    )
+    cos = (
+        f"ROUND({_DOT.format(a='el.embedding', b='er.embedding')}"
+        f" / ({_NORM.format(v='el.embedding')}"
+        f" * {_NORM.format(v='er.embedding')}), 6)"
+    )
+    return f"""
+        WITH crp0 AS (
+            SELECT vec_id, embedding FROM embeddings
+            UNION ALL
+            SELECT vec_id + 10000 AS vec_id,
+                   list_append(embedding[1:63],
+                               CAST(embedding[64] + 0.05 AS FLOAT))
+                       AS embedding
+            FROM embeddings WHERE vec_id % 25 = 0),
+        crp AS (SELECT * FROM crp0 WHERE {_LIVE.format(v='embedding')}),
+        bs AS ({band_selects('crp', 'vec_id')}),
+        cand AS (
+            SELECT DISTINCT a.vec_id AS left_id, b.vec_id AS right_id
+            FROM bs a JOIN bs b
+              ON a.band = b.band AND a.sig = b.sig
+             AND a.vec_id <> b.vec_id),
+        scored AS (
+            SELECT c.left_id, c.right_id, {cos} AS cosine
+            FROM cand c
+            JOIN crp el ON el.vec_id = c.left_id
+            JOIN crp er ON er.vec_id = c.right_id
+            WHERE {cos} >= {threshold}),
+        directed AS (
+            SELECT left_id, right_id, cosine,
+                   row_number() OVER (
+                       PARTITION BY left_id
+                       ORDER BY cosine DESC, right_id ASC) AS rank
+            FROM scored QUALIFY rank <= {k})
+        SELECT f.left_id AS id_a, f.right_id AS id_b, f.cosine,
+               f.rank AS rank_ab, r.rank AS rank_ba
+        FROM directed f
+        JOIN directed r
+          ON r.left_id = f.right_id AND r.right_id = f.left_id
+        WHERE f.left_id < f.right_id
+    """
+
+
+ORACLES["similarity_knn_graph"] = _knn_graph_oracle()
+
+
+def table_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed two-snapshot reconciliation diff (``merge.snapshot_diff``)
+    — derive the changelog between orders-as-loaded and a mutated next
+    snapshot: every 13th key dropped (removed), every 11th re-keyed
+    +100000000 (added), every remaining 7th with o_totalprice bumped
+    (changed, changed_cols pins the column list). Unchanged keys must
+    NOT appear — the diff is output-bound."""
+    orders = load_testdata(spark, sf_dir, ("orders",))["orders"]
+    base = orders.select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    new = base.filter(F.col("o_orderkey") % 13 != 0).withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderkey") % 7 == 0, F.col("o_totalprice") + 1.5
+        ).otherwise(F.col("o_totalprice")),
+    ).unionByName(
+        base.filter(F.col("o_orderkey") % 11 == 0).select(
+            (F.col("o_orderkey") + 100000000).alias("o_orderkey"),
+            "o_custkey",
+            "o_orderstatus",
+            "o_totalprice",
+        )
+    )
+    return merge_ops.snapshot_diff(base, new, "o_orderkey").orderBy(
+        "o_orderkey", "change_type"
+    )
+
+
+QUERIES["table_snapshot_diff"] = table_snapshot_diff
+
+ORACLES["table_snapshot_diff"] = """
+    WITH base AS (
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+        FROM orders),
+    nxt AS (
+        SELECT o_orderkey, o_custkey, o_orderstatus,
+               CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 1.5
+                    ELSE o_totalprice END AS o_totalprice
+        FROM base WHERE o_orderkey % 13 <> 0
+        UNION ALL
+        SELECT o_orderkey + 100000000, o_custkey, o_orderstatus,
+               o_totalprice
+        FROM base WHERE o_orderkey % 11 = 0),
+    j AS (
+        SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+               CASE WHEN o.o_orderkey IS NULL THEN 'added'
+                    WHEN n.o_orderkey IS NULL THEN 'removed'
+                    ELSE 'changed' END AS change_type,
+               CASE WHEN o.o_orderkey IS NULL OR n.o_orderkey IS NULL
+                    THEN ''
+                    ELSE array_to_string(list_sort(list_filter([
+                        CASE WHEN o.o_custkey IS DISTINCT FROM n.o_custkey
+                             THEN 'o_custkey' END,
+                        CASE WHEN o.o_orderstatus
+                                  IS DISTINCT FROM n.o_orderstatus
+                             THEN 'o_orderstatus' END,
+                        CASE WHEN o.o_totalprice
+                                  IS DISTINCT FROM n.o_totalprice
+                             THEN 'o_totalprice' END
+                    ], x -> x IS NOT NULL)), ',') END AS changed_cols
+        FROM base o FULL OUTER JOIN nxt n ON o.o_orderkey = n.o_orderkey)
+    SELECT o_orderkey, change_type, changed_cols
+    FROM j
+    WHERE NOT (change_type = 'changed' AND changed_cols = '')
+"""
+
+
+def events_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear multi-touch attribution (``temporal.linear_attribution``):
+    every purchase's value (exact cents) is split equally in
+    micro-cents across the user's view/click touches in the prior 7
+    days; credit rolls up per touch channel. Bucketized range join —
+    never an unbounded theta join."""
+    from sales_data_etl_pipeline_spark.operators import temporal
+
+    events = load_testdata(spark, sf_dir, ("events",))["events"]
+    return temporal.linear_attribution(events).orderBy("event_type")
+
+
+QUERIES["events_attribution_linear"] = events_attribution_linear
+
+ORACLES["events_attribution_linear"] = """
+    WITH p AS (
+        SELECT event_id AS pid, user_id, ts,
+               CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+        FROM events WHERE event_type = 'purchase'),
+    t AS (
+        SELECT user_id, event_type AS ttype, ts
+        FROM events WHERE event_type IN ('view', 'click')),
+    m AS (
+        SELECT p.pid, p.cents, t.ttype
+        FROM p JOIN t ON t.user_id = p.user_id
+         AND epoch(t.ts) < epoch(p.ts)
+         AND epoch(t.ts) >= epoch(p.ts) - 604800.0),
+    n AS (SELECT pid, COUNT(*) AS n_t FROM m GROUP BY 1),
+    c AS (
+        SELECT m.ttype, m.pid, (m.cents * 1000000) // n.n_t AS credit
+        FROM m JOIN n USING (pid))
+    SELECT ttype AS event_type,
+           COUNT(*) AS n_touches,
+           COUNT(DISTINCT pid) AS n_conversions,
+           CAST(SUM(credit) AS BIGINT) AS credit_micros
+    FROM c GROUP BY 1
 """

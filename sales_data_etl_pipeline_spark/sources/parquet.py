@@ -37,6 +37,33 @@ def write_parquet(
     writer.parquet(path)
 
 
+def _is_spark_table_output(loc: str) -> bool:
+    """True iff every file under ``loc`` is recognizable Spark table
+    output, so a stale-location rmtree can only ever hit our own
+    orphaned saveAsTable directory — never user data that happens to
+    share a table's name."""
+    import fnmatch
+    import os
+
+    file_ok = (
+        "part-*",
+        "_SUCCESS",
+        "_committed*",
+        "_started*",
+        "*.crc",
+        "._*",
+    )
+    for root, dirs, files in os.walk(loc):
+        for d in list(dirs):
+            # only key=value partition subdirs are expected
+            if "=" not in d:
+                return False
+        for f in files:
+            if not any(fnmatch.fnmatch(f, p) for p in file_ok):
+                return False
+    return True
+
+
 def overwrite_table(df: DataFrame, name: str, *, bucket_by: tuple[int, str] | None = None) -> None:
     """DROP+CREATE semantics (reference S5/S6, ``load-data/l_*.py:71-119``).
 
@@ -53,6 +80,17 @@ def overwrite_table(df: DataFrame, name: str, *, bucket_by: tuple[int, str] | No
     location. A cluster deployment with a persistent metastore never
     enters this branch — the table stays registered and Spark's own
     overwrite path handles the location.
+
+    The removal is deliberately narrow (r9 ADVICE): it resolves the
+    database qualifier the way Spark lays warehouses out (``db.tbl`` →
+    ``<wh>/<db>.db/<tbl>``, default db directly under ``<wh>``) and
+    deletes ONLY when every file under the directory is recognizable
+    Spark table output (part-*/_SUCCESS/_committed*/_started*/*.crc,
+    with key=value partition subdirs) — an unrelated directory that
+    merely shares the table's name is left in place and saveAsTable
+    surfaces LOCATION_ALREADY_EXISTS instead of silently eating it.
+    Concurrent sessions sharing one warehouse dir remain a documented
+    non-goal of the session-scoped catalog (single-writer assumption).
     """
     spark = df.sparkSession
     if not spark.catalog.tableExists(name):
@@ -62,8 +100,12 @@ def overwrite_table(df: DataFrame, name: str, *, bucket_by: tuple[int, str] | No
 
         wh = urlparse(spark.conf.get("spark.sql.warehouse.dir"))
         if wh.scheme in ("", "file"):
-            loc = os.path.join(wh.path, name.split(".")[-1].lower())
-            if os.path.isdir(loc):
+            parts = name.lower().split(".")
+            if len(parts) == 2 and parts[0] != "default":
+                loc = os.path.join(wh.path, f"{parts[0]}.db", parts[1])
+            else:
+                loc = os.path.join(wh.path, parts[-1])
+            if os.path.isdir(loc) and _is_spark_table_output(loc):
                 shutil.rmtree(loc)
     writer = df.write.mode("overwrite").format("parquet")
     if bucket_by:

@@ -71,6 +71,167 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return raw.withColumn("ts", fix)
 
 
+def stream_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream of the documents table with a synthetic,
+    DETERMINISTIC event time: documents carry no timestamp (in
+    deployment arrival time is the stream's time), so the gate derives
+    ``ts = epoch + (doc_id % 10000) minutes``. The ``% 10000`` keeps a
+    planted ``doc_id + N·10000`` variant in the SAME minute as its
+    original — near-dup fixtures land in the original's window."""
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("source", T.StringType()),
+            T.StructField("n_chars", T.LongType()),
+        ]
+    )
+    raw = (
+        spark.readStream.format("parquet")
+        .schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .load(sf_dir)
+    )
+    return raw.select(
+        "doc_id",
+        "text",
+        F.timestamp_seconds(F.pmod(F.col("doc_id"), F.lit(10000)) * 60).alias(
+            "ts"
+        ),
+    )
+
+
+def rowwise_band_signatures(
+    docs: DataFrame,
+    *,
+    num_hashes: int = 16,
+    bands: int = 4,
+    n: int = 3,
+    text_col: str = "text",
+    carry: tuple[str, ...] = (),
+) -> DataFrame:
+    """Per-doc MinHash band signatures computed ROW-WISE — tokenize →
+    shingle → md5 sid → K mixer mins as narrow array expressions, no
+    groupBy — bit-identical to the batch pipeline
+    (``dedup._band_signatures_df(_minhash_wide(_shingle_ids(
+    shingle_sets(...))))``): min over ``array_distinct`` equals min
+    over the exploded distinct rows, and the TOKENIZE /
+    ``_shingle_expr`` / ``hash_id_expr`` / mixer fragments are the
+    shared definitions (pinned by test_round10_ops). Shuffle-free, so
+    it is legal ahead of a streaming stateful aggregation (the batch
+    form's groupBy would be a second stateful op there).
+
+    Docs with no shingles (< ``n`` tokens) emit nothing — the batch
+    contract. Output: (doc_id, *carry, band, sig).
+    """
+    from sales_data_etl_pipeline_spark.operators.dedup import (
+        MINHASH_P,
+        _shingle_expr,
+        hash_id_expr,
+    )
+    from sales_data_etl_pipeline_spark.operators.text import TOKENIZE
+
+    rows = num_hashes // bands
+    toks = TOKENIZE.format(col=text_col)
+    shs = _shingle_expr(toks, n)
+    sids = f"transform({shs}, x -> {hash_id_expr('x', MINHASH_P)})"
+    mh = [
+        (
+            f"array_min(transform(_sids, s -> "
+            f"pmod(({2 * k + 1}) * s + ({3 * k + 7}), {MINHASH_P}L)))"
+        )
+        for k in range(num_hashes)
+    ]
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.concat_ws(
+                ",", *[F.expr(mh[b * rows + r]) for r in range(rows)]
+            ).alias("sig"),
+        )
+        for b in range(bands)
+    ]
+    return (
+        docs.select("doc_id", *carry, F.expr(sids).alias("_sids"))
+        .filter(F.size("_sids") > 0)
+        .select(
+            "doc_id",
+            *carry,
+            F.explode(F.array(*band_structs)).alias("bs"),
+        )
+        .select(
+            "doc_id",
+            *carry,
+            F.col("bs.band").alias("band"),
+            F.col("bs.sig").alias("sig"),
+        )
+    )
+
+
+def minhash_band_buckets(
+    docs: DataFrame,
+    *,
+    num_hashes: int = 16,
+    bands: int = 4,
+    n: int = 3,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    text_col: str = "text",
+) -> DataFrame:
+    """Streaming MinHash-LSH near-dup bucket detection — the banded
+    near-dup twin of :func:`dedup_within_watermark` (r9 runway item):
+    per (event-time window, band, signature) bucket, the first-seen
+    doc and the member count, so a burst of near-identical documents
+    inside the horizon surfaces as buckets with ``n_docs ≥ 2``.
+
+    The MinHash signature is computed ROW-WISE — tokenize → shingle →
+    md5 sid → K mixer mins, all as narrow array expressions (no
+    shuffle, exactly the per-doc values of ``dedup._minhash_wide``:
+    min over ``array_distinct`` equals min over the exploded distinct
+    rows, same TOKENIZE/_shingle_expr/hash_id_expr fragments) — then
+    bands explode to (band, sig) keys and ONE stateful aggregation
+    groups by (window, band, sig). Chained stateful ops are illegal in
+    a stream; membership resolution / exact verify joins the doc store
+    batch-side (same split as ``streaming_session_funnel``).
+
+    State: one row per (window, band, distinct-signature) inside the
+    watermark horizon — expired by the watermark in append-mode
+    deployment; the gate drives complete mode (bounded fixture) on the
+    identical plan. Hot buckets cost one counter row here, NOT a
+    collected member set — resolving WHICH docs collided is the batch
+    join's job (``dedup.minhash_lsh_incremental_prepared`` for the
+    at-rest corpus); this operator is the intra-horizon tripwire.
+
+    Docs with no shingles (under ``n`` tokens) define no signature and
+    are excluded — same contract as the batch kernels. Output:
+    (win_start BIGINT epoch-seconds, band, sig, first_id, n_docs).
+    """
+    sigs = rowwise_band_signatures(
+        docs,
+        num_hashes=num_hashes,
+        bands=bands,
+        n=n,
+        text_col=text_col,
+        carry=("ts",),
+    )
+    return (
+        sigs.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("_w"), "band", "sig")
+        .agg(
+            F.min("doc_id").alias("first_id"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+        .select(
+            F.col("_w.start").cast("long").alias("win_start"),
+            "band",
+            "sig",
+            "first_id",
+            "n_docs",
+        )
+    )
+
+
 def windowed_counts(
     events: DataFrame,
     *,

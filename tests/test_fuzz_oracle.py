@@ -363,6 +363,9 @@ FUZZED_CORPUS = [
     # round-9: span removal + per-domain cap
     "text_dup_span_removal",
     "corpus_domain_cap",
+    # round-10: bounded top-k range join + mutual-kNN graph
+    "similarity_range_topk",
+    "similarity_knn_graph",
 ]
 
 
@@ -454,6 +457,9 @@ FUZZED_MORE = [
     "multimodal_phash",
     "source_partitioned_roundtrip",
     "source_orc_roundtrip",
+    # round-10: snapshot reconciliation diff + linear attribution
+    "table_snapshot_diff",
+    "events_attribution_linear",
 ]
 
 
@@ -502,6 +508,11 @@ def test_every_gated_entry_is_fuzzed_or_excluded():
         "streaming_stream_join",
         "streaming_user_totals",
         "streaming_windowed_counts",
+        # streaming near-dup: its row-wise signature kernel is pinned
+        # bit-identical to the FUZZED batch minhash pipeline
+        # (tests/test_round10_ops.py), and the stateful-agg harness is
+        # covered by tests/test_streaming.py
+        "streaming_dedup_minhash",
         # generator-only sources: no table input to randomize
         "source_synthetic_events",
         "source_synthetic_stream",

@@ -1,0 +1,327 @@
+"""Round-10 hardening tests: the three r9 ADVICE fixes (connected-
+components exact-diameter budget, pq_adc_topk empty-codebook
+short-circuit under AQE-off, the narrowed stale-location guard)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from sales_data_etl_pipeline_spark.operators import dedup
+
+
+def test_connected_components_converges_at_exact_diameter(spark):
+    """A graph whose diameter EQUALS max_iterations converges on the
+    final budgeted round (labels change that round yet are already the
+    fixed point); the confirmation round must accept it instead of
+    raising — previously the effective budget was max_iterations-1
+    (r9 ADVICE)."""
+    n = 23  # chain 0-1-...-22: diameter 22 edges
+    pairs = spark.createDataFrame(
+        [Row(id_a=i, id_b=i + 1) for i in range(n - 1)]
+    )
+    got = dedup.connected_components(pairs, max_iterations=22).collect()
+    assert len(got) == n
+    assert {r.component for r in got} == {0}
+
+
+def test_pq_adc_empty_codebook_short_circuits_without_aqe(spark):
+    """An empty / all-non-finite codebook must return the
+    schema-correct empty result WITHOUT building the query-side plan:
+    the old path relied on AQE empty-relation propagation to eliminate
+    the join before the wrong-dim raise_error projection over real
+    query rows could run — with AQE off it errored spuriously
+    (r9 ADVICE)."""
+    from sales_data_etl_pipeline_spark.operators import similarity as sim
+
+    corpus = spark.createDataFrame(
+        [Row(vec_id=i, embedding=[float(i)] * 8) for i in range(1, 4)]
+    )
+    empty_codebook = spark.createDataFrame(
+        [], "centroid_id bigint, embedding array<double>"
+    )
+    nan_codebook = spark.createDataFrame(
+        [Row(centroid_id=1, embedding=[float("nan")] * 8)]
+    )
+    old_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        for cb in (empty_codebook, nan_codebook):
+            got = sim.pq_adc_topk(corpus, cb, corpus, k=2, n_blocks=2)
+            assert got.columns == ["query_id", "neighbor_id", "d2_adc", "rank"]
+            assert got.count() == 0
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", old_aqe)
+    # schema parity with the non-empty path (same column names/types)
+    full_cb = corpus.select(F.col("vec_id").alias("centroid_id"), "embedding")
+    full = sim.pq_adc_topk(corpus, full_cb, corpus, k=1, n_blocks=2)
+    assert [f.name for f in full.schema.fields] == [
+        f.name for f in got.schema.fields
+    ]
+    assert [f.dataType for f in full.schema.fields] == [
+        f.dataType for f in got.schema.fields
+    ]
+
+
+def test_stale_location_guard_spares_foreign_directories(spark, tmp_path):
+    """overwrite_table's orphan cleanup must only rmtree directories
+    that look like Spark table output — a user directory that happens
+    to share the table's name survives (and the write then fails loudly
+    rather than silently eating the data) (r9 ADVICE)."""
+    from sales_data_etl_pipeline_spark.sources.parquet import (
+        _is_spark_table_output,
+    )
+
+    # genuine saveAsTable layout → removable
+    t = tmp_path / "own_table"
+    (t / "cat=a").mkdir(parents=True)
+    (t / "_SUCCESS").touch()
+    (t / "cat=a" / "part-00000-abc.snappy.parquet").touch()
+    (t / "cat=a" / ".part-00000-abc.snappy.parquet.crc").touch()
+    assert _is_spark_table_output(str(t))
+
+    # foreign content → NOT removable
+    f1 = tmp_path / "foreign1"
+    f1.mkdir()
+    (f1 / "notes.txt").touch()
+    assert not _is_spark_table_output(str(f1))
+    f2 = tmp_path / "foreign2"
+    (f2 / "subdir").mkdir(parents=True)  # non key=value subdir
+    (f2 / "subdir" / "part-0.parquet").touch()
+    assert not _is_spark_table_output(str(f2))
+
+
+def test_overwrite_table_resolves_db_qualifier(spark, tmp_path):
+    """db.tbl must map to <wh>/<db>.db/<tbl>: the old guard looked at
+    <wh>/<tbl> for qualified names and silently missed the orphan."""
+    from urllib.parse import urlparse
+
+    from sales_data_etl_pipeline_spark.sources.parquet import overwrite_table
+
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    db = "r10guard"
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {db}")
+    try:
+        # simulate a prior session's orphan: table-shaped directory on
+        # disk at the QUALIFIED location, no catalog registration
+        loc = os.path.join(wh, f"{db}.db", "t1")
+        os.makedirs(loc, exist_ok=True)
+        open(os.path.join(loc, "_SUCCESS"), "w").close()
+        open(
+            os.path.join(loc, "part-00000-dead.snappy.parquet"), "w"
+        ).close()
+        assert not spark.catalog.tableExists(f"{db}.t1")
+        df = spark.createDataFrame([Row(a=1), Row(a=2)])
+        overwrite_table(df, f"{db}.t1")  # must clear the orphan first
+        assert spark.table(f"{db}.t1").count() == 2
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {db}.t1")
+        spark.sql(f"DROP DATABASE IF EXISTS {db}")
+
+
+def test_rowwise_band_signatures_match_batch(spark):
+    """The streaming kernel's row-wise MinHash band signatures must be
+    BIT-IDENTICAL to the batch pipeline (shingle explode → groupBy min)
+    — the claim the streaming near-dup gate's oracle rests on."""
+    from sales_data_etl_pipeline_spark.operators import dedup
+    from sales_data_etl_pipeline_spark.streaming import events as streaming
+
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="the quick brown fox jumps over the lazy dog"),
+            Row(doc_id=2, text="the quick brown fox jumps over the lazy cat"),
+            Row(doc_id=3, text="completely different text about spark plans"),
+            Row(doc_id=4, text="the quick brown fox jumps over the lazy dog"),
+            Row(doc_id=5, text="too short"),  # < 3 tokens: no shingles
+            Row(doc_id=6, text=""),
+        ]
+    )
+    batch = dedup._band_signatures_df(
+        dedup._minhash_wide(
+            dedup._shingle_ids(dedup.shingle_sets(docs)), 16
+        ),
+        16,
+        4,
+    )
+    rowwise = streaming.rowwise_band_signatures(docs)
+    got = sorted(map(tuple, rowwise.collect()))
+    want = sorted(map(tuple, batch.collect()))
+    assert got == want
+    # identical docs share every band signature; sub-3-token docs absent
+    by_doc = {}
+    for doc_id, band, sig in got:
+        by_doc.setdefault(doc_id, set()).add((band, sig))
+    assert by_doc[1] == by_doc[4]
+    assert 5 not in by_doc and 6 not in by_doc
+
+
+def test_cosine_range_topk_bounds_hubs_and_matches_naive(spark):
+    """cosine_range_topk must (a) emit ≤ k rows per left even for a hub
+    matched by many rights, (b) equal the naive row_number window over
+    cosine_range_join's output, (c) be salt-invariant (the two-phase
+    exactness claim)."""
+    from pyspark.sql import Window
+
+    from sales_data_etl_pipeline_spark.operators import similarity as sim
+
+    def vec(seed, bump=0.0):
+        import math
+
+        return [
+            float(math.sin(seed * 7 + d) + (bump if d == 0 else 0.0))
+            for d in range(8)
+        ]
+
+    left = spark.createDataFrame(
+        [Row(vec_id=i, embedding=vec(i)) for i in range(4)]
+    )
+    # hub: 12 near-copies of left 0, plus near-copies of the others
+    right = spark.createDataFrame(
+        [Row(vec_id=100 + j, embedding=vec(0, bump=0.001 * (j + 1)))
+         for j in range(12)]
+        + [Row(vec_id=200 + i, embedding=vec(i, bump=0.01)) for i in range(4)]
+    )
+    kw = dict(k=3, threshold=0.9, planes=16, bands=4, dim=8)
+    got = sim.cosine_range_topk(left, right, **kw)
+    per_left = {
+        r.left_id: r.n for r in got.groupBy("left_id").agg(
+            F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert per_left[0] == 3  # hub clipped to k
+    w = Window.partitionBy("left_id").orderBy(
+        F.desc("cosine"), F.asc("right_id")
+    )
+    naive = (
+        sim.cosine_range_join(left, right, **{
+            k_: v for k_, v in kw.items() if k_ != "k"})
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("left_id", "right_id", "cosine",
+                F.col("rank").cast("long").alias("rank"))
+    )
+    key = lambda r: (r.left_id, r.rank)  # noqa: E731
+    assert sorted(map(tuple, got.collect()), key=lambda t: (t[0], t[3])) == \
+        sorted(map(tuple, naive.collect()), key=lambda t: (t[0], t[3]))
+    one_salt = sim.cosine_range_topk(left, right, salt_buckets=1, **kw)
+    assert sorted(map(tuple, one_salt.collect()),
+                  key=lambda t: (t[0], t[3])) == \
+        sorted(map(tuple, got.collect()), key=lambda t: (t[0], t[3]))
+
+
+def test_snapshot_diff_semantics(spark):
+    """added / removed / changed classification, NULL-safe change
+    masks (NULL→value and value→NULL are changes), presence sentinels
+    (an all-NULL-attribute row still reads PRESENT), unchanged keys
+    not emitted, changed_cols sorted."""
+    from sales_data_etl_pipeline_spark.operators import merge
+
+    old = spark.createDataFrame(
+        [
+            Row(k=1, a="x", b=10),      # unchanged
+            Row(k=2, a="y", b=20),      # removed
+            Row(k=3, a="z", b=30),      # b changes
+            Row(k=4, a=None, b=40),     # a NULL→value: change
+            Row(k=5, a="w", b=50),      # both change
+            Row(k=6, a=None, b=None),   # all-NULL attrs, still present
+        ]
+    )
+    new = spark.createDataFrame(
+        [
+            Row(k=1, a="x", b=10),
+            Row(k=3, a="z", b=31),
+            Row(k=4, a="v", b=40),
+            Row(k=5, a="W", b=51),
+            Row(k=6, a=None, b=None),   # unchanged (all-NULL == all-NULL)
+            Row(k=7, a="new", b=70),    # added
+        ]
+    )
+    got = {
+        r.k: (r.change_type, r.changed_cols)
+        for r in merge.snapshot_diff(old, new, "k").collect()
+    }
+    assert got == {
+        2: ("removed", ""),
+        3: ("changed", "b"),
+        4: ("changed", "a"),
+        5: ("changed", "a,b"),
+        7: ("added", ""),
+    }
+
+
+def test_linear_attribution_exact_split(spark):
+    """Hand-computed credits: a 10.00 conversion with 3 touches splits
+    to 333_333_333 micro-cents each (floor division — the 1-micro-cent
+    remainder is dropped, never redistributed); touches outside the
+    lookback or after the conversion never earn credit."""
+    import datetime as dt
+
+    from sales_data_etl_pipeline_spark.operators import temporal
+
+    t0 = dt.datetime(2024, 1, 10, 12, 0, 0)
+
+    def ev(eid, typ, ts, value=0.0, user=1):
+        return Row(
+            event_id=eid, ts=ts, user_id=user, event_type=typ,
+            value=float(value), props="{}",
+        )
+
+    events = spark.createDataFrame(
+        [
+            ev(1, "view", t0 - dt.timedelta(days=1)),
+            ev(2, "click", t0 - dt.timedelta(hours=2)),
+            ev(3, "view", t0 - dt.timedelta(minutes=5)),
+            ev(4, "purchase", t0, value=10.0),
+            ev(5, "view", t0 + dt.timedelta(hours=1)),        # after: no credit
+            ev(6, "click", t0 - dt.timedelta(days=30)),       # too old
+            ev(7, "view", t0 - dt.timedelta(days=1), user=2),  # other user
+        ]
+    )
+    got = {
+        r.event_type: r
+        for r in temporal.linear_attribution(events).collect()
+    }
+    assert set(got) == {"view", "click"}
+    assert got["view"].n_touches == 2 and got["click"].n_touches == 1
+    assert got["view"].n_conversions == 1 == got["click"].n_conversions
+    assert got["view"].credit_micros == 2 * 333_333_333
+    assert got["click"].credit_micros == 333_333_333
+
+
+def test_knn_graph_mutual_drops_one_way_edges(spark):
+    """A satellite keeps the hub in its top-k, but the hub's own top-k
+    holds only its k closest satellites — mutual symmetrization must
+    drop the unreciprocated edges."""
+    import math
+
+    from sales_data_etl_pipeline_spark.operators import similarity as sim
+
+    base = [1.0] * 8
+
+    def sat(eps):
+        v = list(base)
+        v[7] += eps
+        return [float(x) for x in v]
+
+    corpus = spark.createDataFrame(
+        [Row(vec_id=0, embedding=[float(x) for x in base])]
+        + [Row(vec_id=i, embedding=sat(0.001 * i)) for i in range(1, 6)]
+        # a far-away pair that is mutually nearest to each other only
+        + [
+            Row(vec_id=10, embedding=[1.0, -1.0] * 4),
+            Row(vec_id=11, embedding=[1.0, -1.001] * 4),
+        ]
+    )
+    got = sim.knn_graph_mutual(
+        corpus, k=2, threshold=0.5, planes=16, bands=4, dim=8
+    )
+    edges = {(r.id_a, r.id_b) for r in got.collect()}
+    # the far pair is mutual; hub cluster: every edge must be mutual
+    assert (10, 11) in edges
+    for a, b in edges:
+        assert a < b
+    # satellites 4,5 are NOT in hub-0's top-2, so (0,4)/(0,5) one-way
+    # edges must be gone even though 0 is in their top-2
+    assert (0, 4) not in edges and (0, 5) not in edges

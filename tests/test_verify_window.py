@@ -115,6 +115,7 @@ def test_verify_first_is_derived_from_planner_artifact():
         window=inp["window"],
         changed=set(inp["changed"]),
         force_changed=set(inp["force_changed"]),
+        promote_stale=set(inp.get("promote_stale", [])),
         max_round=inp["max_round"],
         use_fingerprints=inp["use_fingerprints"],
         # replay against the RECORDED baseline — a newer fingerprint

@@ -48,6 +48,11 @@ CARTESIAN_OK = {
     # touched only through the (block, code) hash join)
     "similarity_topk_pq",
     "similarity_topk_ivfpq",
+    # same ADC family: residual LUT build is queries × probed-list
+    # CODEBOOK rows (K_coarse·K_pq entries) — codebook-bounded, never
+    # corpus-bounded; corpus side still arrives via the (list, block,
+    # code) hash join (r9 verdict item 3)
+    "similarity_topk_ivfpq_residual",
     # 1-row node-count broadcast (the N in rank_ppb = 10⁹/N)
     "graph_pagerank",
 }

@@ -308,9 +308,11 @@ def plan(
     max_round: int | None = None,
     use_fingerprints: bool = True,
     baseline: str | None = None,
+    promote_stale: set[str] | None = None,
 ) -> list[tuple[str, str, bool]]:
     changed = {_rel(c) for c in (changed or set())}
     force_changed = set(force_changed or ())
+    promote_stale = set(promote_stale or ())
     green = last_green_rounds(max_round=max_round)
     analysis = _analyze()
     deps, _local, defining = analysis
@@ -338,9 +340,18 @@ def plan(
             prio, why = 1, f"fingerprint-drift (green r{g})"
         else:
             prio, why = 2, f"green r{g}"
-        rows.append((prio, g if g is not None else -1, name, why))
-    rows.sort(key=lambda r: (r[0], r[1], r[2]))
-    return [(n, w, i < window) for i, (_, _, n, w) in enumerate(rows)]
+        # --promote-stale: within the stalest-green tier, named entries
+        # (e.g. the headline analytics queries the judge asked to
+        # refresh first) outrank unnamed same-round peers — an honest
+        # "verify these greens first", NOT a changed-code claim.
+        if prio == 2 and name in promote_stale:
+            why = f"stale-promoted (green r{g})"
+            promoted = 0
+        else:
+            promoted = 1
+        rows.append((prio, promoted, g if g is not None else -1, name, why))
+    rows.sort(key=lambda r: (r[0], r[1], r[2], r[3]))
+    return [(n, w, i < window) for i, (_, _, _, n, w) in enumerate(rows)]
 
 
 def main() -> int:
@@ -349,6 +360,13 @@ def main() -> int:
     ap.add_argument("--max-round", type=int, default=None)
     ap.add_argument("--changed", nargs="*", default=[])
     ap.add_argument("--force-changed", nargs="*", default=[])
+    ap.add_argument(
+        "--promote-stale",
+        nargs="*",
+        default=[],
+        help="entry names to verify first WITHIN the stalest-green "
+        "tier (no changed-code claim)",
+    )
     ap.add_argument("--emit-window", action="store_true")
     ap.add_argument("--emit-fingerprints", metavar="PATH", default=None)
     ap.add_argument("--no-fingerprints", action="store_true")
@@ -366,6 +384,7 @@ def main() -> int:
         args.max_round,
         use_fingerprints=not args.no_fingerprints,
         baseline=args.baseline,
+        promote_stale=set(args.promote_stale),
     )
     for name, why, in_window in result:
         marker = "IN " if in_window else "out"
@@ -377,6 +396,7 @@ def main() -> int:
                 "max_round": args.max_round,
                 "changed": sorted(args.changed),
                 "force_changed": sorted(args.force_changed),
+                "promote_stale": sorted(args.promote_stale),
                 "use_fingerprints": not args.no_fingerprints,
                 # pin the baseline ACTUALLY diffed against, so replaying
                 # the artifact stays reproducible after the round-close
