@@ -39,11 +39,13 @@ def entry(spark: SparkSession) -> DataFrame:
 # --baseline tools/entry_fingerprints_r09.json
 # --force-changed <28 names> --promote-stale <5 headline queries>.
 # Composition (closing the round-9 verdict's #1-#2 asks):
-# (1) 13 never-green: the 8 round-9 additions (the round-9 window was
+# (1) 16 never-green: the 8 round-9 additions (the round-9 window was
 #     never rotated, so they shipped with zero driver rows) plus the
-#     5 round-10 additions (similarity_range_topk,
+#     8 round-10 additions (similarity_range_topk,
 #     streaming_dedup_minhash, similarity_knn_graph,
-#     table_snapshot_diff, events_attribution_linear);
+#     table_snapshot_diff, events_attribution_linear,
+#     corpus_bloom_membership, events_top_paths,
+#     multimodal_audio_stats);
 # (2) 28 forced changed-since-green: the 26 entries whose fingerprint
 #     moved between the r08 and r09 snapshots while their last green
 #     row predates r9 (r9 edits to text.py/corpus.py/dedup.py/
@@ -55,14 +57,14 @@ def entry(spark: SparkSession) -> DataFrame:
 #     green row are deliberately NOT re-queued: the driver ran the r9
 #     gate at round-9 close on the final r9 code, so their rows
 #     already postdate the change.
-# (3) 9 fingerprint-drift (alphabetical head of 43): the round-10
+# (3) 6 fingerprint-drift (alphabetical head of 47): the round-10
 #     ADVICE fixes (connected_components confirmation round,
 #     pq_adc_topk empty-codebook short-circuit, the parquet
 #     stale-location guard) plus the new similarity/merge/temporal/
-#     streaming kernels touch the dep closures of 43 green entries;
-#     the 34 that do not fit carry to r11 with judge-local gate
-#     evidence at this round's close (SURVEY §7.9 lists the exact
-#     force set).
+#     streaming/corpus/multimodal kernels touch the dep closures of
+#     47 green entries; the 41 that do not fit carry to r11 with
+#     judge-local gate evidence at this round's close (SURVEY §7.9
+#     lists the exact force set).
 # The 5 headline analytics queries (--promote-stale, an honest
 # "refresh these r5 greens first" WITHIN the stalest tier — no fake
 # changed claim) were displaced by that drift: changed-since-green
@@ -78,11 +80,14 @@ def entry(spark: SparkSession) -> DataFrame:
 # the recorded inputs reproduces the artifact.
 _VERIFY_FIRST = [
     # never-green (new entries: must not ship unverified)
+    "corpus_bloom_membership",
     "corpus_curriculum_order",
     "corpus_domain_cap",
     "dedup_incremental_prepared",
     "events_attribution_linear",
     "events_markov_transitions",
+    "events_top_paths",
+    "multimodal_audio_stats",
     "similarity_knn_graph",
     "similarity_range_join",
     "similarity_range_topk",
@@ -126,9 +131,6 @@ _VERIFY_FIRST = [
     "text_tfidf_top_terms",
     "corpus_decontaminate",
     "corpus_dedup_pipeline",
-    "corpus_hash_split",
-    "corpus_mixture_epochs",
-    "corpus_ngram_counts",
 ]
 
 

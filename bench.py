@@ -154,6 +154,9 @@ HEADLINE = [
     "similarity_knn_graph",
     "table_snapshot_diff",
     "events_attribution_linear",
+    "corpus_bloom_membership",
+    "events_top_paths",
+    "multimodal_audio_stats",
 ]
 
 

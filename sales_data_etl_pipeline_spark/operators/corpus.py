@@ -579,3 +579,88 @@ def domain_cap(
         .filter(F.col("pick_rank") <= cap)
         .select(id_col, domain_col, F.col("pick_rank").cast("long").alias("pick_rank"))
     )
+
+
+def bloom_membership(
+    corpus: DataFrame,
+    evalset: DataFrame,
+    *,
+    m_bits: int = 1 << 20,
+    k_hashes: int = 4,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Bloom-filter n-gram membership — :func:`decontaminate` with a
+    BOUNDED broadcast: where decontaminate ships the eval set's
+    distinct n-grams (O(|evalset|) strings), this ships only the ≤
+    ``m_bits`` SET bit positions of a Bloom filter over them, so the
+    map-side hash table stays ≤ m_bits rows of one int no matter how
+    large the eval corpus grows (the standard trick for
+    decontaminating against a full benchmark SUITE rather than one
+    task).
+
+    Deterministic bloom: bit positions are
+    ``md5(ngram || '#' || j) mod m_bits`` for j in [0, k) — the same
+    md5→int convention as the MinHash kernels, so a SQL oracle
+    reproduces every bit, INCLUDING false positives (a corpus doc
+    counts as a member iff ALL k of one of its n-grams' bits are set;
+    bloom semantics make that a superset of true membership — callers
+    route hits to the exact check, which now runs on the tiny flagged
+    fraction only).
+
+    Shape at 100 TB: eval side → one distinct over its bit positions
+    (bounded by m_bits) → broadcast; corpus side explodes (ngram, j)
+    pairs, probes the broadcast, and a doc is flagged when any ngram
+    reaches k hits — groupBy (doc, ngram-ordinal) then (doc), both
+    map-side combinable. The corpus never shuffles on ngram content.
+    Output: (id_col, n_bloom_hits) for flagged docs only, where
+    n_bloom_hits counts the doc's DISTINCT n-gram positions whose
+    bloom test passed.
+    """
+    from sales_data_etl_pipeline_spark.operators.dedup import (
+        _shingle_expr,
+        hash_id_expr,
+    )
+    from sales_data_etl_pipeline_spark.operators.text import TOKENIZE
+
+    def ngrams(df, keep):
+        return (
+            df.select(
+                *keep, F.expr(TOKENIZE.format(col=text_col)).alias("_toks")
+            )
+            .select(*keep, F.explode(F.expr(_shingle_expr("_toks", n))).alias("_ng"))
+        )
+
+    probes = F.array(
+        *[
+            F.expr(hash_id_expr(f"concat(_ng, '#{j}')", m_bits))
+            for j in range(k_hashes)
+        ]
+    )
+    bits = (
+        ngrams(evalset, ())
+        .select(F.explode(probes).alias("pos"))
+        .distinct()
+    )
+    corpus_ng = (
+        ngrams(corpus, (id_col,))
+        # distinct (doc, ngram) first: repeated boilerplate n-grams in
+        # one doc must not multiply probe rows
+        .distinct()
+        .select(
+            id_col,
+            "_ng",
+            F.posexplode(probes).alias("_j", "pos"),
+        )
+    )
+    per_ngram = (
+        corpus_ng.join(F.broadcast(bits), "pos")
+        .groupBy(id_col, "_ng")
+        .agg(F.count(F.lit(1)).alias("_set"))
+        .filter(F.col("_set") == k_hashes)
+    )
+    return (
+        per_ngram.groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_bloom_hits"))
+    )

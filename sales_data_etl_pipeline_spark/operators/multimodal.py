@@ -547,3 +547,140 @@ def phash_images(
         .repartition(sc.defaultParallelism, id_col)
         .mapInPandas(kernel, PHASH_SCHEMA)
     )
+
+
+def wav_bytes(n_samples: int, rate: int, seed: int = 0) -> bytes:
+    """Spec-conformant PCM-16 mono RIFF/WAVE payload with a
+    deterministic integer sample rule a SQL oracle can restate:
+    ``s_i = ((seed·31 + i·17) mod 2003) − 1001``."""
+    import struct
+
+    samples = [
+        ((seed * 31 + i * 17) % 2003) - 1001 for i in range(n_samples)
+    ]
+    data = b"".join(struct.pack("<h", s) for s in samples)
+    byte_rate = rate * 2  # mono, 16-bit
+    hdr = (
+        b"RIFF"
+        + struct.pack("<I", 36 + len(data))
+        + b"WAVEfmt "
+        + struct.pack("<IHHIIHH", 16, 1, 1, rate, byte_rate, 2, 16)
+        + b"data"
+        + struct.pack("<I", len(data))
+    )
+    return hdr + data
+
+
+def decode_wav_header(buf: bytes) -> tuple[int, int, int, int, int]:
+    """Parse a RIFF/WAVE PCM payload's ACTUAL bytes → (sample_rate,
+    n_channels, bits_per_sample, n_samples, data_offset). Pure struct
+    — no audio libs in this container; full codecs (mp3/flac) would
+    slot in here."""
+    import struct
+
+    if buf[0:4] != b"RIFF" or buf[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    # walk chunks: fmt_ then data (robust to extra chunks)
+    pos, rate, nch, bits, n_samples, data_off = 12, None, None, None, None, None
+    while pos + 8 <= len(buf):
+        cid = buf[pos : pos + 4]
+        (sz,) = struct.unpack("<I", buf[pos + 4 : pos + 8])
+        if cid == b"fmt ":
+            _fmt, nch, rate, _br, _block, bits = struct.unpack(
+                "<HHIIHH", buf[pos + 8 : pos + 24]
+            )
+        elif cid == b"data":
+            if bits is None:
+                raise ValueError("data chunk before fmt")
+            n_samples = sz // (max(nch, 1) * (bits // 8))
+            data_off = pos + 8
+        pos += 8 + sz + (sz % 2)
+    if rate is None or n_samples is None:
+        raise ValueError("missing fmt/data chunk")
+    return rate, nch, bits, n_samples, data_off
+
+
+def synthesize_wav(
+    df: DataFrame, *, id_col: str = "media_id", payload_col: str = "payload"
+) -> DataFrame:
+    """Deterministic WAV corpus: one real PCM-16 payload per id,
+    ``n_samples = 64 + id % 128``, ``rate = 8000 + 4000·(id % 4)`` —
+    rules a SQL oracle can restate. The audio twin of
+    :func:`synthesize_bmp`."""
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType(), False),
+            T.StructField(payload_col, T.BinaryType(), True),
+        ]
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = [
+                wav_bytes(
+                    64 + int(m) % 128,
+                    8000 + 4000 * (int(m) % 4),
+                    int(m),
+                )
+                for m in pdf[id_col]
+            ]
+            yield pd.DataFrame({id_col: pdf[id_col], payload_col: payloads})
+
+    return df.select(id_col).mapInPandas(gen, out_schema)
+
+
+def decode_audio(
+    df: DataFrame, *, id_col: str = "media_id", payload_col: str = "payload"
+) -> DataFrame:
+    """Decode audio payloads → (media_id, sample_rate, n_channels,
+    bits, n_samples, peak_abs, sum_sq) by parsing the REAL RIFF bytes
+    and folding the PCM samples in exact int64 (peak |s|, Σs² — the
+    loudness/clipping signals; no float RMS so the oracle compares
+    exact integers). Arrow-batched ``mapInPandas``, payload column
+    pruned everywhere else."""
+    import struct
+
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("sample_rate", T.LongType(), True),
+            T.StructField("n_channels", T.LongType(), True),
+            T.StructField("bits", T.LongType(), True),
+            T.StructField("n_samples", T.LongType(), True),
+            T.StructField("peak_abs", T.LongType(), True),
+            T.StructField("sum_sq", T.LongType(), True),
+        ]
+    )
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, buf in zip(pdf[id_col], pdf[payload_col]):
+                rate, nch, bits, n, off = decode_wav_header(buf)
+                data = buf[off : off + n * nch * (bits // 8)]
+                samples = struct.unpack(f"<{n * nch}h", data)
+                rows.append(
+                    (
+                        int(mid),
+                        rate,
+                        nch,
+                        bits,
+                        n,
+                        max((abs(s) for s in samples), default=0),
+                        sum(s * s for s in samples),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id",
+                    "sample_rate",
+                    "n_channels",
+                    "bits",
+                    "n_samples",
+                    "peak_abs",
+                    "sum_sq",
+                ],
+            )
+
+    return df.mapInPandas(decode, out_schema)

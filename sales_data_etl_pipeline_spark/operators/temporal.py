@@ -509,3 +509,60 @@ def linear_attribution(
             F.sum("_credit").alias("credit_micros"),
         )
     )
+
+
+def top_paths(
+    events: DataFrame,
+    *,
+    path_len: int = 5,
+    top_n: int = 20,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Top-N user journey paths — each user's first ``path_len`` event
+    types in event-time order joined as ``a>b>c``, counted across
+    users (the product-analytics "common paths from signup" view).
+
+    Determinism: ordering ties on (ts, event_id) — event ids are
+    unique, so every user has exactly one path and both engines build
+    the same string. Plan: one row_number window per user (one key
+    shuffle) → prefix filter → per-user ``min(struct(rn, type))``-free
+    sort_array(collect_list(struct)) over ≤ path_len rows — reducer
+    width is path_len, not the user's history — then a
+    map-side-combinable count per path and a global top-N
+    (TakeOrderedAndProject, no single-partition sort). Ranking ties:
+    (n_users DESC, path ASC).
+    """
+    w = Window.partitionBy(user_col).orderBy(
+        F.asc(ts_col), F.asc(id_col)
+    )
+    prefix = (
+        events.select(
+            user_col,
+            F.col(type_col).alias("_t"),
+            F.row_number().over(w).alias("_rn"),
+        )
+        .filter(F.col("_rn") <= path_len)
+    )
+    paths = (
+        prefix.groupBy(user_col)
+        .agg(
+            F.concat_ws(
+                ">",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("_rn", "_t"))
+                    ),
+                    lambda s: s["_t"],
+                ),
+            ).alias("path")
+        )
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy(F.desc("n_users"), F.asc("path"))
+        .limit(top_n)
+    )

@@ -4928,3 +4928,138 @@ ORACLES["events_attribution_linear"] = """
            CAST(SUM(credit) AS BIGINT) AS credit_micros
     FROM c GROUP BY 1
 """
+
+
+def corpus_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter decontamination (``corpus.bloom_membership``): the
+    same leak fixture as ``corpus_decontaminate`` (every 31st doc plays
+    the benchmark; corpus holds them verbatim plus 200-char
+    truncations at +50000) but membership is tested against a
+    1M-bit / 4-hash deterministic Bloom of the eval 8-grams — the
+    broadcast stays ≤ m_bits rows no matter how large the eval SUITE
+    grows. Output counts bloom-passing n-grams per flagged doc
+    (superset of exact hits; false positives are deterministic and the
+    oracle reproduces them)."""
+    base = _docs(spark, sf_dir).select("doc_id", "text")
+    leaked = base.filter(F.col("doc_id") % 31 == 0).select(
+        (F.col("doc_id") + 50000).alias("doc_id"),
+        F.substring("text", 1, 200).alias("text"),
+    )
+    corpus_df = base.unionByName(leaked)
+    evalset = base.filter(F.col("doc_id") % 31 == 0)
+    return corpus.bloom_membership(
+        corpus_df, evalset, m_bits=1 << 20, k_hashes=4, n=8
+    ).orderBy("doc_id")
+
+
+QUERIES["corpus_bloom_membership"] = corpus_bloom_membership
+
+_BLOOM_M = 1 << 20
+ORACLES["corpus_bloom_membership"] = f"""
+    WITH corpus AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 50000 AS doc_id, substring(text, 1, 200) AS text
+        FROM documents WHERE doc_id % 31 = 0
+    ),
+    ev AS (
+        SELECT DISTINCT unnest({_SHINGLE8}) AS ng
+        FROM documents WHERE doc_id % 31 = 0
+    ),
+    bits AS (
+        SELECT DISTINCT
+               {dedup.hash_id_sql("(ng || '#' || CAST(j AS VARCHAR))", _BLOOM_M)}
+                   AS pos
+        FROM ev, UNNEST(generate_series(0, 3)) AS u(j)
+    ),
+    dng AS (
+        SELECT doc_id, unnest({_SHINGLE8}) AS ng FROM corpus
+    ),
+    probes AS (
+        SELECT doc_id, ng,
+               {dedup.hash_id_sql("(ng || '#' || CAST(j AS VARCHAR))", _BLOOM_M)}
+                   AS pos
+        FROM dng, UNNEST(generate_series(0, 3)) AS u(j)
+    ),
+    hit AS (
+        SELECT p.doc_id, p.ng
+        FROM probes p JOIN bits USING (pos)
+        GROUP BY 1, 2
+        HAVING COUNT(*) = 4
+    )
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bloom_hits
+    FROM hit GROUP BY 1
+"""
+
+
+def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 user journey paths (``temporal.top_paths``): each user's
+    first 5 event types in (ts, event_id) order joined as a>b>c,
+    counted across users — ties broken (n_users DESC, path ASC) so the
+    LIMIT cut is deterministic in both engines."""
+    from sales_data_etl_pipeline_spark.operators import temporal
+
+    events = load_testdata(spark, sf_dir, ("events",))["events"]
+    return temporal.top_paths(events)
+
+
+QUERIES["events_top_paths"] = events_top_paths
+
+ORACLES["events_top_paths"] = """
+    WITH r AS (
+        SELECT user_id, event_type,
+               row_number() OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        FROM events),
+    p AS (
+        SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS path
+        FROM r WHERE rn <= 5 GROUP BY user_id)
+    SELECT path, COUNT(*) AS n_users
+    FROM p GROUP BY 1
+    ORDER BY n_users DESC, path ASC
+    LIMIT 20
+"""
+
+
+def multimodal_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio decode round-trip (``multimodal.synthesize_wav`` →
+    ``multimodal.decode_audio``): one spec-conformant PCM-16 RIFF/WAVE
+    payload per doc (rate/length derived from the id), parsed back
+    from the ACTUAL bytes with the pure-struct chunk walker, plus
+    exact int64 sample folds (peak |s|, Σs²). The oracle re-derives
+    every value from the generator rules — wrong chunk offsets,
+    endianness, or sample math in writer OR parser breaks the hash."""
+    from sales_data_etl_pipeline_spark.operators import multimodal
+
+    docs = _docs(spark, sf_dir).select(F.col("doc_id").alias("media_id"))
+    return multimodal.decode_audio(
+        multimodal.synthesize_wav(docs)
+    ).orderBy("media_id")
+
+
+QUERIES["multimodal_audio_stats"] = multimodal_audio_stats
+
+ORACLES["multimodal_audio_stats"] = """
+    WITH spec AS (
+        SELECT doc_id AS media_id,
+               8000 + 4000 * (doc_id % 4) AS sample_rate,
+               64 + doc_id % 128 AS n_samples
+        FROM documents),
+    s AS (
+        SELECT spec.media_id,
+               ((spec.media_id * 31 + u.i * 17) % 2003) - 1001 AS smp
+        FROM spec, UNNEST(generate_series(0, spec.n_samples - 1)) AS u(i)),
+    agg AS (
+        SELECT media_id, MAX(ABS(smp)) AS peak_abs,
+               CAST(SUM(smp * smp) AS BIGINT) AS sum_sq
+        FROM s GROUP BY 1)
+    SELECT spec.media_id,
+           CAST(spec.sample_rate AS BIGINT) AS sample_rate,
+           CAST(1 AS BIGINT) AS n_channels,
+           CAST(16 AS BIGINT) AS bits,
+           CAST(spec.n_samples AS BIGINT) AS n_samples,
+           CAST(agg.peak_abs AS BIGINT) AS peak_abs,
+           agg.sum_sq
+    FROM spec JOIN agg USING (media_id)
+    ORDER BY spec.media_id
+"""

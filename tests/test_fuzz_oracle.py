@@ -67,6 +67,8 @@ FUZZED = [
     "events_asof_join",
     # round-8: RFM quintiles on random streams
     "events_rfm_segmentation",
+    # round-10: journey paths on random streams
+    "events_top_paths",
     # round-7 star-schema/events additions
     "q11_important_parts",
     "q12_late_priority_split",
@@ -363,9 +365,11 @@ FUZZED_CORPUS = [
     # round-9: span removal + per-domain cap
     "text_dup_span_removal",
     "corpus_domain_cap",
-    # round-10: bounded top-k range join + mutual-kNN graph
+    # round-10: bounded top-k range join + mutual-kNN graph +
+    # bloom-filter decontamination
     "similarity_range_topk",
     "similarity_knn_graph",
+    "corpus_bloom_membership",
 ]
 
 
@@ -457,9 +461,11 @@ FUZZED_MORE = [
     "multimodal_phash",
     "source_partitioned_roundtrip",
     "source_orc_roundtrip",
-    # round-10: snapshot reconciliation diff + linear attribution
+    # round-10: snapshot reconciliation diff + linear attribution +
+    # WAV audio decode round-trip
     "table_snapshot_diff",
     "events_attribution_linear",
+    "multimodal_audio_stats",
 ]
 
 

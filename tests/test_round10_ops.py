@@ -325,3 +325,98 @@ def test_knn_graph_mutual_drops_one_way_edges(spark):
     # satellites 4,5 are NOT in hub-0's top-2, so (0,4)/(0,5) one-way
     # edges must be gone even though 0 is in their top-2
     assert (0, 4) not in edges and (0, 5) not in edges
+
+
+def test_bloom_membership_superset_of_exact_and_bounded(spark):
+    """Bloom hits must be a SUPERSET of exact n-gram overlap hits
+    (no false negatives — the bloom contract), and the broadcast bit
+    table must stay ≤ m_bits regardless of eval size."""
+    from sales_data_etl_pipeline_spark.operators import corpus as corpus_ops
+
+    words = "alpha beta gamma delta epsilon zeta eta theta iota kappa".split()
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text=" ".join(words)),           # leaked verbatim
+            Row(doc_id=2, text=" ".join(words[::-1])),     # same words, no 8-gram
+            Row(doc_id=3, text="totally unrelated words " * 4),
+        ]
+    )
+    evalset = docs.filter(F.col("doc_id") == 1)
+    got = {
+        r.doc_id: r.n_bloom_hits
+        for r in corpus_ops.bloom_membership(
+            docs, evalset, m_bits=1 << 16, k_hashes=4, n=8
+        ).collect()
+    }
+    exact = {
+        r.doc_id
+        for r in corpus_ops.decontaminate(docs, evalset, n=8).collect()
+    }
+    assert exact <= set(got)        # no false negatives
+    assert got[1] == 3              # 10 words -> 3 distinct 8-grams
+    # tiny filter: force false positives to prove determinism is the
+    # oracle's job, not an accident — rerun must agree with itself
+    tiny = corpus_ops.bloom_membership(
+        docs, evalset, m_bits=64, k_hashes=2, n=8
+    )
+    assert sorted(map(tuple, tiny.collect())) == sorted(
+        map(tuple, tiny.collect())
+    )
+
+
+def test_top_paths_orders_and_ties(spark):
+    """Paths are built in (ts, event_id) order and ranked
+    (n_users DESC, path ASC)."""
+    import datetime as dt
+
+    from sales_data_etl_pipeline_spark.operators import temporal
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for user, seq in [
+        (1, "abc"), (2, "abc"), (3, "acb"), (4, "b"),
+    ]:
+        for i, ch in enumerate(seq):
+            eid += 1
+            rows.append(
+                Row(
+                    event_id=eid,
+                    ts=t0 + dt.timedelta(minutes=i),
+                    user_id=user,
+                    event_type=ch,
+                    value=0.0,
+                    props="{}",
+                )
+            )
+    got = temporal.top_paths(
+        spark.createDataFrame(rows), path_len=3, top_n=10
+    ).collect()
+    assert [(r.path, r.n_users) for r in got] == [
+        ("a>b>c", 2), ("a>c>b", 1), ("b", 1),
+    ]
+
+
+def test_wav_parser_walks_chunks_and_rejects_garbage():
+    """The RIFF parser must find fmt/data even with an extra chunk
+    between them (LIST/INFO in the wild), use the parsed data OFFSET
+    (not assume data-is-last), and reject non-WAV bytes loudly."""
+    import struct
+
+    from sales_data_etl_pipeline_spark.operators import multimodal as mm
+
+    base = mm.wav_bytes(10, 8000, seed=3)
+    rate, nch, bits, n, off = mm.decode_wav_header(base)
+    assert (rate, nch, bits, n) == (8000, 1, 16, 10)
+    # splice a LIST chunk between fmt and data
+    fmt_end = 12 + 8 + 16
+    extra = b"LIST" + struct.pack("<I", 4) + b"INFO"
+    spliced = base[:fmt_end] + extra + base[fmt_end:]
+    r2 = mm.decode_wav_header(spliced)
+    assert r2[:4] == (8000, 1, 16, 10)
+    assert r2[4] == off + len(extra)
+    # trailing junk after data must not change the sample window
+    r3 = mm.decode_wav_header(base + b"JUNKJUNK")
+    assert r3[:4] == (8000, 1, 16, 10)
+    with pytest.raises(ValueError, match="RIFF"):
+        mm.decode_wav_header(b"\x89PNG" + b"\x00" * 40)
