@@ -87,12 +87,19 @@ def stream_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
             T.StructField("n_chars", T.LongType()),
         ]
     )
-    raw = (
-        spark.readStream.format("parquet")
-        .schema(schema)
-        .option("pathGlobFilter", "documents.parquet")
-        .load(sf_dir)
-    )
+    # driver testdata ships documents.parquet as a single FILE; Spark
+    # writers (e.g. the scale replica) produce a DIRECTORY of part
+    # files under that name — pathGlobFilter matches file basenames, so
+    # the directory layout must be loaded directly or the stream reads
+    # ZERO files silently (caught by the r10 scale run)
+    target = os.path.join(sf_dir, "documents.parquet")
+    reader = spark.readStream.format("parquet").schema(schema)
+    if os.path.isdir(target):
+        raw = reader.load(target)
+    else:
+        raw = reader.option("pathGlobFilter", "documents.parquet").load(
+            sf_dir
+        )
     return raw.select(
         "doc_id",
         "text",

@@ -420,3 +420,23 @@ def test_wav_parser_walks_chunks_and_rejects_garbage():
     assert r3[:4] == (8000, 1, 16, 10)
     with pytest.raises(ValueError, match="RIFF"):
         mm.decode_wav_header(b"\x89PNG" + b"\x00" * 40)
+
+
+def test_stream_documents_reads_directory_layout(spark, tmp_path):
+    """documents.parquet as a DIRECTORY of part files (Spark writer
+    layout, e.g. the scale replica) must stream every row — the
+    pathGlobFilter path silently read zero files for that layout."""
+    from sales_data_etl_pipeline_spark.streaming import events as streaming
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text=f"doc {i} body", lang="en",
+             source="s", n_chars=10) for i in range(7)]
+    )
+    sf_dir = str(tmp_path / "sf")
+    docs.write.parquet(f"{sf_dir}/documents.parquet")
+    out = streaming.run_stream_to_memory(
+        streaming.stream_documents(spark, sf_dir),
+        "q_stream_docs_dir",
+        output_mode="append",
+    )
+    assert out.count() == 7

@@ -271,10 +271,16 @@ def main() -> None:
     )
     build_replica(spark)
     qs = entrymod.queries()
+    # positional args select a subset (incremental re-measure after a
+    # round's additions); no args = full headline sweep. Results MERGE
+    # into the existing artifact so soak/curve sections and unselected
+    # rows survive.
+    selected = [a for a in sys.argv[1:] if not a.startswith("-")]
+    run_list = selected or QUERIES
     result: dict[str, dict[str, float]] = {}
     flagged: list[str] = []
     try:
-        for name in QUERIES:
+        for name in run_list:
             fn = qs[name]
             t: dict[str, float] = {}
             rows: dict[str, int] = {}
@@ -309,19 +315,27 @@ def main() -> None:
             print(json.dumps({name: t}), flush=True)
     finally:
         shutil.rmtree(DST, ignore_errors=True)
-    with open("/root/repo/SCALE_EXPERIMENT.json", "w") as f:
-        json.dump(
-            {
-                "design": "10 id-offset copies of sf0.1 (~sf1); dims unscaled",
-                "copies": COPIES,
-                "n_queries": len(result),
-                "flagged": flagged,
-                "queries": result,
-            },
-            f,
-            indent=1,
-        )
-    print(f"wrote SCALE_EXPERIMENT.json ({len(result)} queries, "
+    path = "/root/repo/SCALE_EXPERIMENT.json"
+    try:
+        with open(path) as f:
+            doc = json.load(f)
+    except FileNotFoundError:
+        doc = {}
+    doc.setdefault("queries", {}).update(result)
+    old_flags = [
+        n for n in doc.get("flagged", []) if n not in result
+    ]
+    doc.update(
+        {
+            "design": "10 id-offset copies of sf0.1 (~sf1); dims unscaled",
+            "copies": COPIES,
+            "n_queries": len(doc["queries"]),
+            "flagged": sorted(old_flags + flagged),
+        }
+    )
+    with open(path, "w") as f:
+        json.dump(doc, f, indent=1)
+    print(f"wrote SCALE_EXPERIMENT.json (+{len(result)} queries, "
           f"flagged: {flagged})")
 
 
