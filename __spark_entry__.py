@@ -39,13 +39,14 @@ def entry(spark: SparkSession) -> DataFrame:
 # --baseline tools/entry_fingerprints_r09.json
 # --force-changed <28 names> --promote-stale <5 headline queries>.
 # Composition (closing the round-9 verdict's #1-#2 asks):
-# (1) 16 never-green: the 8 round-9 additions (the round-9 window was
+# (1) 18 never-green: the 8 round-9 additions (the round-9 window was
 #     never rotated, so they shipped with zero driver rows) plus the
-#     8 round-10 additions (similarity_range_topk,
+#     10 round-10 additions (similarity_range_topk,
 #     streaming_dedup_minhash, similarity_knn_graph,
-#     table_snapshot_diff, events_attribution_linear,
-#     corpus_bloom_membership, events_top_paths,
-#     multimodal_audio_stats);
+#     table_snapshot_diff, table_snapshot_changelog,
+#     events_attribution_linear, corpus_bloom_membership,
+#     events_top_paths, multimodal_audio_stats,
+#     embedding_kmeans_train);
 # (2) 28 forced changed-since-green: the 26 entries whose fingerprint
 #     moved between the r08 and r09 snapshots while their last green
 #     row predates r9 (r9 edits to text.py/corpus.py/dedup.py/
@@ -57,12 +58,12 @@ def entry(spark: SparkSession) -> DataFrame:
 #     green row are deliberately NOT re-queued: the driver ran the r9
 #     gate at round-9 close on the final r9 code, so their rows
 #     already postdate the change.
-# (3) 6 fingerprint-drift (alphabetical head of 47): the round-10
+# (3) 4 fingerprint-drift (alphabetical head of 47): the round-10
 #     ADVICE fixes (connected_components confirmation round,
 #     pq_adc_topk empty-codebook short-circuit, the parquet
 #     stale-location guard) plus the new similarity/merge/temporal/
 #     streaming/corpus/multimodal kernels touch the dep closures of
-#     47 green entries; the 41 that do not fit carry to r11 with
+#     47 green entries; the 43 that do not fit carry to r11 with
 #     judge-local gate evidence at this round's close (SURVEY §7.9
 #     lists the exact force set).
 # The 5 headline analytics queries (--promote-stale, an honest
@@ -84,6 +85,7 @@ _VERIFY_FIRST = [
     "corpus_curriculum_order",
     "corpus_domain_cap",
     "dedup_incremental_prepared",
+    "embedding_kmeans_train",
     "events_attribution_linear",
     "events_markov_transitions",
     "events_top_paths",
@@ -94,6 +96,7 @@ _VERIFY_FIRST = [
     "similarity_topk_ivfpq_residual",
     "streaming_dedup_minhash",
     "streaming_session_funnel",
+    "table_snapshot_changelog",
     "table_snapshot_diff",
     "text_dup_span_removal",
     # changed since last green row
@@ -129,8 +132,6 @@ _VERIFY_FIRST = [
     "text_sentence_stats",
     "text_term_frequencies",
     "text_tfidf_top_terms",
-    "corpus_decontaminate",
-    "corpus_dedup_pipeline",
 ]
 
 

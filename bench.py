@@ -157,6 +157,8 @@ HEADLINE = [
     "corpus_bloom_membership",
     "events_top_paths",
     "multimodal_audio_stats",
+    "table_snapshot_changelog",
+    "embedding_kmeans_train",
 ]
 
 

@@ -327,3 +327,65 @@ def snapshot_diff(
         )
         .select(*ks, "change_type", "changed_cols")
     )
+
+
+def snapshot_changelog(
+    old: DataFrame,
+    new: DataFrame,
+    keys: tuple[str, ...] | str,
+    *,
+    compare_cols: list[str] | None = None,
+) -> DataFrame:
+    """Derive an APPLYABLE CDC changelog between two snapshots — the
+    exact inverse of :func:`cdc_apply`: ``cdc_apply(old,
+    snapshot_changelog(old, new, k), k)`` reconstructs ``new``
+    bit-for-bit (property-pinned in tests). Where
+    :func:`snapshot_diff` reports WHAT changed (change masks for
+    reconciliation), this emits the I/U/D rows WITH the new attribute
+    values, ready for a downstream ``cdc_apply`` or a Debezium-shaped
+    sink (CDC bootstrap between systems that only exchange
+    snapshots).
+
+    Same single full-outer-join shape as snapshot_diff (presence
+    sentinels, NULL-safe change test); op = I for added keys, D for
+    removed, U for present-both-with-any-column-change; unchanged keys
+    emit nothing, so the log is output-bound. ``seq`` is the constant
+    1 — a two-snapshot diff has one change per key by construction
+    (cdc_apply only needs seq unique PER KEY).
+    """
+    from pyspark.sql import functions as F
+
+    ks = _key_list(keys)
+    cols = compare_cols or [c for c in old.columns if c not in ks]
+    o = old.select(
+        *ks,
+        F.lit(True).alias("_o_present"),
+        *[F.col(c).alias(f"_o_{c}") for c in cols],
+    )
+    n = new.select(
+        *ks,
+        F.lit(True).alias("_n_present"),
+        *[F.col(c).alias(f"_n_{c}") for c in cols],
+    )
+    joined = o.join(n, ks, "full_outer")
+    o_present = F.coalesce(F.col("_o_present"), F.lit(False))
+    n_present = F.coalesce(F.col("_n_present"), F.lit(False))
+    any_change = None
+    for c in cols:
+        neq = ~F.col(f"_o_{c}").eqNullSafe(F.col(f"_n_{c}"))
+        any_change = neq if any_change is None else (any_change | neq)
+    return (
+        joined.withColumn(
+            "op",
+            F.when(~o_present, F.lit("I"))
+            .when(~n_present, F.lit("D"))
+            .when(any_change, F.lit("U")),
+        )
+        .filter(F.col("op").isNotNull())
+        .select(
+            *ks,
+            "op",
+            F.lit(1).cast("long").alias("seq"),
+            *[F.col(f"_n_{c}").alias(c) for c in cols],
+        )
+    )

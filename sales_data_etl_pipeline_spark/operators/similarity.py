@@ -1206,3 +1206,105 @@ def pq_adc_topk(
             "rank",
         )
     )
+
+
+def kmeans_lloyd_int(
+    corpus: DataFrame,
+    *,
+    k: int = 8,
+    iterations: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact-integer Lloyd k-means TRAINING on the shared grid — the
+    codebook-producing half the PQ/IVF family was missing
+    (:func:`kmeans_assign` / ``pq_encode`` consume centroid tables;
+    this derives them): vectors quantize to the module's int grid
+    (``clamp(round(x·16), ±127)``), assignment is exact int64 squared
+    L2 (ties → smallest centroid id), and re-centering is per-dim
+    ``trunc(sum / count)`` — every value integer end-to-end, so an
+    unrolled SQL oracle reproduces the final codebook bit-for-bit
+    (truncating division, NOT floor: DuckDB ``//`` truncates toward
+    zero on integers while Python ``//`` floors — pinned by test).
+
+    Deterministic seed: the ``k`` grid vectors with smallest id.
+    Dead centroids (no members after an assignment) KEEP their previous
+    coordinates (faiss keep-empty semantics — deterministic, no
+    re-init RNG). Fixed ``iterations`` (training budget, like
+    ``pagerank``); non-finite vectors are excluded by the module's
+    FINITE contract.
+
+    Scale shape: assignment is a broadcast of K·dim ints against the
+    corpus scan (embarrassingly parallel, no corpus shuffle); the
+    update is one (centroid, dim) hash aggregate whose result — K·dim
+    rows — is collected driver-side per iteration, the same
+    codebook-bounded collect contract as ``pq_encode``. Output:
+    (centroid_id, dim, val) exploded rows — array-free so the driver
+    hash compares scalars.
+    """
+    from sales_data_etl_pipeline_spark.operators.dedup import FINITE_VEC
+
+    spark = corpus.sparkSession
+    g = (
+        corpus.filter(F.expr(FINITE_VEC.format(v=vec_col)))
+        .select(
+            F.col(id_col).alias("_vid"),
+            F.expr(_PQ_GRID.format(v=vec_col)).alias("_gv"),
+        )
+        .localCheckpoint(eager=False)  # reused every iteration
+    )
+    seed_rows = g.orderBy("_vid").limit(k).collect()
+    if not seed_rows:
+        return spark.createDataFrame(
+            [], "centroid_id long, dim long, val long"
+        )
+    cents: dict[int, list[int]] = {
+        i: list(r["_gv"]) for i, r in enumerate(seed_rows)
+    }
+    d2 = (
+        "aggregate(zip_with(_gv, _cv, (x, y) -> (x - y) * (x - y)),"
+        " 0L, (acc, x) -> acc + x)"
+    )
+
+    def _trunc_div(s: int, n: int) -> int:
+        q = abs(s) // n
+        return q if s >= 0 else -q
+
+    for _ in range(iterations):
+        cdf = spark.createDataFrame(
+            [(cid, v) for cid, v in sorted(cents.items())],
+            "_cid long, _cv array<bigint>",
+        )
+        assigned = (
+            g.crossJoin(F.broadcast(cdf))
+            .select(
+                "_vid",
+                "_gv",
+                F.struct(F.expr(d2).alias("_d2"), F.col("_cid")).alias("_s"),
+            )
+            .groupBy("_vid", "_gv")
+            .agg(F.min("_s").alias("_m"))
+            .select(F.col("_m._cid").alias("_cid"), "_gv")
+        )
+        sums = (
+            assigned.select("_cid", F.posexplode("_gv").alias("dim", "val"))
+            .groupBy("_cid", "dim")
+            .agg(F.sum("val").alias("s"), F.count(F.lit(1)).alias("n"))
+            .collect()  # K·dim rows — codebook-bounded by contract
+        )
+        new_cents: dict[int, list[int]] = {}
+        for r in sums:
+            new_cents.setdefault(int(r["_cid"]), [0] * len(cents[0]))[
+                int(r["dim"])
+            ] = _trunc_div(int(r["s"]), int(r["n"]))
+        for cid, v in cents.items():  # dead centroids keep coordinates
+            new_cents.setdefault(cid, v)
+        cents = new_cents
+    out = [
+        (cid, d, v)
+        for cid, vec in sorted(cents.items())
+        for d, v in enumerate(vec)
+    ]
+    return spark.createDataFrame(
+        out, "centroid_id long, dim long, val long"
+    )

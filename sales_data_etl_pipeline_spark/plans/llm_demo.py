@@ -5063,3 +5063,137 @@ ORACLES["multimodal_audio_stats"] = """
     FROM spec JOIN agg USING (media_id)
     ORDER BY spec.media_id
 """
+
+
+def table_snapshot_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Applyable CDC changelog derived between two snapshots
+    (``merge.snapshot_changelog``) — same mutation fixture as
+    ``table_snapshot_diff`` but emitting I/U/D rows WITH the new
+    values, ready for ``cdc_apply`` (round-trip reconstruction is
+    property-pinned in tests/test_round10_ops.py)."""
+    orders = load_testdata(spark, sf_dir, ("orders",))["orders"]
+    base = orders.select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    new = base.filter(F.col("o_orderkey") % 13 != 0).withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderkey") % 7 == 0, F.col("o_totalprice") + 1.5
+        ).otherwise(F.col("o_totalprice")),
+    ).unionByName(
+        base.filter(F.col("o_orderkey") % 11 == 0).select(
+            (F.col("o_orderkey") + 100000000).alias("o_orderkey"),
+            "o_custkey",
+            "o_orderstatus",
+            "o_totalprice",
+        )
+    )
+    return merge_ops.snapshot_changelog(base, new, "o_orderkey").orderBy(
+        "o_orderkey"
+    )
+
+
+QUERIES["table_snapshot_changelog"] = table_snapshot_changelog
+
+ORACLES["table_snapshot_changelog"] = """
+    WITH base AS (
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+        FROM orders),
+    nxt AS (
+        SELECT o_orderkey, o_custkey, o_orderstatus,
+               CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 1.5
+                    ELSE o_totalprice END AS o_totalprice
+        FROM base WHERE o_orderkey % 13 <> 0
+        UNION ALL
+        SELECT o_orderkey + 100000000, o_custkey, o_orderstatus,
+               o_totalprice
+        FROM base WHERE o_orderkey % 11 = 0),
+    j AS (
+        SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+               CASE WHEN o.o_orderkey IS NULL THEN 'I'
+                    WHEN n.o_orderkey IS NULL THEN 'D'
+                    WHEN o.o_custkey IS DISTINCT FROM n.o_custkey
+                      OR o.o_orderstatus IS DISTINCT FROM n.o_orderstatus
+                      OR o.o_totalprice IS DISTINCT FROM n.o_totalprice
+                    THEN 'U' END AS op,
+               n.o_custkey, n.o_orderstatus, n.o_totalprice
+        FROM base o FULL OUTER JOIN nxt n ON o.o_orderkey = n.o_orderkey)
+    SELECT o_orderkey, op, CAST(1 AS BIGINT) AS seq,
+           o_custkey, o_orderstatus, o_totalprice
+    FROM j WHERE op IS NOT NULL
+"""
+
+
+def embedding_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-integer Lloyd k-means training
+    (``similarity.kmeans_lloyd_int``): k=8 centroids over the grid-
+    quantized embeddings, 2 iterations, deterministic smallest-id
+    seeds, trunc-div re-centering, dead centroids kept — the
+    codebook-producing half consumed by kmeans_assign/pq_encode/IVF.
+    Output is the exploded final codebook (centroid_id, dim, val); the
+    oracle unrolls both iterations in SQL and must match bit-for-bit."""
+    emb = _emb(spark, sf_dir).select("vec_id", "embedding")
+    return similarity.kmeans_lloyd_int(
+        emb, k=8, iterations=2
+    ).orderBy("centroid_id", "dim")
+
+
+QUERIES["embedding_kmeans_train"] = embedding_kmeans_train
+
+
+def _kmeans_train_oracle(k: int = 8, dim: int = 64) -> str:
+    """Unrolled 2-iteration DuckDB twin of the gated
+    ``kmeans_lloyd_int`` (same grid, same tie order, same trunc-div
+    update, same dead-centroid carry)."""
+    d2 = (
+        "list_aggregate(list_transform(generate_series(1, {d}),"
+        " i -> (g.gv[i] - c.cv[i]) * (g.gv[i] - c.cv[i])), 'sum')"
+    ).format(d=dim)
+
+    def assign(cn: str, an: str) -> str:
+        return f"""
+        {an} AS (
+            SELECT vid, gv, cid FROM (
+                SELECT g.vid, g.gv, c.cid,
+                       row_number() OVER (PARTITION BY g.vid
+                           ORDER BY {d2}, c.cid) AS rn
+                FROM g CROSS JOIN {cn} c)
+            WHERE rn = 1)"""
+
+    def update(an: str, sn: str, prev: str, cn: str) -> str:
+        return f"""
+        {sn} AS (
+            SELECT {an}.cid, u.i AS dim, SUM({an}.gv[u.i]) AS s,
+                   COUNT(*) AS n
+            FROM {an}, UNNEST(generate_series(1, {dim})) AS u(i)
+            GROUP BY 1, 2),
+        {cn} AS (
+            SELECT cid, list(CAST(s // n AS BIGINT) ORDER BY dim) AS cv
+            FROM {sn} GROUP BY cid
+            UNION ALL
+            SELECT p.cid, p.cv FROM {prev} p
+            WHERE p.cid NOT IN (SELECT cid FROM {sn}))"""
+
+    return f"""
+        WITH g AS (
+            SELECT vec_id AS vid,
+                   list_transform(embedding, x -> least(greatest(
+                       CAST(floor(CAST(x AS DOUBLE) * 16 + 0.5) AS BIGINT),
+                       -127), 127)) AS gv
+            FROM embeddings
+            WHERE {_PQ_FINITE.format(v='embedding')}),
+        c0 AS (
+            SELECT row_number() OVER (ORDER BY vid) - 1 AS cid, gv AS cv
+            FROM (SELECT vid, gv FROM g ORDER BY vid LIMIT {k})),
+        {assign('c0', 'a1')},
+        {update('a1', 's1', 'c0', 'c1')},
+        {assign('c1', 'a2')},
+        {update('a2', 's2', 'c1', 'c2')}
+        SELECT cid AS centroid_id, u.i - 1 AS dim,
+               CAST(cv[u.i] AS BIGINT) AS val
+        FROM c2, UNNEST(generate_series(1, {dim})) AS u(i)
+        ORDER BY centroid_id, dim
+    """
+
+
+ORACLES["embedding_kmeans_train"] = _kmeans_train_oracle()

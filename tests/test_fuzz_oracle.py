@@ -370,6 +370,7 @@ FUZZED_CORPUS = [
     "similarity_range_topk",
     "similarity_knn_graph",
     "corpus_bloom_membership",
+    "embedding_kmeans_train",
 ]
 
 
@@ -464,6 +465,7 @@ FUZZED_MORE = [
     # round-10: snapshot reconciliation diff + linear attribution +
     # WAV audio decode round-trip
     "table_snapshot_diff",
+    "table_snapshot_changelog",
     "events_attribution_linear",
     "multimodal_audio_stats",
 ]

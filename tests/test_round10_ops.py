@@ -440,3 +440,101 @@ def test_stream_documents_reads_directory_layout(spark, tmp_path):
         output_mode="append",
     )
     assert out.count() == 7
+
+
+def test_snapshot_changelog_roundtrip_property(spark):
+    """The defining invariant: cdc_apply(old, snapshot_changelog(old,
+    new)) == new, for randomized snapshots with adds/removes/updates
+    and NULL transitions."""
+    import random
+
+    from sales_data_etl_pipeline_spark.operators import merge
+
+    rng = random.Random(42)
+    for trial in range(3):
+        old_rows = [
+            Row(
+                k=i,
+                a=rng.choice([None, "x", "y", "z"]),
+                b=rng.choice([None, 1, 2, 3]),
+            )
+            for i in range(40)
+        ]
+        new_rows = []
+        for r in old_rows:
+            roll = rng.random()
+            if roll < 0.2:
+                continue  # removed
+            if roll < 0.5:
+                new_rows.append(
+                    Row(
+                        k=r.k,
+                        a=rng.choice([None, "x", "y", "q"]),
+                        b=rng.choice([None, 1, 9]),
+                    )
+                )
+            else:
+                new_rows.append(r)  # unchanged
+        new_rows += [
+            Row(k=100 + i, a="new", b=i) for i in range(rng.randint(0, 5))
+        ]
+        old = spark.createDataFrame(old_rows)
+        new = spark.createDataFrame(new_rows)
+        log = merge.snapshot_changelog(old, new, "k")
+        rebuilt = merge.cdc_apply(old, log, "k")
+        assert sorted(map(tuple, rebuilt.collect())) == sorted(
+            map(tuple, new.collect())
+        ), f"trial {trial} round-trip mismatch"
+        # unchanged keys are absent from the log (output-bound)
+        changed_keys = {r.k for r in log.collect()}
+        unchanged = {r.k for r in old_rows} & {
+            r.k for r in new_rows
+        } - changed_keys
+        for r in log.collect():
+            assert r.op in ("I", "U", "D")
+        assert changed_keys.isdisjoint(unchanged)
+
+
+def test_kmeans_lloyd_int_semantics(spark):
+    """Trunc-division re-centering (NOT floor — DuckDB // truncates),
+    deterministic smallest-id seeding, and dead-centroid carry."""
+    from sales_data_etl_pipeline_spark.operators import similarity as sim
+
+    # two tight clusters around +5 and -5 in 2-d; ids 0,1 seed k=2
+    corpus = spark.createDataFrame(
+        [
+            Row(vec_id=0, embedding=[5.0, 5.0]),
+            Row(vec_id=1, embedding=[-5.0, -5.0]),
+            Row(vec_id=2, embedding=[5.1, 4.9]),
+            Row(vec_id=3, embedding=[-5.2, -4.8]),
+            Row(vec_id=4, embedding=[-4.9, -5.1]),
+        ]
+    )
+    got = {
+        (r.centroid_id, r.dim): r.val
+        for r in sim.kmeans_lloyd_int(corpus, k=2, iterations=1).collect()
+    }
+    # grid: x*16 rounded, clamp 127 → 5.0->80, 5.1->82, 4.9->78,
+    # -5.0->-80, -5.2->-83 (floor(-83.2+0.5)=-83), -4.8->-77 (floor(-76.8+.5)=floor(-76.3)=-77),
+    # -4.9->-78 (floor(-78.4+.5)=-78), -5.1->-82 (floor(-81.6+.5)=-82)
+    # cluster0 = {0,2}: sums (80+82, 80+78) -> trunc(162/2)=81, 79
+    # cluster1 = {1,3,4}: dims (-80-83-78, -80-77-82) = (-241, -239)
+    #   trunc(-241/3) = -80 (floor would give -81!), trunc(-239/3) = -79
+    assert got[(0, 0)] == 81 and got[(0, 1)] == 79
+    assert got[(1, 0)] == -80 and got[(1, 1)] == -79
+
+    # dead centroid: k=2 but every vector nearest to seed 0 → centroid
+    # 1's coordinates carry unchanged
+    one_side = spark.createDataFrame(
+        [Row(vec_id=i, embedding=[5.0 + 0.01 * i]) for i in range(4)]
+    )
+    got2 = {
+        (r.centroid_id, r.dim): r.val
+        for r in sim.kmeans_lloyd_int(
+            one_side, k=2, iterations=2
+        ).collect()
+    }
+    # seed1 = vec 1 at 5.01 -> grid 80; everything assigns to the
+    # nearer of seeds {80, 80}... both seeds quantize equal: tie ->
+    # cid 0 wins every vector, centroid 1 stays at its seed value
+    assert got2[(1, 0)] == 80

@@ -53,6 +53,10 @@ CARTESIAN_OK = {
     # corpus-bounded; corpus side still arrives via the (list, block,
     # code) hash join (r9 verdict item 3)
     "similarity_topk_ivfpq_residual",
+    # Lloyd assignment: corpus × K-centroid broadcast (K·dim ints) —
+    # codebook-bounded by construction, the embarrassingly parallel
+    # half of k-means training
+    "embedding_kmeans_train",
     # 1-row node-count broadcast (the N in rank_ppb = 10⁹/N)
     "graph_pagerank",
 }
