@@ -159,6 +159,14 @@ HEADLINE = [
     "multimodal_audio_stats",
     "table_snapshot_changelog",
     "embedding_kmeans_train",
+    "dedup_semantic",
+    "text_winnow_fingerprints",
+    "dedup_winnowing",
+    "multimodal_phash_pairs",
+    "similarity_topk_ivf_trained",
+    "text_perplexity_buckets",
+    "graph_label_propagation",
+    "similarity_recall_eval",
 ]
 
 

@@ -1425,3 +1425,346 @@ def pagerank(
             .localCheckpoint(eager=False)
         )
     return ranks.select(F.col("node").alias("doc_id"), "rank_ppb")
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    *,
+    kgram: int = 8,
+    window: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    SIGMOD 2003 — the MOSS scheme): hash every ``kgram``-char window
+    of the text, slide a ``window``-wide frame over the hash sequence,
+    and select the minimum hash per frame (ties → the RIGHTMOST
+    minimal position, the paper's determinstic variant). The selected
+    (position, hash) set is the fingerprint: any shared substring of
+    length ≥ ``window + kgram - 1`` between two documents is
+    guaranteed to share at least one selected fingerprint — the
+    positional near-dup primitive :func:`winnow_pairs` builds on.
+
+    Hashes are md5-derived 60-bit ints (``hash_id_expr`` convention —
+    bit-identical in DuckDB, collisions only weaken recall never the
+    oracle match). Docs shorter than ``kgram`` have no k-grams and
+    emit nothing; docs with fewer than ``window`` k-grams emit the
+    single min of all their hashes (the truncated final frame).
+
+    Scale shape: the k-gram explode is n_chars rows per doc (the
+    established dup-span family cost), the frame min is ONE window
+    function partitioned by doc — per-doc width is bounded by the doc
+    length contract, no corpus-wide shuffle beyond the doc
+    repartition, and the distinct collapses ~window× selections
+    map-side before it. Output: (id, fp_pos, fp_hash) distinct rows.
+    """
+    h = (
+        f"cast(conv(substring(md5(substring({text_col}, pos, {kgram})),"
+        f" 1, 15), 16, 10) as bigint)"
+    )
+    pos_hashes = (
+        df.filter(F.length(text_col) >= kgram)
+        .select(
+            F.col(id_col),
+            F.col(text_col),
+            (F.length(text_col) - (kgram - 1)).alias("_npos"),
+            F.explode(
+                F.expr(f"sequence(1, length({text_col}) - {kgram - 1})")
+            ).alias("pos"),
+        )
+        .select(id_col, "_npos", "pos", F.expr(h).alias("_h"))
+    )
+    frame = (
+        Window.partitionBy(id_col)
+        .orderBy("pos")
+        .rowsBetween(-(window - 1), 0)
+    )
+    sel = F.min(
+        F.struct(F.col("_h").alias("h"), (-F.col("pos")).alias("np"))
+    ).over(frame)
+    return (
+        pos_hashes.withColumn("_s", sel)
+        .filter((F.col("pos") >= window) | (F.col("pos") == F.col("_npos")))
+        .select(
+            id_col,
+            (-F.col("_s.np")).alias("fp_pos"),
+            F.col("_s.h").alias("fp_hash"),
+        )
+        .distinct()
+    )
+
+
+def winnow_pairs(
+    df: DataFrame,
+    *,
+    kgram: int = 8,
+    window: int = 4,
+    max_df: int = 20,
+    min_shared: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """MOSS-style near-dup/plagiarism pairs from winnowing
+    fingerprints: two docs match on every fingerprint HASH they share
+    (positions deliberately ignored — moved text still matches, the
+    scheme's point); emit pairs sharing ≥ ``min_shared`` fingerprints
+    with the exact fingerprint-set Jaccard in ppm.
+
+    ``max_df`` drops fingerprints occurring in more than that many
+    docs BEFORE pairing (MOSS's "ignore common code" pass): boilerplate
+    grams would otherwise pair everything with everything. That cap is
+    also the scale bound — each surviving fingerprint contributes at
+    most C(max_df, 2) pairs, so the fp-value equi-join has bounded
+    reducer width by construction (same two-sided discipline as
+    ``_drop_hot_shingles``). ``min_shared`` keeps the OUTPUT
+    true-dup-bound: at the default 2 the natural-language mid-frequency
+    8-grams that survive the df cap pair ~5% of random doc pairs
+    (measured: 13k pairs / 525 docs at shared≥2 vs 54 at shared≥8 on
+    the gate fixture), so the floor defaults to 8. Jaccard is exact integer arithmetic:
+    ``(shared·10⁶) div (|A| + |B| − shared)`` over the capped
+    fingerprint universe — both engines truncate identically on
+    non-negative ints.
+    """
+    fpd = winnow_fingerprints(
+        df, kgram=kgram, window=window, id_col=id_col, text_col=text_col
+    ).select(id_col, "fp_hash").distinct()
+    df_ok = (
+        fpd.groupBy("fp_hash")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .filter(F.col("_df") <= max_df)
+        .select("fp_hash")
+    )
+    capped = fpd.join(df_ok, "fp_hash").localCheckpoint(
+        eager=False
+    )  # consumed 3× (sizes + both join sides)
+    sizes = capped.groupBy(id_col).agg(F.count(F.lit(1)).alias("nfp"))
+    a = capped.select(F.col(id_col).alias("doc_a"), "fp_hash")
+    b = capped.select(F.col(id_col).alias("doc_b"), "fp_hash")
+    pairs = (
+        a.join(b, "fp_hash")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .filter(F.col("shared") >= min_shared)
+    )
+    return (
+        pairs.join(
+            sizes.select(F.col(id_col).alias("doc_a"), F.col("nfp").alias("nfp_a")),
+            "doc_a",
+        )
+        .join(
+            sizes.select(F.col(id_col).alias("doc_b"), F.col("nfp").alias("nfp_b")),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "shared",
+            "nfp_a",
+            "nfp_b",
+            F.expr(
+                "(shared * 1000000L) div (nfp_a + nfp_b - shared)"
+            ).alias("jaccard_ppm"),
+        )
+    )
+
+
+def label_propagation(
+    pairs: DataFrame,
+    *,
+    iterations: int = 2,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Synchronous label-propagation communities (Raghavan et al. 2007,
+    arXiv:0709.2938) over an undirected pair list — the cheap
+    community detector between :func:`connected_components` (too
+    coarse: any path merges) and modularity methods (not
+    oracle-checkable): every node starts as its own label and
+    repeatedly adopts its neighbors' MAJORITY label.
+
+    Deterministic contract (the published algorithm breaks ties
+    randomly; an engine needs bit-stable runs): synchronous updates,
+    fixed ``iterations`` (a budget, like ``pagerank`` — LPA oscillates
+    on bipartite structures, so a convergence loop would be wrong),
+    ties → smallest label via one ``min(struct(-count, label))``
+    aggregate. Nodes appear by having ≥1 edge; isolated nodes have no
+    neighbors and no row.
+
+    Scale shape: per iteration ONE join of the edge list against the
+    label table (both keyed shuffles) + one (node, label) count with
+    map-side combine + one per-node min — reducer width bounded by
+    degree, same as pagerank's share pass; labels localCheckpoint per
+    iteration (the pagerank lineage discipline — the table is consumed
+    by the next round's join).
+    """
+    fwd = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    rev = pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
+    edges = fwd.union(rev).distinct().localCheckpoint(eager=False)
+    labels = (
+        edges.select("src").distinct()
+        .select(F.col("src").alias("node"), F.col("src").alias("label"))
+    )
+    for _ in range(iterations):
+        nb = edges.join(
+            labels, edges["dst"] == labels["node"]
+        ).select("src", "label")
+        labels = (
+            nb.groupBy("src", "label")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .groupBy("src")
+            .agg(
+                F.min(
+                    F.struct((-F.col("_n")).alias("_nn"), F.col("label"))
+                ).alias("_m")
+            )
+            .select(F.col("src").alias("node"), F.col("_m.label").alias("label"))
+            .localCheckpoint(eager=False)
+        )
+    return labels.select(F.col("node").alias("doc_id"), "label")
+
+
+def levenshtein_pairs(
+    df: DataFrame,
+    *,
+    prefix_len: int = 16,
+    max_dist: int = 40,
+    cap: int = 600,
+    max_block: int = 50,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Edit-distance near-dup pairs via prefix blocking — the record-
+    linkage "blocking + expensive verify" shape (Christen, Data
+    Matching 2012): candidates share an exact ``prefix_len``-char
+    prefix (md5 block key, so the shuffle carries 32 bytes, never the
+    text) and pass the length lower bound ``|len_a − len_b| ≤
+    max_dist`` (an edit needs ≥ one op per length unit); only then is
+    the O(cap²) Levenshtein DP paid, per candidate pair.
+
+    Semantics contract: distance is measured on the first ``cap``
+    chars of each doc (bounds the DP at 100 TB where docs are
+    unbounded; at the test corpus' 48–553 chars the cap is inert) and
+    similarity_ppm = (maxlen − dist)·10⁶ div maxlen over the CAPPED
+    lengths — one trunc-div convention shared with the oracle. Docs
+    shorter than 1 char are excluded (undefined similarity).
+
+    Scale shape: the block join is an equi-join on the 128-bit prefix
+    digest; blocks with more than ``max_block`` members are dropped
+    whole BEFORE pairing (boilerplate/template prefixes pair
+    quadratically — the same bounded-reducer cap as winnow_pairs'
+    max_df), so reducer width is ≤ C(max_block, 2) per block. The
+    verify is row-local compute after the join — embarrassingly
+    parallel, no further shuffle.
+    """
+    t = df.filter(F.length(F.col(text_col)) >= 1).select(
+        F.col(id_col).alias("_id"),
+        F.md5(F.substring(F.col(text_col), 1, prefix_len)).alias("_blk"),
+        F.substring(F.col(text_col), 1, cap).alias("_t"),
+        F.length(F.substring(F.col(text_col), 1, cap)).alias("_len"),
+    )
+    ok = (
+        t.groupBy("_blk")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") <= max_block)
+        .select("_blk")
+    )
+    t = t.join(ok, "_blk")
+    a = t.select(
+        F.col("_blk"),
+        F.col("_id").alias("doc_a"),
+        F.col("_t").alias("_ta"),
+        F.col("_len").alias("len_a"),
+    )
+    b = t.select(
+        F.col("_blk"),
+        F.col("_id").alias("doc_b"),
+        F.col("_t").alias("_tb"),
+        F.col("_len").alias("len_b"),
+    )
+    return (
+        a.join(b, "_blk")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .filter(
+            F.abs(F.col("len_a") - F.col("len_b")) <= max_dist
+        )
+        .withColumn("lev_dist", F.levenshtein(F.col("_ta"), F.col("_tb")))
+        .filter(F.col("lev_dist") <= max_dist)
+        .select(
+            "doc_a",
+            "doc_b",
+            "lev_dist",
+            "len_a",
+            "len_b",
+            F.expr(
+                "(greatest(len_a, len_b) - lev_dist) * 1000000L"
+                " div greatest(len_a, len_b)"
+            ).alias("sim_ppm"),
+        )
+    )
+
+
+def triangle_counts(
+    pairs: DataFrame,
+    *,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Per-node triangle counts over an undirected pair list — the
+    clustering-structure probe on the near-dup graph (a node in many
+    triangles sits in a dense dup family; a bridge node in none).
+
+    Degree-ordered orientation (Cohen 2009 MapReduce triangle
+    counting; Suri & Vassilvitskii WWW'11): orient every edge from the
+    (degree, id)-smaller endpoint to the larger, so each triangle is
+    emitted exactly once at its smallest-degree apex, and wedge
+    generation at a node is bounded by its OUT-degree — ≤ O(√|E|)
+    after orientation even on power-law graphs, vs the unbounded
+    in+out degree² of the naive a<b<c form. The wedge set (b, c) then
+    equi-joins the symmetric edge list once to close triangles: two
+    shuffles total (wedge build + close), both on node-id keys, never
+    a cartesian.
+
+    Nodes with ≥1 edge but no triangle get an explicit 0 row (the
+    consumer's denominator); isolated nodes are absent (no edges, no
+    clustering signal).
+    """
+    fwd = pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
+    edges = (
+        fwd.union(
+            pairs.select(F.col(id_b).alias("u"), F.col(id_a).alias("v"))
+        )
+        .distinct()
+        # consumed by degree agg + orientation + wedge close (3×)
+        .localCheckpoint(eager=False)
+    )
+    deg = edges.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+    ranked = edges.join(deg, "u").join(
+        deg.select(F.col("u").alias("v"), F.col("deg").alias("deg_v")), "v"
+    )
+    oriented = (
+        ranked.filter(
+            (F.col("deg") < F.col("deg_v"))
+            | ((F.col("deg") == F.col("deg_v")) & (F.col("u") < F.col("v")))
+        )
+        .select("u", "v")
+        .localCheckpoint(eager=False)
+    )
+    w1 = oriented.select(F.col("u").alias("apex"), F.col("v").alias("b"))
+    w2 = oriented.select(F.col("u").alias("apex"), F.col("v").alias("c"))
+    wedges = w1.join(w2, "apex").filter(F.col("b") < F.col("c"))
+    # close against the SYMMETRIC edge set on (b, c) — a two-key
+    # equi-join (the oriented b→c/c→b direction is unknown at the
+    # apex; an OR over both directions would degrade to a nested-loop
+    # join, the symmetric table keeps it hash-joinable)
+    closer = edges.select(F.col("u").alias("b"), F.col("v").alias("c"))
+    tri = wedges.join(closer, ["b", "c"]).select("apex", "b", "c")
+    per_node = (
+        tri.select(F.explode(F.array("apex", "b", "c")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    nodes = edges.select(F.col("u").alias("node")).distinct()
+    return nodes.join(per_node, "node", "left").select(
+        "node", F.coalesce("n_triangles", F.lit(0)).alias("n_triangles")
+    )

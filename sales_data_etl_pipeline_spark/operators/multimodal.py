@@ -684,3 +684,65 @@ def decode_audio(
             )
 
     return df.mapInPandas(decode, out_schema)
+
+
+def phash_pairs_banded(
+    hashes: DataFrame,
+    *,
+    max_hamming: int = 7,
+    id_col: str = "media_id",
+    hash_col: str = "phash",
+) -> DataFrame:
+    """Near-duplicate IMAGE pairs from perceptual hashes — the pairing
+    half the dHash/pHash docstrings promise: pigeonhole banding over
+    the 16-hex (64-bit) hash, then exact hamming verify. Split into
+    ``max_hamming + 1`` blocks (default 8 blocks × 2 hex chars = 8
+    bits), two hashes within ``max_hamming`` MUST agree on at least
+    one whole block, so an equi-join on (block_idx, block_value) finds
+    every true pair — the same pigeonhole discipline as
+    ``simhash_pairs_banded``, never hash×hash.
+
+    The verify is exact integer bit work: each hash splits into two
+    32-bit halves (hex→int is sign-safe in int64), hamming =
+    Σ bit_count(xor(half_a, half_b)) — bit-identical in DuckDB.
+
+    Scale shape: band explode is ×(max_hamming+1) rows; the band
+    equi-join is the only shuffle and near-identical images collapse
+    into shared buckets (hot buckets = real duplicate clusters —
+    output-bound, the LSH-family contract). Output: (id_a, id_b,
+    hamming) with hamming ≤ max_hamming.
+    """
+    bands = max_hamming + 1
+    assert 16 % bands == 0, "bands must evenly split 16 hex chars"
+    width = 16 // bands
+    band_arr = F.expr(
+        f"transform(sequence(0, {bands - 1}),"
+        f" i -> substring({hash_col}, {width} * i + 1, {width}))"
+    )
+    rows = hashes.select(
+        F.col(id_col).alias("_id"),
+        F.col(hash_col).alias("_ph"),
+        F.posexplode(band_arr).alias("band", "sig"),
+    )
+    a = rows.select(
+        F.col("_id").alias("id_a"), F.col("_ph").alias("_ph_a"), "band", "sig"
+    )
+    b = rows.select(
+        F.col("_id").alias("id_b"), F.col("_ph").alias("_ph_b"), "band", "sig"
+    )
+    half = "cast(conv(substring({c}, {off}, 8), 16, 10) as bigint)"
+    ham = (
+        f"bit_count({half.format(c='_ph_a', off=1)}"
+        f" ^ {half.format(c='_ph_b', off=1)})"
+        f" + bit_count({half.format(c='_ph_a', off=9)}"
+        f" ^ {half.format(c='_ph_b', off=9)})"
+    )
+    return (
+        a.join(b, ["band", "sig"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "_ph_a", "_ph_b")
+        .distinct()  # a pair may agree on several bands
+        .withColumn("hamming", F.expr(ham))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

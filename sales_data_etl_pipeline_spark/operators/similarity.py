@@ -1242,10 +1242,39 @@ def kmeans_lloyd_int(
     (centroid_id, dim, val) exploded rows — array-free so the driver
     hash compares scalars.
     """
+    spark = corpus.sparkSession
+    g = _grid_vectors(corpus, id_col=id_col, vec_col=vec_col)
+    cents = _lloyd_train_grid(spark, g, k=k, iterations=iterations)
+    if not cents:
+        return spark.createDataFrame(
+            [], "centroid_id long, dim long, val long"
+        )
+    out = [
+        (cid, d, v)
+        for cid, vec in sorted(cents.items())
+        for d, v in enumerate(vec)
+    ]
+    return spark.createDataFrame(
+        out, "centroid_id long, dim long, val long"
+    )
+
+
+#: Exact int64 squared L2 between a grid vector and a centroid vector.
+_GRID_D2 = (
+    "aggregate(zip_with(_gv, _cv, (x, y) -> (x - y) * (x - y)),"
+    " 0L, (acc, x) -> acc + x)"
+)
+
+
+def _grid_vectors(
+    corpus: DataFrame, *, id_col: str, vec_col: str
+) -> DataFrame:
+    """(_vid, _gv): finite vectors quantized onto the module int grid,
+    lineage-cut because every Lloyd iteration (and the final
+    assignment) rescans them."""
     from sales_data_etl_pipeline_spark.operators.dedup import FINITE_VEC
 
-    spark = corpus.sparkSession
-    g = (
+    return (
         corpus.filter(F.expr(FINITE_VEC.format(v=vec_col)))
         .select(
             F.col(id_col).alias("_vid"),
@@ -1253,41 +1282,57 @@ def kmeans_lloyd_int(
         )
         .localCheckpoint(eager=False)  # reused every iteration
     )
+
+
+def _assign_grid(cents: dict[int, list[int]], g: DataFrame) -> DataFrame:
+    """Nearest-centroid assignment, exact int64 L2, ties → smallest
+    centroid id: broadcast of K·dim ints against the grid scan —
+    embarrassingly parallel, no corpus shuffle. Returns
+    (_vid, _gv, _cid)."""
+    spark = g.sparkSession
+    cdf = spark.createDataFrame(
+        [(cid, v) for cid, v in sorted(cents.items())],
+        "_cid long, _cv array<bigint>",
+    )
+    return (
+        g.crossJoin(F.broadcast(cdf))
+        .select(
+            "_vid",
+            "_gv",
+            F.struct(F.expr(_GRID_D2).alias("_d2"), F.col("_cid")).alias(
+                "_s"
+            ),
+        )
+        .groupBy("_vid", "_gv")
+        .agg(F.min("_s").alias("_m"))
+        .select("_vid", "_gv", F.col("_m._cid").alias("_cid"))
+    )
+
+
+def _lloyd_train_grid(
+    spark, g: DataFrame, *, k: int, iterations: int
+) -> dict[int, list[int]]:
+    """The Lloyd loop behind :func:`kmeans_lloyd_int` (see its
+    docstring for the full semantics contract), factored out so
+    :func:`semantic_dedup` trains the same codebook. Returns the final
+    ``{centroid_id: grid_vector}`` map — K·dim ints, the
+    codebook-bounded driver-side state contract — or ``{}`` on an
+    empty/all-non-finite corpus."""
     seed_rows = g.orderBy("_vid").limit(k).collect()
     if not seed_rows:
-        return spark.createDataFrame(
-            [], "centroid_id long, dim long, val long"
-        )
+        return {}
     cents: dict[int, list[int]] = {
         i: list(r["_gv"]) for i, r in enumerate(seed_rows)
     }
-    d2 = (
-        "aggregate(zip_with(_gv, _cv, (x, y) -> (x - y) * (x - y)),"
-        " 0L, (acc, x) -> acc + x)"
-    )
 
     def _trunc_div(s: int, n: int) -> int:
         q = abs(s) // n
         return q if s >= 0 else -q
 
     for _ in range(iterations):
-        cdf = spark.createDataFrame(
-            [(cid, v) for cid, v in sorted(cents.items())],
-            "_cid long, _cv array<bigint>",
-        )
-        assigned = (
-            g.crossJoin(F.broadcast(cdf))
-            .select(
-                "_vid",
-                "_gv",
-                F.struct(F.expr(d2).alias("_d2"), F.col("_cid")).alias("_s"),
-            )
-            .groupBy("_vid", "_gv")
-            .agg(F.min("_s").alias("_m"))
-            .select(F.col("_m._cid").alias("_cid"), "_gv")
-        )
         sums = (
-            assigned.select("_cid", F.posexplode("_gv").alias("dim", "val"))
+            _assign_grid(cents, g)
+            .select("_cid", F.posexplode("_gv").alias("dim", "val"))
             .groupBy("_cid", "dim")
             .agg(F.sum("val").alias("s"), F.count(F.lit(1)).alias("n"))
             .collect()  # K·dim rows — codebook-bounded by contract
@@ -1300,11 +1345,139 @@ def kmeans_lloyd_int(
         for cid, v in cents.items():  # dead centroids keep coordinates
             new_cents.setdefault(cid, v)
         cents = new_cents
-    out = [
-        (cid, d, v)
-        for cid, vec in sorted(cents.items())
-        for d, v in enumerate(vec)
-    ]
-    return spark.createDataFrame(
-        out, "centroid_id long, dim long, val long"
+    return cents
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    *,
+    k: int = 8,
+    iterations: int = 1,
+    tau_num: int = 19,
+    tau_den: int = 20,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster the
+    corpus embeddings with k-means, then drop near-duplicates WITHIN
+    each cluster by pairwise cosine — the clustering confines the
+    quadratic pair test to cluster-sized blocks, which is the entire
+    point of the method at 100 TB (k grows with the corpus so cluster
+    width stays bounded; the cluster join is a plain equi-join on
+    ``centroid_id``).
+
+    Exact-integer end-to-end so a SQL oracle reproduces it
+    bit-for-bit: training/assignment reuse the :func:`kmeans_lloyd_int`
+    grid kernel, and the cosine threshold test ``cos(a,b) ≥
+    tau_num/tau_den`` is evaluated WITHOUT sqrt or division as ``dot >
+    0 AND tau_den²·dot² ≥ tau_num²·|a|²·|b|²`` over int64 grid values
+    (|dot| ≤ 64·127² so every product fits int64). Drop rule is the
+    deterministic greedy-by-id variant: vector v is dropped iff SOME
+    smaller-id vector in the same cluster passes the threshold test
+    against it (v's keeper may itself be dropped by an even smaller
+    id — greedy, not connected-components; pinned by test). Zero-norm
+    grid vectors (all elements quantize to 0) are never similar to
+    anything — cosine undefined, the module-wide contract.
+
+    Output: one row per finite corpus vector — (vec_id, centroid_id,
+    kept) — the full disposition, so downstream filters compose either
+    way.
+    """
+    spark = corpus.sparkSession
+    out_schema = f"{id_col} long, centroid_id long, kept boolean"
+    g = _grid_vectors(corpus, id_col=id_col, vec_col=vec_col)
+    cents = _lloyd_train_grid(spark, g, k=k, iterations=iterations)
+    if not cents:
+        return spark.createDataFrame([], out_schema)
+    assigned = (
+        _assign_grid(cents, g)
+        .withColumn(
+            "_n2",
+            F.expr(
+                "aggregate(transform(_gv, x -> x * x), 0L,"
+                " (acc, x) -> acc + x)"
+            ),
+        )
+        .localCheckpoint(eager=False)  # consumed 3× below (a, b, out)
+    )
+    a = assigned.select(
+        F.col("_vid").alias("_aid"),
+        F.col("_gv").alias("_agv"),
+        "_cid",
+        F.col("_n2").alias("_a2"),
+    )
+    b = assigned.select(
+        F.col("_vid").alias("_bid"),
+        F.col("_gv").alias("_bgv"),
+        "_cid",
+        F.col("_n2").alias("_b2"),
+    )
+    dot = (
+        "aggregate(zip_with(_agv, _bgv, (x, y) -> x * y), 0L,"
+        " (acc, x) -> acc + x)"
+    )
+    dropped = (
+        a.join(b, "_cid")
+        .filter(F.col("_aid") < F.col("_bid"))
+        .withColumn("_dot", F.expr(dot))
+        .filter(
+            (F.col("_a2") > 0)
+            & (F.col("_b2") > 0)
+            & (F.col("_dot") > 0)
+            & (
+                F.lit(tau_den * tau_den) * F.col("_dot") * F.col("_dot")
+                >= F.lit(tau_num * tau_num) * F.col("_a2") * F.col("_b2")
+            )
+        )
+        .select(F.col("_bid").alias("_vid"))
+        .distinct()
+    )
+    return assigned.join(
+        dropped.withColumn("_dropped", F.lit(True)), "_vid", "left"
+    ).select(
+        F.col("_vid").alias(id_col),
+        F.col("_cid").alias("centroid_id"),
+        F.col("_dropped").isNull().alias("kept"),
+    )
+
+
+def ann_recall(
+    truth: DataFrame,
+    approx: DataFrame,
+    *,
+    query_id_col: str = "query_id",
+    neighbor_col: str = "neighbor_id",
+) -> DataFrame:
+    """Per-query recall of an approximate top-k result against exact
+    ground truth — the evaluation half every ANN deployment needs
+    (faiss's recall@k): for each query, |approx ∩ truth| / |truth| in
+    exact ppm. Gives the (probes, planes, bands) tuning dial a
+    measured value instead of a vibe.
+
+    Both inputs are top-k result tables — n_queries·k rows by
+    construction, so the (query, neighbor) equi-join is bounded by the
+    SMALLER evaluation set regardless of corpus size; this never
+    touches the corpus itself. Queries present in ``truth`` but absent
+    from ``approx`` score 0 (left join); queries absent from truth
+    (zero-norm: no defined neighbors) are absent from the report —
+    recall over an empty truth set is undefined, mirroring the
+    module-wide zero-norm contract.
+    """
+    t = truth.select(query_id_col, neighbor_col)
+    a = approx.select(query_id_col, neighbor_col).withColumn(
+        "_hit", F.lit(1).cast("long")
+    )
+    return (
+        t.join(a, [query_id_col, neighbor_col], "left")
+        .groupBy(query_id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_truth"),
+            F.coalesce(F.sum("_hit"), F.lit(0)).alias("n_hits"),
+        )
+        .select(
+            query_id_col,
+            "n_truth",
+            "n_hits",
+            F.expr("(n_hits * 1000000L) div n_truth").alias("recall_ppm"),
+        )
     )

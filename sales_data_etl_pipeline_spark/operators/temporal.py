@@ -566,3 +566,71 @@ def top_paths(
         .orderBy(F.desc("n_users"), F.asc("path"))
         .limit(top_n)
     )
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    bucket_seconds: int = 3600,
+    l_start: str = "l_start",
+    l_end: str = "l_end",
+    r_start: str = "r_start",
+    r_end: str = "r_end",
+) -> DataFrame:
+    """Interval-overlap join (closed left interval × half-open right
+    interval) via time-bucket blocking — the third temporal-join shape
+    after as-of and point-range: both interval sets explode to the
+    ``bucket_seconds`` buckets they cover (``sequence`` over the
+    floor-div bucket ids), equi-join on the bucket id, distinct away
+    the multi-bucket double matches, then the EXACT predicate
+    ``l_start < r_end AND l_end >= r_start`` and the overlap length
+    ``least(l_end, r_end) − greatest(l_start, r_start)``.
+
+    Every truly overlapping pair shares ≥1 covered bucket (the overlap
+    region lies inside one), so blocking loses nothing; Catalyst stays
+    on a hash join — the inequality-only formulation plans as a
+    nested-loop join and dies at scale.
+
+    Start/end columns are epoch-second longs. Scale contract: per-row
+    explode fan-out is interval_span/bucket_seconds — pick the bucket
+    at or above the TYPICAL interval length (fan-out ~2) and cap
+    pathological spans upstream; the join key (bucket id) inherits
+    time-locality, so AQE's skew split handles hot hours.
+    """
+    lb = left.withColumn(
+        "_bkt",
+        F.explode(
+            F.sequence(
+                (F.col(l_start) / bucket_seconds).cast("long"),
+                (F.col(l_end) / bucket_seconds).cast("long"),
+            )
+        ),
+    )
+    rb = right.filter(F.col(r_end) > F.col(r_start)).withColumn(
+        "_bkt",
+        F.explode(
+            F.sequence(
+                (F.col(r_start) / bucket_seconds).cast("long"),
+                # half-open right end: the end-boundary bucket is
+                # covered only when the interval extends past it.
+                # Empty intervals (end <= start) are filtered above —
+                # sequence() would otherwise run DESCENDING and emit
+                # buckets the interval never covers.
+                ((F.col(r_end) - 1) / bucket_seconds).cast("long"),
+            )
+        ),
+    )
+    return (
+        lb.join(rb, "_bkt")
+        .drop("_bkt")
+        .distinct()
+        .filter(
+            (F.col(l_start) < F.col(r_end)) & (F.col(l_end) >= F.col(r_start))
+        )
+        .withColumn(
+            "overlap_s",
+            F.least(F.col(l_end), F.col(r_end))
+            - F.greatest(F.col(l_start), F.col(r_start)),
+        )
+    )

@@ -1071,3 +1071,48 @@ def char_diversity_sql(rel: str = "documents", text_col: str = "text") -> str:
                    AS diversity_ppm
         FROM agg
     """
+
+
+def perplexity_buckets(
+    df: DataFrame,
+    *,
+    n_buckets: int = 3,
+    text_col: str = "text",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020,
+    arXiv:1911.00359): rank each language's documents by LM surprisal
+    and split into equal-count buckets — head (most fluent) / middle /
+    tail at the default 3 — the standard pre-filter that routes crawl
+    text into keep / maybe / drop tiers before expensive processing.
+
+    Surprisal is :func:`unigram_logprob`'s exact integer
+    ``mean_bits_q6`` (per-term quantization BEFORE the sum, the
+    module's cross-engine discipline); the split is ``ntile`` over
+    (mean_bits_q6, doc_id) within each language — deterministic
+    total order, identical tile arithmetic in DuckDB. Zero-token docs
+    have no surprisal and drop out upstream, mirroring unigram_logprob.
+
+    Scale shape: one window partitioned by language. A language IS a
+    hot partition at corpus scale — for 100 TB swap the ntile for the
+    range-partitioned ``quantile_bucket`` (corpus.py) over mean_bits_q6
+    exactly as ``corpus_curriculum_order`` does; the ntile form is the
+    exact-oracle-checkable contract both share.
+    """
+    from pyspark.sql import Window
+
+    lp = unigram_logprob(df, text_col)
+    w = Window.partitionBy(lang_col).orderBy("mean_bits_q6", "doc_id")
+    labels = F.when(F.col("_tile") == 1, F.lit("head"))
+    if n_buckets >= 3:
+        labels = labels.when(F.col("_tile") == n_buckets, F.lit("tail"))
+    return (
+        lp.join(df.select("doc_id", lang_col), "doc_id")
+        .withColumn("_tile", F.ntile(n_buckets).over(w))
+        .select(
+            "doc_id",
+            lang_col,
+            "mean_bits_q6",
+            F.coalesce(labels, F.lit("middle")).alias("bucket"),
+        )
+    )

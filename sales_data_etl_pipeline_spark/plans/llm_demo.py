@@ -3835,12 +3835,17 @@ def multimodal_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES["multimodal_phash"] = multimodal_phash
 
 
-def _phash_oracle() -> str:
-    """Analytic pHash oracle: the generator raster is constant in y
+def _phash_bits_ctes(
+    ids: str = "SELECT doc_id AS media_id, doc_id AS gid FROM documents",
+) -> str:
+    """Analytic pHash CTEs: the generator raster is constant in y
     (fill depends on x only), so the 2-D integer DCT factorizes into
     (row-sum of the vertical basis)·(horizontal basis · gray), with the
     SAME integer basis literals the kernel uses — every product exact
-    int64, every bit cross-engine reproducible."""
+    int64, every bit cross-engine reproducible. ``ids`` supplies
+    (media_id, gid): gid drives the generator fill/dims, media_id
+    labels the output — so relabeled copies of the same image are
+    expressible. Ends with ``bits(media_id, b)``."""
     from sales_data_etl_pipeline_spark.operators import multimodal
 
     B = multimodal.phash_basis()
@@ -3849,36 +3854,42 @@ def _phash_oracle() -> str:
     )
     rs_lit = "[" + ", ".join(str(sum(r)) for r in B) + "]"
     return f"""
-        WITH g AS (
-            SELECT doc_id,
+        ids AS ({ids}),
+        g AS (
+            SELECT media_id,
                    list_transform(generate_series(0, 31), x ->
-                       ((doc_id + 3*((x*(16 + doc_id % 32))//32)) % 256
-                      + (doc_id + 3*((x*(16 + doc_id % 32))//32) + 1) % 256
-                      + (doc_id + 3*((x*(16 + doc_id % 32))//32) + 2) % 256)
+                       ((gid + 3*((x*(16 + gid % 32))//32)) % 256
+                      + (gid + 3*((x*(16 + gid % 32))//32) + 1) % 256
+                      + (gid + 3*((x*(16 + gid % 32))//32) + 2) % 256)
                        // 3) AS gray
-            FROM documents),
+            FROM ids),
         cx AS (
-            SELECT doc_id,
+            SELECT media_id,
                    list_transform(generate_series(1, 8), u ->
                        list_aggregate(list_transform(generate_series(1, 32),
                            x -> {b_lit}[u][x] * gray[x]), 'sum')) AS cxs
             FROM g),
         co AS (
-            SELECT doc_id,
+            SELECT media_id,
                    flatten(list_transform(generate_series(1, 8), v ->
                        list_transform(generate_series(1, 8), u ->
                            {rs_lit}[v] * cxs[u]))) AS coeffs
             FROM cx),
         th AS (
-            SELECT doc_id, coeffs,
+            SELECT media_id, coeffs,
                    list_sort(coeffs)[32] + list_sort(coeffs)[33] AS t
             FROM co),
         bits AS (
-            SELECT doc_id,
+            SELECT media_id,
                    list_transform(generate_series(1, 64), i ->
                        CASE WHEN 2 * coeffs[i] > t THEN 1 ELSE 0 END) AS b
-            FROM th)
-        SELECT doc_id AS media_id,
+            FROM th)"""
+
+
+def _phash_oracle() -> str:
+    return f"""
+        WITH {_phash_bits_ctes()}
+        SELECT media_id,
                array_to_string(list_transform(generate_series(0, 7), j ->
                    lower(lpad(to_hex(list_aggregate(
                        list_transform(generate_series(0, 7),
@@ -5141,10 +5152,19 @@ def embedding_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES["embedding_kmeans_train"] = embedding_kmeans_train
 
 
-def _kmeans_train_oracle(k: int = 8, dim: int = 64) -> str:
-    """Unrolled 2-iteration DuckDB twin of the gated
-    ``kmeans_lloyd_int`` (same grid, same tie order, same trunc-div
-    update, same dead-centroid carry)."""
+def _kmeans_ctes(
+    k: int = 8,
+    dim: int = 64,
+    iterations: int = 2,
+    src: str = "embeddings",
+) -> tuple[str, str, str]:
+    """Shared DuckDB unrolling of the ``kmeans_lloyd_int`` Lloyd loop
+    (same grid, same smallest-id tie order, same trunc-div update —
+    DuckDB ``//`` truncates on ints — same dead-centroid carry).
+    Returns (with_fragment, final_centroid_cte, assign_fn): the
+    fragment defines ``g`` (grid vectors) through ``c{iterations}``;
+    callers append their own CTEs and may unroll one more
+    ``assign_fn(final, name)`` for a final assignment pass."""
     d2 = (
         "list_aggregate(list_transform(generate_series(1, {d}),"
         " i -> (g.gv[i] - c.cv[i]) * (g.gv[i] - c.cv[i])), 'sum')"
@@ -5174,26 +5194,451 @@ def _kmeans_train_oracle(k: int = 8, dim: int = 64) -> str:
             SELECT p.cid, p.cv FROM {prev} p
             WHERE p.cid NOT IN (SELECT cid FROM {sn}))"""
 
-    return f"""
-        WITH g AS (
+    parts = [
+        f"""g AS (
             SELECT vec_id AS vid,
                    list_transform(embedding, x -> least(greatest(
                        CAST(floor(CAST(x AS DOUBLE) * 16 + 0.5) AS BIGINT),
                        -127), 127)) AS gv
-            FROM embeddings
-            WHERE {_PQ_FINITE.format(v='embedding')}),
-        c0 AS (
+            FROM {src}
+            WHERE {_PQ_FINITE.format(v='embedding')})""",
+        f"""c0 AS (
             SELECT row_number() OVER (ORDER BY vid) - 1 AS cid, gv AS cv
-            FROM (SELECT vid, gv FROM g ORDER BY vid LIMIT {k})),
-        {assign('c0', 'a1')},
-        {update('a1', 's1', 'c0', 'c1')},
-        {assign('c1', 'a2')},
-        {update('a2', 's2', 'c1', 'c2')}
+            FROM (SELECT vid, gv FROM g ORDER BY vid LIMIT {k}))""",
+    ]
+    prev = "c0"
+    for i in range(1, iterations + 1):
+        parts.append(assign(prev, f"a{i}"))
+        parts.append(update(f"a{i}", f"s{i}", prev, f"c{i}"))
+        prev = f"c{i}"
+    return ",\n        ".join(parts), prev, assign
+
+
+def _kmeans_train_oracle(k: int = 8, dim: int = 64) -> str:
+    ctes, final, _ = _kmeans_ctes(k, dim, iterations=2)
+    return f"""
+        WITH {ctes}
         SELECT cid AS centroid_id, u.i - 1 AS dim,
                CAST(cv[u.i] AS BIGINT) AS val
-        FROM c2, UNNEST(generate_series(1, {dim})) AS u(i)
+        FROM {final}, UNNEST(generate_series(1, {dim})) AS u(i)
         ORDER BY centroid_id, dim
     """
 
 
 ORACLES["embedding_kmeans_train"] = _kmeans_train_oracle()
+
+
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (``similarity.semantic_dedup``) over the near-dup
+    embedding fixture: k=8 integer-Lloyd clusters (1 iteration), then
+    within-cluster greedy-by-id drops at cosine ≥ 0.95 — the threshold
+    evaluated exactly as tau_den²·dot² ≥ tau_num²·|a|²·|b|² on int64
+    grid values, so the oracle reproduces every disposition
+    bit-for-bit. The perturbed id+10000 copies land in their source's
+    cluster and are dropped; the random base vectors are mutually
+    near-orthogonal and kept."""
+    emb = _emb_with_near_dups(spark, sf_dir)
+    return similarity.semantic_dedup(
+        emb, k=8, iterations=1, tau_num=19, tau_den=20
+    ).orderBy("vec_id")
+
+
+QUERIES["dedup_semantic"] = dedup_semantic
+
+
+def _semantic_dedup_oracle(
+    k: int = 8, dim: int = 64, tau_num: int = 19, tau_den: int = 20
+) -> str:
+    """DuckDB twin of the gated ``semantic_dedup``: the shared Lloyd
+    CTEs (1 iteration) + one final assignment + the integer cosine²
+    pair test + greedy-by-id drop."""
+    ctes, final, assign = _kmeans_ctes(
+        k, dim, iterations=1, src=f"({_NEAR_DUP_EMB})"
+    )
+    dot = (
+        "CAST(list_aggregate(list_transform(generate_series(1, {d}),"
+        " i -> a.gv[i] * b.gv[i]), 'sum') AS BIGINT)"
+    ).format(d=dim)
+    return f"""
+        WITH {ctes},
+        {assign(final, 'af')},
+        n AS (
+            SELECT vid, gv, cid,
+                   CAST(list_aggregate(list_transform(gv, x -> x * x),
+                        'sum') AS BIGINT) AS n2
+            FROM af),
+        p AS (
+            SELECT a.vid AS avid, b.vid AS bvid,
+                   a.n2 AS a2, b.n2 AS b2, {dot} AS dot
+            FROM n a JOIN n b ON a.cid = b.cid AND a.vid < b.vid),
+        drp AS (
+            SELECT DISTINCT bvid AS vid FROM p
+            WHERE a2 > 0 AND b2 > 0 AND dot > 0
+              AND {tau_den * tau_den} * dot * dot
+                  >= {tau_num * tau_num} * a2 * b2)
+        SELECT n.vid AS vec_id, n.cid AS centroid_id,
+               (drp.vid IS NULL) AS kept
+        FROM n LEFT JOIN drp ON n.vid = drp.vid
+        ORDER BY vec_id
+    """
+
+
+ORACLES["dedup_semantic"] = _semantic_dedup_oracle()
+
+
+def text_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprint selection (``dedup.winnow_fingerprints``,
+    Schleimer et al. SIGMOD 2003) pinned per-doc: count of selected
+    (pos, hash) fingerprints, the position sum, and the hash mod-sum
+    (mod 1e9+7 keeps the int64 sum exact — raw 60-bit hashes would
+    overflow a per-doc SUM). Any deviation in the frame-min /
+    rightmost-tie / truncated-final-frame rules moves all three."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    return (
+        dedup.winnow_fingerprints(docs)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_fps"),
+            F.sum("fp_pos").alias("pos_sum"),
+            F.sum(F.expr("fp_hash % 1000000007L")).alias("hash_modsum"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+QUERIES["text_winnow_fingerprints"] = text_winnow_fingerprints
+
+
+def dedup_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOSS winnowing near-dup pairs (``dedup.winnow_pairs``) over the
+    truncated-copy fixture: docs sharing ≥8 selected fingerprint
+    hashes after the max_df=20 hot-fingerprint cap, with exact
+    integer fingerprint-set Jaccard in ppm. The id+10000 truncated
+    copies share their source's full prefix fingerprint set."""
+    docs = _docs_with_near_dups(spark, sf_dir)
+    return dedup.winnow_pairs(docs).orderBy("doc_a", "doc_b")
+
+
+QUERIES["dedup_winnowing"] = dedup_winnowing
+
+
+def _winnow_fp_ctes(kgram: int = 8, window: int = 4, src: str = "documents") -> str:
+    """DuckDB twin of ``dedup.winnow_fingerprints``: same md5-derived
+    60-bit k-gram hashes, same frame min with rightmost-min tie
+    (struct_pack(h, -pos) minimum — identical lexicographic struct
+    ordering in both engines), same truncated final frame for docs
+    with fewer than ``window`` k-grams. Ends with
+    ``fps(doc_id, fp_pos, fp_hash)``."""
+    return f"""
+        d AS (SELECT doc_id, text FROM {src}
+              WHERE length(text) >= {kgram}),
+        p AS (SELECT doc_id, u.i AS pos,
+                     length(text) - {kgram - 1} AS npos,
+                     CAST('0x' || substr(md5(substr(text, u.i, {kgram})),
+                          1, 15) AS BIGINT) AS h
+              FROM d, UNNEST(generate_series(1,
+                       length(text) - {kgram - 1})) AS u(i)),
+        w AS (SELECT doc_id, pos, npos,
+                     min(struct_pack(h := h, np := -pos)) OVER
+                       (PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN {window - 1} PRECEDING
+                        AND CURRENT ROW) AS s
+              FROM p),
+        fps AS (SELECT DISTINCT doc_id,
+                       -struct_extract(s, 'np') AS fp_pos,
+                       struct_extract(s, 'h') AS fp_hash
+                FROM w WHERE pos >= {window} OR pos = npos)"""
+
+
+ORACLES["text_winnow_fingerprints"] = f"""
+    WITH {_winnow_fp_ctes()}
+    SELECT doc_id, COUNT(*) AS n_fps,
+           CAST(SUM(fp_pos) AS BIGINT) AS pos_sum,
+           CAST(SUM(fp_hash % 1000000007) AS BIGINT) AS hash_modsum
+    FROM fps GROUP BY doc_id ORDER BY doc_id
+"""
+
+ORACLES["dedup_winnowing"] = f"""
+    WITH {_winnow_fp_ctes(src=f"({_NEAR_DUP_DOCS})")},
+    fpd AS (SELECT DISTINCT doc_id, fp_hash FROM fps),
+    dfok AS (SELECT fp_hash FROM fpd GROUP BY fp_hash
+             HAVING COUNT(*) <= 20),
+    f2 AS (SELECT fpd.doc_id, fpd.fp_hash FROM fpd
+           JOIN dfok USING (fp_hash)),
+    sz AS (SELECT doc_id, COUNT(*) AS nfp FROM f2 GROUP BY doc_id),
+    pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                  COUNT(*) AS shared
+           FROM f2 a JOIN f2 b
+             ON a.fp_hash = b.fp_hash AND a.doc_id < b.doc_id
+           GROUP BY 1, 2 HAVING COUNT(*) >= 8)
+    SELECT doc_a, doc_b, shared, sa.nfp AS nfp_a, sb.nfp AS nfp_b,
+           CAST((shared * 1000000) // (sa.nfp + sb.nfp - shared)
+                AS BIGINT) AS jaccard_ppm
+    FROM pr JOIN sz sa ON sa.doc_id = doc_a
+    JOIN sz sb ON sb.doc_id = doc_b
+    ORDER BY doc_a, doc_b
+"""
+
+
+def multimodal_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signature-level image near-dup graph
+    (``multimodal.phash_pairs_banded``): pHash the synthetic BMP
+    corpus, COLLAPSE identical hashes first (representative = min
+    media_id, image count carried), then pair the distinct signatures
+    by 4-block pigeonhole banding with exact hamming verify at ≤3 —
+    the production image-dedup shape: exact-dup groups collapse
+    map-side, and the quadratic-risk near-match runs over the
+    (tiny) distinct-signature table, never image×image. The synthetic
+    raster family makes the collapse extreme (500 images → 28
+    signatures), which is exactly the regime the shape is built for.
+    The oracle re-derives every hash analytically and brute-forces
+    signature-pair hamming."""
+    from sales_data_etl_pipeline_spark.operators import multimodal
+
+    base = _docs(spark, sf_dir).select(F.col("doc_id").alias("media_id"))
+    hashes = multimodal.phash_images(multimodal.synthesize_bmp(base))
+    sigs = (
+        hashes.groupBy("phash")
+        .agg(
+            F.min("media_id").alias("media_id"),
+            F.count(F.lit(1)).alias("n_images"),
+        )
+        # consumed 3× (both banded-join sides + the n_images joins);
+        # without the cut the synth+DCT kernel re-runs per consumer
+        .localCheckpoint(eager=False)
+    )
+    pairs = multimodal.phash_pairs_banded(sigs, max_hamming=3)
+    n = sigs.select("media_id", "n_images")
+    return (
+        pairs.join(
+            n.select(F.col("media_id").alias("id_a"), F.col("n_images").alias("n_a")),
+            "id_a",
+        )
+        .join(
+            n.select(F.col("media_id").alias("id_b"), F.col("n_images").alias("n_b")),
+            "id_b",
+        )
+        .select("id_a", "id_b", "hamming", "n_a", "n_b")
+        .orderBy("id_a", "id_b")
+    )
+
+
+QUERIES["multimodal_phash_pairs"] = multimodal_phash_pairs
+
+ORACLES["multimodal_phash_pairs"] = f"""
+    WITH {_phash_bits_ctes()},
+    ph AS (
+        SELECT media_id,
+               array_to_string(list_transform(generate_series(0, 7), j ->
+                   lower(lpad(to_hex(list_aggregate(
+                       list_transform(generate_series(0, 7),
+                           k -> b[8*j + k + 1] * (1 << (7 - k))),
+                       'sum')), 2, '0'))), '') AS phash
+        FROM bits),
+    sig AS (
+        SELECT phash, MIN(media_id) AS media_id,
+               COUNT(*) AS n_images
+        FROM ph GROUP BY phash),
+    sb AS (
+        SELECT s.media_id, s.n_images, b.b
+        FROM sig s JOIN bits b ON b.media_id = s.media_id),
+    ham AS (
+        SELECT a.media_id AS id_a, b.media_id AS id_b,
+               a.n_images AS n_a, b.n_images AS n_b,
+               CAST(list_aggregate(list_transform(generate_series(1, 64),
+                   i -> CASE WHEN a.b[i] <> b.b[i] THEN 1 ELSE 0 END),
+                   'sum') AS BIGINT) AS hamming
+        FROM sb a JOIN sb b ON a.media_id < b.media_id)
+    SELECT id_a, id_b, hamming, n_a, n_b FROM ham
+    WHERE hamming <= 3 ORDER BY id_a, id_b
+"""
+
+
+def similarity_topk_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF search over a TRAINED coarse quantizer: the
+    ``kmeans_lloyd_int`` codebook (k=8, 1 iteration) feeds
+    ``cosine_topk_ivf`` — the oracle-checkable twin of
+    ``train_ivf_centroids`` (MLlib KMeans||, float iteration order,
+    quality-tested only). Centroid ids offset by 1e6 so the kernel's
+    self-centroid exclusion (an artifact of corpus-sampled centroid
+    fixtures) can never fire; zero-norm trained centroids are dropped
+    — a zero vector cannot own a cosine bucket (Cn would be NaN)."""
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 10)
+    code = similarity.kmeans_lloyd_int(emb, k=8, iterations=1)
+    centroids = (
+        code.groupBy("centroid_id")
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(dim, val))),"
+                " s -> cast(s.val as double))"
+            ).alias("embedding")
+        )
+        .filter(F.expr("exists(embedding, x -> x != 0.0d)"))
+        .select(
+            (F.col("centroid_id") + 1000000).alias("vec_id"), "embedding"
+        )
+    )
+    return similarity.cosine_topk_ivf(emb, queries, centroids, k=5, n_probe=3)
+
+
+QUERIES["similarity_topk_ivf_trained"] = similarity_topk_ivf_trained
+
+
+def _ivf_trained_oracle() -> str:
+    """The proven similarity_topk_ivf search body with the sampled
+    `cent` CTE swapped for the trained integer codebook (shared
+    ``_kmeans_ctes`` unrolling, 1 iteration, zero-norm drop)."""
+    ctes, final, _ = _kmeans_ctes(8, 64, iterations=1)
+    return f"""
+        WITH {ctes},
+        cent AS (
+            SELECT cid + 1000000 AS centroid_id,
+                   list_transform(cv, x -> CAST(x AS DOUBLE)) AS cvec
+            FROM {final}
+            WHERE list_aggregate(list_transform(cv, x -> abs(x)),
+                                 'sum') > 0),
+        assigned AS (
+            SELECT vec_id, embedding, centroid_id FROM (
+                SELECT e.vec_id, e.embedding, c.centroid_id,
+                       row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                           ROUND({_DOT.format(a='c.cvec', b='e.embedding')}
+                                 / ({_NORM.format(v='c.cvec')}
+                                    * {_NORM.format(v='e.embedding')}), 6) DESC,
+                           c.centroid_id) AS rn
+                FROM embeddings e, cent c
+                WHERE {_LIVE.format(v='e.embedding')}) WHERE rn = 1),
+        q AS (SELECT vec_id AS query_id, embedding AS qvec
+              FROM embeddings WHERE vec_id < 10
+                AND {_LIVE.format(v='embedding')}),
+        probes AS (
+            SELECT query_id, centroid_id FROM (
+                SELECT q.query_id, c.centroid_id,
+                       row_number() OVER (PARTITION BY q.query_id ORDER BY
+                           ROUND({_DOT.format(a='q.qvec', b='c.cvec')}
+                                 / ({_NORM.format(v='q.qvec')}
+                                    * {_NORM.format(v='c.cvec')}), 6) DESC,
+                           c.centroid_id) AS rank
+                FROM cent c, q WHERE c.centroid_id <> q.query_id)
+            WHERE rank <= 3),
+        cand AS (
+            SELECT q.query_id, a.vec_id AS neighbor_id,
+                   ROUND({_DOT.format(a='q.qvec', b='a.embedding')}
+                         / ({_NORM.format(v='q.qvec')}
+                            * {_NORM.format(v='a.embedding')}), 6) AS cosine
+            FROM assigned a
+            JOIN probes p ON a.centroid_id = p.centroid_id
+            JOIN q ON q.query_id = p.query_id
+            WHERE a.vec_id <> q.query_id),
+        ranked AS (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+            FROM cand)
+        SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 5
+    """
+
+
+ORACLES["similarity_topk_ivf_trained"] = _ivf_trained_oracle()
+
+
+def text_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail perplexity routing
+    (``text.perplexity_buckets``): per-language ntile(3) over the
+    exact-integer unigram surprisal — the crawl-quality tiering that
+    precedes corpus mixing. Deterministic total order (mean_bits_q6,
+    doc_id); the oracle shares the unigram_logprob CTE and DuckDB's
+    identical ntile arithmetic."""
+    return text.perplexity_buckets(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+QUERIES["text_perplexity_buckets"] = text_perplexity_buckets
+
+ORACLES["text_perplexity_buckets"] = f"""
+    WITH lp AS ({text.unigram_logprob_sql("documents")})
+    SELECT lp.doc_id, d.lang, lp.mean_bits_q6,
+           CASE ntile(3) OVER (PARTITION BY d.lang
+                               ORDER BY lp.mean_bits_q6, lp.doc_id)
+                WHEN 1 THEN 'head' WHEN 3 THEN 'tail'
+                ELSE 'middle' END AS bucket
+    FROM lp JOIN documents d ON d.doc_id = lp.doc_id
+    ORDER BY lp.doc_id
+"""
+
+
+def similarity_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN evaluation (``similarity.ann_recall``): recall@5 of the
+    trained-codebook IVF (``similarity_topk_ivf_trained``) against
+    exact brute-force cosine top-5, per query in exact ppm — the
+    measured answer to "is n_probe=3 of k=8 lists enough here". Both
+    sides are existing gated results; the oracle nests both proven
+    oracle bodies and re-derives the intersection."""
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 10)
+    truth = similarity.cosine_topk(emb, queries, k=5)
+    approx = similarity_topk_ivf_trained(spark, sf_dir)
+    return similarity.ann_recall(truth, approx).orderBy("query_id")
+
+
+QUERIES["similarity_recall_eval"] = similarity_recall_eval
+
+ORACLES["similarity_recall_eval"] = f"""
+    WITH t AS (SELECT query_id, neighbor_id
+               FROM ({ORACLES['similarity_topk']})),
+    a AS (SELECT query_id, neighbor_id
+          FROM ({ORACLES['similarity_topk_ivf_trained']}))
+    SELECT t.query_id,
+           COUNT(*) AS n_truth,
+           CAST(SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_hits,
+           CAST((SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+                 * 1000000) // COUNT(*) AS BIGINT) AS recall_ppm
+    FROM t LEFT JOIN a
+      ON a.query_id = t.query_id AND a.neighbor_id = t.neighbor_id
+    GROUP BY t.query_id ORDER BY t.query_id
+"""
+
+
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LPA communities (``dedup.label_propagation``) over the MinHash
+    near-dup graph — finer than connected components (a weak bridge
+    between two dense dup-clusters does not merge them), 2 synchronous
+    iterations with the deterministic smallest-label tie; the oracle
+    unrolls both iterations."""
+    pairs = dedup.minhash_lsh_pairs(
+        _docs_with_near_dups(spark, sf_dir), threshold=0.5
+    )
+    return dedup.label_propagation(pairs, iterations=2).orderBy("doc_id")
+
+
+QUERIES["graph_label_propagation"] = graph_label_propagation
+
+
+def _lpa_oracle(iterations: int = 2) -> str:
+    pairs_body = ORACLES["dedup_minhash_lsh"]
+    ctes = [
+        f"p AS ({pairs_body})",
+        "e AS (SELECT id_a AS src, id_b AS dst FROM p"
+        " UNION SELECT id_b, id_a FROM p)",
+        "l0 AS (SELECT DISTINCT src AS node, src AS label FROM e)",
+    ]
+    prev = "l0"
+    for i in range(1, iterations + 1):
+        ctes.append(
+            f"""l{i} AS (
+            SELECT src AS node, label FROM (
+                SELECT e.src, l.label,
+                       row_number() OVER (PARTITION BY e.src
+                           ORDER BY COUNT(*) DESC, l.label) AS rn
+                FROM e JOIN {prev} l ON l.node = e.dst
+                GROUP BY e.src, l.label)
+            WHERE rn = 1)"""
+        )
+        prev = f"l{i}"
+    joined = ",\n        ".join(ctes)
+    return f"""
+        WITH {joined}
+        SELECT node AS doc_id, label FROM {prev} ORDER BY doc_id
+    """
+
+
+ORACLES["graph_label_propagation"] = _lpa_oracle()

@@ -371,6 +371,19 @@ FUZZED_CORPUS = [
     "similarity_knn_graph",
     "corpus_bloom_membership",
     "embedding_kmeans_train",
+    # round-10: SemDeDup + MOSS winnowing
+    "dedup_semantic",
+    "text_winnow_fingerprints",
+    "dedup_winnowing",
+    # round-10: signature-level image near-dup graph + trained-codebook
+    # IVF + CCNet perplexity tiers
+    "multimodal_phash_pairs",
+    "similarity_topk_ivf_trained",
+    "text_perplexity_buckets",
+    # round-10: LPA communities over the MinHash graph + recall@5 of
+    # the trained IVF vs brute force (both nest proven oracle bodies)
+    "graph_label_propagation",
+    "similarity_recall_eval",
 ]
 
 

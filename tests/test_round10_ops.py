@@ -538,3 +538,214 @@ def test_kmeans_lloyd_int_semantics(spark):
     # nearer of seeds {80, 80}... both seeds quantize equal: tie ->
     # cid 0 wins every vector, centroid 1 stays at its seed value
     assert got2[(1, 0)] == 80
+
+
+def test_semantic_dedup_greedy_rule_and_zero_norm(spark):
+    """Greedy-by-id drops (NOT connected components): with a~b, b~c,
+    a!~c all in one cluster, both b and c are dropped — c's only
+    near-dup (b) is itself dropped, but the greedy rule does not
+    resurrect it. Zero-norm vectors are never similar to anything."""
+    from sales_data_etl_pipeline_spark.operators import similarity as sim
+
+    # 2-d, k=1 (single cluster), tau = 0.95. On the int grid
+    # (clamp(round(16x), ±127)): a=(80,0), b=(80,27), c=(80,54):
+    # cos(a,b)=0.947 <... compute: dot=6400, |a|²=6400, |b|²=7129 →
+    # 400·6400² vs 361·6400·7129 → 1.638e10 vs 1.647e10 → NOT dup.
+    # Use b=(80,20): dot=6400, |b|²=6800: 400·4.096e7²... recompute:
+    # dot²=4.096e7? dot=6400 → dot²=40960000; 400·dot²=1.6384e10;
+    # 361·6400·6800=1.571e10 → dup (cos=.970). c=(80,40): vs b:
+    # dot=6400+800=7200 → wait b·c = 80·80+20·40=7200, |c|²=8000:
+    # dot²=5.184e7·400=2.0736e10 ≥ 361·6800·8000=1.963e10 → dup
+    # (cos=.976). a·c: dot=6400, 400·dot²=1.6384e10 vs
+    # 361·6400·8000=1.848e10 → NOT dup (cos=.894).
+    corpus = spark.createDataFrame(
+        [
+            Row(vec_id=1, embedding=[5.0, 0.0]),     # a → grid (80, 0)
+            Row(vec_id=2, embedding=[5.0, 1.25]),    # b → grid (80, 20)
+            Row(vec_id=3, embedding=[5.0, 2.5]),     # c → grid (80, 40)
+            Row(vec_id=4, embedding=[0.0, 0.0]),     # zero-norm
+        ]
+    )
+    out = {
+        r.vec_id: r.kept
+        for r in sim.semantic_dedup(corpus, k=1, iterations=1).collect()
+    }
+    assert out == {1: True, 2: False, 3: False, 4: True}
+
+    # clusters separate the pair test: identical vectors in DIFFERENT
+    # clusters are both kept (k=2 seeds are ids 1 and 2 at opposite
+    # poles; 3 duplicates 1, 4 duplicates 2 — within-cluster drops
+    # only)
+    corpus2 = spark.createDataFrame(
+        [
+            Row(vec_id=1, embedding=[5.0, 5.0]),
+            Row(vec_id=2, embedding=[-5.0, -5.0]),
+            Row(vec_id=3, embedding=[5.0, 5.0]),
+            Row(vec_id=4, embedding=[-5.0, -5.0]),
+        ]
+    )
+    rows = sim.semantic_dedup(corpus2, k=2, iterations=1).collect()
+    kept = {r.vec_id: r.kept for r in rows}
+    cid = {r.vec_id: r.centroid_id for r in rows}
+    assert kept == {1: True, 2: True, 3: False, 4: False}
+    assert cid[1] == cid[3] and cid[2] == cid[4] and cid[1] != cid[2]
+
+
+def test_winnow_fingerprints_rules(spark):
+    """Winnowing selection invariants: shared-substring guarantee,
+    short-doc truncated frame, all-equal-hash rightmost ties, and
+    sub-kgram docs emitting nothing."""
+    from sales_data_etl_pipeline_spark.operators import dedup
+
+    k, w = 8, 4
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text=base),
+            # shares a 40-char substring (≥ w+k-1=11) at a shifted
+            # offset → MUST share ≥1 fingerprint hash with doc 1
+            Row(doc_id=2, text="PREFIX---" + base[10:50] + "---SUFFIX"),
+            Row(doc_id=3, text="short"),          # < kgram → nothing
+            Row(doc_id=4, text="abcdefghij"),     # npos=3 < w → 1 fp
+            Row(doc_id=5, text="x" * 20),         # all grams equal
+        ]
+    )
+    fps = dedup.winnow_fingerprints(docs, kgram=k, window=w)
+    by_doc = {}
+    for r in fps.collect():
+        by_doc.setdefault(r.doc_id, []).append((r.fp_pos, r.fp_hash))
+    assert 3 not in by_doc
+    assert len(by_doc[4]) == 1  # truncated final frame: min of all 3
+    # doc 5: identical hashes everywhere → every frame picks its
+    # rightmost position; npos=13 → positions w..npos selected
+    pos5 = sorted(p for p, _ in by_doc[5])
+    assert pos5 == list(range(w, 13 + 1))
+    assert len({h for _, h in by_doc[5]}) == 1
+    shared = {h for _, h in by_doc[1]} & {h for _, h in by_doc[2]}
+    assert shared, "winnowing guarantee violated: no shared fingerprint"
+
+
+def test_winnow_pairs_identical_docs(spark):
+    """Two identical docs → jaccard 1.0 (ppm 1000000); the max_df cap
+    removes fingerprints shared by too many docs."""
+    from sales_data_etl_pipeline_spark.operators import dedup
+
+    text = "some reasonably long document body for winnowing tests ok"
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text=text) for i in (1, 2)]
+        + [Row(doc_id=10 + i, text=f"unrelated filler number {i} body")
+           for i in range(3)]
+    )
+    rows = dedup.winnow_pairs(docs, min_shared=2).collect()
+    assert [(r.doc_a, r.doc_b, r.jaccard_ppm) for r in rows if r.doc_a == 1] == [
+        (1, 2, 1000000)
+    ]
+    # cap: with 25 identical docs every fingerprint's df exceeds
+    # max_df=20 → no pairs at all
+    many = spark.createDataFrame(
+        [Row(doc_id=i, text=text) for i in range(25)]
+    )
+    assert dedup.winnow_pairs(many, min_shared=2).count() == 0
+
+
+def test_phash_pairs_banded_pigeonhole_and_verify(spark):
+    """Banding recall + exact-hamming filter: ≤7 bits apart always
+    pairs (pigeonhole over 8 blocks), 8 bits apart is found as a
+    candidate when blocks collide but filtered by the exact verify."""
+    from sales_data_etl_pipeline_spark.operators import multimodal
+
+    base = "00" * 8
+    flip7 = "7f" + "00" * 7        # 7 bits, all in block 0
+    flip8_2blocks = "0f0f" + "00" * 6   # 8 bits in 2 blocks: candidate
+    flip8_spread = "01" * 8        # 1 bit per block: no shared block
+    hashes = spark.createDataFrame(
+        [
+            Row(media_id=1, phash=base),
+            Row(media_id=2, phash=base),           # exact dup of 1
+            Row(media_id=3, phash=flip7),
+            Row(media_id=4, phash=flip8_2blocks),
+            Row(media_id=5, phash=flip8_spread),
+        ]
+    )
+    got = {
+        (r.id_a, r.id_b): r.hamming
+        for r in multimodal.phash_pairs_banded(
+            hashes, max_hamming=7
+        ).collect()
+    }
+    assert got[(1, 2)] == 0
+    assert got[(1, 3)] == 7 and got[(2, 3)] == 7
+    # hamming-8 pairs are excluded even when banding surfaces them
+    assert (1, 4) not in got and (1, 5) not in got
+    # 3 vs 4: differ in block0 (7f vs 0f → 3 bits) + block1 (00 vs 0f
+    # → 4 bits) = 7 ≤ 7 and blocks 2-7 shared → must be found
+    assert got[(3, 4)] == 7
+
+
+def test_ivf_trained_all_zero_corpus_returns_empty(spark, tmp_path):
+    """All-zero corpus → every trained centroid is zero-norm → the
+    codebook filter drops them all and the IVF gate returns a
+    schema-correct empty result instead of NaN rankings."""
+    import os
+
+    from sales_data_etl_pipeline_spark.plans.llm_demo import (
+        similarity_topk_ivf_trained,
+    )
+
+    import pandas as pd
+    outdir = str(tmp_path / "zc")
+    os.makedirs(outdir)
+    pd.DataFrame(
+        {
+            "vec_id": range(12),
+            "embedding": [[0.0] * 64 for _ in range(12)],
+            "label": [0] * 12,
+        }
+    ).to_parquet(os.path.join(outdir, "embeddings.parquet"))
+    out = similarity_topk_ivf_trained(spark, outdir)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == [
+        "query_id", "neighbor_id", "cosine", "rank",
+    ]
+
+
+def test_label_propagation_majority_and_ties(spark):
+    """Two triangles bridged by one edge, 2 sync iterations,
+    hand-computed: majority vote with smallest-label ties; the bridge
+    does NOT merge the dense communities."""
+    from sales_data_etl_pipeline_spark.operators import dedup
+
+    pairs = spark.createDataFrame(
+        [
+            Row(id_a=1, id_b=2), Row(id_a=1, id_b=3), Row(id_a=2, id_b=3),
+            Row(id_a=10, id_b=11), Row(id_a=10, id_b=12),
+            Row(id_a=11, id_b=12),
+            Row(id_a=3, id_b=10),  # bridge
+        ]
+    )
+    got = {
+        r.doc_id: r.label
+        for r in dedup.label_propagation(pairs, iterations=2).collect()
+    }
+    # iter1: 1→2 (tie {2,3}), 2→1, 3→1 (nbrs {1,2,10}), 10→3,
+    # 11→10, 12→10; iter2 from those labels:
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 3, 12: 3}
+
+
+def test_ann_recall_left_join_and_ppm(spark):
+    """Missing queries in approx score 0; partial overlap is exact
+    integer ppm."""
+    from sales_data_etl_pipeline_spark.operators import similarity as sim
+
+    truth = spark.createDataFrame(
+        [Row(query_id=q, neighbor_id=n) for q, n in
+         [(1, 100), (1, 101), (1, 102), (2, 200), (2, 201)]]
+    )
+    approx = spark.createDataFrame(
+        [Row(query_id=1, neighbor_id=101), Row(query_id=1, neighbor_id=999)]
+    )
+    got = {
+        r.query_id: (r.n_truth, r.n_hits, r.recall_ppm)
+        for r in sim.ann_recall(truth, approx).collect()
+    }
+    assert got == {1: (3, 1, 333333), 2: (2, 0, 0)}

@@ -57,8 +57,14 @@ CARTESIAN_OK = {
     # codebook-bounded by construction, the embarrassingly parallel
     # half of k-means training
     "embedding_kmeans_train",
+    # same Lloyd-assignment broadcast inside SemDeDup's train+assign;
+    # the pair test itself is a centroid_id equi-join, never cartesian
+    "dedup_semantic",
     # 1-row node-count broadcast (the N in rank_ppb = 10⁹/N)
     "graph_pagerank",
+    # 1-row corpus-total broadcast via unigram_logprob (same as
+    # text_unigram_logprob — perplexity tiers compose on top of it)
+    "text_perplexity_buckets",
 }
 
 
