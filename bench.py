@@ -167,6 +167,11 @@ HEADLINE = [
     "text_perplexity_buckets",
     "graph_label_propagation",
     "similarity_recall_eval",
+    "dedup_levenshtein",
+    "graph_triangle_count",
+    "events_interval_join",
+    "table_zorder_layout",
+    "embedding_pca_power",
 ]
 
 

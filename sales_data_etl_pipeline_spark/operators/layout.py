@@ -49,8 +49,11 @@ def zorder_expr(x: str, y: str, *, bits: int = 16, dialect: str = "spark") -> st
                 f"shiftleft(shiftright({y} % {mod}, {i}) & 1, {2 * i + 1})"
             )
         else:
-            terms.append(f"((({x} % {mod}) >> {i}) & 1) << {2 * i}")
-            terms.append(f"((({y} % {mod}) >> {i}) & 1) << {2 * i + 1}")
+            # full parens per term: Postgres/DuckDB precedence binds
+            # `+` TIGHTER than `<<`, so an unwrapped `a << 2 + b`
+            # parses as `a << (2 + b)`
+            terms.append(f"(((({x} % {mod}) >> {i}) & 1) << {2 * i})")
+            terms.append(f"(((({y} % {mod}) >> {i}) & 1) << {2 * i + 1})")
     return "(" + " + ".join(terms) + ")"
 
 

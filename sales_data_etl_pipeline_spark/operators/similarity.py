@@ -1481,3 +1481,79 @@ def ann_recall(
             F.expr("(n_hits * 1000000L) div n_truth").alias("recall_ppm"),
         )
     )
+
+
+def _trunc_div(a: int, b: int) -> int:
+    """Integer division truncating toward zero — DuckDB ``//``
+    semantics (Python ``//`` floors, which differs on negatives)."""
+    if b == 0:
+        return 0
+    q = abs(a) // abs(b)
+    return q if (a >= 0) == (b > 0) else -q
+
+
+def pca_power_int(
+    corpus: DataFrame,
+    *,
+    iterations: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact-integer power iteration for the corpus' top principal
+    direction — distributed linear algebra as two aggregations (the
+    MLlib ``RowMatrix``/``computePrincipalComponents`` shape, von
+    Mises–Rayleigh power method): per round, ``u = X·v`` is a per-row
+    dot against the broadcast dim-vector (embarrassingly parallel,
+    zero shuffle) and ``w = Xᵀ·u`` is one posexplode +
+    map-side-combinable (dim, Σ x·u) hash aggregate — the corpus never
+    shuffles on anything wider than the dim index, and driver state is
+    ONE dim-length int vector per round (the codebook-bounded collect
+    contract shared with ``kmeans_lloyd_int``).
+
+    Exact-integer contract (bit-reproducible, unrolled-SQL-oracle-
+    checkable): vectors on the module grid (``clamp(round(x·16),
+    ±127)``), v₀ = all-ones, and each new v rescales to the ±127 grid
+    by ``trunc_div(w·127, max|w|)`` — truncation toward zero, DuckDB
+    ``//`` semantics. The all-zero degenerate corpus (max|w| = 0) maps
+    to the all-zero vector. Mean-centering is deliberately NOT applied
+    (this is the dominant direction of X, faiss-PCA-without-centering;
+    compose with a centering pass if covariance PCA is wanted).
+
+    int64 bounds: |u| ≤ dim·127² ≈ 2²⁰ at dim 64; |w| ≤ N·127·|u| —
+    inside int64 up to N ≈ 7·10¹³ rows.
+
+    Output: (dim, val) exploded rows, the final grid vector.
+    """
+    spark = corpus.sparkSession
+    g = _grid_vectors(corpus, id_col=id_col, vec_col=vec_col)
+    first = g.select(F.size("_gv").alias("_d")).first()
+    if first is None:
+        return spark.createDataFrame([], "dim long, val long")
+    dim = int(first["_d"])
+    v = [1] * dim
+    for _ in range(iterations):
+        vlit = F.array([F.lit(int(x)) for x in v])
+        dotted = (
+            g.withColumn("_v", vlit)
+            .select(
+                F.expr(
+                    "aggregate(zip_with(_gv, _v, (x, y) -> x * y),"
+                    " 0L, (acc, x) -> acc + x)"
+                ).alias("_u"),
+                "_gv",
+            )
+        )
+        w_rows = (
+            dotted.select("_u", F.posexplode("_gv").alias("_j", "_x"))
+            .groupBy("_j")
+            .agg(F.sum(F.col("_x") * F.col("_u")).alias("_w"))
+            .collect()
+        )
+        w = [0] * dim
+        for r in w_rows:
+            w[r["_j"]] = int(r["_w"])
+        m = max(abs(x) for x in w) if w else 0
+        v = [_trunc_div(x * 127, m) for x in w]
+    return spark.createDataFrame(
+        list(enumerate(v)), "dim long, val long"
+    )

@@ -14,7 +14,14 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from sales_data_etl_pipeline_spark.functions import epoch_millis, epoch_seconds
-from sales_data_etl_pipeline_spark.operators import corpus, dedup, pii, similarity, text
+from sales_data_etl_pipeline_spark.operators import (
+    corpus,
+    dedup,
+    pii,
+    similarity,
+    temporal,
+    text,
+)
 from sales_data_etl_pipeline_spark.sources.tables import load_testdata
 
 
@@ -5642,3 +5649,316 @@ def _lpa_oracle(iterations: int = 2) -> str:
 
 
 ORACLES["graph_label_propagation"] = _lpa_oracle()
+
+
+# --- round-10 batch 4: edit-distance dedup, triangles, interval join,
+# --- Z-order layout ----------------------------------------------------------
+
+
+def _docs_with_dup_families(spark, sf_dir) -> DataFrame:
+    """documents ∪ TWO truncated copies of every 20th doc (id+10000 cut
+    30 chars, id+20000 cut 15) — three mutually-similar docs per
+    family, the fixture that guarantees triangle structure in the
+    near-dup graph (pair fixtures only ever build 2-cliques)."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    c1 = docs.filter(F.col("doc_id") % 20 == 0).select(
+        (F.col("doc_id") + 10000).alias("doc_id"),
+        F.expr("substring(text, 1, greatest(length(text) - 30, 1))").alias("text"),
+    )
+    c2 = docs.filter(F.col("doc_id") % 20 == 0).select(
+        (F.col("doc_id") + 20000).alias("doc_id"),
+        F.expr("substring(text, 1, greatest(length(text) - 15, 1))").alias("text"),
+    )
+    return docs.unionByName(c1).unionByName(c2)
+
+
+_DUP_FAMILY_DOCS = """
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 10000 AS doc_id,
+           substring(text, 1, greatest(length(text) - 30, 1)) AS text
+    FROM documents WHERE doc_id % 20 = 0
+    UNION ALL
+    SELECT doc_id + 20000 AS doc_id,
+           substring(text, 1, greatest(length(text) - 15, 1)) AS text
+    FROM documents WHERE doc_id % 20 = 0
+"""
+
+
+def dedup_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance near-dup pairs (``dedup.levenshtein_pairs``) —
+    prefix-blocked record linkage: md5(first-16-chars) block key +
+    the |len diff| ≤ max_dist lower bound gate the O(cap²) DP; blocks
+    over 50 docs are dropped whole (boilerplate-prefix cap, the
+    bounded-reducer discipline). The id+10000 truncated copies sit 30
+    deletions from their source — inside max_dist=40 — and share the
+    16-char prefix, so every family pairs; sim_ppm is the shared
+    trunc-div convention on the capped lengths."""
+    docs = _docs_with_near_dups(spark, sf_dir)
+    return dedup.levenshtein_pairs(docs).orderBy("doc_a", "doc_b")
+
+
+QUERIES["dedup_levenshtein"] = dedup_levenshtein
+
+
+def _lev_pair_ctes(src: str, prefix_len: int = 16, max_dist: int = 40,
+                   cap: int = 600, max_block: int = 50) -> str:
+    """DuckDB twin of ``dedup.levenshtein_pairs``: ends with
+    ``lp(doc_a, doc_b, lev_dist, len_a, len_b)``."""
+    return f"""
+        lt AS (SELECT doc_id,
+                      md5(substr(text, 1, {prefix_len})) AS blk,
+                      substr(text, 1, {cap}) AS t,
+                      length(substr(text, 1, {cap})) AS len
+               FROM ({src}) WHERE length(text) >= 1),
+        lok AS (SELECT blk FROM lt GROUP BY blk
+                HAVING COUNT(*) <= {max_block}),
+        ltt AS (SELECT lt.* FROM lt JOIN lok USING (blk)),
+        lp AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                      levenshtein(a.t, b.t) AS lev_dist,
+                      a.len AS len_a, b.len AS len_b
+               FROM ltt a JOIN ltt b
+                 ON a.blk = b.blk AND a.doc_id < b.doc_id
+               WHERE abs(a.len - b.len) <= {max_dist}
+                 AND levenshtein(a.t, b.t) <= {max_dist})"""
+
+
+ORACLES["dedup_levenshtein"] = f"""
+    WITH {_lev_pair_ctes(_NEAR_DUP_DOCS)}
+    SELECT doc_a, doc_b, lev_dist, len_a, len_b,
+           CAST((greatest(len_a, len_b) - lev_dist) * 1000000
+                // greatest(len_a, len_b) AS BIGINT) AS sim_ppm
+    FROM lp ORDER BY doc_a, doc_b
+"""
+
+
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts (``dedup.triangle_counts``) over the
+    edit-distance near-dup graph on the THREE-copy family fixture —
+    each family {orig, cut-30, cut-15} is a 3-clique (cut-30 is a
+    prefix of cut-15 at distance 15), so the degree-oriented
+    wedge-close pipeline has real triangles to find; bridge-free nodes
+    report an explicit 0. The oracle closes triangles the naive a<b<c
+    way — the oriented plan must match it exactly."""
+    pairs = dedup.levenshtein_pairs(_docs_with_dup_families(spark, sf_dir))
+    return (
+        dedup.triangle_counts(
+            pairs, id_a="doc_a", id_b="doc_b"
+        ).orderBy("node")
+    )
+
+
+QUERIES["graph_triangle_count"] = graph_triangle_count
+
+ORACLES["graph_triangle_count"] = f"""
+    WITH {_lev_pair_ctes(_DUP_FAMILY_DOCS)},
+    e AS (SELECT doc_a AS u, doc_b AS v FROM lp
+          UNION SELECT doc_b, doc_a FROM lp),
+    tr AS (SELECT ab.u AS a, ab.v AS b, bc.v AS c
+           FROM e ab
+           JOIN e bc ON bc.u = ab.v AND ab.v < bc.v
+           JOIN e ac ON ac.u = ab.u AND ac.v = bc.v
+           WHERE ab.u < ab.v),
+    pn AS (SELECT node, COUNT(*) AS n_triangles FROM (
+               SELECT a AS node FROM tr
+               UNION ALL SELECT b FROM tr
+               UNION ALL SELECT c FROM tr)
+           GROUP BY node)
+    SELECT n.u AS node, COALESCE(pn.n_triangles, 0) AS n_triangles
+    FROM (SELECT DISTINCT u FROM e) n
+    LEFT JOIN pn ON pn.node = n.u
+    ORDER BY node
+"""
+
+
+def events_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join (``temporal.interval_overlap_join``):
+    gap-30min user sessions (closed intervals) × globally hot hours
+    (≥20 events, half-open [h, h+3600)) — "which sessions ran during
+    peak load". Both sides explode to covered hour buckets and
+    equi-join on the bucket id; the exact overlap predicate and length
+    run after the hash join. The oracle is the plain inequality join —
+    bucketing must lose nothing."""
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf_dir).select(
+        "event_id", "user_id", F.floor(epoch_seconds("ts")).alias("es")
+    )
+    w = Window.partitionBy("user_id").orderBy("es", "event_id")
+    marked = ev.withColumn("_prev", F.lag("es").over(w)).withColumn(
+        "_new",
+        (F.col("_prev").isNull() | ((F.col("es") - F.col("_prev")) > 1800)).cast(
+            "long"
+        ),
+    )
+    sessions = (
+        marked.withColumn("session_idx", F.sum("_new").over(w))
+        .groupBy("user_id", "session_idx")
+        .agg(F.min("es").alias("s_start"), F.max("es").alias("s_end"))
+    )
+    hot = (
+        ev.groupBy((F.col("es") - F.col("es") % 3600).alias("w_start"))
+        .agg(F.count(F.lit(1)).alias("n_ev"))
+        .filter(F.col("n_ev") >= 20)
+        .select("w_start", (F.col("w_start") + 3600).alias("w_end"))
+    )
+    joined = temporal.interval_overlap_join(
+        sessions,
+        hot,
+        bucket_seconds=3600,
+        l_start="s_start",
+        l_end="s_end",
+        r_start="w_start",
+        r_end="w_end",
+    )
+    return joined.select(
+        "user_id", "session_idx", "s_start", "s_end", "w_start", "overlap_s"
+    ).orderBy("user_id", "session_idx", "w_start")
+
+
+QUERIES["events_interval_join"] = events_interval_join
+
+ORACLES["events_interval_join"] = """
+    WITH ev AS (SELECT event_id, user_id,
+                       CAST(floor(epoch(ts)) AS BIGINT) AS es
+                FROM events),
+    m AS (SELECT user_id, es, event_id,
+                 CASE WHEN lag(es) OVER w IS NULL
+                           OR es - lag(es) OVER w > 1800
+                      THEN 1 ELSE 0 END AS new_s
+          FROM ev WINDOW w AS (PARTITION BY user_id
+                               ORDER BY es, event_id)),
+    s AS (SELECT user_id,
+                 SUM(new_s) OVER (PARTITION BY user_id
+                                  ORDER BY es, event_id) AS session_idx,
+                 es
+          FROM m),
+    sess AS (SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+                    MIN(es) AS s_start, MAX(es) AS s_end
+             FROM s GROUP BY user_id, session_idx),
+    hot AS (SELECT es - es % 3600 AS w_start
+            FROM ev GROUP BY 1 HAVING COUNT(*) >= 20)
+    SELECT user_id, session_idx, s_start, s_end, w_start,
+           least(s_end, w_start + 3600)
+               - greatest(s_start, w_start) AS overlap_s
+    FROM sess JOIN hot
+      ON s_start < w_start + 3600 AND s_end >= w_start
+    ORDER BY user_id, session_idx, w_start
+"""
+
+
+def table_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order write layout (``layout.zorder_file_stats``, Morton 1966
+    — the Delta/Iceberg OPTIMIZE ZORDER BY shape): lineitem rows
+    ordered by the bit-interleaved (l_partkey, l_suppkey) Morton code,
+    div-NTILEd into 16 files, per-file min/max envelopes emitted —
+    the parquet-footer stats that make the layout's point-filter
+    skipping measurable. Pure int64 bit arithmetic (JVM codegen, no
+    UDF); the oracle runs the byte-same interleave via the dual-dialect
+    expression generator. At 100 TB the same total order feeds
+    repartitionByRange directly."""
+    from sales_data_etl_pipeline_spark.operators import layout
+
+    li = load_testdata(spark, sf_dir, ("lineitem",))["lineitem"]
+    return layout.zorder_file_stats(
+        li,
+        "l_partkey",
+        "l_suppkey",
+        ["l_orderkey", "l_linenumber"],
+        n_files=16,
+    )
+
+
+QUERIES["table_zorder_layout"] = table_zorder_layout
+
+
+def _zorder_oracle() -> str:
+    from sales_data_etl_pipeline_spark.operators import layout
+
+    z = layout.zorder_expr("l_partkey", "l_suppkey", dialect="duckdb")
+    return f"""
+        WITH z AS (SELECT l_partkey, l_suppkey,
+                          CAST({z} AS BIGINT) AS _z,
+                          row_number() OVER (ORDER BY CAST({z} AS BIGINT),
+                              l_partkey, l_suppkey, l_orderkey,
+                              l_linenumber) AS rk
+                   FROM lineitem),
+        n AS (SELECT COUNT(*) AS n FROM z)
+        SELECT (rk - 1) * 16 // n + 1 AS file_id,
+               COUNT(*) AS n_rows,
+               MIN(l_partkey) AS min_l_partkey,
+               MAX(l_partkey) AS max_l_partkey,
+               MIN(l_suppkey) AS min_l_suppkey,
+               MAX(l_suppkey) AS max_l_suppkey,
+               MIN(_z) AS min_z, MAX(_z) AS max_z
+        FROM z, n GROUP BY 1 ORDER BY 1
+    """
+
+
+ORACLES["table_zorder_layout"] = _zorder_oracle()
+
+
+def embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-integer power iteration for the corpus' top principal
+    direction (``similarity.pca_power_int``): 2 rounds of u = X·v
+    (broadcast dot, zero shuffle) and w = Xᵀ·u (one dim-keyed hash
+    aggregate), rescaled to the ±127 grid by trunc-div each round —
+    distributed linear algebra as aggregations, driver state one
+    dim-length vector per round. The oracle unrolls both rounds and
+    must match bit-for-bit."""
+    emb = _emb(spark, sf_dir).select("vec_id", "embedding")
+    return similarity.pca_power_int(emb, iterations=2).orderBy("dim")
+
+
+QUERIES["embedding_pca_power"] = embedding_pca_power
+
+
+def _pca_power_oracle(dim: int = 64, iterations: int = 2) -> str:
+    """DuckDB unrolling of ``pca_power_int`` — same grid, same
+    all-ones v0, same trunc-div (DuckDB ``//``) ±127 rescale, same
+    all-zero degenerate mapping."""
+    parts = [
+        f"""g AS (
+            SELECT vec_id AS vid,
+                   list_transform(embedding, x -> least(greatest(
+                       CAST(floor(CAST(x AS DOUBLE) * 16 + 0.5) AS BIGINT),
+                       -127), 127)) AS gv
+            FROM embeddings
+            WHERE {_PQ_FINITE.format(v='embedding')})""",
+        f"""v0 AS (
+            SELECT t.j, CAST(1 AS BIGINT) AS val
+            FROM UNNEST(generate_series(1, {dim})) AS t(j))""",
+    ]
+    prev = "v0"
+    for i in range(1, iterations + 1):
+        parts.append(
+            f"""u{i} AS (
+            SELECT g.vid, SUM(g.gv[v.j] * v.val) AS u
+            FROM g CROSS JOIN {prev} v GROUP BY g.vid)"""
+        )
+        parts.append(
+            f"""w{i} AS (
+            SELECT t.j, SUM(g.gv[t.j] * u{i}.u) AS w
+            FROM g JOIN u{i} ON u{i}.vid = g.vid,
+                 UNNEST(generate_series(1, {dim})) AS t(j)
+            GROUP BY t.j)"""
+        )
+        parts.append(
+            f"""m{i} AS (
+            SELECT COALESCE(MAX(ABS(w)), 0) AS m FROM w{i})"""
+        )
+        parts.append(
+            f"""v{i} AS (
+            SELECT j, CAST(CASE WHEN m = 0 THEN 0
+                           ELSE (w * 127) // m END AS BIGINT) AS val
+            FROM w{i}, m{i})"""
+        )
+        prev = f"v{i}"
+    joined = ",\n        ".join(parts)
+    return f"""
+        WITH {joined}
+        SELECT j - 1 AS dim, val FROM {prev} ORDER BY dim
+    """
+
+
+ORACLES["embedding_pca_power"] = _pca_power_oracle()

@@ -81,6 +81,9 @@ FUZZED = [
     "events_salted_join",
     # round-9: first-order Markov transition matrix on random streams
     "events_markov_transitions",
+    # round-10: bucketed interval-overlap join + Z-order file stats
+    "events_interval_join",
+    "table_zorder_layout",
 ]
 
 
@@ -384,6 +387,13 @@ FUZZED_CORPUS = [
     # the trained IVF vs brute force (both nest proven oracle bodies)
     "graph_label_propagation",
     "similarity_recall_eval",
+    # round-10: prefix-blocked edit-distance pairs (the identical
+    # punctuation-only/single-token doc groups form real cliques),
+    # degree-oriented triangles over them, and integer power-iteration
+    # PCA (zero-norm / tiny-norm vectors exercise the grid floor)
+    "dedup_levenshtein",
+    "graph_triangle_count",
+    "embedding_pca_power",
 ]
 
 

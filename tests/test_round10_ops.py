@@ -749,3 +749,149 @@ def test_ann_recall_left_join_and_ppm(spark):
         for r in sim.ann_recall(truth, approx).collect()
     }
     assert got == {1: (3, 1, 333333), 2: (2, 0, 0)}
+
+
+# --- round-10 batch 4: levenshtein pairs, triangles, interval join,
+# --- Z-order, power-iteration PCA -------------------------------------------
+
+
+def test_levenshtein_pairs_blocking_and_ppm(spark):
+    """Hand-checked: same-prefix docs within max_dist pair with the
+    exact DP distance and trunc-div sim_ppm; a different-prefix
+    near-identical doc is NOT paired (blocking is a stated recall
+    trade); a hot block (> max_block members) is dropped whole."""
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [
+        Row(doc_id=1, text=base),
+        Row(doc_id=2, text=base[:-6]),          # 6 deletions, same prefix
+        Row(doc_id=3, text="X" + base[1:]),     # dist 1 but prefix differs
+        Row(doc_id=4, text=""),                 # excluded (length 0)
+    ]
+    hot = [Row(doc_id=100 + i, text="hothothothothothot") for i in range(9)]
+    got = {
+        (r.doc_a, r.doc_b): r
+        for r in dedup.levenshtein_pairs(
+            spark.createDataFrame(rows + hot), max_dist=10, max_block=8
+        ).collect()
+    }
+    assert set(got) == {(1, 2)}
+    r = got[(1, 2)]
+    assert r.lev_dist == 6
+    assert r.len_a == len(base) and r.len_b == len(base) - 6
+    assert r.sim_ppm == (len(base) - 6) * 1000000 // len(base)
+
+
+def test_triangle_counts_oriented_close_matches_naive(spark):
+    """4-clique ∪ pendant edge: C(4,3)=4 triangles, each clique node in
+    exactly 3; the pendant node reports an explicit 0. Exercises the
+    degree-orientation tie-break (clique nodes share a degree) and the
+    symmetric-edge close."""
+    clique = [Row(id_a=a, id_b=b) for a in range(4) for b in range(a + 1, 4)]
+    pairs = spark.createDataFrame(clique + [Row(id_a=3, id_b=9)])
+    got = {r.node: r.n_triangles for r in dedup.triangle_counts(pairs).collect()}
+    assert got == {0: 3, 1: 3, 2: 3, 3: 3, 9: 0}
+
+
+def test_interval_overlap_join_bucket_blocking_is_exact(spark):
+    """Pairs spanning multiple buckets dedup to one row with the exact
+    overlap; touching-only pairs (session ends where the window
+    starts) keep overlap 0; empty right intervals are dropped (an
+    unfiltered empty interval would explode a DESCENDING bucket
+    sequence); disjoint pairs never appear."""
+    from sales_data_etl_pipeline_spark.operators import temporal
+
+    left = spark.createDataFrame(
+        [
+            Row(sid=1, l_start=100, l_end=7300),   # spans 3 buckets of 3600
+            Row(sid=2, l_start=7200, l_end=7200),  # point at window start
+            Row(sid=3, l_start=99000, l_end=99500),  # disjoint from all
+        ]
+    )
+    right = spark.createDataFrame(
+        [
+            Row(wid=10, r_start=0, r_end=7200),
+            Row(wid=11, r_start=7200, r_end=10800),
+            Row(wid=12, r_start=50000, r_end=50000),  # empty: dropped
+        ]
+    )
+    got = {
+        (r.sid, r.wid): r.overlap_s
+        for r in temporal.interval_overlap_join(left, right).collect()
+    }
+    assert got == {(1, 10): 7100, (1, 11): 100, (2, 11): 0}
+
+
+def test_zorder_expr_interleaves_and_engines_agree(spark):
+    """Morton(x=3, y=5) = interleave(0b011, 0b101) = 0b100111 = 39,
+    hand-computed; the Spark and DuckDB dialect strings evaluate to
+    the same value (the dual-dialect generator is the oracle's
+    foundation)."""
+    import duckdb
+
+    from sales_data_etl_pipeline_spark.operators import layout
+
+    s = spark.range(1).select(
+        F.expr(layout.zorder_expr("3", "5")).alias("z")
+    ).first()["z"]
+    d = duckdb.sql(
+        f"SELECT {layout.zorder_expr('3', '5', dialect='duckdb')} AS z"
+    ).fetchone()[0]
+    assert s == d == 39
+
+
+def test_zorder_file_stats_tightens_envelopes(spark):
+    """On a 32×32 grid of (x, y) keys, Z-ordered files must bound BOTH
+    dimensions strictly tighter than the full domain (a 1-D sort
+    leaves the second dimension full-width in every file) — the
+    measurable point of the layout."""
+    from sales_data_etl_pipeline_spark.operators import layout
+
+    df = spark.range(1024).select(
+        (F.col("id") % 32).alias("x"),
+        (F.col("id") / 32).cast("long").alias("y"),
+        F.col("id").alias("k"),
+    )
+    stats = layout.zorder_file_stats(df, "x", "y", ["k"], n_files=16).collect()
+    assert len(stats) == 16 and all(r.n_rows == 64 for r in stats)
+    # each file covers an 8x8 Morton tile: both envelopes are 1/4 of
+    # the 32-wide domain
+    for r in stats:
+        assert r.max_x - r.min_x <= 7 and r.max_y - r.min_y <= 7
+
+
+def test_pca_power_int_hand_computed_and_degenerate(spark):
+    """2 vectors, dim 2, 1 iteration, hand-run on the grid:
+    gv = [[16, 0], [16, 16]] (grid = round(x·16)); v0 = [1, 1] →
+    u = [16, 32] → w = [16·16 + 16·32, 16·32] = [768, 512] →
+    m = 768 → v = [127, trunc(512·127/768)] = [127, 84].
+    All-zero corpus → all-zero vector (m = 0 contract)."""
+    from sales_data_etl_pipeline_spark.operators import similarity as sim
+
+    emb = spark.createDataFrame(
+        [Row(vec_id=1, embedding=[1.0, 0.0]), Row(vec_id=2, embedding=[1.0, 1.0])]
+    )
+    got = {r.dim: r.val for r in sim.pca_power_int(emb, iterations=1).collect()}
+    assert got == {0: 127, 1: 84}
+
+    zero = spark.createDataFrame(
+        [Row(vec_id=1, embedding=[0.0, 0.0])]
+    )
+    gz = {r.dim: r.val for r in sim.pca_power_int(zero, iterations=2).collect()}
+    assert gz == {0: 0, 1: 0}
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    assert sim.pca_power_int(empty).count() == 0
+
+
+def test_trunc_div_matches_duckdb_on_negatives():
+    """DuckDB ``//`` truncates toward zero; Python ``//`` floors —
+    the helper must follow DuckDB (pinned: -512·127/768 → -84,
+    where Python floor gives -85)."""
+    from sales_data_etl_pipeline_spark.operators.similarity import _trunc_div
+
+    import duckdb
+
+    for a, b in [(-512 * 127, 768), (512 * 127, 768), (-7, 2), (7, -2), (0, 5)]:
+        want = duckdb.sql(f"SELECT CAST({a} AS BIGINT) // {b}").fetchone()[0]
+        assert _trunc_div(a, b) == want, (a, b)
+    assert _trunc_div(5, 0) == 0
