@@ -39,38 +39,37 @@ def entry(spark: SparkSession) -> DataFrame:
 # --baseline tools/entry_fingerprints_r09.json
 # --force-changed <28 names> --promote-stale <5 headline queries>.
 # Composition (closing the round-9 verdict's #1-#2 asks):
-# (1) 24 never-green: the 8 round-9 additions (the round-9 window was
-#     never rotated, so they shipped with zero driver rows) plus the
-#     16 round-10 additions (similarity_range_topk,
-#     streaming_dedup_minhash, similarity_knn_graph,
-#     table_snapshot_diff, table_snapshot_changelog,
-#     events_attribution_linear, corpus_bloom_membership,
-#     events_top_paths, multimodal_audio_stats,
-#     embedding_kmeans_train, dedup_semantic, dedup_winnowing,
-#     text_winnow_fingerprints, multimodal_phash_pairs,
-#     similarity_topk_ivf_trained, text_perplexity_buckets);
-# (2) 22 forced changed-since-green: of the 26 entries whose
+# (1) 31 never-green: the 8 round-9 additions (the round-9 window was
+#     never rotated, so they shipped with zero driver rows) plus ALL
+#     round-10 additions — every new gate entry re-enters the planner
+#     the moment it lands in queries(), and never-green outranks every
+#     other tier, so the window head tracks the registry by
+#     construction (the round-9 failure mode cannot recur silently:
+#     tests/test_verify_window.py replans from the recorded inputs
+#     against the LIVE registry).
+# (2) 18 forced changed-since-green: of the 26 entries whose
 #     fingerprint moved between the r08 and r09 snapshots while their
 #     last green row predates r9 (r9 edits to text.py/corpus.py/
 #     dedup.py/embeddings.py/sources reached their dep closures
-#     without a fresh driver row) plus multimodal_dhash and
-#     stats_correlation (SURVEY §7.6: round-8 code changes that the
-#     r08 snapshot post-dates, so drift can never re-flag them —
-#     carried two rounds, forced now), the 22 that fit after the
-#     never-green tier took its slots; the 6 displaced
-#     (text_fingerprint, text_language_id, text_repetition,
-#     text_sentence_stats, text_term_frequencies,
-#     text_tfidf_top_terms) carry to the r11 force list (SURVEY §7.9).
+#     without a fresh driver row) plus multimodal_dhash (SURVEY §7.6:
+#     round-8 code change that the r08 snapshot post-dates, so drift
+#     can never re-flag it), the 18 that fit after the never-green
+#     tier took its slots; the 13 displaced (text_fingerprint,
+#     text_language_id, text_repetition, text_sentence_stats,
+#     text_term_frequencies, text_tfidf_top_terms,
+#     source_jsonl_roundtrip, stats_correlation, table_insert_missing,
+#     table_scd2_apply, table_upsert, text_char_diversity,
+#     text_dup_span_stats) carry to the r11 force list (SURVEY §7.9).
 #     NOTE the 41 entries that ALSO drifted r08->r09 but hold an r9
 #     green row are deliberately NOT re-queued: the driver ran the r9
 #     gate at round-9 close on the final r9 code, so their rows
 #     already postdate the change.
-# (3) 4 fingerprint-drift (alphabetical head of 47): the round-10
+# (3) 1 fingerprint-drift (alphabetical head of 47): the round-10
 #     ADVICE fixes (connected_components confirmation round,
 #     pq_adc_topk empty-codebook short-circuit, the parquet
 #     stale-location guard) plus the new similarity/merge/temporal/
 #     streaming/corpus/multimodal kernels touch the dep closures of
-#     47 green entries; the 43 that do not fit carry to r11 with
+#     47 green entries; the 46 that do not fit carry to r11 with
 #     judge-local gate evidence at this round's close (SURVEY §7.9
 #     lists the exact force set).
 # The 5 headline analytics queries (--promote-stale, an honest
@@ -92,23 +91,30 @@ _VERIFY_FIRST = [
     "corpus_curriculum_order",
     "corpus_domain_cap",
     "dedup_incremental_prepared",
+    "dedup_levenshtein",
     "dedup_semantic",
     "dedup_winnowing",
     "embedding_kmeans_train",
+    "embedding_pca_power",
     "events_attribution_linear",
+    "events_interval_join",
     "events_markov_transitions",
     "events_top_paths",
+    "graph_label_propagation",
+    "graph_triangle_count",
     "multimodal_audio_stats",
     "multimodal_phash_pairs",
     "similarity_knn_graph",
     "similarity_range_join",
     "similarity_range_topk",
+    "similarity_recall_eval",
     "similarity_topk_ivf_trained",
     "similarity_topk_ivfpq_residual",
     "streaming_dedup_minhash",
     "streaming_session_funnel",
     "table_snapshot_changelog",
     "table_snapshot_diff",
+    "table_zorder_layout",
     "text_dup_span_removal",
     "text_perplexity_buckets",
     "text_winnow_fingerprints",
@@ -132,13 +138,6 @@ _VERIFY_FIRST = [
     "embedding_quantize_int8",
     "multimodal_dhash",
     "source_csv_roundtrip",
-    "source_jsonl_roundtrip",
-    "stats_correlation",
-    "table_insert_missing",
-    "table_scd2_apply",
-    "table_upsert",
-    "text_char_diversity",
-    "text_dup_span_stats",
 ]
 
 
