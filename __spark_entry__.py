@@ -39,7 +39,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # --baseline tools/entry_fingerprints_r09.json
 # --force-changed <28 names> --promote-stale <5 headline queries>.
 # Composition (closing the round-9 verdict's #1-#2 asks):
-# (1) 31 never-green: the 8 round-9 additions (the round-9 window was
+# (1) 36 never-green: the 8 round-9 additions (the round-9 window was
 #     never rotated, so they shipped with zero driver rows) plus ALL
 #     round-10 additions — every new gate entry re-enters the planner
 #     the moment it lands in queries(), and never-green outranks every
@@ -47,19 +47,19 @@ def entry(spark: SparkSession) -> DataFrame:
 #     construction (the round-9 failure mode cannot recur silently:
 #     tests/test_verify_window.py replans from the recorded inputs
 #     against the LIVE registry).
-# (2) 18 forced changed-since-green: of the 26 entries whose
+# (2) 13 forced changed-since-green: of the 26 entries whose
 #     fingerprint moved between the r08 and r09 snapshots while their
 #     last green row predates r9 (r9 edits to text.py/corpus.py/
 #     dedup.py/embeddings.py/sources reached their dep closures
-#     without a fresh driver row) plus multimodal_dhash (SURVEY §7.6:
-#     round-8 code change that the r08 snapshot post-dates, so drift
-#     can never re-flag it), the 18 that fit after the never-green
-#     tier took its slots; the 13 displaced (text_fingerprint,
-#     text_language_id, text_repetition, text_sentence_stats,
-#     text_term_frequencies, text_tfidf_top_terms,
+#     without a fresh driver row), the 13 that fit after the
+#     never-green tier took its slots; the 18 displaced
+#     (text_fingerprint, text_language_id, text_repetition,
+#     text_sentence_stats, text_term_frequencies, text_tfidf_top_terms,
 #     source_jsonl_roundtrip, stats_correlation, table_insert_missing,
 #     table_scd2_apply, table_upsert, text_char_diversity,
-#     text_dup_span_stats) carry to the r11 force list (SURVEY §7.9).
+#     text_dup_span_stats, embedding_kmeans_assign, embedding_normalize,
+#     embedding_quantize_int8, multimodal_dhash, source_csv_roundtrip)
+#     carry to the r11 force list (SURVEY §7.9).
 #     NOTE the 41 entries that ALSO drifted r08->r09 but hold an r9
 #     green row are deliberately NOT re-queued: the driver ran the r9
 #     gate at round-9 close on the final r9 code, so their rows
@@ -90,6 +90,7 @@ _VERIFY_FIRST = [
     "corpus_bloom_membership",
     "corpus_curriculum_order",
     "corpus_domain_cap",
+    "corpus_dsir_weights",
     "dedup_incremental_prepared",
     "dedup_levenshtein",
     "dedup_semantic",
@@ -97,9 +98,11 @@ _VERIFY_FIRST = [
     "embedding_kmeans_train",
     "embedding_pca_power",
     "events_attribution_linear",
+    "events_heavy_hitters_cms",
     "events_interval_join",
     "events_markov_transitions",
     "events_top_paths",
+    "graph_kcore",
     "graph_label_propagation",
     "graph_triangle_count",
     "multimodal_audio_stats",
@@ -108,8 +111,10 @@ _VERIFY_FIRST = [
     "similarity_range_join",
     "similarity_range_topk",
     "similarity_recall_eval",
+    "similarity_topk_hamming",
     "similarity_topk_ivf_trained",
     "similarity_topk_ivfpq_residual",
+    "source_xml_roundtrip",
     "streaming_dedup_minhash",
     "streaming_session_funnel",
     "table_snapshot_changelog",
@@ -133,11 +138,6 @@ _VERIFY_FIRST = [
     "dedup_incremental",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
-    "embedding_kmeans_assign",
-    "embedding_normalize",
-    "embedding_quantize_int8",
-    "multimodal_dhash",
-    "source_csv_roundtrip",
 ]
 
 

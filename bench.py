@@ -172,6 +172,12 @@ HEADLINE = [
     "events_interval_join",
     "table_zorder_layout",
     "embedding_pca_power",
+    # round-10 batch 5
+    "graph_kcore",
+    "similarity_topk_hamming",
+    "events_heavy_hitters_cms",
+    "corpus_dsir_weights",
+    "source_xml_roundtrip",
 ]
 
 

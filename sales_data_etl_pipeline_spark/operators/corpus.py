@@ -664,3 +664,91 @@ def bloom_membership(
         per_ngram.groupBy(id_col)
         .agg(F.count(F.lit(1)).alias("n_bloom_hits"))
     )
+
+
+def dsir_weights(
+    docs: DataFrame,
+    *,
+    target_lang: str = "en",
+    width: int = 1024,
+    text_col: str = "text",
+    lang_col: str = "lang",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """DSIR importance weights (Xie et al., arXiv:2302.03169): score
+    every document by how much its hashed-bigram distribution looks
+    like the TARGET slice of the corpus versus the corpus overall —
+    the data-selection signal used to importance-resample a raw crawl
+    toward a target domain before training.
+
+    Feature space is hashed bigrams: ``md5(bigram) mod width`` buckets
+    (the module's deterministic convention — no vocabulary to build,
+    fixed ``width``-sized model no matter the corpus). Per bucket b
+    the log-likelihood ratio under add-one smoothing is::
+
+        lr(b) = log2((t_b + 1) / (T + width))
+              - log2((s_b + 1) / (S + width))
+
+    with t/s the target/overall bucket counts — computed in ONE pass
+    (the target count is a conditional sum riding the overall count's
+    aggregate, never a second corpus scan). Determinism across
+    engines: lr is quantized to an integer (``floor(lr·1e6 + 0.5)``,
+    micro-bits) per BUCKET before any per-doc summation — the same
+    discipline as ``text.unigram_logprob`` — so doc scores are pure
+    integer arithmetic, immune to float summation order.
+
+    Shape at 100 TB: explode → one map-side-combinable aggregate to a
+    ``width``-row model table → broadcast the model back to per-doc
+    bucket counts → integer dot product. The model is 1024 rows
+    whatever the corpus size; importance estimation never shuffles
+    the corpus on anything wider than (doc, bucket).
+
+    Output: (doc_id, n_bigrams, dsir_q6) — total quantized log-ratio;
+    resample acceptance is ``md5-uniform < sigmoid(score)`` downstream
+    (``quality_resample``). Docs with < 2 tokens have no bigrams and
+    drop out, like zero-token docs in unigram_logprob.
+    """
+    from sales_data_etl_pipeline_spark.operators.dedup import hash_id_expr
+    from sales_data_etl_pipeline_spark.operators.text import TOKENIZE
+
+    toks = TOKENIZE.format(col=text_col)
+    bigrams = (
+        f"CASE WHEN size({toks}) < 2 THEN array() "
+        f"ELSE transform(sequence(1, size({toks}) - 1), "
+        f"i -> concat(element_at({toks}, i), ' ', element_at({toks}, i + 1))) END"
+    )
+    bg = docs.select(
+        id_col,
+        (F.col(lang_col) == F.lit(target_lang)).alias("_is_target"),
+        F.explode(F.expr(bigrams)).alias("_bg"),
+    ).select(
+        id_col,
+        "_is_target",
+        F.expr(hash_id_expr("_bg", width)).alias("bucket"),
+    )
+    model = bg.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("s_cnt"),
+        F.sum(F.col("_is_target").cast("long")).alias("t_cnt"),
+    )
+    totals = model.agg(
+        F.sum("s_cnt").alias("_s_total"), F.sum("t_cnt").alias("_t_total")
+    )
+    lr = model.crossJoin(F.broadcast(totals)).select(
+        "bucket",
+        F.expr(
+            "cast(floor((log2((t_cnt + 1) / cast(_t_total + "
+            f"{width} as double)) - log2((s_cnt + 1) / cast(_s_total + "
+            f"{width} as double))) * 1000000 + 0.5) as bigint)"
+        ).alias("lr_q6"),
+    )
+    per_doc = bg.groupBy(id_col, "bucket").agg(
+        F.count(F.lit(1)).alias("occ")
+    )
+    return (
+        per_doc.join(F.broadcast(lr), "bucket")
+        .groupBy(id_col)
+        .agg(
+            F.sum("occ").alias("n_bigrams"),
+            F.sum(F.col("occ") * F.col("lr_q6")).alias("dsir_q6"),
+        )
+    )

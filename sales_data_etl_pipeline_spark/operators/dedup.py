@@ -1768,3 +1768,76 @@ def triangle_counts(
     return nodes.join(per_node, "node", "left").select(
         "node", F.coalesce("n_triangles", F.lit(0)).alias("n_triangles")
     )
+
+
+def kcore_decompose(
+    pairs: DataFrame,
+    *,
+    k: int = 2,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iterations: int = 6,
+) -> DataFrame:
+    """k-core of the undirected pair graph: the maximal subgraph in
+    which every surviving node keeps degree ≥ k — the density filter
+    that separates genuine dup FAMILIES (cliquey cores) from incidental
+    pairwise matches and chains (Seidman 1983; used as a graph-quality
+    gate the same way triangle counts are, but with a global fixed
+    point instead of a local census).
+
+    Iterative peeling: drop every node whose degree among STILL-ALIVE
+    nodes is < k, recompute, repeat — each round is one degree
+    aggregation over the alive-restricted edge list (two hash joins on
+    node id + one map-side-combinable count), with the survivor count
+    riding the round's own materializing job as an ``observe()``
+    metric, never a second action. The alive set shrinks monotonically,
+    so count-equality between rounds IS set-equality — the fixed point.
+    Convergence needs at most as many rounds as the longest peel
+    cascade (tiny on near-dup graphs, whose cores are near-cliques);
+    like :func:`connected_components`, an unconverged budget RAISES
+    instead of returning a wrong-but-plausible core, and the budget
+    gets one confirmation round so a cascade exactly ``max_iterations``
+    deep is accepted (r9 ADVICE discipline).
+
+    Returns (doc_id, core_degree): the k-core members with their
+    degree INSIDE the core (≥ k by construction). Nodes peeled away —
+    including every node of a graph with no k-core — are absent.
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
+        .unionByName(
+            pairs.select(F.col(id_b).alias("u"), F.col(id_a).alias("v"))
+        )
+        .distinct()
+        # consumed twice per round (both-endpoint alive joins) across
+        # every round — without the cut each round re-derives the pair
+        # lineage (at minhash-LSH cost) from scratch
+        .localCheckpoint(eager=False)
+    )
+    alive = (
+        edges.select(F.col("u").alias("node"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    prev = alive.count()
+    for _ in range(max_iterations + 1):
+        live = edges.join(alive.withColumnRenamed("node", "u"), "u").join(
+            alive.select(F.col("node").alias("v")), "v"
+        )
+        deg = live.groupBy("u").agg(F.count(F.lit(1)).alias("core_degree"))
+        obs = Observation()
+        survivors = (
+            deg.filter(F.col("core_degree") >= k)
+            .observe(obs, F.count(F.lit(1)).alias("n"))
+            .localCheckpoint(eager=True)  # cut lineage + run observed job
+        )
+        n = obs.get["n"]
+        if n == prev:
+            return survivors.select(F.col("u").alias("doc_id"), "core_degree")
+        alive, prev = survivors.select(F.col("u").alias("node")), n
+    raise RuntimeError(
+        f"kcore_decompose did not converge in {max_iterations} peeling "
+        "rounds plus the confirmation round: the peel cascade is deeper "
+        "than the budget — retry with a larger max_iterations (each round "
+        "peels one cascade layer)"
+    )

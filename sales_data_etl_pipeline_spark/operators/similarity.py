@@ -529,6 +529,149 @@ def cosine_topk_lsh(
     )
 
 
+def _sig_words(
+    df: DataFrame,
+    R: list[list[float]],
+    *,
+    out_id: str,
+    vec_col: str,
+) -> DataFrame:
+    """(id, word): hyperplane sign bits packed into ONE int64 — bit i
+    is plane i's sign — via the same left-associated dim fold +
+    round-to-6dp sign convention as :func:`_band_signatures`, so the
+    DuckDB twin reproduces every bit. ``len(R)`` must be ≤ 60: the twin
+    builds the word as a sum of ``2^i`` BIGINT literals, which must
+    stay clear of the sign bit.
+    """
+    import numpy as np
+    import pandas as pd
+
+    Rm = np.asarray(R, dtype=np.float64)  # (planes, dim)
+    planes = Rm.shape[0]
+    weights = 1 << np.arange(planes, dtype=np.int64)
+
+    def sig(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.array(list(pdf[vec_col]), dtype=np.float64)
+            acc = np.zeros((len(V), planes))
+            for i in range(Rm.shape[1]):  # left-associated fold over dims
+                acc += V[:, i, None] * Rm[None, :, i]
+            bits = (np.round(acc, 6) >= 0).astype(np.int64)
+            yield pd.DataFrame(
+                {
+                    out_id: pdf[out_id].to_numpy(),
+                    "word": (bits * weights[None, :]).sum(axis=1),
+                }
+            )
+
+    return df.select(out_id, vec_col).mapInPandas(
+        sig, f"{out_id} long, word long"
+    )
+
+
+def hamming_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    k: int = 5,
+    planes: int = 60,
+    bands: int = 4,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Binary-quantized ANN: each vector becomes a ``planes``-bit
+    hyperplane-sign word, and neighbors rank by Hamming distance — the
+    32×-compression retrieval tier (a 64-dim float vector becomes one
+    int64) that binary-quantization vector stores ship as their cheap
+    first pass.
+
+    Candidate generation is pigeonhole banding on the WORD ITSELF:
+    band b is bit-slice ``(word >> b·w) & (2^w − 1)`` (w = planes ÷
+    bands), pure JVM bit arithmetic — no per-band signature strings,
+    no second kernel pass. Two words within Hamming distance
+    ``bands − 1`` MUST agree on at least one full slice (pigeonhole),
+    so close neighbors are guaranteed candidates; farther ones appear
+    only if they happen to share a slice — the recall dial is
+    (planes, bands), brute force is the ground truth twin.
+
+    Shape at 100 TB: the corpus side computes words in one Arrow
+    kernel pass and joins the (tiny, broadcast) query band table with
+    NO shuffle and NO all-pairs scan; per-query work is proportional
+    to its band-bucket sizes. Distances are ``bit_count(xor)`` on two
+    int64s — exact integers, oracle-reproducible bit-for-bit.
+
+    Ranking: smallest Hamming first, ties → smallest corpus id.
+    Output: (query_id, neighbor_id, hamming, rank), rank ≤ k. May
+    return fewer than k neighbors (banding recall). Zero-norm and
+    non-finite vectors are dead on both sides (FINITE contract — the
+    sign of a zero projection would be convention, not geometry).
+    """
+    from sales_data_etl_pipeline_spark.operators.dedup import (
+        FINITE_VEC,
+        hyperplane_signs,
+    )
+
+    if planes % bands or planes > 60:
+        raise ValueError("planes must be a multiple of bands and ≤ 60")
+    bits_per = planes // bands
+    mask = (1 << bits_per) - 1
+    R = hyperplane_signs(planes, dim)
+    live = F.expr(FINITE_VEC.format(v=vec_col)) & (F.expr(_norm(vec_col)) > 0)
+    c_words = _sig_words(
+        corpus.filter(live), R, out_id=id_col, vec_col=vec_col
+    )
+    q_words = _sig_words(
+        queries.filter(live).select(
+            F.col(id_col).alias(query_id_col), F.col(vec_col)
+        ),
+        R,
+        out_id=query_id_col,
+        vec_col=vec_col,
+    )
+
+    def banded(df: DataFrame, idc: str, word_out: str) -> DataFrame:
+        slices = ", ".join(
+            f"{b}, shiftright(word, {bits_per * b}) & {mask}"
+            for b in range(bands)
+        )
+        return df.selectExpr(
+            idc,
+            f"word AS {word_out}",
+            f"stack({bands}, {slices}) AS (band, bkey)",
+        )
+
+    cand = (
+        banded(c_words, id_col, "_cw")
+        .join(
+            F.broadcast(banded(q_words, query_id_col, "_qw")),
+            ["band", "bkey"],
+        )
+        .filter(F.col(id_col) != F.col(query_id_col))
+        .select(query_id_col, id_col, "_qw", "_cw")
+        .distinct()
+    )
+    scored = cand.withColumn(
+        "hamming", F.bit_count(F.col("_qw").bitwiseXOR(F.col("_cw")))
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.asc("hamming"), F.asc(id_col)
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            query_id_col,
+            F.col(id_col).alias("neighbor_id"),
+            "hamming",
+            "rank",
+        )
+    )
+
+
 def ivfpq_residual_topk(
     corpus: DataFrame,
     coarse: DataFrame,

@@ -634,3 +634,76 @@ def interval_overlap_join(
             - F.greatest(F.col(l_start), F.col(r_start)),
         )
     )
+
+
+def cms_heavy_hitters(
+    events: DataFrame,
+    *,
+    key_col: str = "user_id",
+    depth: int = 3,
+    width: int = 64,
+    top: int = 20,
+) -> DataFrame:
+    """Count-min-sketch heavy hitters (Cormode & Muthukrishnan 2005):
+    estimate per-key event counts through a fixed ``depth × width``
+    counter grid — the bounded-memory form of "who are the hottest
+    keys" when the key cardinality itself is the scale problem (the
+    exact GROUP BY's reducer state is O(|keys|); the sketch's is
+    ``depth·width`` counters NO MATTER the key count or skew).
+
+    Hash row r maps key u to bucket ``md5('r:u') mod width`` (the
+    module's deterministic 60-bit md5 convention — no RNG, identical
+    in DuckDB), and ``est(u) = min_r grid[r][bucket_r(u)]`` — an
+    overestimate by construction (collisions only ADD), within
+    ``ε·N`` with probability 1−δ for width=e/ε, depth=ln(1/δ).
+
+    Plan: ONE pass over events fans each key out ``depth`` ways
+    map-side (an inline array explode, no join), then a
+    map-side-combinable count to the ≤ depth·width-row grid; estimates
+    broadcast-join the tiny grid back to the candidate keys. The gate
+    emits the exact count alongside so est ≥ exact is hash-checked,
+    not asserted: candidates here are all distinct keys (gate-scale);
+    at 100 TB candidates come from a cheap per-partition local top —
+    the grid, not the candidate scan, is the operator's contract.
+
+    Output: top ``top`` keys by (estimate DESC, key ASC) —
+    (key, est, exact), all exact integers.
+    """
+    from sales_data_etl_pipeline_spark.operators.dedup import hash_id_expr
+
+    keyed = events.filter(F.col(key_col).isNotNull()).select(
+        F.col(key_col).alias("key")
+    )
+    rows = keyed.select(
+        "key",
+        F.explode(F.array(*[F.lit(r) for r in range(depth)])).alias("r"),
+    ).select(
+        "r",
+        F.expr(
+            hash_id_expr(f"concat(cast(r as string), ':', cast(key as string))", width)
+        ).alias("bucket"),
+    )
+    grid = rows.groupBy("r", "bucket").agg(F.count(F.lit(1)).alias("cnt"))
+    exact = keyed.groupBy("key").agg(F.count(F.lit(1)).alias("exact"))
+    probes = exact.select(
+        "key",
+        "exact",
+        F.explode(F.array(*[F.lit(r) for r in range(depth)])).alias("r"),
+    ).select(
+        "key",
+        "exact",
+        "r",
+        F.expr(
+            hash_id_expr(f"concat(cast(r as string), ':', cast(key as string))", width)
+        ).alias("bucket"),
+    )
+    est = (
+        probes.join(F.broadcast(grid), ["r", "bucket"])
+        .groupBy("key", "exact")
+        .agg(F.min("cnt").alias("est"))
+    )
+    return (
+        est.orderBy(F.desc("est"), F.asc("key"))
+        .limit(top)
+        .select("key", "est", "exact")
+    )

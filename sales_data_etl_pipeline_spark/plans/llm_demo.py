@@ -5962,3 +5962,259 @@ def _pca_power_oracle(dim: int = 64, iterations: int = 2) -> str:
 
 
 ORACLES["embedding_pca_power"] = _pca_power_oracle()
+
+
+# --- round-10 batch 5: k-core, binary-Hamming ANN, CMS heavy hitters,
+# --- DSIR importance weights, XML source round trip --------------------------
+
+
+def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-core of the edit-distance near-dup graph
+    (``dedup.kcore_decompose``) on the three-copy family fixture: each
+    family {orig, cut-30, cut-15} is a 3-clique whose members all keep
+    degree 2, so families survive peeling while incidental pairwise
+    matches and chain ends are stripped — the density filter that
+    separates dup FAMILIES from noise. The oracle unrolls six peel
+    rounds; the kernel's observed fixed point must land inside them."""
+    pairs = dedup.levenshtein_pairs(_docs_with_dup_families(spark, sf_dir))
+    return dedup.kcore_decompose(
+        pairs, k=2, id_a="doc_a", id_b="doc_b", max_iterations=6
+    ).orderBy("doc_id")
+
+
+QUERIES["graph_kcore"] = graph_kcore
+
+
+def _kcore_oracle(k: int = 2, rounds: int = 6) -> str:
+    ctes = [
+        "e AS (SELECT doc_a AS u, doc_b AS v FROM lp"
+        " UNION SELECT doc_b, doc_a FROM lp)",
+        "a0 AS (SELECT DISTINCT u FROM e)",
+    ]
+    prev = "a0"
+    for i in range(1, rounds + 1):
+        ctes.append(
+            f"""a{i} AS (
+            SELECT e.u, COUNT(*) AS d FROM e
+            JOIN {prev} x ON e.u = x.u
+            JOIN {prev} y ON e.v = y.u
+            GROUP BY e.u HAVING COUNT(*) >= {k})"""
+        )
+        prev = f"a{i}"
+    joined = ",\n    ".join(ctes)
+    return f"""
+        WITH {_lev_pair_ctes(_DUP_FAMILY_DOCS)},
+        {joined}
+        SELECT u AS doc_id, CAST(d AS BIGINT) AS core_degree
+        FROM {prev} ORDER BY doc_id
+    """
+
+
+ORACLES["graph_kcore"] = _kcore_oracle()
+
+
+def similarity_topk_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-quantized ANN (``similarity.hamming_topk``): 60
+    hyperplane sign bits packed into one int64, pigeonhole-banded into
+    4×15-bit slices for candidates, ranked by exact
+    ``bit_count(xor)`` Hamming distance — the 32×-compression
+    retrieval tier. Same query set as the other ANN gates so recall
+    is directly comparable."""
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 10)
+    return similarity.hamming_topk(
+        emb, queries, k=5, planes=60, bands=4, dim=64
+    ).orderBy("query_id", "rank")
+
+
+QUERIES["similarity_topk_hamming"] = similarity_topk_hamming
+
+
+def _ann_hamming_oracle(
+    planes: int = 60, bands: int = 4, dim: int = 64, k: int = 5
+) -> str:
+    """DuckDB twin of ``similarity.hamming_topk`` — same hyperplanes,
+    fold + 6dp-round sign convention, int64 bit packing, band slices,
+    and (hamming, id) rank order."""
+    R = dedup.hyperplane_signs(planes, dim)
+    bits_per = planes // bands
+    mask = (1 << bits_per) - 1
+
+    def proj(b: int) -> str:
+        return " + ".join(
+            f"CAST(embedding[{i + 1}] AS DOUBLE) * {R[b][i]:.1f}"
+            for i in range(dim)
+        )
+
+    # one UNION ALL branch per plane, then an exact-integer SUM: a
+    # single 60-term chain of 64-term projection chains exceeds
+    # DuckDB's 128-deep expression binder; per-branch depth stays ~64
+    # and the cross-plane fold is integer (order-free) aggregation
+    plane_rows = " UNION ALL ".join(
+        f"SELECT vec_id, CASE WHEN round({proj(b)}, 6) >= 0"
+        f" THEN CAST({1 << b} AS BIGINT) ELSE 0 END AS pw FROM e"
+        for b in range(planes)
+    )
+    band_selects = " UNION ALL ".join(
+        f"SELECT vec_id, word, {b} AS band,"
+        f" (word >> {bits_per * b}) & {mask} AS bkey FROM w"
+        for b in range(bands)
+    )
+    live = _LIVE.format(v="embedding")
+    return f"""
+        WITH e AS (SELECT * FROM embeddings WHERE {live}),
+        pl AS ({plane_rows}),
+        w AS (SELECT vec_id, CAST(SUM(pw) AS BIGINT) AS word
+              FROM pl GROUP BY vec_id),
+        bw AS ({band_selects}),
+        qs AS (SELECT * FROM bw WHERE vec_id < 10),
+        cand AS (
+            SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   q.word AS qw, c.word AS cw
+            FROM bw c JOIN qs q
+              ON c.band = q.band AND c.bkey = q.bkey
+             AND c.vec_id <> q.vec_id),
+        scored AS (
+            SELECT query_id, neighbor_id,
+                   bit_count(xor(qw, cw)) AS hamming
+            FROM cand),
+        ranked AS (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY hamming, neighbor_id) AS rank
+            FROM scored)
+        SELECT query_id, neighbor_id, hamming, rank FROM ranked
+        WHERE rank <= {k} ORDER BY query_id, rank
+    """
+
+
+ORACLES["similarity_topk_hamming"] = _ann_hamming_oracle()
+
+
+def events_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch heavy hitters (``temporal.cms_heavy_hitters``)
+    over event user_ids: a 3×64 counter grid estimates per-user counts
+    in bounded memory; the top 20 by estimate carry the exact count
+    alongside so est ≥ exact (overestimate-only) is hash-checked by
+    the oracle, not merely asserted."""
+    return temporal.cms_heavy_hitters(
+        _events(spark, sf_dir), key_col="user_id", depth=3, width=64, top=20
+    )
+
+
+QUERIES["events_heavy_hitters_cms"] = events_heavy_hitters_cms
+
+
+def _cms_oracle(depth: int = 3, width: int = 64, top: int = 20) -> str:
+    h = (
+        "(CAST('0x' || substr(md5(CAST(r AS VARCHAR) || ':' ||"
+        f" CAST(key AS VARCHAR)), 1, 15) AS BIGINT) % {width})"
+    )
+    rs = ", ".join(str(r) for r in range(depth))
+    return f"""
+        WITH k AS (SELECT user_id AS key FROM events
+                   WHERE user_id IS NOT NULL),
+        fan AS (SELECT key, r, {h} AS bucket
+                FROM k, UNNEST([{rs}]) AS t(r)),
+        g AS (SELECT r, bucket, COUNT(*) AS cnt FROM fan GROUP BY r, bucket),
+        ex AS (SELECT key, COUNT(*) AS exact FROM k GROUP BY key),
+        probes AS (SELECT key, exact, r, {h} AS bucket
+                   FROM ex, UNNEST([{rs}]) AS t(r)),
+        est AS (SELECT key, exact, MIN(cnt) AS est
+                FROM probes JOIN g USING (r, bucket)
+                GROUP BY key, exact)
+        SELECT key, CAST(est AS BIGINT) AS est, CAST(exact AS BIGINT) AS exact
+        FROM est ORDER BY est DESC, key LIMIT {top}
+    """
+
+
+ORACLES["events_heavy_hitters_cms"] = _cms_oracle()
+
+
+def corpus_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (``corpus.dsir_weights``): hashed-bigram
+    log-likelihood ratio of the lang='en' target slice vs the whole
+    corpus, quantized to micro-bits per BUCKET before the per-doc
+    integer sum — the data-selection score that importance-resamples a
+    raw crawl toward a target domain."""
+    return corpus.dsir_weights(
+        _docs(spark, sf_dir), target_lang="en", width=1024
+    ).orderBy("doc_id")
+
+
+QUERIES["corpus_dsir_weights"] = corpus_dsir_weights
+
+
+def _dsir_oracle(width: int = 1024, target_lang: str = "en") -> str:
+    toks = _TOKS.format(col="text")
+    bigrams = (
+        f"CASE WHEN len({toks}) < 2 THEN [] "
+        f"ELSE list_transform(generate_series(1, len({toks}) - 1), "
+        f"i -> {toks}[i] || ' ' || {toks}[i + 1]) END"
+    )
+    return f"""
+        WITH bg AS (
+            SELECT doc_id, lang = '{target_lang}' AS is_t,
+                   (CAST('0x' || substr(md5(b), 1, 15) AS BIGINT) % {width})
+                       AS bucket
+            FROM (SELECT doc_id, lang, UNNEST({bigrams}) AS b
+                  FROM documents)),
+        model AS (SELECT bucket, COUNT(*) AS s_cnt,
+                         SUM(CASE WHEN is_t THEN 1 ELSE 0 END) AS t_cnt
+                  FROM bg GROUP BY bucket),
+        tot AS (SELECT SUM(s_cnt) AS s_total, SUM(t_cnt) AS t_total
+                FROM model),
+        lr AS (SELECT bucket,
+                      CAST(floor((log2((t_cnt + 1) /
+                                CAST(t_total + {width} AS DOUBLE))
+                              - log2((s_cnt + 1) /
+                                CAST(s_total + {width} AS DOUBLE)))
+                             * 1000000 + 0.5) AS BIGINT) AS lr_q6
+               FROM model, tot),
+        per_doc AS (SELECT doc_id, bucket, COUNT(*) AS occ
+                    FROM bg GROUP BY doc_id, bucket)
+        SELECT doc_id,
+               CAST(SUM(occ) AS BIGINT) AS n_bigrams,
+               CAST(SUM(occ * lr_q6) AS BIGINT) AS dsir_q6
+        FROM per_doc JOIN lr USING (bucket)
+        GROUP BY doc_id ORDER BY doc_id
+    """
+
+
+ORACLES["corpus_dsir_weights"] = _dsir_oracle()
+
+
+def source_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML sink→source round trip (Spark 4 built-in ``xml`` format,
+    ``sources/xml.py``): write the documents table as row-tagged XML,
+    read it back with the EXPLICIT schema and
+    ``ignoreSurroundingSpaces=false`` (whitespace is data), and
+    aggregate — the oracle computes the same aggregate from the
+    parquet, so any loss in the round trip (entity escaping,
+    whitespace trimming, empty-vs-null flips) breaks the hash."""
+    import os
+    import tempfile
+
+    from sales_data_etl_pipeline_spark.sources import xml
+
+    docs = _docs(spark, sf_dir)
+    tag = sf_dir.strip("/").replace("/", "_")
+    path = os.path.join(tempfile.gettempdir(), f"xml_gate_{tag}", "docs")
+    xml.write_xml(
+        docs, path, row_tag="doc", root_tag="docs", max_records_per_file=200
+    )
+    back = xml.read_xml(spark, path, docs.schema, row_tag="doc")
+    return (
+        back.filter(F.col(xml.CORRUPT_COL).isNull())
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.sum(F.length("text")).alias("sum_text_len"),
+            F.count_distinct("source").alias("n_sources"),
+        )
+        .orderBy("lang")
+    )
+
+
+QUERIES["source_xml_roundtrip"] = source_xml_roundtrip
+ORACLES["source_xml_roundtrip"] = ORACLES["source_jsonl_roundtrip"]

@@ -84,6 +84,8 @@ FUZZED = [
     # round-10: bucketed interval-overlap join + Z-order file stats
     "events_interval_join",
     "table_zorder_layout",
+    # round-10 batch 5: count-min-sketch heavy hitters on random streams
+    "events_heavy_hitters_cms",
 ]
 
 
@@ -394,6 +396,12 @@ FUZZED_CORPUS = [
     "dedup_levenshtein",
     "graph_triangle_count",
     "embedding_pca_power",
+    # round-10 batch 5: k-core peeling over the same edit-distance
+    # cliques, binary-Hamming ANN (packed sign words), and DSIR
+    # hashed-bigram importance weights
+    "graph_kcore",
+    "similarity_topk_hamming",
+    "corpus_dsir_weights",
 ]
 
 
@@ -491,6 +499,8 @@ FUZZED_MORE = [
     "table_snapshot_changelog",
     "events_attribution_linear",
     "multimodal_audio_stats",
+    # round-10 batch 5: XML sink→source round trip
+    "source_xml_roundtrip",
 ]
 
 

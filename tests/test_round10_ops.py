@@ -895,3 +895,194 @@ def test_trunc_div_matches_duckdb_on_negatives():
         want = duckdb.sql(f"SELECT CAST({a} AS BIGINT) // {b}").fetchone()[0]
         assert _trunc_div(a, b) == want, (a, b)
     assert _trunc_div(5, 0) == 0
+
+
+# --- batch 5: k-core, Hamming ANN, CMS, DSIR, XML source ---------------------
+
+
+def test_kcore_peels_chains_keeps_cliques(spark):
+    """Chain 1-2-3-4 dies under k=2 (ends peel, cascade eats inward);
+    the 4-clique survives with core_degree 3; a pendant hanging off the
+    clique peels without taking the clique with it."""
+    clique = [
+        Row(id_a=a, id_b=b)
+        for a in (10, 11, 12, 13)
+        for b in (10, 11, 12, 13)
+        if a < b
+    ]
+    chain = [Row(id_a=i, id_b=i + 1) for i in (1, 2, 3)]
+    pendant = [Row(id_a=13, id_b=99)]
+    got = {
+        r.doc_id: r.core_degree
+        for r in dedup.kcore_decompose(
+            spark.createDataFrame(clique + chain + pendant), k=2
+        ).collect()
+    }
+    assert got == {10: 3, 11: 3, 12: 3, 13: 3}
+
+
+def test_kcore_empty_and_budget_raise(spark):
+    empty = spark.createDataFrame([], "id_a long, id_b long")
+    assert dedup.kcore_decompose(empty, k=2).count() == 0
+    # a 12-deep peel cascade cannot converge in 3 rounds + confirmation
+    chain = spark.createDataFrame(
+        [Row(id_a=i, id_b=i + 1) for i in range(12)]
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup.kcore_decompose(chain, k=2, max_iterations=3)
+    # ...but the same cascade converges given budget (empty 2-core)
+    assert dedup.kcore_decompose(chain, k=2, max_iterations=8).count() == 0
+
+
+def test_hamming_topk_pigeonhole_recall_and_exclusions(spark):
+    """A corpus vector within Hamming distance bands-1 of a query MUST
+    surface (pigeonhole over the band slices); identical vectors rank
+    first at distance 0; zero-norm and NaN vectors are dead on both
+    sides."""
+    from sales_data_etl_pipeline_spark.operators import similarity as sim
+
+    base = [1.0 if i % 3 else -1.0 for i in range(64)]
+    near = list(base)
+    near[0] = -near[0]  # flips SOME sign bits, stays band-close
+    rows = [
+        Row(vec_id=0, embedding=base),
+        Row(vec_id=1, embedding=base),          # exact twin
+        Row(vec_id=2, embedding=near),
+        Row(vec_id=3, embedding=[0.0] * 64),    # zero-norm: dead
+        Row(vec_id=4, embedding=[float("nan")] * 64),  # non-finite: dead
+    ]
+    emb = spark.createDataFrame(rows)
+    got = sim.hamming_topk(
+        emb, emb.filter(F.col("vec_id") == 0), k=5
+    ).collect()
+    by_rank = {r.rank: r for r in got}
+    assert by_rank[1].neighbor_id == 1 and by_rank[1].hamming == 0
+    assert {r.neighbor_id for r in got} <= {1, 2}
+    assert all(r.neighbor_id not in (3, 4) for r in got)
+
+
+def test_hamming_topk_matches_bruteforce_on_candidates(spark):
+    """For every emitted (query, neighbor) the Hamming distance must
+    equal the brute-force distance between the packed sign words —
+    banding selects candidates, never changes the metric."""
+    import hashlib
+
+    import numpy as np
+
+    from sales_data_etl_pipeline_spark.operators import similarity as sim
+    from sales_data_etl_pipeline_spark.operators.dedup import hyperplane_signs
+
+    rng = np.random.default_rng(7)
+    # 4 clusters of 5 near-identical vectors: in-cluster sign words are
+    # near-equal, so band collisions (candidates) are guaranteed —
+    # i.i.d. random vectors would rarely share a full 15-bit slice
+    centers = rng.normal(size=(4, 64))
+    vecs = np.repeat(centers, 5, axis=0) + rng.normal(
+        scale=1e-3, size=(20, 64)
+    )
+    vecs = vecs.round(3)
+    emb = spark.createDataFrame(
+        [Row(vec_id=i, embedding=[float(x) for x in v]) for i, v in enumerate(vecs)]
+    )
+    R = np.asarray(hyperplane_signs(60, 64))
+    acc = np.zeros((len(vecs), 60))
+    for i in range(64):
+        acc += vecs[:, i, None] * R[None, :, i]
+    words = ((np.round(acc, 6) >= 0).astype(np.int64)
+             * (1 << np.arange(60, dtype=np.int64))[None, :]).sum(axis=1)
+    got = sim.hamming_topk(emb, emb.filter(F.col("vec_id") < 3), k=5).collect()
+    assert got, "expected at least one banded candidate"
+    for r in got:
+        want = bin(int(words[r.query_id]) ^ int(words[r.neighbor_id])).count("1")
+        assert r.hamming == want, (r.query_id, r.neighbor_id)
+
+
+def test_cms_estimate_is_overestimate_and_grid_bounded(spark):
+    """est ≥ exact for every key (collisions only add), the hot key's
+    estimate tops the ranking on skewed data, and the sketch grid never
+    exceeds depth×width rows."""
+    from sales_data_etl_pipeline_spark.operators import temporal
+
+    rows = [Row(user_id=1)] * 500 + [Row(user_id=u) for u in range(2, 100)]
+    ev = spark.createDataFrame(rows)
+    got = temporal.cms_heavy_hitters(
+        ev, key_col="user_id", depth=3, width=16, top=10
+    ).collect()
+    assert all(r.est >= r.exact for r in got)
+    assert got[0].key == 1 and got[0].exact == 500
+    # the grid is the operator's bounded state: depth × width max
+    keyed = ev.select(F.col("user_id").alias("key"))
+    from sales_data_etl_pipeline_spark.operators.dedup import hash_id_expr
+
+    grid = (
+        keyed.select(
+            "key", F.explode(F.array(*[F.lit(r) for r in range(3)])).alias("r")
+        )
+        .select(
+            "r",
+            F.expr(
+                hash_id_expr(
+                    "concat(cast(r as string), ':', cast(key as string))", 16
+                )
+            ).alias("bucket"),
+        )
+        .groupBy("r", "bucket")
+        .count()
+    )
+    assert grid.count() <= 3 * 16
+
+
+def test_dsir_weights_separate_target_from_offtarget(spark):
+    """Docs made of target-exclusive bigrams score positive (their
+    buckets are likelier under the target slice than the corpus
+    average); docs of off-target-exclusive bigrams score negative."""
+    from sales_data_etl_pipeline_spark.operators import corpus as corpus_ops
+
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, lang="en", text="alpha beta gamma delta"),
+            Row(doc_id=2, lang="en", text="alpha beta gamma delta"),
+            Row(doc_id=3, lang="de", text="zug bahn hof platz"),
+            Row(doc_id=4, lang="de", text="zug bahn hof platz"),
+        ]
+    )
+    got = {
+        r.doc_id: r.dsir_q6
+        for r in corpus_ops.dsir_weights(docs, target_lang="en").collect()
+    }
+    assert got[1] > 0 and got[2] > 0
+    assert got[3] < 0 and got[4] < 0
+    # single-token / empty docs have no bigrams and drop out
+    short = spark.createDataFrame(
+        [Row(doc_id=9, lang="en", text="solo"), Row(doc_id=1, lang="en", text="a b")]
+    )
+    ids = {
+        r.doc_id
+        for r in corpus_ops.dsir_weights(short, target_lang="en").collect()
+    }
+    assert ids == {1}
+
+
+def test_xml_roundtrip_preserves_edges(spark, tmp_path):
+    """Whitespace, entity characters, newlines, unicode, empty string
+    vs NULL — all byte-faithful through the XML sink→source pair."""
+    from sales_data_etl_pipeline_spark.sources import xml
+
+    rows = [
+        (1, "plain"),
+        (2, "  padded  "),
+        (3, "amp & lt < gt > quot \" apos '"),
+        (4, ""),
+        (5, None),
+        (6, "line1\nline2"),
+        (7, "unicode é ü 漢字"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    path = str(tmp_path / "docs")
+    xml.write_xml(df, path, row_tag="doc", root_tag="docs")
+    back = xml.read_xml(spark, path, df.schema, row_tag="doc")
+    collected = back.collect()
+    assert {r.doc_id: r.text for r in collected} == dict(rows)
+    # corrupt-only projections are disallowed on raw scans (the jsonl
+    # contract note) — inspect the already-collected rows instead
+    assert all(r[xml.CORRUPT_COL] is None for r in collected)

@@ -26,6 +26,9 @@ from sales_data_etl_pipeline_spark.session import get_spark
 CARTESIAN_OK = {
     "clean_et_chain",  # 1-row global-median broadcast (fill_group_median)
     "text_unigram_logprob",  # 1-row corpus-total broadcast (text.py crossJoin)
+    # 1-row (s_total, t_total) broadcast onto the 1024-row bucket model
+    # (corpus.dsir_weights) — same class as the unigram corpus total
+    "corpus_dsir_weights",
     "dedup_ngram_jaccard",
     "similarity_topk",
     "similarity_topk_ivf",
