@@ -39,7 +39,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # --baseline tools/entry_fingerprints_r09.json
 # --force-changed <28 names> --promote-stale <5 headline queries>.
 # Composition (closing the round-9 verdict's #1-#2 asks):
-# (1) 36 never-green: the 8 round-9 additions (the round-9 window was
+# (1) 40 never-green: the 8 round-9 additions (the round-9 window was
 #     never rotated, so they shipped with zero driver rows) plus ALL
 #     round-10 additions — every new gate entry re-enters the planner
 #     the moment it lands in queries(), and never-green outranks every
@@ -47,19 +47,20 @@ def entry(spark: SparkSession) -> DataFrame:
 #     construction (the round-9 failure mode cannot recur silently:
 #     tests/test_verify_window.py replans from the recorded inputs
 #     against the LIVE registry).
-# (2) 13 forced changed-since-green: of the 26 entries whose
+# (2) 9 forced changed-since-green: of the 26 entries whose
 #     fingerprint moved between the r08 and r09 snapshots while their
 #     last green row predates r9 (r9 edits to text.py/corpus.py/
 #     dedup.py/embeddings.py/sources reached their dep closures
-#     without a fresh driver row), the 13 that fit after the
-#     never-green tier took its slots; the 18 displaced
+#     without a fresh driver row), the 9 that fit after the
+#     never-green tier took its slots; the 22 displaced
 #     (text_fingerprint, text_language_id, text_repetition,
 #     text_sentence_stats, text_term_frequencies, text_tfidf_top_terms,
 #     source_jsonl_roundtrip, stats_correlation, table_insert_missing,
 #     table_scd2_apply, table_upsert, text_char_diversity,
 #     text_dup_span_stats, embedding_kmeans_assign, embedding_normalize,
-#     embedding_quantize_int8, multimodal_dhash, source_csv_roundtrip)
-#     carry to the r11 force list (SURVEY §7.9).
+#     embedding_quantize_int8, multimodal_dhash, source_csv_roundtrip,
+#     dedup_exact, dedup_incremental, dedup_minhash_lsh,
+#     dedup_ngram_jaccard) carry to the r11 force list (SURVEY §7.9).
 #     NOTE the 41 entries that ALSO drifted r08->r09 but hold an r9
 #     green row are deliberately NOT re-queued: the driver ran the r9
 #     gate at round-9 close on the final r9 code, so their rows
@@ -104,9 +105,11 @@ _VERIFY_FIRST = [
     "events_top_paths",
     "graph_kcore",
     "graph_label_propagation",
+    "graph_link_prediction",
     "graph_triangle_count",
     "multimodal_audio_stats",
     "multimodal_phash_pairs",
+    "sales_cube",
     "similarity_knn_graph",
     "similarity_range_join",
     "similarity_range_topk",
@@ -120,8 +123,10 @@ _VERIFY_FIRST = [
     "table_snapshot_changelog",
     "table_snapshot_diff",
     "table_zorder_layout",
+    "text_bpe_train",
     "text_dup_span_removal",
     "text_perplexity_buckets",
+    "text_trigram_backoff",
     "text_winnow_fingerprints",
     # changed since last green row
     "corpus_chunk_documents",
@@ -134,10 +139,6 @@ _VERIFY_FIRST = [
     "text_token_stats",
     "corpus_domain_mixture",
     "dedup_containment",
-    "dedup_exact",
-    "dedup_incremental",
-    "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
 ]
 
 
@@ -152,6 +153,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sales_by_period": analytics.td_sales_by_period,
         "sales_by_employee_sql": analytics.td_sales_by_employee_sql,
         "sales_rollup": analytics.td_sales_rollup,
+        "sales_cube": analytics.td_sales_cube,
         "sales_pivot": analytics.td_sales_pivot,
         "sales_monthly_growth": analytics.td_sales_monthly_growth,
         "top_products_per_brand": analytics.td_top_products_per_brand,
@@ -541,6 +543,17 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem l
             JOIN part p ON l.l_partkey = p.p_partkey
             GROUP BY ROLLUP (p.p_brand, p.p_type)
+            HAVING COUNT(*) > 0
+            ORDER BY brand, tipo
+        """,
+        "sales_cube": f"""
+            -- same empty-input alignment guard as sales_rollup
+            SELECT COALESCE(p.p_brand, 'ALL') AS brand,
+                   COALESCE(p.p_type, 'ALL') AS tipo,
+                   ROUND(SUM({revenue}), 2) AS revenue
+            FROM lineitem l
+            JOIN part p ON l.l_partkey = p.p_partkey
+            GROUP BY CUBE (p.p_brand, p.p_type)
             HAVING COUNT(*) > 0
             ORDER BY brand, tipo
         """,

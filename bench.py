@@ -178,6 +178,11 @@ HEADLINE = [
     "events_heavy_hitters_cms",
     "corpus_dsir_weights",
     "source_xml_roundtrip",
+    # round-10 batch 6
+    "text_bpe_train",
+    "graph_link_prediction",
+    "text_trigram_backoff",
+    "sales_cube",
 ]
 
 

@@ -1841,3 +1841,73 @@ def kcore_decompose(
         "than the budget — retry with a larger max_iterations (each round "
         "peels one cascade layer)"
     )
+
+
+def link_prediction_jaccard(
+    pairs: DataFrame,
+    *,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_degree: int = 50,
+    min_common: int = 1,
+) -> DataFrame:
+    """Jaccard-coefficient link prediction (Liben-Nowell & Kleinberg
+    2003) over the near-dup graph: score NON-adjacent node pairs by
+    neighborhood overlap ``|N(a)∩N(b)| / |N(a)∪N(b)|`` — the "these
+    two docs share most of their near-dup family, the missing edge is
+    probably a miss" signal that audits banding recall (LSH misses
+    become high-scoring non-edges).
+
+    Shape: common-neighbor pairs come from ONE wedge self-join at each
+    shared neighbor (the triangle_counts build), so a candidate exists
+    iff ≥ 1 common neighbor — never node × node. Wedge fanout at a hub
+    is degree², so nodes with degree > ``max_degree`` are dropped from
+    the WEDGE-CENTER role only (the winnow max_df bounded-reducer
+    discipline: a boilerplate-hub's wedges are noise for this signal,
+    and every reducer stays ≤ C(max_degree, 2)); they still count in
+    the degree denominators of pairs found through other centers.
+    Existing edges leave via one anti-join on the symmetric edge list.
+
+    Output: (id_a < id_b, common, jaccard_ppm) with ``common ≥
+    min_common``; jaccard_ppm = common·10⁶ trunc-div (deg_a + deg_b −
+    common), exact integers.
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
+        .unionByName(
+            pairs.select(F.col(id_b).alias("u"), F.col(id_a).alias("v"))
+        )
+        .distinct()
+        # consumed by degrees, wedge build, and the non-edge anti-join
+        .localCheckpoint(eager=False)
+    )
+    deg = edges.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+    centers_ok = deg.filter(F.col("deg") <= max_degree).select("u")
+    wedge_src = edges.join(centers_ok, "u")
+    w1 = wedge_src.select(F.col("u").alias("c"), F.col("v").alias("a"))
+    w2 = wedge_src.select(F.col("u").alias("c"), F.col("v").alias("b"))
+    common = (
+        w1.join(w2, "c")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("common"))
+        .filter(F.col("common") >= min_common)
+    )
+    non_edges = common.join(
+        edges.select(F.col("u").alias("a"), F.col("v").alias("b")),
+        ["a", "b"],
+        "left_anti",
+    )
+    scored = (
+        non_edges.join(deg.select(F.col("u").alias("a"), F.col("deg").alias("deg_a")), "a")
+        .join(deg.select(F.col("u").alias("b"), F.col("deg").alias("deg_b")), "b")
+        .select(
+            F.col("a").alias(id_a),
+            F.col("b").alias(id_b),
+            "common",
+            F.expr(
+                "common * 1000000L div (deg_a + deg_b - common)"
+            ).alias("jaccard_ppm"),
+        )
+    )
+    return scored

@@ -13,7 +13,7 @@ shuffles at all except where an operator aggregates corpus statistics.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 #: Tokenization convention shared with the DuckDB oracles: lowercase,
@@ -1116,3 +1116,388 @@ def perplexity_buckets(
             F.coalesce(labels, F.lit("middle")).alias("bucket"),
         )
     )
+
+
+def bpe_train_merges(
+    df: DataFrame,
+    *,
+    n_merges: int = 3,
+    text_col: str = "text",
+) -> DataFrame:
+    """Byte-pair-encoding merge training (Sennrich et al. 2016, the
+    GPT-2 tokenizer-training recipe): learn the first ``n_merges``
+    merge rules from the corpus — each round counts adjacent symbol
+    pairs across the (frequency-weighted) vocabulary, picks the most
+    frequent pair, and merges every leftmost-greedy occurrence.
+
+    Distributed shape: the only corpus-sized work is ONE tokenize +
+    word count (map-side combinable); every merge round then runs over
+    the VOCABULARY's symbol-position table — |vocab| · word-length
+    rows, shrinking as merges land — as two window passes partitioned
+    by word (nothing wider than one word ever sits in a reducer) plus
+    a 1-row winner aggregate broadcast back. A production 32k-merge
+    run is this same loop; the gate unrolls ``n_merges`` rounds so a
+    SQL oracle can reproduce the training bit-for-bit.
+
+    Exact-semantics details (all cross-engine deterministic):
+
+    - Winner = max total count, ties → lexicographically smallest
+      (left, right) — ``min(struct(-count, left, right))``, a plain
+      aggregate.
+    - Leftmost-greedy overlap: in a run of consecutive matching
+      positions (only possible when left == right, e.g. ``aaa`` with
+      pair (a, a)), merges land at even offsets from the run start —
+      the gaps-and-islands window formulation below is the exact
+      leftmost fold, and both engines share it verbatim (a list-fold
+      would need a list accumulator DuckDB's ``reduce`` lacks).
+    - A round with NO pairs left emits nothing and ends training
+      early (single-char vocabulary); later rounds stay empty in both
+      engines.
+
+    Returns (merge_rank, left_sym, right_sym, pair_count) for rounds
+    1..n_merges.
+    """
+    toks = df.select(
+        F.explode(F.expr(TOKENIZE.format(col=text_col))).alias("word")
+    )
+    words = toks.groupBy("word").agg(F.count(F.lit(1)).alias("wc"))
+    surv = words.select(
+        "word",
+        "wc",
+        F.explode(F.expr("sequence(1, length(word))")).alias("pos"),
+    ).select(
+        "word", "wc", "pos", F.expr("substring(word, pos, 1)").alias("sym")
+    )
+    out: DataFrame | None = None
+    for rank in range(1, n_merges + 1):
+        wk = Window.partitionBy("word").orderBy("pos")
+        adj = surv.select(
+            "word",
+            "wc",
+            F.row_number().over(wk).alias("k"),
+            "sym",
+        )
+        wk = Window.partitionBy("word").orderBy("k")
+        adj = adj.withColumn("nxt", F.lead("sym").over(wk))
+        pairs = (
+            adj.filter(F.col("nxt").isNotNull())
+            .groupBy("sym", "nxt")
+            .agg(F.sum("wc").alias("cnt"))
+        )
+        winner = (
+            pairs.agg(
+                F.min(F.struct((-F.col("cnt")).alias("_n"), "sym", "nxt")).alias(
+                    "_w"
+                )
+            )
+            .filter(F.col("_w").isNotNull())
+            .select(
+                F.lit(rank).alias("merge_rank"),
+                F.col("_w.sym").alias("left_sym"),
+                F.col("_w.nxt").alias("right_sym"),
+                (-F.col("_w._n")).alias("pair_count"),
+            )
+            .localCheckpoint(eager=False)  # consumed by output AND the merge
+        )
+        out = winner if out is None else out.unionByName(winner)
+        mt = adj.crossJoin(
+            F.broadcast(winner.select("left_sym", "right_sym"))
+        ).withColumn(
+            "mat",
+            (F.col("sym") == F.col("left_sym"))
+            & (F.col("nxt") == F.col("right_sym")),
+        )
+        # leftmost-greedy: islands of consecutive matching ranks merge
+        # at even offsets from each island's start
+        wm = Window.partitionBy("word", "mat").orderBy("k")
+        run = mt.withColumn(
+            "grp",
+            F.when(F.col("mat"), F.col("k") - F.row_number().over(wm)),
+        )
+        wg = Window.partitionBy("word", "grp").orderBy("k")
+        mg = run.withColumn(
+            "merged",
+            F.col("mat") & ((F.row_number().over(wg) - 1) % 2 == 0),
+        )
+        wk2 = Window.partitionBy("word").orderBy("k")
+        cons = mg.withColumn(
+            "consumed",
+            F.coalesce(F.lag("merged").over(wk2), F.lit(False)),
+        )
+        surv = (
+            cons.filter(~F.col("consumed"))
+            .select(
+                "word",
+                "wc",
+                F.col("k").alias("pos"),
+                F.when(
+                    F.col("merged"), F.concat("sym", "nxt")
+                ).otherwise(F.col("sym")).alias("sym"),
+            )
+            .localCheckpoint(eager=False)  # cut the per-round window lineage
+        )
+    return out
+
+
+def bpe_train_merges_sql(
+    docs_rel: str = "documents",
+    *,
+    n_merges: int = 3,
+    text_col: str = "text",
+) -> str:
+    """DuckDB oracle twin of :func:`bpe_train_merges` — the identical
+    gaps-and-islands formulation, unrolled per merge round."""
+    toks = (
+        "list_filter(string_split_regex(lower({col}), '[^a-z0-9]+'),"
+        " x -> x <> '')"
+    ).format(col=text_col)
+    ctes = [
+        f"""t AS (SELECT UNNEST({toks}) AS word FROM {docs_rel})""",
+        "wrd AS (SELECT word, COUNT(*) AS wc FROM t GROUP BY word)",
+        """s0 AS (SELECT word, wc, i AS pos, substr(word, i, 1) AS sym
+               FROM wrd, UNNEST(generate_series(1, length(word))) AS u(i))""",
+    ]
+    prev = "s0"
+    finals = []
+    for r in range(1, n_merges + 1):
+        ctes.append(
+            f"""k{r} AS (SELECT word, wc,
+                   row_number() OVER (PARTITION BY word ORDER BY pos) AS k,
+                   sym FROM {prev})"""
+        )
+        ctes.append(
+            f"""adj{r} AS (SELECT *, lead(sym) OVER (
+                   PARTITION BY word ORDER BY k) AS nxt FROM k{r})"""
+        )
+        ctes.append(
+            f"""p{r} AS (SELECT sym AS l, nxt AS r2, SUM(wc) AS cnt
+                   FROM adj{r} WHERE nxt IS NOT NULL GROUP BY sym, nxt)"""
+        )
+        ctes.append(
+            f"""w{r} AS (SELECT l, r2, CAST(cnt AS BIGINT) AS cnt FROM p{r}
+                   ORDER BY cnt DESC, l, r2 LIMIT 1)"""
+        )
+        ctes.append(
+            f"""mt{r} AS (SELECT a.*, (a.sym = w.l AND a.nxt = w.r2) AS mat
+                   FROM adj{r} a, w{r} w)"""
+        )
+        ctes.append(
+            f"""run{r} AS (SELECT *, CASE WHEN mat THEN
+                   k - row_number() OVER (PARTITION BY word, mat ORDER BY k)
+                   END AS grp FROM mt{r})"""
+        )
+        ctes.append(
+            f"""mg{r} AS (SELECT *, mat AND ((row_number() OVER (
+                   PARTITION BY word, grp ORDER BY k) - 1) % 2 = 0)
+                   AS merged FROM run{r})"""
+        )
+        ctes.append(
+            f"""c{r} AS (SELECT *, COALESCE(lag(merged) OVER (
+                   PARTITION BY word ORDER BY k), FALSE) AS consumed
+                   FROM mg{r})"""
+        )
+        ctes.append(
+            f"""s{r} AS (SELECT word, wc, k AS pos,
+                   CASE WHEN merged THEN sym || nxt ELSE sym END AS sym
+                   FROM c{r} WHERE NOT consumed)"""
+        )
+        finals.append(
+            f"SELECT {r} AS merge_rank, l AS left_sym, r2 AS right_sym,"
+            f" cnt AS pair_count FROM w{r}"
+        )
+        prev = f"s{r}"
+    joined = ",\n        ".join(ctes)
+    union = " UNION ALL ".join(finals)
+    return f"""
+        WITH {joined}
+        SELECT * FROM ({union}) ORDER BY merge_rank
+    """
+
+
+def trigram_backoff_score(
+    train: DataFrame,
+    eval_docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Stupid-backoff trigram scoring (Brants et al. EMNLP 2007 —
+    designed AT distributed scale precisely because it needs no
+    normalization pass): score held-out documents under the TRAIN
+    split's counts with::
+
+        S(w3 | w1 w2) = c(w1w2w3)/c(w1w2)          if c(w1w2w3) > 0
+                      = 0.4 · c(w2w3)/c(w2)        elif c(w2w3) > 0
+                      = 0.4² · c(w3)/N             elif c(w3) > 0
+                      = 0.4³ / N                   otherwise (OOV)
+
+    Scoring the corpus against ITSELF would never back off (every
+    observed trigram has c > 0); the train/eval separation is the
+    point, and composes the gated md5 hash split. Determinism: each
+    position's −log2 S is quantized to micro-bits BEFORE the per-doc
+    sum (the unigram_logprob discipline), and every count ratio is
+    evaluated in one fixed expression shape both engines share.
+
+    Shape at 100 TB: train-side n-gram counts are three
+    map-side-combinable aggregates (the Brants pipeline); eval
+    positions LEFT-join the three count tables on their n-gram keys —
+    trigram/bigram vocabularies outgrow broadcast, so those are plain
+    hash joins on the n-gram string, and the corpus never shuffles on
+    anything wider. N (train token count) rides a 1-row broadcast.
+
+    Returns (doc_id, n_scored, backoff_q6) — positions 3..len score;
+    docs with < 3 tokens drop out.
+    """
+    t_toks = train.select(
+        F.explode(F.expr(TOKENIZE.format(col=text_col))).alias("w")
+    )
+    # one tokenize pass feeds all three orders via length-tagged grams
+    tri = train.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, greatest(size({t}) - 2, 0)),"
+                " i -> concat(element_at({t}, i), ' ',"
+                " element_at({t}, i + 1), ' ', element_at({t}, i + 2)))".format(
+                    t=TOKENIZE.format(col=text_col)
+                )
+            )
+        ).alias("g")
+    ).groupBy("g").agg(F.count(F.lit(1)).alias("c3"))
+    bi = train.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, greatest(size({t}) - 1, 0)),"
+                " i -> concat(element_at({t}, i), ' ',"
+                " element_at({t}, i + 1)))".format(
+                    t=TOKENIZE.format(col=text_col)
+                )
+            )
+        ).alias("g")
+    ).groupBy("g").agg(F.count(F.lit(1)).alias("c2"))
+    uni = t_toks.groupBy(F.col("w").alias("g")).agg(
+        F.count(F.lit(1)).alias("c1")
+    )
+    totals = uni.agg(F.sum("c1").alias("_n"))
+
+    ev = eval_docs.select(
+        id_col, F.expr(TOKENIZE.format(col=text_col)).alias("_t")
+    ).filter(F.size("_t") >= 3)
+    pos = ev.select(
+        id_col,
+        F.explode(F.expr("sequence(3, size(_t))")).alias("i"),
+        F.col("_t"),
+    ).select(
+        id_col,
+        F.expr("concat(element_at(_t, i - 2), ' ', element_at(_t, i - 1),"
+               " ' ', element_at(_t, i))").alias("tg"),
+        F.expr("concat(element_at(_t, i - 2), ' ', element_at(_t, i - 1))"
+               ).alias("bg_ctx"),
+        F.expr("concat(element_at(_t, i - 1), ' ', element_at(_t, i))"
+               ).alias("bg"),
+        F.expr("element_at(_t, i - 1)").alias("w2"),
+        F.expr("element_at(_t, i)").alias("w3"),
+    )
+    joined = (
+        pos.join(tri.withColumnRenamed("g", "tg"), "tg", "left")
+        .join(
+            bi.select(F.col("g").alias("bg_ctx"), F.col("c2").alias("c2_ctx")),
+            "bg_ctx",
+            "left",
+        )
+        .join(bi.withColumnRenamed("g", "bg"), "bg", "left")
+        .join(
+            uni.select(F.col("g").alias("w2"), F.col("c1").alias("c1_w2")),
+            "w2",
+            "left",
+        )
+        .join(
+            uni.select(F.col("g").alias("w3"), F.col("c1").alias("c1_w3")),
+            "w3",
+            "left",
+        )
+        .crossJoin(F.broadcast(totals))
+    )
+    # -log2(S) in micro-bits, one fixed expression shape per tier
+    surprisal = (
+        "cast(floor((CASE"
+        " WHEN c3 IS NOT NULL THEN"
+        "  -log2(c3 / cast(c2_ctx as double))"
+        " WHEN c2 IS NOT NULL THEN"
+        "  -log2(0.4 * (c2 / cast(c1_w2 as double)))"
+        " WHEN c1_w3 IS NOT NULL THEN"
+        "  -log2(0.16 * (c1_w3 / cast(_n as double)))"
+        " ELSE -log2(0.064 / cast(_n as double))"
+        " END) * 1000000 + 0.5) as bigint)"
+    )
+    return (
+        joined.select(id_col, F.expr(surprisal).alias("_sq"))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_scored"),
+            F.sum("_sq").alias("backoff_q6"),
+        )
+    )
+
+
+def trigram_backoff_sql(
+    train_rel: str,
+    eval_rel: str,
+    *,
+    text_col: str = "text",
+) -> str:
+    """DuckDB oracle twin of :func:`trigram_backoff_score`."""
+    toks = (
+        "list_filter(string_split_regex(lower({col}), '[^a-z0-9]+'),"
+        " x -> x <> '')"
+    ).format(col=text_col)
+    tri_g = (
+        "list_transform(generate_series(1, greatest(len(t) - 2, 0)),"
+        " i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2])"
+    )
+    bi_g = (
+        "list_transform(generate_series(1, greatest(len(t) - 1, 0)),"
+        " i -> t[i] || ' ' || t[i + 1])"
+    )
+    return f"""
+        trn AS (SELECT {toks} AS t FROM {train_rel}),
+        tri AS (SELECT g, COUNT(*) AS c3 FROM
+                  (SELECT UNNEST({tri_g}) AS g FROM trn) GROUP BY g),
+        bi AS (SELECT g, COUNT(*) AS c2 FROM
+                  (SELECT UNNEST({bi_g}) AS g FROM trn) GROUP BY g),
+        uni AS (SELECT g, COUNT(*) AS c1 FROM
+                  (SELECT UNNEST(t) AS g FROM trn) GROUP BY g),
+        tot AS (SELECT SUM(c1) AS n FROM uni),
+        ev AS (SELECT doc_id, {toks} AS t FROM {eval_rel}),
+        pos AS (SELECT doc_id,
+                       t[i - 2] || ' ' || t[i - 1] || ' ' || t[i] AS tg,
+                       t[i - 2] || ' ' || t[i - 1] AS bg_ctx,
+                       t[i - 1] || ' ' || t[i] AS bg,
+                       t[i - 1] AS w2, t[i] AS w3
+                FROM ev, UNNEST(generate_series(3, len(t))) AS u(i)
+                WHERE len(t) >= 3),
+        j AS (SELECT pos.doc_id,
+                     tri.c3, bc.c2 AS c2_ctx, bi.c2,
+                     u2.c1 AS c1_w2, u3.c1 AS c1_w3, tot.n
+              FROM pos
+              LEFT JOIN tri ON tri.g = pos.tg
+              LEFT JOIN bi bc ON bc.g = pos.bg_ctx
+              LEFT JOIN bi ON bi.g = pos.bg
+              LEFT JOIN uni u2 ON u2.g = pos.w2
+              LEFT JOIN uni u3 ON u3.g = pos.w3
+              CROSS JOIN tot),
+        sq AS (SELECT doc_id,
+                      CAST(floor((CASE
+                        WHEN c3 IS NOT NULL THEN
+                          -log2(c3 / CAST(c2_ctx AS DOUBLE))
+                        WHEN c2 IS NOT NULL THEN
+                          -log2(0.4 * (c2 / CAST(c1_w2 AS DOUBLE)))
+                        WHEN c1_w3 IS NOT NULL THEN
+                          -log2(0.16 * (c1_w3 / CAST(n AS DOUBLE)))
+                        ELSE -log2(0.064 / CAST(n AS DOUBLE))
+                      END) * 1000000 + 0.5) AS BIGINT) AS sq
+               FROM j)
+        SELECT doc_id,
+               COUNT(*) AS n_scored,
+               CAST(SUM(sq) AS BIGINT) AS backoff_q6
+        FROM sq GROUP BY doc_id
+    """

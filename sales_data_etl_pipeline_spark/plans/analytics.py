@@ -340,6 +340,28 @@ def td_sales_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def td_sales_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue CUBE over (brand, type): all four grouping sets —
+    per-(brand,type), per-brand, per-TYPE (the set rollup lacks), and
+    grand total — in one pass; partial aggregates are shared across
+    sets exactly as in the rollup twin, one fact shuffle."""
+    t = load_testdata(spark, sf_dir, ("lineitem", "part"))
+    joined = t["lineitem"].join(
+        F.broadcast(t["part"].select("p_partkey", "p_brand", "p_type")),
+        F.col("l_partkey") == F.col("p_partkey"),
+    )
+    return (
+        joined.cube("p_brand", "p_type")
+        .agg(F.round(F.sum(_revenue()), 2).alias("revenue"))
+        .select(
+            F.coalesce("p_brand", F.lit("ALL")).alias("brand"),
+            F.coalesce("p_type", F.lit("ALL")).alias("tipo"),
+            "revenue",
+        )
+        .orderBy("brand", "tipo")
+    )
+
+
 def td_sales_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Order counts per priority pivoted by order status (fixed pivot
     domain → stable schema)."""

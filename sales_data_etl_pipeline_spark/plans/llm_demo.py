@@ -6218,3 +6218,102 @@ def source_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["source_xml_roundtrip"] = source_xml_roundtrip
 ORACLES["source_xml_roundtrip"] = ORACLES["source_jsonl_roundtrip"]
+
+
+# --- round-10 batch 6: BPE merge training, link prediction,
+# --- stupid-backoff holdout scoring ------------------------------------------
+
+
+def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First 3 BPE merge rules learned from the corpus
+    (``text.bpe_train_merges``): per round, one vocab-sized
+    gaps-and-islands window pass applies the leftmost-greedy merge and
+    a 1-row aggregate picks the next winner — the tokenizer-training
+    recipe whose only corpus-sized stage is the word count. The oracle
+    unrolls all three rounds with the identical window formulation."""
+    return text.bpe_train_merges(_docs(spark, sf_dir), n_merges=3).orderBy(
+        "merge_rank"
+    )
+
+
+QUERIES["text_bpe_train"] = text_bpe_train
+ORACLES["text_bpe_train"] = text.bpe_train_merges_sql("documents", n_merges=3)
+
+
+def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jaccard-coefficient link prediction
+    (``dedup.link_prediction_jaccard``) over the edit-distance
+    near-dup graph on the three-copy family fixture, with the
+    orig↔cut-30 edge of every 3rd family DELIBERATELY dropped — the
+    planted recall holes a blocking/banding stage would leave. Each
+    hole's endpoints still share the family's third member, so the
+    dropped edges come back as predicted links (the recall-audit
+    signal); intact 3-cliques have no non-edges and predict nothing.
+    min_common=1, wedge centers capped at degree 50."""
+    pairs = dedup.levenshtein_pairs(
+        _docs_with_dup_families(spark, sf_dir)
+    ).filter(
+        ~((F.col("doc_a") % 60 == 0) & (F.col("doc_b") == F.col("doc_a") + 10000))
+    )
+    return dedup.link_prediction_jaccard(
+        pairs, id_a="doc_a", id_b="doc_b", max_degree=50
+    ).orderBy("doc_a", "doc_b")
+
+
+QUERIES["graph_link_prediction"] = graph_link_prediction
+ORACLES["graph_link_prediction"] = f"""
+    WITH {_lev_pair_ctes(_DUP_FAMILY_DOCS)},
+    lpd AS (SELECT * FROM lp
+            WHERE NOT (doc_a % 60 = 0 AND doc_b = doc_a + 10000)),
+    e AS (SELECT doc_a AS u, doc_b AS v FROM lpd
+          UNION SELECT doc_b, doc_a FROM lpd),
+    deg AS (SELECT u, COUNT(*) AS deg FROM e GROUP BY u),
+    ok AS (SELECT u FROM deg WHERE deg <= 50),
+    ws AS (SELECT e.u AS c, e.v FROM e JOIN ok ON ok.u = e.u),
+    common AS (
+        SELECT w1.v AS a, w2.v AS b, COUNT(*) AS common
+        FROM ws w1 JOIN ws w2 ON w1.c = w2.c AND w1.v < w2.v
+        GROUP BY w1.v, w2.v),
+    ne AS (SELECT common.* FROM common
+           LEFT JOIN e ON e.u = common.a AND e.v = common.b
+           WHERE e.u IS NULL)
+    SELECT ne.a AS doc_a, ne.b AS doc_b, CAST(common AS BIGINT) AS common,
+           CAST(common * 1000000 // (da.deg + db.deg - common) AS BIGINT)
+               AS jaccard_ppm
+    FROM ne JOIN deg da ON da.u = ne.a JOIN deg db ON db.u = ne.b
+    ORDER BY doc_a, doc_b
+"""
+
+
+def text_trigram_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stupid-backoff trigram scoring (``text.trigram_backoff_score``,
+    Brants et al. 2007) of the md5 'val' split against the 'train'
+    split's n-gram counts — the held-out LM-quality signal where
+    backoff genuinely fires (self-scoring never backs off). Composes
+    the gated hash split; counts join on n-gram keys (vocabularies
+    outgrow broadcast), surprisal quantized to micro-bits per position
+    before the doc sum."""
+    split = corpus.hash_split(
+        _docs(spark, sf_dir), {"train": 0.8, "val": 0.2}
+    )
+    train = split.filter(F.col("split") == "train")
+    ev = split.filter(F.col("split") == "val")
+    return text.trigram_backoff_score(train, ev).orderBy("doc_id")
+
+
+QUERIES["text_trigram_backoff"] = text_trigram_backoff
+
+
+def _trigram_backoff_oracle() -> str:
+    split_expr = corpus.hash_split_sql({"train": 0.8, "val": 0.2})
+    body = text.trigram_backoff_sql("trn_docs", "ev_docs")
+    return f"""
+        WITH base AS (SELECT doc_id, text, {split_expr} FROM documents),
+        trn_docs AS (SELECT text FROM base WHERE split = 'train'),
+        ev_docs AS (SELECT doc_id, text FROM base WHERE split = 'val'),
+        {body}
+        ORDER BY doc_id
+    """
+
+
+ORACLES["text_trigram_backoff"] = _trigram_backoff_oracle()

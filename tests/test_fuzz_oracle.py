@@ -402,6 +402,11 @@ FUZZED_CORPUS = [
     "graph_kcore",
     "similarity_topk_hamming",
     "corpus_dsir_weights",
+    # round-10 batch 6: BPE merge training, planted-hole link
+    # prediction, stupid-backoff holdout scoring
+    "text_bpe_train",
+    "graph_link_prediction",
+    "text_trigram_backoff",
 ]
 
 
@@ -501,6 +506,8 @@ FUZZED_MORE = [
     "multimodal_audio_stats",
     # round-10 batch 5: XML sink→source round trip
     "source_xml_roundtrip",
+    # round-10 batch 6: CUBE grouping sets
+    "sales_cube",
 ]
 
 

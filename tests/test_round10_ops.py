@@ -1086,3 +1086,120 @@ def test_xml_roundtrip_preserves_edges(spark, tmp_path):
     # corrupt-only projections are disallowed on raw scans (the jsonl
     # contract note) — inspect the already-collected rows instead
     assert all(r[xml.CORRUPT_COL] is None for r in collected)
+
+
+# --- batch 6: BPE training, link prediction, stupid backoff, cube ------------
+
+
+def test_bpe_train_hand_computed_and_overlap(spark):
+    """Tiny corpus with known merges; overlap rule pinned: 'aaaa' with
+    winning pair (a, a) merges leftmost-greedy into [aa, aa] (positions
+    1 and 3), never [a, aa, a]."""
+    from sales_data_etl_pipeline_spark.operators import text as text_ops
+
+    # 'aaaa' x3 means pair (a,a) counts 3 occurrences/word BEFORE
+    # merging? No: pair counting is per adjacent POSITION: 3 positions
+    # per word x 3 words = 9 — the clear round-1 winner over 'ab' (2).
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="aaaa aaaa aaaa ab ab"),
+        ]
+    )
+    got = text_ops.bpe_train_merges(docs, n_merges=2).orderBy("merge_rank").collect()
+    r1 = got[0]
+    assert (r1.left_sym, r1.right_sym, r1.pair_count) == ("a", "a", 9)
+    # after merging 'aaaa' -> [aa, aa], round 2 pairs: (aa,aa) x3,
+    # (a,b) x2 -> winner (aa, aa) with 3
+    r2 = got[1]
+    assert (r2.left_sym, r2.right_sym, r2.pair_count) == ("aa", "aa", 3)
+
+
+def test_bpe_train_tie_breaks_lexicographically(spark):
+    from sales_data_etl_pipeline_spark.operators import text as text_ops
+
+    # 'zy' and 'ab' both appear twice: tie on count 2 -> (a, b) wins
+    docs = spark.createDataFrame([Row(doc_id=1, text="zy zy ab ab")])
+    got = text_ops.bpe_train_merges(docs, n_merges=1).collect()
+    assert (got[0].left_sym, got[0].right_sym, got[0].pair_count) == ("a", "b", 2)
+
+
+def test_bpe_train_single_char_vocab_ends_early(spark):
+    from sales_data_etl_pipeline_spark.operators import text as text_ops
+
+    docs = spark.createDataFrame([Row(doc_id=1, text="a b c a b")])
+    assert text_ops.bpe_train_merges(docs, n_merges=3).count() == 0
+
+
+def test_link_prediction_path_and_hub_cap(spark):
+    """Path a-b-c predicts (a, c) at jaccard 1.0 (1 common / (1+1-1));
+    the clique edge itself is never predicted; a hub over max_degree
+    contributes no wedges but still counts in denominators."""
+    pairs = spark.createDataFrame(
+        [Row(id_a=1, id_b=2), Row(id_a=2, id_b=3)]
+    )
+    got = dedup.link_prediction_jaccard(pairs).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r.id_a, r.id_b, r.common, r.jaccard_ppm) == (1, 3, 1, 1_000_000)
+    # star hub 0 with 4 leaves, cap 3: no wedges -> no predictions
+    star = spark.createDataFrame([Row(id_a=0, id_b=i) for i in (1, 2, 3, 4)])
+    assert dedup.link_prediction_jaccard(star, max_degree=3).count() == 0
+    # with the cap lifted, the leaves pair through the hub:
+    # C(4,2)=6 predictions at jaccard 1/(1+1-1)=1.0
+    lifted = dedup.link_prediction_jaccard(star, max_degree=10).collect()
+    assert len(lifted) == 6
+    assert all(r.jaccard_ppm == 1_000_000 for r in lifted)
+
+
+def test_trigram_backoff_tiers_hand_computed(spark):
+    """One eval position per backoff tier, each hand-computed:
+    seen trigram, bigram backoff, unigram backoff, full OOV."""
+    import math
+
+    from sales_data_etl_pipeline_spark.operators import text as text_ops
+
+    train = spark.createDataFrame(
+        [Row(doc_id=1, text="a b c a b d b c e")]
+    )
+    def q(x):
+        return math.floor(-math.log2(x) * 1e6 + 0.5)
+
+    cases = {
+        # 'a b c': c3=1, ctx c2(a b)=2 -> S=1/2
+        10: ("a b c", q(1 / 2)),
+        # 'c a x': trigram unseen; bigram 'a x' unseen; unigram 'x'
+        # unseen -> OOV tier 0.4^3 / N, N=9
+        11: ("c a x", math.floor(-math.log2(0.064 / 9) * 1e6 + 0.5)),
+        # 'e b c': trigram 'e b c' unseen, bigram 'b c'=2, c1(b)=3
+        # -> 0.4 * 2/3
+        12: ("e b c", math.floor(-math.log2(0.4 * (2 / 3)) * 1e6 + 0.5)),
+        # 'x y e': trigram+bigram('y e') unseen, c1(e)=1
+        # -> 0.16 * 1/9
+        13: ("x y e", math.floor(-math.log2(0.16 * (1 / 9)) * 1e6 + 0.5)),
+    }
+    ev = spark.createDataFrame(
+        [Row(doc_id=k, text=v[0]) for k, v in cases.items()]
+    )
+    got = {
+        r.doc_id: (r.n_scored, r.backoff_q6)
+        for r in text_ops.trigram_backoff_score(train, ev).collect()
+    }
+    for k, (_, want) in cases.items():
+        assert got[k] == (1, want), (k, got[k], want)
+    # < 3 tokens: no scored positions, doc absent
+    short = spark.createDataFrame([Row(doc_id=9, text="a b")])
+    assert text_ops.trigram_backoff_score(train, short).count() == 0
+
+
+def test_sales_cube_has_all_four_grouping_sets(spark):
+    from sales_data_etl_pipeline_spark.plans import analytics
+
+    got = analytics.td_sales_cube(spark, "/root/testdata/sf0.001").collect()
+    rows = {(r.brand, r.tipo) for r in got}
+    assert ("ALL", "ALL") in rows
+    brands = {b for b, t in rows if b != "ALL" and t != "ALL"}
+    types = {t for b, t in rows if b != "ALL" and t != "ALL"}
+    # per-brand subtotals (rollup has these) AND per-type subtotals
+    # (rollup lacks these — the cube's extra grouping set)
+    assert all(("ALL", t) in rows for t in types)
+    assert all((b, "ALL") in rows for b in brands)

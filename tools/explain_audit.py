@@ -29,6 +29,9 @@ CARTESIAN_OK = {
     # 1-row (s_total, t_total) broadcast onto the 1024-row bucket model
     # (corpus.dsir_weights) — same class as the unigram corpus total
     "corpus_dsir_weights",
+    # 1-row train-token-total N broadcast onto eval positions
+    # (text.trigram_backoff_score) — same class as the unigram total
+    "text_trigram_backoff",
     "dedup_ngram_jaccard",
     "similarity_topk",
     "similarity_topk_ivf",
