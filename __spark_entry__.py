@@ -39,7 +39,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # --baseline tools/entry_fingerprints_r09.json
 # --force-changed <28 names> --promote-stale <5 headline queries>.
 # Composition (closing the round-9 verdict's #1-#2 asks):
-# (1) 40 never-green: the 8 round-9 additions (the round-9 window was
+# (1) 44 never-green: the 8 round-9 additions (the round-9 window was
 #     never rotated, so they shipped with zero driver rows) plus ALL
 #     round-10 additions — every new gate entry re-enters the planner
 #     the moment it lands in queries(), and never-green outranks every
@@ -47,12 +47,12 @@ def entry(spark: SparkSession) -> DataFrame:
 #     construction (the round-9 failure mode cannot recur silently:
 #     tests/test_verify_window.py replans from the recorded inputs
 #     against the LIVE registry).
-# (2) 9 forced changed-since-green: of the 26 entries whose
+# (2) 5 forced changed-since-green: of the 26 entries whose
 #     fingerprint moved between the r08 and r09 snapshots while their
 #     last green row predates r9 (r9 edits to text.py/corpus.py/
 #     dedup.py/embeddings.py/sources reached their dep closures
-#     without a fresh driver row), the 9 that fit after the
-#     never-green tier took its slots; the 22 displaced
+#     without a fresh driver row), the 5 that fit after the
+#     never-green tier took its slots; the 26 displaced
 #     (text_fingerprint, text_language_id, text_repetition,
 #     text_sentence_stats, text_term_frequencies, text_tfidf_top_terms,
 #     source_jsonl_roundtrip, stats_correlation, table_insert_missing,
@@ -60,7 +60,9 @@ def entry(spark: SparkSession) -> DataFrame:
 #     text_dup_span_stats, embedding_kmeans_assign, embedding_normalize,
 #     embedding_quantize_int8, multimodal_dhash, source_csv_roundtrip,
 #     dedup_exact, dedup_incremental, dedup_minhash_lsh,
-#     dedup_ngram_jaccard) carry to the r11 force list (SURVEY §7.9).
+#     dedup_ngram_jaccard, corpus_domain_mixture, dedup_containment,
+#     text_quality_score, text_token_stats) carry to the r11 force
+#     list (SURVEY §7.9).
 #     NOTE the 41 entries that ALSO drifted r08->r09 but hold an r9
 #     green row are deliberately NOT re-queued: the driver ran the r9
 #     gate at round-9 close on the final r9 code, so their rows
@@ -97,6 +99,7 @@ _VERIFY_FIRST = [
     "dedup_semantic",
     "dedup_winnowing",
     "embedding_kmeans_train",
+    "embedding_matryoshka",
     "embedding_pca_power",
     "events_attribution_linear",
     "events_heavy_hitters_cms",
@@ -109,12 +112,14 @@ _VERIFY_FIRST = [
     "graph_triangle_count",
     "multimodal_audio_stats",
     "multimodal_phash_pairs",
+    "multimodal_scene_cuts",
     "sales_cube",
     "similarity_knn_graph",
     "similarity_range_join",
     "similarity_range_topk",
     "similarity_recall_eval",
     "similarity_topk_hamming",
+    "similarity_topk_hamming_rerank",
     "similarity_topk_ivf_trained",
     "similarity_topk_ivfpq_residual",
     "source_xml_roundtrip",
@@ -122,6 +127,7 @@ _VERIFY_FIRST = [
     "streaming_session_funnel",
     "table_snapshot_changelog",
     "table_snapshot_diff",
+    "table_view_maintain",
     "table_zorder_layout",
     "text_bpe_train",
     "text_dup_span_removal",
@@ -135,10 +141,6 @@ _VERIFY_FIRST = [
     "text_bigram_logprob",
     "text_gopher_quality",
     "text_paragraph_dedup",
-    "text_quality_score",
-    "text_token_stats",
-    "corpus_domain_mixture",
-    "dedup_containment",
 ]
 
 

@@ -183,6 +183,11 @@ HEADLINE = [
     "graph_link_prediction",
     "text_trigram_backoff",
     "sales_cube",
+    # round-10 batch 7
+    "table_view_maintain",
+    "similarity_topk_hamming_rerank",
+    "multimodal_scene_cuts",
+    "embedding_matryoshka",
 ]
 
 

@@ -398,3 +398,57 @@ def pq_encode_residual(
             )
 
     return corpus.select(id_col, vec_col).mapInPandas(encode, out_schema)
+
+
+def matryoshka_levels(
+    df: DataFrame,
+    dims: tuple[int, ...] = (16, 32),
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Matryoshka representation truncation (Kusupati et al.
+    arXiv:2205.13147): slice each embedding to its first ``d`` dims
+    and re-L2-normalize, for every requested nesting level — the
+    adaptive-retrieval trick where one stored vector serves several
+    cost tiers (coarse search at d=16, refine at full width).
+
+    Pure narrow projection per level (a ``slice`` + the
+    :func:`l2_normalize` emit contract — integer-serialized unit
+    vectors at 1e-6, zero/non-finite prefixes → NULL, note a finite
+    vector CAN have an all-zero prefix): no shuffle, no kernel,
+    whole-stage codegen. Levels union map-side; output carries a
+    ``dims`` column, (vec_id, dims) unique.
+    """
+    parts = []
+    for d in dims:
+        sliced = df.select(
+            id_col, F.expr(f"slice({vec_col}, 1, {d})").alias(vec_col)
+        )
+        parts.append(
+            l2_normalize(sliced, vec_col=vec_col, id_col=id_col).select(
+                id_col, F.lit(d).alias("dims"), "norm_q6", "unit_q6"
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def matryoshka_levels_sql(
+    dims: tuple[int, ...] = (16, 32),
+    rel: str = "embeddings",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> str:
+    """DuckDB twin of :func:`matryoshka_levels`."""
+    selects = []
+    for d in dims:
+        inner = (
+            f"(SELECT {id_col}, {vec_col}[1:{d}] AS {vec_col} FROM {rel})"
+        )
+        body = l2_normalize_sql(inner, vec_col=vec_col, id_col=id_col)
+        selects.append(
+            f"SELECT {id_col}, {d} AS dims, norm_q6, unit_q6 FROM ({body})"
+        )
+    return " UNION ALL ".join(selects)

@@ -33,7 +33,7 @@ from __future__ import annotations
 from collections.abc import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -745,4 +745,61 @@ def phash_pairs_banded(
         .withColumn("hamming", F.expr(ham))
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
+    )
+
+
+def scene_cuts(
+    frames: DataFrame,
+    *,
+    media_col: str = "media_id",
+    idx_col: str = "frame_idx",
+    payload_col: str = "payload",
+    threshold: int = 8,
+) -> DataFrame:
+    """Video scene-cut detection from perceptual frame fingerprints:
+    dHash every frame (the REAL raster kernel — parse, sample, gradient
+    bits), then flag consecutive-frame pairs whose Hamming distance
+    exceeds ``threshold`` — the shot-boundary signal a video training
+    pipeline uses to pick one representative frame per shot instead of
+    near-identical neighbors.
+
+    Shape at 100 TB: the per-frame hash is one Arrow kernel pass
+    (embarrassingly parallel); the temporal comparison is ONE ``lag``
+    window partitioned by media and ordered by frame index — reducer
+    width is a single video's frame count, never the corpus. Hamming
+    is the exact integer 32-bit-half form shared with
+    :func:`phash_pairs_banded`, bit-identical in DuckDB.
+
+    Output: (media_id, frame_idx, hamming, is_cut) for every frame
+    with a predecessor (frame 0 has none). Frame indexes are packed
+    with the media id into the hash kernel's single long id and
+    unpacked after — indexes must stay < 4096.
+    """
+    fid = frames.select(
+        (F.col(media_col) * 4096 + F.col(idx_col)).alias("media_id"),
+        F.col(payload_col).alias("payload"),
+    )
+    hashed = dhash_images(fid).select(
+        F.expr("media_id div 4096").alias(media_col),
+        F.expr("media_id % 4096").alias(idx_col),
+        "dhash",
+    )
+    w = Window.partitionBy(media_col).orderBy(idx_col)
+    half = "cast(conv(substring({c}, {off}, 8), 16, 10) as bigint)"
+    ham = (
+        f"bit_count({half.format(c='_prev', off=1)}"
+        f" ^ {half.format(c='dhash', off=1)})"
+        f" + bit_count({half.format(c='_prev', off=9)}"
+        f" ^ {half.format(c='dhash', off=9)})"
+    )
+    return (
+        hashed.withColumn("_prev", F.lag("dhash").over(w))
+        .filter(F.col("_prev").isNotNull())
+        .withColumn("hamming", F.expr(ham))
+        .select(
+            media_col,
+            idx_col,
+            "hamming",
+            (F.col("hamming") > threshold).alias("is_cut"),
+        )
     )

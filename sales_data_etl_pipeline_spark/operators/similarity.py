@@ -1700,3 +1700,85 @@ def pca_power_int(
     return spark.createDataFrame(
         list(enumerate(v)), "dim long, val long"
     )
+
+
+def hamming_rerank_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    k: int = 5,
+    shortlist: int = 20,
+    planes: int = 60,
+    bands: int = 4,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Two-tier retrieval — the production binary-quantization serving
+    shape: tier 1 shortlists ``shortlist`` candidates per query by
+    packed-word Hamming distance (:func:`hamming_topk` — int64 xor/
+    bit_count over 32×-compressed signatures, banded candidates, no
+    all-pairs scan), tier 2 re-ranks ONLY the shortlist by exact
+    cosine and keeps ``k``. The expensive float work touches
+    ``|queries| · shortlist`` vectors no matter the corpus size — the
+    cost model that makes billion-vector binary indexes usable.
+
+    Cosine uses the module's 6dp-round convention; final order
+    (cosine DESC, id ASC). Output: (query_id, neighbor_id, cosine,
+    rank ≤ k).
+    """
+    short = hamming_topk(
+        corpus,
+        queries,
+        k=shortlist,
+        planes=planes,
+        bands=bands,
+        dim=dim,
+        id_col=id_col,
+        vec_col=vec_col,
+        query_id_col=query_id_col,
+    ).select(query_id_col, F.col("neighbor_id").alias("_cid"))
+    dot = (
+        "aggregate(zip_with(transform(c.{v}, x -> cast(x as double)),"
+        " transform(q.{v}, x -> cast(x as double)), (x, y) -> x * y),"
+        " 0D, (acc, x) -> acc + x)"
+    ).format(v=vec_col)
+    norm = (
+        "sqrt(aggregate(transform({side}.{v}, x -> cast(x as double)),"
+        " 0D, (acc, x) -> acc + x * x))"
+    )
+    q_side = queries.select(
+        F.col(id_col).alias(query_id_col), F.col(vec_col)
+    )
+    scored = (
+        short.join(
+            corpus.alias("c"), F.col("_cid") == F.col(f"c.{id_col}")
+        )
+        .join(
+            F.broadcast(q_side.alias("q")),
+            query_id_col,
+        )
+        .withColumn(
+            "cosine",
+            F.round(
+                F.expr(dot)
+                / (
+                    F.expr(norm.format(side="c", v=vec_col))
+                    * F.expr(norm.format(side="q", v=vec_col))
+                ),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.asc("_cid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            query_id_col,
+            F.col("_cid").alias("neighbor_id"),
+            "cosine",
+            "rank",
+        )
+    )

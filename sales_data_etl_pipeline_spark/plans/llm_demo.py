@@ -6061,8 +6061,7 @@ def _ann_hamming_oracle(
         for b in range(bands)
     )
     live = _LIVE.format(v="embedding")
-    return f"""
-        WITH e AS (SELECT * FROM embeddings WHERE {live}),
+    ctes = f"""e AS (SELECT * FROM embeddings WHERE {live}),
         pl AS ({plane_rows}),
         w AS (SELECT vec_id, CAST(SUM(pw) AS BIGINT) AS word
               FROM pl GROUP BY vec_id),
@@ -6081,10 +6080,12 @@ def _ann_hamming_oracle(
         ranked AS (
             SELECT *, row_number() OVER (
                 PARTITION BY query_id ORDER BY hamming, neighbor_id) AS rank
-            FROM scored)
+            FROM scored)"""
+    return f"""
+        WITH {ctes}
         SELECT query_id, neighbor_id, hamming, rank FROM ranked
         WHERE rank <= {k} ORDER BY query_id, rank
-    """
+    """ if k is not None else ctes
 
 
 ORACLES["similarity_topk_hamming"] = _ann_hamming_oracle()
@@ -6317,3 +6318,225 @@ def _trigram_backoff_oracle() -> str:
 
 
 ORACLES["text_trigram_backoff"] = _trigram_backoff_oracle()
+
+
+# --- round-10 batch 7: incremental view maintenance, two-tier rerank,
+# --- scene cuts, Matryoshka truncation ---------------------------------------
+
+
+def table_view_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance
+    (``merge.maintain_agg_view``): a (priority → n_rows, sum cents)
+    rollup of orders kept fresh from an I/U/D changelog — updates MOVE
+    rows across groups (U rewrites the priority), before-images come
+    from a changelog-bounded semi join, the base is never rescanned.
+    The oracle is the full recompute over the cdc-applied base: the
+    incremental path must equal it exactly (integer cents make the
+    sums order-free)."""
+    orders = load_testdata(spark, sf_dir, ("orders",))["orders"].select(
+        "o_orderkey",
+        F.col("o_orderpriority").alias("g"),
+        F.expr(
+            "cast(floor(o_totalprice * 100 + 0.5) as bigint)"
+        ).alias("v"),
+    )
+    view = orders.groupBy("g").agg(
+        F.count(F.lit(1)).alias("n_rows"), F.sum("v").alias("sum_v")
+    )
+    upd = orders.filter(F.col("o_orderkey") % 10 == 5).select(
+        "o_orderkey",
+        F.lit("U").alias("op"),
+        F.lit(1).alias("seq"),
+        F.lit("1-URGENT").alias("g"),
+        F.expr(
+            "cast(floor(v * 1.1 + 0.5) as bigint)"
+        ).alias("v"),
+    )
+    dele = orders.filter(F.col("o_orderkey") % 10 == 0).select(
+        "o_orderkey", F.lit("D").alias("op"), F.lit(1).alias("seq"), "g", "v"
+    )
+    ins = orders.filter(F.col("o_orderkey") % 25 == 0).select(
+        (F.col("o_orderkey") + 9000000).alias("o_orderkey"),
+        F.lit("I").alias("op"),
+        F.lit(1).alias("seq"),
+        F.lit("5-LOW").alias("g"),
+        "v",
+    )
+    changelog = upd.unionByName(dele).unionByName(ins)
+    return merge_ops.maintain_agg_view(
+        view, orders, changelog, "o_orderkey", group_col="g", value_col="v"
+    ).orderBy("g")
+
+
+QUERIES["table_view_maintain"] = table_view_maintain
+
+_VIEW_MAINT_BASE = """
+    SELECT o_orderkey, o_orderpriority AS g,
+           CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS v
+    FROM orders
+"""
+_VIEW_MAINT_LOG = """
+    SELECT o_orderkey, 'U' AS op, 1 AS seq, '1-URGENT' AS g,
+           CAST(floor(v * 1.1 + 0.5) AS BIGINT) AS v
+    FROM b WHERE o_orderkey % 10 = 5
+    UNION ALL
+    SELECT o_orderkey, 'D', 1, g, v FROM b WHERE o_orderkey % 10 = 0
+    UNION ALL
+    SELECT o_orderkey + 9000000, 'I', 1, '5-LOW', v
+    FROM b WHERE o_orderkey % 25 = 0
+"""
+
+ORACLES["table_view_maintain"] = (
+    f"WITH b AS ({_VIEW_MAINT_BASE}), c AS ({_VIEW_MAINT_LOG}), applied AS ("
+    + merge_ops.cdc_apply_sql("b", "c", "o_orderkey", ["o_orderkey", "g", "v"])
+    + """)
+    SELECT g, COUNT(*) AS n_rows, CAST(SUM(v) AS BIGINT) AS sum_v
+    FROM applied GROUP BY g ORDER BY g
+    """
+)
+
+
+def similarity_topk_hamming_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-tier retrieval (``similarity.hamming_rerank_topk``): the
+    packed-word Hamming tier shortlists 20 candidates per query, exact
+    cosine re-ranks the shortlist to 5 — float work is bounded by
+    |queries|·shortlist no matter the corpus size, the
+    binary-quantization serving shape."""
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 10)
+    return similarity.hamming_rerank_topk(
+        emb, queries, k=5, shortlist=20, planes=60, bands=4, dim=64
+    ).orderBy("query_id", "rank")
+
+
+QUERIES["similarity_topk_hamming_rerank"] = similarity_topk_hamming_rerank
+
+
+def _ann_hamming_rerank_oracle(shortlist: int = 20, k: int = 5) -> str:
+    ctes = _ann_hamming_oracle(k=None)
+    cos = (
+        f"ROUND({_DOT.format(a='c.embedding', b='q.embedding')}"
+        f" / ({_NORM.format(v='c.embedding')}"
+        f" * {_NORM.format(v='q.embedding')}), 6)"
+    )
+    return f"""
+        WITH {ctes},
+        short AS (SELECT query_id, neighbor_id FROM ranked
+                  WHERE rank <= {shortlist}),
+        cosd AS (
+            SELECT s.query_id, s.neighbor_id, {cos} AS cosine
+            FROM short s
+            JOIN e c ON c.vec_id = s.neighbor_id
+            JOIN e q ON q.vec_id = s.query_id),
+        rr AS (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY cosine DESC, neighbor_id)
+                AS rank
+            FROM cosd)
+        SELECT query_id, neighbor_id, cosine, rank FROM rr
+        WHERE rank <= {k} ORDER BY query_id, rank
+    """
+
+
+ORACLES["similarity_topk_hamming_rerank"] = _ann_hamming_rerank_oracle()
+
+
+def multimodal_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shot-boundary detection (``multimodal.scene_cuts``) over a
+    synthetic 12-frame video per media id: frames within a 4-frame
+    scene share one generated BMP (hamming 0), scene changes jump the
+    generator id — the REAL dHash raster kernel runs per frame, one
+    lag window per media compares neighbors. The oracle re-derives
+    every frame hash analytically from the generator fill rule (all
+    raster rows identical → the 64-bit hash is one byte repeated, so
+    hamming = 8 · bit_count of the byte xor)."""
+    from sales_data_etl_pipeline_spark.operators import multimodal
+
+    media = (
+        _docs(spark, sf_dir)
+        .filter(F.col("doc_id") % 10 == 0)
+        .select(F.col("doc_id").alias("media_id"))
+    )
+    fr = media.withColumn(
+        "frame_idx", F.explode(F.expr("sequence(0, 11)"))
+    ).withColumn(
+        "content_id",
+        F.col("media_id") + 7777 * (1 + F.expr("frame_idx div 4")),
+    )
+    payloads = multimodal.synthesize_bmp(
+        fr.select(F.col("content_id").alias("media_id")).distinct()
+    ).select(F.col("media_id").alias("content_id"), "payload")
+    frames = fr.join(payloads, "content_id").select(
+        "media_id", "frame_idx", "payload"
+    )
+    return multimodal.scene_cuts(frames, threshold=8).orderBy(
+        "media_id", "frame_idx"
+    )
+
+
+QUERIES["multimodal_scene_cuts"] = multimodal_scene_cuts
+
+
+def _scene_cuts_oracle(threshold: int = 8) -> str:
+    # row_byte for generator id `cid` — the multimodal_dhash analytic
+    # derivation with the id substituted
+    gray = (
+        "list_transform(generate_series(0, 8), x ->"
+        " ((cid + 3*((x*(16 + cid % 32))//9)) % 256"
+        " + (cid + 3*((x*(16 + cid % 32))//9) + 1) % 256"
+        " + (cid + 3*((x*(16 + cid % 32))//9) + 2) % 256) // 3)"
+    )
+    return f"""
+        WITH m AS (SELECT doc_id AS media_id FROM documents
+                   WHERE doc_id % 10 = 0),
+        fr AS (SELECT media_id, i AS frame_idx,
+                      media_id + 7777 * (1 + i // 4) AS cid
+               FROM m, UNNEST(generate_series(0, 11)) AS u(i)),
+        g AS (SELECT media_id, frame_idx, {gray} AS gray FROM fr),
+        rb AS (SELECT media_id, frame_idx,
+                      CAST(list_aggregate(list_transform(
+                          generate_series(0, 7), x ->
+                          CASE WHEN gray[x+2] > gray[x+1]
+                               THEN 1 << (7 - x) ELSE 0 END), 'sum')
+                           AS BIGINT) AS rbyte
+               FROM g),
+        l AS (SELECT *, lag(rbyte) OVER (
+                  PARTITION BY media_id ORDER BY frame_idx) AS prb
+              FROM rb)
+        SELECT media_id, frame_idx,
+               CAST(8 * bit_count(xor(rbyte, prb)) AS INTEGER) AS hamming,
+               8 * bit_count(xor(rbyte, prb)) > {threshold} AS is_cut
+        FROM l WHERE prb IS NOT NULL
+        ORDER BY media_id, frame_idx
+    """
+
+
+ORACLES["multimodal_scene_cuts"] = _scene_cuts_oracle()
+
+
+def embedding_matryoshka(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka truncation tiers (``embeddings.matryoshka_levels``):
+    each vector sliced to its first 16 and 32 dims and re-normalized
+    (integer-serialized unit vectors) — one stored embedding serving
+    two retrieval cost tiers."""
+    from sales_data_etl_pipeline_spark.operators import embeddings as emb_ops
+
+    return emb_ops.matryoshka_levels(_emb(spark, sf_dir), (16, 32)).orderBy(
+        "vec_id", "dims"
+    )
+
+
+QUERIES["embedding_matryoshka"] = embedding_matryoshka
+
+
+def _matryoshka_oracle() -> str:
+    from sales_data_etl_pipeline_spark.operators import embeddings as emb_ops
+
+    return (
+        "SELECT * FROM ("
+        + emb_ops.matryoshka_levels_sql((16, 32))
+        + ") ORDER BY vec_id, dims"
+    )
+
+
+ORACLES["embedding_matryoshka"] = _matryoshka_oracle()

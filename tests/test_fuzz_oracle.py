@@ -407,6 +407,10 @@ FUZZED_CORPUS = [
     "text_bpe_train",
     "graph_link_prediction",
     "text_trigram_backoff",
+    # round-10 batch 7: two-tier Hamming shortlist + cosine rerank,
+    # Matryoshka truncation tiers
+    "similarity_topk_hamming_rerank",
+    "embedding_matryoshka",
 ]
 
 
@@ -508,6 +512,10 @@ FUZZED_MORE = [
     "source_xml_roundtrip",
     # round-10 batch 6: CUBE grouping sets
     "sales_cube",
+    # round-10 batch 7: incremental aggregate-view maintenance +
+    # analytic-raster scene cuts
+    "table_view_maintain",
+    "multimodal_scene_cuts",
 ]
 
 

@@ -1203,3 +1203,132 @@ def test_sales_cube_has_all_four_grouping_sets(spark):
     # (rollup lacks these — the cube's extra grouping set)
     assert all(("ALL", t) in rows for t in types)
     assert all((b, "ALL") in rows for b in brands)
+
+
+# --- batch 7: view maintenance, two-tier rerank, scene cuts, MRL -------------
+
+
+def test_maintain_agg_view_equals_recompute(spark):
+    """The IVM exactness contract on a hand case exercising all ops,
+    including a group-moving update, plus the randomized form."""
+    from sales_data_etl_pipeline_spark.operators import merge as merge_ops
+
+    base = spark.createDataFrame(
+        [Row(k=i, g="a" if i % 2 else "b", v=i * 100) for i in range(1, 9)]
+    )
+    view = base.groupBy("g").agg(
+        F.count(F.lit(1)).alias("n_rows"), F.sum("v").alias("sum_v")
+    )
+    log = spark.createDataFrame(
+        [
+            Row(k=1, op="D", g=None, v=None),          # delete from a
+            Row(k=2, op="U", g="a", v=999),            # move b -> a
+            Row(k=99, op="I", g="c", v=50),            # new group
+        ],
+        "k long, op string, g string, v long",
+    )
+    got = {
+        r.g: (r.n_rows, r.sum_v)
+        for r in merge_ops.maintain_agg_view(
+            view, base, log, "k", group_col="g", value_col="v"
+        ).collect()
+    }
+    applied = merge_ops.cdc_apply(
+        base, log.withColumn("seq", F.lit(1)), "k"
+    )
+    want = {
+        r.g: (r.n_rows, r.sum_v)
+        for r in applied.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("n_rows"), F.sum("v").alias("sum_v"))
+        .collect()
+    }
+    assert got == want
+    # a group deleted to zero rows must vanish, not linger at 0
+    wipe = spark.createDataFrame(
+        [Row(k=i, op="D", g=None, v=None) for i in range(1, 9)],
+        "k long, op string, g string, v long",
+    )
+    left = merge_ops.maintain_agg_view(
+        view, base, wipe, "k", group_col="g", value_col="v"
+    ).collect()
+    assert left == []
+
+
+def test_hamming_rerank_subset_and_order(spark):
+    """Rerank output must be a subset of the Hamming shortlist, ordered
+    by exact cosine — a candidate with worse hamming but better cosine
+    must outrank within the shortlist."""
+    from sales_data_etl_pipeline_spark.operators import similarity as sim
+
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    centers = rng.normal(size=(3, 64))
+    vecs = np.repeat(centers, 6, axis=0) + rng.normal(
+        scale=1e-3, size=(18, 64)
+    )
+    emb = spark.createDataFrame(
+        [Row(vec_id=i, embedding=[float(x) for x in v]) for i, v in enumerate(vecs)]
+    )
+    q = emb.filter(F.col("vec_id") == 0)
+    short = sim.hamming_topk(emb, q, k=20)
+    rer = sim.hamming_rerank_topk(emb, q, k=5, shortlist=20)
+    short_ids = {r.neighbor_id for r in short.collect()}
+    got = rer.collect()
+    assert got and {r.neighbor_id for r in got} <= short_ids
+    cosines = [r.cosine for r in sorted(got, key=lambda r: r.rank)]
+    assert cosines == sorted(cosines, reverse=True)
+
+
+def test_scene_cuts_flags_scene_boundaries(spark):
+    """Frames inside a scene (identical payloads) give hamming 0 /
+    no cut; a generator-id jump at the boundary flags a cut (unless
+    the two scenes' single raster bytes collide — engineered not to
+    here)."""
+    from sales_data_etl_pipeline_spark.operators import multimodal
+
+    media = spark.createDataFrame([Row(media_id=4)])
+    fr = media.withColumn(
+        "frame_idx", F.explode(F.expr("sequence(0, 7)"))
+    ).withColumn(
+        "content_id",
+        F.col("media_id") + 1000 * (1 + F.expr("frame_idx div 4")),
+    )
+    payloads = multimodal.synthesize_bmp(
+        fr.select(F.col("content_id").alias("media_id")).distinct()
+    ).select(F.col("media_id").alias("content_id"), "payload")
+    frames = fr.join(payloads, "content_id").select(
+        "media_id", "frame_idx", "payload"
+    )
+    got = {
+        r.frame_idx: (r.hamming, r.is_cut)
+        for r in multimodal.scene_cuts(frames, threshold=0).collect()
+    }
+    assert set(got) == set(range(1, 8))  # frame 0 has no predecessor
+    for i in (1, 2, 3, 5, 6, 7):  # in-scene neighbors identical
+        assert got[i] == (0, False), (i, got[i])
+    assert got[4][0] > 0 and got[4][1]  # the scene boundary
+
+
+def test_matryoshka_prefix_consistency(spark):
+    """The 16-dim tier must equal l2_normalize applied to the sliced
+    prefix, and a vector whose PREFIX is all zeros goes NULL at that
+    tier while staying live at a wider tier."""
+    from sales_data_etl_pipeline_spark.operators import embeddings as emb_ops
+
+    rows = [
+        Row(vec_id=1, embedding=[1.0] * 32),
+        Row(vec_id=2, embedding=[0.0] * 16 + [1.0] * 16),  # zero prefix
+    ]
+    emb = spark.createDataFrame(rows)
+    got = {
+        (r.vec_id, r.dims): (r.norm_q6, r.unit_q6)
+        for r in emb_ops.matryoshka_levels(emb, (16, 32)).collect()
+    }
+    direct = emb_ops.l2_normalize(
+        emb.select("vec_id", F.expr("slice(embedding, 1, 16)").alias("embedding"))
+    ).collect()
+    for r in direct:
+        assert got[(r.vec_id, 16)] == (r.norm_q6, r.unit_q6)
+    assert got[(2, 16)][1] is None  # zero prefix: NULL unit vector
+    assert got[(2, 32)][1] is not None
