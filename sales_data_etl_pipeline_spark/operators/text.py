@@ -1351,24 +1351,27 @@ def trigram_backoff_score(
     t_toks = train.select(
         F.explode(F.expr(TOKENIZE.format(col=text_col))).alias("w")
     )
-    # one tokenize pass feeds all three orders via length-tagged grams
+    # one tokenize pass feeds all three orders via length-tagged grams.
+    # CASE-guard short docs: Spark's sequence(1, 0) runs DESCENDING and
+    # would element_at past the end of an empty token array
     tri = train.select(
         F.explode(
             F.expr(
-                "transform(sequence(1, greatest(size({t}) - 2, 0)),"
+                "CASE WHEN size({t}) < 3 THEN array() ELSE"
+                " transform(sequence(1, size({t}) - 2),"
                 " i -> concat(element_at({t}, i), ' ',"
-                " element_at({t}, i + 1), ' ', element_at({t}, i + 2)))".format(
-                    t=TOKENIZE.format(col=text_col)
-                )
+                " element_at({t}, i + 1), ' ', element_at({t}, i + 2)))"
+                " END".format(t=TOKENIZE.format(col=text_col))
             )
         ).alias("g")
     ).groupBy("g").agg(F.count(F.lit(1)).alias("c3"))
     bi = train.select(
         F.explode(
             F.expr(
-                "transform(sequence(1, greatest(size({t}) - 1, 0)),"
+                "CASE WHEN size({t}) < 2 THEN array() ELSE"
+                " transform(sequence(1, size({t}) - 1),"
                 " i -> concat(element_at({t}, i), ' ',"
-                " element_at({t}, i + 1)))".format(
+                " element_at({t}, i + 1))) END".format(
                     t=TOKENIZE.format(col=text_col)
                 )
             )
