@@ -711,24 +711,41 @@ def dsir_weights(
     from sales_data_etl_pipeline_spark.operators.dedup import hash_id_expr
     from sales_data_etl_pipeline_spark.operators.text import TOKENIZE
 
-    toks = TOKENIZE.format(col=text_col)
+    # materialize the token ARRAY once per row before the bigram
+    # lambda: inlining TOKENIZE inside element_at re-runs the full
+    # split per position (O(len²) per doc — measured 4× on the bench)
     bigrams = (
-        f"CASE WHEN size({toks}) < 2 THEN array() "
-        f"ELSE transform(sequence(1, size({toks}) - 1), "
-        f"i -> concat(element_at({toks}, i), ' ', element_at({toks}, i + 1))) END"
+        "CASE WHEN size(_t) < 2 THEN array() "
+        "ELSE transform(sequence(1, size(_t) - 1), "
+        "i -> concat(element_at(_t, i), ' ', element_at(_t, i + 1))) END"
     )
-    bg = docs.select(
-        id_col,
-        (F.col(lang_col) == F.lit(target_lang)).alias("_is_target"),
-        F.explode(F.expr(bigrams)).alias("_bg"),
-    ).select(
-        id_col,
-        "_is_target",
-        F.expr(hash_id_expr("_bg", width)).alias("bucket"),
+    bg = (
+        docs.select(
+            id_col,
+            (F.col(lang_col) == F.lit(target_lang)).alias("_is_target"),
+            F.expr(TOKENIZE.format(col=text_col)).alias("_t"),
+        )
+        .select(
+            id_col,
+            "_is_target",
+            F.explode(F.expr(bigrams)).alias("_bg"),
+        )
+        .select(
+            id_col,
+            "_is_target",
+            F.expr(hash_id_expr("_bg", width)).alias("bucket"),
+        )
     )
-    model = bg.groupBy("bucket").agg(
-        F.count(F.lit(1)).alias("s_cnt"),
-        F.sum(F.col("_is_target").cast("long")).alias("t_cnt"),
+    # ONE tokenize+explode pass: the per-doc bucket counts are the only
+    # corpus-sized aggregate; the width-row model derives from them
+    per_doc = bg.groupBy(id_col, "_is_target", "bucket").agg(
+        F.count(F.lit(1)).alias("occ")
+    )
+    model = per_doc.groupBy("bucket").agg(
+        F.sum("occ").alias("s_cnt"),
+        F.sum(F.when(F.col("_is_target"), F.col("occ")).otherwise(0)).alias(
+            "t_cnt"
+        ),
     )
     totals = model.agg(
         F.sum("s_cnt").alias("_s_total"), F.sum("t_cnt").alias("_t_total")
@@ -740,9 +757,6 @@ def dsir_weights(
             f"{width} as double)) - log2((s_cnt + 1) / cast(_s_total + "
             f"{width} as double))) * 1000000 + 0.5) as bigint)"
         ).alias("lr_q6"),
-    )
-    per_doc = bg.groupBy(id_col, "bucket").agg(
-        F.count(F.lit(1)).alias("occ")
     )
     return (
         per_doc.join(F.broadcast(lr), "bucket")

@@ -1348,32 +1348,31 @@ def trigram_backoff_score(
     Returns (doc_id, n_scored, backoff_q6) — positions 3..len score;
     docs with < 3 tokens drop out.
     """
-    t_toks = train.select(
-        F.explode(F.expr(TOKENIZE.format(col=text_col))).alias("w")
-    )
-    # one tokenize pass feeds all three orders via length-tagged grams.
-    # CASE-guard short docs: Spark's sequence(1, 0) runs DESCENDING and
-    # would element_at past the end of an empty token array
-    tri = train.select(
+    # materialize the token ARRAY once per row before any n-gram
+    # lambda — inlining TOKENIZE inside element_at re-splits the text
+    # per position (O(len²) per doc). CASE-guard short docs: Spark's
+    # sequence(1, 0) runs DESCENDING and would element_at past the end
+    # of an empty token array.
+    t_arr = train.select(F.expr(TOKENIZE.format(col=text_col)).alias("_t"))
+    t_toks = t_arr.select(F.explode("_t").alias("w"))
+    tri = t_arr.select(
         F.explode(
             F.expr(
-                "CASE WHEN size({t}) < 3 THEN array() ELSE"
-                " transform(sequence(1, size({t}) - 2),"
-                " i -> concat(element_at({t}, i), ' ',"
-                " element_at({t}, i + 1), ' ', element_at({t}, i + 2)))"
-                " END".format(t=TOKENIZE.format(col=text_col))
+                "CASE WHEN size(_t) < 3 THEN array() ELSE"
+                " transform(sequence(1, size(_t) - 2),"
+                " i -> concat(element_at(_t, i), ' ',"
+                " element_at(_t, i + 1), ' ', element_at(_t, i + 2)))"
+                " END"
             )
         ).alias("g")
     ).groupBy("g").agg(F.count(F.lit(1)).alias("c3"))
-    bi = train.select(
+    bi = t_arr.select(
         F.explode(
             F.expr(
-                "CASE WHEN size({t}) < 2 THEN array() ELSE"
-                " transform(sequence(1, size({t}) - 1),"
-                " i -> concat(element_at({t}, i), ' ',"
-                " element_at({t}, i + 1))) END".format(
-                    t=TOKENIZE.format(col=text_col)
-                )
+                "CASE WHEN size(_t) < 2 THEN array() ELSE"
+                " transform(sequence(1, size(_t) - 1),"
+                " i -> concat(element_at(_t, i), ' ',"
+                " element_at(_t, i + 1))) END"
             )
         ).alias("g")
     ).groupBy("g").agg(F.count(F.lit(1)).alias("c2"))
