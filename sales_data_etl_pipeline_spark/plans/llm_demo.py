@@ -5622,16 +5622,18 @@ QUERIES["graph_label_propagation"] = graph_label_propagation
 
 def _lpa_oracle(iterations: int = 2) -> str:
     pairs_body = ORACLES["dedup_minhash_lsh"]
+    # MATERIALIZED: DuckDB inlines plain CTEs per reference, which
+    # would re-evaluate the MinHash pair build once per unrolled use
     ctes = [
-        f"p AS ({pairs_body})",
-        "e AS (SELECT id_a AS src, id_b AS dst FROM p"
+        f"p AS MATERIALIZED ({pairs_body})",
+        "e AS MATERIALIZED (SELECT id_a AS src, id_b AS dst FROM p"
         " UNION SELECT id_b, id_a FROM p)",
         "l0 AS (SELECT DISTINCT src AS node, src AS label FROM e)",
     ]
     prev = "l0"
     for i in range(1, iterations + 1):
         ctes.append(
-            f"""l{i} AS (
+            f"""l{i} AS MATERIALIZED (
             SELECT src AS node, label FROM (
                 SELECT e.src, l.label,
                        row_number() OVER (PARTITION BY e.src
@@ -5752,7 +5754,7 @@ QUERIES["graph_triangle_count"] = graph_triangle_count
 
 ORACLES["graph_triangle_count"] = f"""
     WITH {_lev_pair_ctes(_DUP_FAMILY_DOCS)},
-    e AS (SELECT doc_a AS u, doc_b AS v FROM lp
+    e AS MATERIALIZED (SELECT doc_a AS u, doc_b AS v FROM lp
           UNION SELECT doc_b, doc_a FROM lp),
     tr AS (SELECT ab.u AS a, ab.v AS b, bc.v AS c
            FROM e ab
@@ -5969,32 +5971,44 @@ ORACLES["embedding_pca_power"] = _pca_power_oracle()
 
 
 def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """2-core of the edit-distance near-dup graph
-    (``dedup.kcore_decompose``) on the three-copy family fixture: each
-    family {orig, cut-30, cut-15} is a 3-clique whose members all keep
-    degree 2, so families survive peeling while incidental pairwise
-    matches and chain ends are stripped — the density filter that
-    separates dup FAMILIES from noise. The oracle unrolls six peel
-    rounds; the kernel's observed fixed point must land inside them."""
-    pairs = dedup.levenshtein_pairs(_docs_with_dup_families(spark, sf_dir))
-    return dedup.kcore_decompose(
-        pairs, k=2, id_a="doc_a", id_b="doc_b", max_iterations=6
-    ).orderBy("doc_id")
+    """2-core of the MinHash near-dup graph (``dedup.kcore_decompose``)
+    on the three-copy family fixture: each family {orig, cut-30,
+    cut-15} is a 3-clique whose members all keep degree 2, so families
+    survive peeling while incidental pairwise matches and chain ends
+    are stripped — the density filter that separates dup FAMILIES from
+    noise. MinHash pairs are the base (the LPA gate's convention — the
+    graph op is under test, and the banded pair build is 4× cheaper
+    than the edit-distance DP the levenshtein/triangle gates
+    deliberately pay). The oracle unrolls six peel rounds; the
+    kernel's observed fixed point must land inside them."""
+    pairs = dedup.minhash_lsh_pairs(
+        _docs_with_dup_families(spark, sf_dir), threshold=0.5
+    )
+    return dedup.kcore_decompose(pairs, k=2, max_iterations=6).orderBy(
+        "doc_id"
+    )
 
 
 QUERIES["graph_kcore"] = graph_kcore
 
 
 def _kcore_oracle(k: int = 2, rounds: int = 6) -> str:
+    pairs_body = ORACLES["dedup_minhash_lsh"].replace(
+        _NEAR_DUP_DOCS, _DUP_FAMILY_DOCS
+    )
+    # MATERIALIZED: DuckDB inlines plain CTEs per reference — e is
+    # referenced twice per unrolled round, which re-evaluates the
+    # whole MinHash pair build up to 12× (measured 400 s vs 4 s)
     ctes = [
-        "e AS (SELECT doc_a AS u, doc_b AS v FROM lp"
-        " UNION SELECT doc_b, doc_a FROM lp)",
+        f"p AS MATERIALIZED ({pairs_body})",
+        "e AS MATERIALIZED (SELECT id_a AS u, id_b AS v FROM p"
+        " UNION SELECT id_b, id_a FROM p)",
         "a0 AS (SELECT DISTINCT u FROM e)",
     ]
     prev = "a0"
     for i in range(1, rounds + 1):
         ctes.append(
-            f"""a{i} AS (
+            f"""a{i} AS MATERIALIZED (
             SELECT e.u, COUNT(*) AS d FROM e
             JOIN {prev} x ON e.u = x.u
             JOIN {prev} y ON e.v = y.u
@@ -6003,8 +6017,7 @@ def _kcore_oracle(k: int = 2, rounds: int = 6) -> str:
         prev = f"a{i}"
     joined = ",\n    ".join(ctes)
     return f"""
-        WITH {_lev_pair_ctes(_DUP_FAMILY_DOCS)},
-        {joined}
+        WITH {joined}
         SELECT u AS doc_id, CAST(d AS BIGINT) AS core_degree
         FROM {prev} ORDER BY doc_id
     """
@@ -6266,9 +6279,9 @@ ORACLES["graph_link_prediction"] = f"""
     WITH {_lev_pair_ctes(_DUP_FAMILY_DOCS)},
     lpd AS (SELECT * FROM lp
             WHERE NOT (doc_a % 60 = 0 AND doc_b = doc_a + 10000)),
-    e AS (SELECT doc_a AS u, doc_b AS v FROM lpd
+    e AS MATERIALIZED (SELECT doc_a AS u, doc_b AS v FROM lpd
           UNION SELECT doc_b, doc_a FROM lpd),
-    deg AS (SELECT u, COUNT(*) AS deg FROM e GROUP BY u),
+    deg AS MATERIALIZED (SELECT u, COUNT(*) AS deg FROM e GROUP BY u),
     ok AS (SELECT u FROM deg WHERE deg <= 50),
     ws AS (SELECT e.u AS c, e.v FROM e JOIN ok ON ok.u = e.u),
     common AS (
