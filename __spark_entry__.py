@@ -39,7 +39,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # --baseline tools/entry_fingerprints_r09.json
 # --force-changed <28 names> --promote-stale <5 headline queries>.
 # Composition (closing the round-9 verdict's #1-#2 asks):
-# (1) 44 never-green: the 8 round-9 additions (the round-9 window was
+# (1) 47 never-green: the 8 round-9 additions (the round-9 window was
 #     never rotated, so they shipped with zero driver rows) plus ALL
 #     round-10 additions — every new gate entry re-enters the planner
 #     the moment it lands in queries(), and never-green outranks every
@@ -47,12 +47,12 @@ def entry(spark: SparkSession) -> DataFrame:
 #     construction (the round-9 failure mode cannot recur silently:
 #     tests/test_verify_window.py replans from the recorded inputs
 #     against the LIVE registry).
-# (2) 5 forced changed-since-green: of the 26 entries whose
+# (2) 2 forced changed-since-green: of the 26 entries whose
 #     fingerprint moved between the r08 and r09 snapshots while their
 #     last green row predates r9 (r9 edits to text.py/corpus.py/
 #     dedup.py/embeddings.py/sources reached their dep closures
-#     without a fresh driver row), the 5 that fit after the
-#     never-green tier took its slots; the 26 displaced
+#     without a fresh driver row), the 2 that fit after the
+#     never-green tier took its slots; the 29 displaced
 #     (text_fingerprint, text_language_id, text_repetition,
 #     text_sentence_stats, text_term_frequencies, text_tfidf_top_terms,
 #     source_jsonl_roundtrip, stats_correlation, table_insert_missing,
@@ -61,8 +61,9 @@ def entry(spark: SparkSession) -> DataFrame:
 #     embedding_quantize_int8, multimodal_dhash, source_csv_roundtrip,
 #     dedup_exact, dedup_incremental, dedup_minhash_lsh,
 #     dedup_ngram_jaccard, corpus_domain_mixture, dedup_containment,
-#     text_quality_score, text_token_stats) carry to the r11 force
-#     list (SURVEY §7.9).
+#     text_quality_score, text_token_stats, text_bigram_logprob,
+#     text_gopher_quality, text_paragraph_dedup) carry to the r11
+#     force list (SURVEY §7.9).
 #     NOTE the 41 entries that ALSO drifted r08->r09 but hold an r9
 #     green row are deliberately NOT re-queued: the driver ran the r9
 #     gate at round-9 close on the final r9 code, so their rows
@@ -109,10 +110,12 @@ _VERIFY_FIRST = [
     "graph_kcore",
     "graph_label_propagation",
     "graph_link_prediction",
+    "graph_link_prediction_aa",
     "graph_triangle_count",
     "multimodal_audio_stats",
     "multimodal_phash_pairs",
     "multimodal_scene_cuts",
+    "multimodal_shot_reps",
     "sales_cube",
     "similarity_knn_graph",
     "similarity_range_join",
@@ -129,6 +132,7 @@ _VERIFY_FIRST = [
     "table_snapshot_diff",
     "table_view_maintain",
     "table_zorder_layout",
+    "text_bpe_apply",
     "text_bpe_train",
     "text_dup_span_removal",
     "text_perplexity_buckets",
@@ -138,9 +142,6 @@ _VERIFY_FIRST = [
     "corpus_chunk_documents",
     "table_cdc_apply",
     "text_bpe_token_count",
-    "text_bigram_logprob",
-    "text_gopher_quality",
-    "text_paragraph_dedup",
 ]
 
 

@@ -188,6 +188,10 @@ HEADLINE = [
     "similarity_topk_hamming_rerank",
     "multimodal_scene_cuts",
     "embedding_matryoshka",
+    # round-10 batch 8
+    "text_bpe_apply",
+    "graph_link_prediction_aa",
+    "multimodal_shot_reps",
 ]
 
 

@@ -1911,3 +1911,70 @@ def link_prediction_jaccard(
         )
     )
     return scored
+
+
+def link_prediction_adamic_adar(
+    pairs: DataFrame,
+    *,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_degree: int = 50,
+    min_common: int = 1,
+) -> DataFrame:
+    """Adamic–Adar link prediction (Adamic & Adar 2003) — the
+    common-neighbor score that DOWN-weights promiscuous neighbors:
+    ``AA(a, b) = Σ_{z ∈ N(a)∩N(b)} 1 / log2(deg z)``, so two docs
+    connected only through a boilerplate hub score near zero while a
+    pair sharing a tight family member scores high — usually the
+    better banding-recall audit than raw Jaccard on skewed graphs.
+
+    Same wedge shape and bounded-reducer discipline as
+    :func:`link_prediction_jaccard` (wedge centers capped at
+    ``max_degree``; degree-1 nodes produce no wedges so log2(1)=0
+    never divides). Determinism: each center's ``1/log2(deg)`` is
+    quantized to an integer (``floor(x·10⁶ + 0.5)``, the
+    unigram_logprob discipline) BEFORE the per-pair sum, so scores
+    are exact integer arithmetic in both engines.
+
+    Output: (id_a < id_b, common, aa_q6) over NON-edges with
+    ``common ≥ min_common``.
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
+        .unionByName(
+            pairs.select(F.col(id_b).alias("u"), F.col(id_a).alias("v"))
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    deg = edges.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+    centers = deg.filter(
+        (F.col("deg") >= 2) & (F.col("deg") <= max_degree)
+    ).select(
+        "u",
+        F.expr(
+            "cast(floor(1.0 / log2(cast(deg as double)) * 1000000 + 0.5)"
+            " as bigint)"
+        ).alias("_w"),
+    )
+    wedge_src = edges.join(centers, "u")
+    w1 = wedge_src.select(F.col("u").alias("c"), "_w", F.col("v").alias("a"))
+    w2 = wedge_src.select(F.col("u").alias("c"), F.col("v").alias("b"))
+    common = (
+        w1.join(w2, "c")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(
+            F.count(F.lit(1)).alias("common"),
+            F.sum("_w").alias("aa_q6"),
+        )
+        .filter(F.col("common") >= min_common)
+    )
+    non_edges = common.join(
+        edges.select(F.col("u").alias("a"), F.col("v").alias("b")),
+        ["a", "b"],
+        "left_anti",
+    )
+    return non_edges.select(
+        F.col("a").alias(id_a), F.col("b").alias(id_b), "common", "aa_q6"
+    )

@@ -803,3 +803,54 @@ def scene_cuts(
             (F.col("hamming") > threshold).alias("is_cut"),
         )
     )
+
+
+def shot_representatives(
+    frames: DataFrame,
+    *,
+    media_col: str = "media_id",
+    idx_col: str = "frame_idx",
+    payload_col: str = "payload",
+    threshold: int = 8,
+) -> DataFrame:
+    """Representative-frame selection — the step AFTER
+    :func:`scene_cuts`: number each video's shots by the running count
+    of detected cuts and keep one representative (the shot's first
+    frame) plus the shot length — the "one frame per shot instead of
+    30 near-identical neighbors" reduction a video training pipeline
+    feeds to the expensive vision encoder.
+
+    Composition: the scene-cut lag window (hash + compare), a second
+    running-sum window on the SAME (media, frame) partitioning —
+    Spark reuses the sort — and one grouped min/count. Reducer width
+    stays a single video's frames throughout.
+
+    Output: (media_id, shot_idx ≥ 0, rep_frame_idx, n_frames).
+    """
+    cuts = scene_cuts(
+        frames,
+        media_col=media_col,
+        idx_col=idx_col,
+        payload_col=payload_col,
+        threshold=threshold,
+    ).select(media_col, idx_col, F.col("is_cut").cast("long").alias("_cut"))
+    first = frames.select(
+        media_col, idx_col, F.lit(0).alias("_cut")
+    ).join(
+        cuts.select(media_col, idx_col), [media_col, idx_col], "left_anti"
+    )
+    w = (
+        Window.partitionBy(media_col)
+        .orderBy(idx_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    numbered = first.unionByName(cuts).withColumn(
+        "shot_idx", F.sum("_cut").over(w)
+    )
+    return (
+        numbered.groupBy(media_col, "shot_idx")
+        .agg(
+            F.min(idx_col).alias("rep_frame_idx"),
+            F.count(F.lit(1)).alias("n_frames"),
+        )
+    )

@@ -1157,6 +1157,22 @@ def bpe_train_merges(
     Returns (merge_rank, left_sym, right_sym, pair_count) for rounds
     1..n_merges.
     """
+    merges, _ = _bpe_train_full(df, n_merges=n_merges, text_col=text_col)
+    return merges
+
+
+def _bpe_train_full(
+    df: DataFrame,
+    *,
+    n_merges: int,
+    text_col: str,
+) -> tuple[DataFrame, DataFrame]:
+    """(merge rules, final per-word symbol stream) — the shared body of
+    :func:`bpe_train_merges` (rules only) and
+    :func:`bpe_apply_token_counts` (rules applied back to the corpus).
+    A no-winner round is a NO-OP on the symbol stream (LEFT join
+    against the 0/1-row winner — a cross join would empty it), so
+    applying to a single-char vocabulary returns it unchanged."""
     toks = df.select(
         F.explode(F.expr(TOKENIZE.format(col=text_col))).alias("word")
     )
@@ -1200,8 +1216,13 @@ def bpe_train_merges(
             .localCheckpoint(eager=False)  # consumed by output AND the merge
         )
         out = winner if out is None else out.unionByName(winner)
-        mt = adj.crossJoin(
-            F.broadcast(winner.select("left_sym", "right_sym"))
+        # LEFT join on TRUE: with a winner present this IS the cross
+        # join; with none (no pairs left) mat goes NULL -> no merge,
+        # and the symbol stream survives unchanged
+        mt = adj.join(
+            F.broadcast(winner.select("left_sym", "right_sym")),
+            F.lit(True),
+            "left",
         ).withColumn(
             "mat",
             (F.col("sym") == F.col("left_sym"))
@@ -1236,7 +1257,7 @@ def bpe_train_merges(
             )
             .localCheckpoint(eager=False)  # cut the per-round window lineage
         )
-    return out
+    return out, surv
 
 
 def bpe_train_merges_sql(
@@ -1244,7 +1265,8 @@ def bpe_train_merges_sql(
     *,
     n_merges: int = 3,
     text_col: str = "text",
-) -> str:
+    ctes_only: bool = False,
+):
     """DuckDB oracle twin of :func:`bpe_train_merges` — the identical
     gaps-and-islands formulation, unrolled per merge round."""
     toks = (
@@ -1261,12 +1283,12 @@ def bpe_train_merges_sql(
     finals = []
     for r in range(1, n_merges + 1):
         ctes.append(
-            f"""k{r} AS (SELECT word, wc,
+            f"""k{r} AS MATERIALIZED (SELECT word, wc,
                    row_number() OVER (PARTITION BY word ORDER BY pos) AS k,
                    sym FROM {prev})"""
         )
         ctes.append(
-            f"""adj{r} AS (SELECT *, lead(sym) OVER (
+            f"""adj{r} AS MATERIALIZED (SELECT *, lead(sym) OVER (
                    PARTITION BY word ORDER BY k) AS nxt FROM k{r})"""
         )
         ctes.append(
@@ -1274,12 +1296,14 @@ def bpe_train_merges_sql(
                    FROM adj{r} WHERE nxt IS NOT NULL GROUP BY sym, nxt)"""
         )
         ctes.append(
-            f"""w{r} AS (SELECT l, r2, CAST(cnt AS BIGINT) AS cnt FROM p{r}
+            f"""w{r} AS MATERIALIZED (SELECT l, r2, CAST(cnt AS BIGINT) AS cnt FROM p{r}
                    ORDER BY cnt DESC, l, r2 LIMIT 1)"""
         )
         ctes.append(
+            # LEFT JOIN ON TRUE mirrors the kernel: a no-winner round
+            # is a no-op, not an annihilating cross join
             f"""mt{r} AS (SELECT a.*, (a.sym = w.l AND a.nxt = w.r2) AS mat
-                   FROM adj{r} a, w{r} w)"""
+                   FROM adj{r} a LEFT JOIN w{r} w ON TRUE)"""
         )
         ctes.append(
             f"""run{r} AS (SELECT *, CASE WHEN mat THEN
@@ -1297,7 +1321,7 @@ def bpe_train_merges_sql(
                    FROM mg{r})"""
         )
         ctes.append(
-            f"""s{r} AS (SELECT word, wc, k AS pos,
+            f"""s{r} AS MATERIALIZED (SELECT word, wc, k AS pos,
                    CASE WHEN merged THEN sym || nxt ELSE sym END AS sym
                    FROM c{r} WHERE NOT consumed)"""
         )
@@ -1308,6 +1332,8 @@ def bpe_train_merges_sql(
         prev = f"s{r}"
     joined = ",\n        ".join(ctes)
     union = " UNION ALL ".join(finals)
+    if ctes_only:
+        return joined, prev
     return f"""
         WITH {joined}
         SELECT * FROM ({union}) ORDER BY merge_rank
@@ -1502,4 +1528,72 @@ def trigram_backoff_sql(
                COUNT(*) AS n_scored,
                CAST(SUM(sq) AS BIGINT) AS backoff_q6
         FROM sq GROUP BY doc_id
+    """
+
+
+def bpe_apply_token_counts(
+    df: DataFrame,
+    *,
+    n_merges: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Apply the corpus's own learned BPE merges back to the corpus —
+    the tokenizer's OTHER half (:func:`bpe_train_merges` learns the
+    rules; this measures what they buy): per document, the word count,
+    the pre-merge symbol count (characters of its tokenized words), and
+    the post-merge symbol count after ``n_merges`` rounds.
+
+    The merged symbol streams already exist per VOCAB word at the end
+    of training — application is a |vocab|-row count + one hash join
+    of the (doc, word) stream against it, never a second pass of the
+    merge machinery over documents. That is the production shape too:
+    a tokenizer trains once on the vocabulary and applies by lookup.
+
+    Returns (doc_id, n_words, n_chars_tokenized, n_symbols). Docs
+    whose tokenization is empty drop out (no words to count).
+    """
+    _, final_surv = _bpe_train_full(df, n_merges=n_merges, text_col=text_col)
+    wsym = final_surv.groupBy("word").agg(
+        F.count(F.lit(1)).alias("_nsym")
+    )
+    dw = df.select(
+        id_col,
+        F.explode(F.expr(TOKENIZE.format(col=text_col))).alias("word"),
+    )
+    return (
+        dw.join(wsym, "word")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum(F.length("word")).alias("n_chars_tokenized"),
+            F.sum("_nsym").alias("n_symbols"),
+        )
+    )
+
+
+def bpe_apply_token_counts_sql(
+    docs_rel: str = "documents",
+    *,
+    n_merges: int = 3,
+    text_col: str = "text",
+) -> str:
+    """DuckDB oracle twin of :func:`bpe_apply_token_counts`."""
+    ctes, final = bpe_train_merges_sql(
+        docs_rel, n_merges=n_merges, text_col=text_col, ctes_only=True
+    )
+    toks = (
+        "list_filter(string_split_regex(lower({col}), '[^a-z0-9]+'),"
+        " x -> x <> '')"
+    ).format(col=text_col)
+    return f"""
+        WITH {ctes},
+        wsym AS (SELECT word, COUNT(*) AS nsym FROM {final} GROUP BY word),
+        dw AS (SELECT doc_id, UNNEST({toks}) AS word FROM {docs_rel})
+        SELECT doc_id,
+               COUNT(*) AS n_words,
+               CAST(SUM(length(word)) AS BIGINT) AS n_chars_tokenized,
+               CAST(SUM(nsym) AS BIGINT) AS n_symbols
+        FROM dw JOIN wsym USING (word)
+        GROUP BY doc_id
     """

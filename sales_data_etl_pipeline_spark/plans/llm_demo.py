@@ -6553,3 +6553,143 @@ def _matryoshka_oracle() -> str:
 
 
 ORACLES["embedding_matryoshka"] = _matryoshka_oracle()
+
+
+# --- round-10 batch 8 (final): BPE apply, Adamic-Adar, shot reps -------------
+
+
+def text_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the corpus's own 3 learned BPE merges back to every
+    document (``text.bpe_apply_token_counts``): per doc, word count,
+    pre-merge symbol (character) count, and post-merge symbol count —
+    training's other half, applied by a vocab-sized lookup join, never
+    a second merge pass over documents."""
+    return text.bpe_apply_token_counts(
+        _docs(spark, sf_dir), n_merges=3
+    ).orderBy("doc_id")
+
+
+QUERIES["text_bpe_apply"] = text_bpe_apply
+ORACLES["text_bpe_apply"] = (
+    text.bpe_apply_token_counts_sql("documents", n_merges=3)
+    + " ORDER BY doc_id"
+)
+
+
+def graph_link_prediction_aa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adamic–Adar link prediction
+    (``dedup.link_prediction_adamic_adar``) on the same
+    planted-hole fixture as the Jaccard gate — shared family members
+    down-weighted by their own degree, per-center 1/log2(deg)
+    quantized to micro-units before the integer pair sum."""
+    pairs = dedup.levenshtein_pairs(
+        _docs_with_dup_families(spark, sf_dir)
+    ).filter(
+        ~((F.col("doc_a") % 60 == 0) & (F.col("doc_b") == F.col("doc_a") + 10000))
+    )
+    return dedup.link_prediction_adamic_adar(
+        pairs, id_a="doc_a", id_b="doc_b", max_degree=50
+    ).orderBy("doc_a", "doc_b")
+
+
+QUERIES["graph_link_prediction_aa"] = graph_link_prediction_aa
+ORACLES["graph_link_prediction_aa"] = f"""
+    WITH {_lev_pair_ctes(_DUP_FAMILY_DOCS)},
+    lpd AS (SELECT * FROM lp
+            WHERE NOT (doc_a % 60 = 0 AND doc_b = doc_a + 10000)),
+    e AS MATERIALIZED (SELECT doc_a AS u, doc_b AS v FROM lpd
+          UNION SELECT doc_b, doc_a FROM lpd),
+    deg AS MATERIALIZED (SELECT u, COUNT(*) AS deg FROM e GROUP BY u),
+    ctr AS (SELECT u,
+                   CAST(floor(1.0 / log2(CAST(deg AS DOUBLE)) * 1000000 + 0.5)
+                        AS BIGINT) AS w
+            FROM deg WHERE deg >= 2 AND deg <= 50),
+    ws AS (SELECT e.u AS c, ctr.w, e.v FROM e JOIN ctr ON ctr.u = e.u),
+    common AS (
+        SELECT w1.v AS a, w2.v AS b,
+               COUNT(*) AS common, CAST(SUM(w1.w) AS BIGINT) AS aa_q6
+        FROM ws w1 JOIN ws w2 ON w1.c = w2.c AND w1.v < w2.v
+        GROUP BY w1.v, w2.v),
+    ne AS (SELECT common.* FROM common
+           LEFT JOIN e ON e.u = common.a AND e.v = common.b
+           WHERE e.u IS NULL)
+    SELECT a AS doc_a, b AS doc_b, common, aa_q6
+    FROM ne ORDER BY doc_a, doc_b
+"""
+
+
+def multimodal_shot_reps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Representative-frame selection (``multimodal.shot_representatives``)
+    over the scene-cut gate's synthetic 12-frame videos: shots numbered
+    by the running cut count, one representative (first frame) + length
+    per shot — the per-shot reduction fed to the expensive vision
+    encoder."""
+    from sales_data_etl_pipeline_spark.operators import multimodal
+
+    media = (
+        _docs(spark, sf_dir)
+        .filter(F.col("doc_id") % 10 == 0)
+        .select(F.col("doc_id").alias("media_id"))
+    )
+    fr = media.withColumn(
+        "frame_idx", F.explode(F.expr("sequence(0, 11)"))
+    ).withColumn(
+        "content_id",
+        F.col("media_id") + 7777 * (1 + F.expr("frame_idx div 4")),
+    )
+    payloads = multimodal.synthesize_bmp(
+        fr.select(F.col("content_id").alias("media_id")).distinct()
+    ).select(F.col("media_id").alias("content_id"), "payload")
+    frames = fr.join(payloads, "content_id").select(
+        "media_id", "frame_idx", "payload"
+    )
+    return multimodal.shot_representatives(frames, threshold=8).orderBy(
+        "media_id", "shot_idx"
+    )
+
+
+QUERIES["multimodal_shot_reps"] = multimodal_shot_reps
+
+
+def _shot_reps_oracle(threshold: int = 8) -> str:
+    gray = (
+        "list_transform(generate_series(0, 8), x ->"
+        " ((cid + 3*((x*(16 + cid % 32))//9)) % 256"
+        " + (cid + 3*((x*(16 + cid % 32))//9) + 1) % 256"
+        " + (cid + 3*((x*(16 + cid % 32))//9) + 2) % 256) // 3)"
+    )
+    return f"""
+        WITH m AS (SELECT doc_id AS media_id FROM documents
+                   WHERE doc_id % 10 = 0),
+        fr AS (SELECT media_id, i AS frame_idx,
+                      media_id + 7777 * (1 + i // 4) AS cid
+               FROM m, UNNEST(generate_series(0, 11)) AS u(i)),
+        g AS (SELECT media_id, frame_idx, {gray} AS gray FROM fr),
+        rb AS (SELECT media_id, frame_idx,
+                      CAST(list_aggregate(list_transform(
+                          generate_series(0, 7), x ->
+                          CASE WHEN gray[x+2] > gray[x+1]
+                               THEN 1 << (7 - x) ELSE 0 END), 'sum')
+                           AS BIGINT) AS rbyte
+               FROM g),
+        l AS (SELECT *, lag(rbyte) OVER (
+                  PARTITION BY media_id ORDER BY frame_idx) AS prb
+              FROM rb),
+        cuts AS (SELECT media_id, frame_idx,
+                        CASE WHEN prb IS NOT NULL
+                              AND 8 * bit_count(xor(rbyte, prb)) > {threshold}
+                             THEN 1 ELSE 0 END AS cut
+                 FROM l),
+        numbered AS (SELECT media_id, frame_idx,
+                            SUM(cut) OVER (PARTITION BY media_id
+                                ORDER BY frame_idx) AS shot_idx
+                     FROM cuts)
+        SELECT media_id, CAST(shot_idx AS BIGINT) AS shot_idx,
+               MIN(frame_idx) AS rep_frame_idx,
+               COUNT(*) AS n_frames
+        FROM numbered GROUP BY media_id, shot_idx
+        ORDER BY media_id, shot_idx
+    """
+
+
+ORACLES["multimodal_shot_reps"] = _shot_reps_oracle()

@@ -411,6 +411,9 @@ FUZZED_CORPUS = [
     # Matryoshka truncation tiers
     "similarity_topk_hamming_rerank",
     "embedding_matryoshka",
+    # round-10 batch 8: BPE application + Adamic-Adar link prediction
+    "text_bpe_apply",
+    "graph_link_prediction_aa",
 ]
 
 
@@ -516,6 +519,8 @@ FUZZED_MORE = [
     # analytic-raster scene cuts
     "table_view_maintain",
     "multimodal_scene_cuts",
+    # round-10 batch 8: per-shot representative frames
+    "multimodal_shot_reps",
 ]
 
 

@@ -1332,3 +1332,77 @@ def test_matryoshka_prefix_consistency(spark):
         assert got[(r.vec_id, 16)] == (r.norm_q6, r.unit_q6)
     assert got[(2, 16)][1] is None  # zero prefix: NULL unit vector
     assert got[(2, 32)][1] is not None
+
+
+# --- batch 8: BPE apply, Adamic-Adar, shot representatives -------------------
+
+
+def test_bpe_apply_counts_and_noop_on_single_chars(spark):
+    """'aaaa' compresses 4 chars -> 2 symbols after merge (a,a), then
+    1 after (aa,aa); single-char-vocab corpora apply as a NO-OP (the
+    empty-winner round must not annihilate the symbol stream)."""
+    from sales_data_etl_pipeline_spark.operators import text as text_ops
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=1, text="aaaa aaaa aaaa ab ab"), Row(doc_id=2, text="aaaa")]
+    )
+    got = {
+        r.doc_id: (r.n_words, r.n_chars_tokenized, r.n_symbols)
+        for r in text_ops.bpe_apply_token_counts(docs, n_merges=2).collect()
+    }
+    # doc 1: words aaaa(x3), ab(x2). aaaa: 4 chars -> [aa,aa] -> [aaaa]
+    # = 1 symbol; ab stays 2 symbols (pair (a,b) never wins rounds 1-2)
+    assert got[1] == (5, 16, 3 * 1 + 2 * 2)
+    assert got[2] == (1, 4, 1)
+    # single-char vocabulary: nothing to merge, counts preserved
+    single = spark.createDataFrame([Row(doc_id=9, text="a b c a")])
+    got1 = text_ops.bpe_apply_token_counts(single, n_merges=3).collect()
+    assert (got1[0].n_words, got1[0].n_symbols) == (4, 4)
+
+
+def test_adamic_adar_weights_centers_by_degree(spark):
+    """Two non-edges with one shared center each: the pair through the
+    degree-2 center outscores the pair through the degree-4 hub."""
+    pairs = spark.createDataFrame(
+        # tight: 1-2-3 path (center 2 has degree 2)
+        [Row(id_a=1, id_b=2), Row(id_a=2, id_b=3)]
+        # hub: 10 connects 11..13 (degree 4 after the edge to 3)
+        + [Row(id_a=10, id_b=x) for x in (11, 12, 13)]
+        + [Row(id_a=3, id_b=10)]
+    )
+    got = {
+        (r.id_a, r.id_b): r.aa_q6
+        for r in dedup.link_prediction_adamic_adar(pairs).collect()
+    }
+    assert got[(1, 3)] == 1_000_000  # 1/log2(2)
+    # hub-center pairs: 1/log2(4) = 0.5
+    assert got[(11, 12)] == 500_000
+    assert got[(1, 3)] > got[(11, 12)]
+
+
+def test_shot_representatives_numbering(spark):
+    """Shots are numbered by running cut count; each shot's rep is its
+    first frame and lengths sum to the frame count."""
+    from sales_data_etl_pipeline_spark.operators import multimodal
+
+    media = spark.createDataFrame([Row(media_id=4)])
+    fr = media.withColumn(
+        "frame_idx", F.explode(F.expr("sequence(0, 7)"))
+    ).withColumn(
+        "content_id",
+        F.col("media_id") + 1000 * (1 + F.expr("frame_idx div 4")),
+    )
+    payloads = multimodal.synthesize_bmp(
+        fr.select(F.col("content_id").alias("media_id")).distinct()
+    ).select(F.col("media_id").alias("content_id"), "payload")
+    frames = fr.join(payloads, "content_id").select(
+        "media_id", "frame_idx", "payload"
+    )
+    got = sorted(
+        multimodal.shot_representatives(frames, threshold=0).collect(),
+        key=lambda r: r.shot_idx,
+    )
+    assert [(r.shot_idx, r.rep_frame_idx, r.n_frames) for r in got] == [
+        (0, 0, 4),
+        (1, 4, 4),
+    ]
