@@ -118,6 +118,12 @@ SOAK_QUERIES = (
     # already covers both at fixture scale).
     "dedup_minhash_containment",
     "dedup_incremental_join",
+    # round-10 additions with a 100 TB-critical shape: binary-Hamming
+    # ANN (one kernel pass + band joins over ~500k vectors for 10
+    # queries) and the one-pass hashed-bigram DSIR model (~500k docs
+    # tokenized once; the model stays 1024 rows)
+    "similarity_topk_hamming",
+    "corpus_dsir_weights",
 )
 #: only the corpus tables the soak queries scan get replicated
 SOAK_TABLES = {"documents": ("doc_id", 1_000_000), "embeddings": ("vec_id", 1_000_000)}
