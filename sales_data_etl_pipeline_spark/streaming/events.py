@@ -634,3 +634,116 @@ def stream_to_jdbc_upsert(
         .option("checkpointLocation", checkpoint)
         .start()
     )
+
+
+def jdbc_view_maintain_batch_fn(
+    url: str,
+    table: str,
+    group_col: str,
+    value_col: str,
+    *,
+    properties: dict[str, str] | None = None,
+):
+    """Build the ``foreachBatch`` function for a streaming
+    materialized-view maintainer: each micro-batch of APPEND-ONLY rows
+    folds into a persistent ``(group, n_rows, sum_v)`` rollup — the
+    streaming form of ``merge.maintain_agg_view`` restricted to
+    inserts (a stream of events has no retractions; CDC streams with
+    U/D go through the batch operator).
+
+    Exactly-once discipline: additive deltas are NOT idempotent (the
+    keyed-upsert sink's replay trick doesn't apply — re-adding a
+    delta double-counts), so the view table carries the LAST APPLIED
+    BATCH ID on every row and the maintainer skips any batch ≤ it.
+    The fence travels IN the same single-table overwrite as the data,
+    so there is no window where the delta landed but the fence did
+    not (a separate ledger table would reintroduce it — Derby's
+    DataFrame writer has no cross-table transaction).
+
+    ``value_col`` must be exactly additive (integers/cents): the
+    incremental sum must equal a from-scratch GROUP BY bit-for-bit,
+    which float accumulation order would break.
+    """
+    from pyspark.sql import functions as F
+
+    from sales_data_etl_pipeline_spark.sources import jdbc as jdbc_src
+
+    def target_exists(spark) -> bool:
+        jvm = spark._sc._jvm
+        props = jvm.java.util.Properties()
+        for k, v in (properties or {}).items():
+            props.setProperty(k, str(v))
+        conn = jvm.java.sql.DriverManager.getConnection(url, props)
+        try:
+            bare = table.rsplit(".", 1)[-1]
+            rs = conn.getMetaData().getTables(None, None, "%", None)
+            while rs.next():
+                if rs.getString(3).lower() == bare.lower():
+                    return True
+            return False
+        finally:
+            conn.close()
+
+    def apply_batch(batch_df, batch_id: int) -> None:
+        if not batch_df.columns:
+            return
+        spark = batch_df.sparkSession
+        delta = batch_df.groupBy(group_col).agg(
+            F.count(F.lit(1)).alias("_dn"), F.sum(value_col).alias("_dv")
+        )
+        if target_exists(spark):
+            view = jdbc_src.read_jdbc(spark, url, table, properties=properties)
+            applied = view.agg(F.max("last_batch_id")).first()[0]
+            if applied is not None and applied >= batch_id:
+                return  # replayed batch: the fence says it already landed
+            merged = view.join(delta, group_col, "full_outer").select(
+                group_col,
+                (
+                    F.coalesce(F.col("n_rows"), F.lit(0))
+                    + F.coalesce(F.col("_dn"), F.lit(0))
+                ).alias("n_rows"),
+                (
+                    F.coalesce(F.col("sum_v"), F.lit(0))
+                    + F.coalesce(F.col("_dv"), F.lit(0))
+                ).alias("sum_v"),
+            )
+        else:  # genuine first batch
+            merged = delta.select(
+                group_col,
+                F.col("_dn").alias("n_rows"),
+                F.col("_dv").alias("sum_v"),
+            )
+        materialized = merged.withColumn(
+            "last_batch_id", F.lit(int(batch_id)).cast("long")
+        ).localCheckpoint(eager=True)  # read-overwrite-same-table trap
+        jdbc_src.write_jdbc(
+            materialized, url, table, mode="overwrite", properties=properties
+        )
+
+    return apply_batch
+
+
+def stream_to_view_maintenance(
+    rows,
+    url: str,
+    table: str,
+    group_col: str,
+    value_col: str,
+    checkpoint: str,
+    *,
+    properties: dict[str, str] | None = None,
+):
+    """Continuous streaming IVM sink: maintain a persistent
+    ``(group, n_rows, sum_v)`` rollup from an append-only row stream
+    via ``foreachBatch`` (:func:`jdbc_view_maintain_batch_fn`).
+    Returns the StreamingQuery handle."""
+    return (
+        rows.writeStream.outputMode("append")
+        .foreachBatch(
+            jdbc_view_maintain_batch_fn(
+                url, table, group_col, value_col, properties=properties
+            )
+        )
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )

@@ -224,3 +224,69 @@ def test_upsert_batch_raises_on_transient_read_failure(
         (1, 10.0),
         (2, 20.0),
     }
+
+
+def test_streaming_view_maintenance_exactly_once(spark, tmp_path):
+    """Streaming IVM: the (event_type, n_rows, sum_cents) rollup
+    maintained incrementally from the event stream must equal the
+    from-scratch batch GROUP BY, and re-applying a batch at-or-below
+    the stored fence must be a NO-OP (additive deltas are not
+    idempotent — the last_batch_id fence is what makes the sink
+    exactly-once under foreachBatch's at-least-once replay)."""
+    from sales_data_etl_pipeline_spark.plans import llm_demo
+    from sales_data_etl_pipeline_spark.streaming import events as streaming
+
+    sf_dir = "/root/testdata/sf0.001"
+    url = _url(tmp_path, "ivm")
+    stream = streaming.stream_events(spark, sf_dir).select(
+        "event_type",
+        F.expr("cast(floor(value * 100 + 0.5) as bigint)").alias("cents"),
+    )
+    q = streaming.stream_to_view_maintenance(
+        stream,
+        url,
+        "type_totals",
+        "event_type",
+        "cents",
+        str(tmp_path / "ivm_ckpt"),
+        properties=_props(),
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    back = jdbc.read_jdbc(spark, url, "type_totals", properties=_props())
+    want = {
+        (r.event_type, r.n_rows, r.sum_v)
+        for r in llm_demo._events(spark, sf_dir)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(
+                F.expr("cast(floor(value * 100 + 0.5) as bigint)")
+            ).alias("sum_v"),
+        )
+        .collect()
+    }
+    got = {(r.event_type, r.n_rows, r.sum_v) for r in back.collect()}
+    assert got == want and len(want) > 0
+    # replay fence: re-applying ANY batch id <= the stored fence is a
+    # no-op — the double-count a fence-less additive sink would make
+    fence = back.agg(F.max("last_batch_id")).first()[0]
+    fn = streaming.jdbc_view_maintain_batch_fn(
+        url, "type_totals", "event_type", "cents", properties=_props()
+    )
+    replay = llm_demo._events(spark, sf_dir).select(
+        "event_type",
+        F.expr("cast(floor(value * 100 + 0.5) as bigint)").alias("cents"),
+    )
+    fn(replay, int(fence))
+    again = jdbc.read_jdbc(spark, url, "type_totals", properties=_props())
+    got2 = {(r.event_type, r.n_rows, r.sum_v) for r in again.collect()}
+    assert got2 == got
+    # ...and a genuinely NEW batch id still applies (the fence only
+    # blocks replays, not progress)
+    fn(replay, int(fence) + 1)
+    doubled = jdbc.read_jdbc(spark, url, "type_totals", properties=_props())
+    got3 = {(r.event_type, r.n_rows) for r in doubled.collect()}
+    assert got3 == {(t, n * 2) for t, n, _ in want}
