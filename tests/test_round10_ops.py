@@ -1406,3 +1406,60 @@ def test_shot_representatives_numbering(spark):
         (0, 0, 4),
         (1, 4, 4),
     ]
+
+
+def test_maintain_agg_view_randomized_equivalence(spark):
+    """Randomized IVM pin: for seeded random bases and well-formed
+    changelogs (≤1 change per key; group-moving updates, deletes,
+    inserts of new keys), the incremental view must equal the
+    from-scratch recompute over the cdc-applied base — the operator's
+    entire contract, on shapes a hand case can't enumerate."""
+    import random
+
+    from sales_data_etl_pipeline_spark.operators import merge as merge_ops
+
+    for seed in (5, 21):
+        rng = random.Random(seed)
+        groups = ["g%d" % i for i in range(6)]
+        base_rows = [
+            Row(k=i, g=rng.choice(groups), v=rng.randrange(-500, 500))
+            for i in range(1, 61)
+        ]
+        base = spark.createDataFrame(base_rows)
+        view = base.groupBy("g").agg(
+            F.count(F.lit(1)).alias("n_rows"), F.sum("v").alias("sum_v")
+        )
+        log_rows = []
+        for i in range(1, 61):
+            r = rng.random()
+            if r < 0.2:
+                log_rows.append(Row(k=i, op="D", g=None, v=None))
+            elif r < 0.4:
+                log_rows.append(
+                    Row(k=i, op="U", g=rng.choice(groups),
+                        v=rng.randrange(-500, 500))
+                )
+        log_rows += [
+            Row(k=1000 + j, op="I", g=rng.choice(groups),
+                v=rng.randrange(-500, 500))
+            for j in range(10)
+        ]
+        log = spark.createDataFrame(
+            log_rows, "k long, op string, g string, v long"
+        )
+        got = {
+            r.g: (r.n_rows, r.sum_v)
+            for r in merge_ops.maintain_agg_view(
+                view, base, log, "k", group_col="g", value_col="v"
+            ).collect()
+        }
+        applied = merge_ops.cdc_apply(
+            base, log.withColumn("seq", F.lit(1)), "k"
+        )
+        want = {
+            r.g: (r.n_rows, r.sum_v)
+            for r in applied.groupBy("g")
+            .agg(F.count(F.lit(1)).alias("n_rows"), F.sum("v").alias("sum_v"))
+            .collect()
+        }
+        assert got == want, f"seed {seed}"
