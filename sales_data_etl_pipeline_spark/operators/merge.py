@@ -463,3 +463,76 @@ def maintain_agg_view(
         ).alias("sum_v"),
     )
     return merged.filter(F.col("n_rows") > 0)
+
+
+def maintain_stats_view(
+    view: DataFrame,
+    base_old: DataFrame,
+    changelog: DataFrame,
+    keys: tuple[str, ...] | str,
+    *,
+    group_col: str = "g",
+    value_col: str = "v",
+    op_col: str = "op",
+) -> DataFrame:
+    """Incremental maintenance for the MOMENTS view ``(g, n_rows,
+    sum_v, sum_sq)`` — the additive triple from which AVG and
+    population VARIANCE read without any base rescan::
+
+        avg = sum_v / n_rows
+        var = sum_sq / n_rows − (sum_v / n_rows)²
+
+    Same delta/fence mechanics as :func:`maintain_agg_view` (the
+    count/sum pair plus the squared sum, which is just as additive);
+    same contract: ``maintain_stats_view(view(B), B, log) ==
+    view(cdc_apply(B, log))``, integer values so the recompute matches
+    bit-for-bit, ≤ 1 change per key. MIN/MAX remain out of scope —
+    retraction needs the group's full history, which is the documented
+    boundary of additive IVM, not a missing case here.
+    """
+    from pyspark.sql import functions as F
+
+    ks = _key_list(keys)
+    before = base_old.join(changelog.select(*ks).distinct(), ks, "semi")
+    retract = (
+        changelog.filter(F.col(op_col).isin("U", "D"))
+        .select(*ks)
+        .join(before, ks)
+        .select(
+            F.col(group_col),
+            F.lit(-1).cast("long").alias("_dn"),
+            (-F.col(value_col)).alias("_dv"),
+            (-(F.col(value_col) * F.col(value_col))).alias("_dq"),
+        )
+    )
+    add = changelog.filter(F.col(op_col).isin("I", "U")).select(
+        F.col(group_col),
+        F.lit(1).cast("long").alias("_dn"),
+        F.col(value_col).alias("_dv"),
+        (F.col(value_col) * F.col(value_col)).alias("_dq"),
+    )
+    delta = (
+        retract.unionByName(add)
+        .groupBy(group_col)
+        .agg(
+            F.sum("_dn").alias("_dn"),
+            F.sum("_dv").alias("_dv"),
+            F.sum("_dq").alias("_dq"),
+        )
+    )
+    merged = view.join(delta, group_col, "full_outer").select(
+        group_col,
+        (
+            F.coalesce(F.col("n_rows"), F.lit(0))
+            + F.coalesce(F.col("_dn"), F.lit(0))
+        ).alias("n_rows"),
+        (
+            F.coalesce(F.col("sum_v"), F.lit(0))
+            + F.coalesce(F.col("_dv"), F.lit(0))
+        ).alias("sum_v"),
+        (
+            F.coalesce(F.col("sum_sq"), F.lit(0))
+            + F.coalesce(F.col("_dq"), F.lit(0))
+        ).alias("sum_sq"),
+    )
+    return merged.filter(F.col("n_rows") > 0)

@@ -1463,3 +1463,59 @@ def test_maintain_agg_view_randomized_equivalence(spark):
             .collect()
         }
         assert got == want, f"seed {seed}"
+
+
+def test_maintain_stats_view_equals_recompute_with_variance(spark):
+    """The moments triple (count, sum, sum of squares) maintained
+    incrementally must equal the recompute, and the variance read off
+    it must equal Spark's var_pop on the applied base."""
+    import random
+
+    from sales_data_etl_pipeline_spark.operators import merge as merge_ops
+
+    rng = random.Random(9)
+    groups = ["a", "b", "c"]
+    base = spark.createDataFrame(
+        [Row(k=i, g=rng.choice(groups), v=rng.randrange(-50, 50))
+         for i in range(1, 41)]
+    )
+    view = base.groupBy("g").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("v").alias("sum_v"),
+        F.sum(F.col("v") * F.col("v")).alias("sum_sq"),
+    )
+    log = spark.createDataFrame(
+        # disjoint key sets: the contract allows ≤ 1 change per key
+        [Row(k=i, op="D", g=None, v=None) for i in range(1, 41, 7)]
+        + [Row(k=i, op="U", g=rng.choice(groups), v=rng.randrange(-50, 50))
+           for i in range(3, 41, 9)]
+        + [Row(k=100 + j, op="I", g=rng.choice(groups),
+               v=rng.randrange(-50, 50)) for j in range(5)],
+        "k long, op string, g string, v long",
+    )
+    got = {
+        r.g: (r.n_rows, r.sum_v, r.sum_sq)
+        for r in merge_ops.maintain_stats_view(
+            view, base, log, "k", group_col="g", value_col="v"
+        ).collect()
+    }
+    applied = merge_ops.cdc_apply(base, log.withColumn("seq", F.lit(1)), "k")
+    want = {
+        r.g: (r.n_rows, r.sum_v, r.sum_sq)
+        for r in applied.groupBy("g")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("v").alias("sum_v"),
+            F.sum(F.col("v") * F.col("v")).alias("sum_sq"),
+        )
+        .collect()
+    }
+    assert got == want
+    # variance read off the maintained moments == var_pop on the base
+    var_want = {
+        r.g: round(r.vp, 9)
+        for r in applied.groupBy("g").agg(F.var_pop("v").alias("vp")).collect()
+    }
+    for g, (n, sv, sq) in got.items():
+        var_got = sq / n - (sv / n) ** 2
+        assert abs(var_got - var_want[g]) < 1e-9, g
