@@ -773,10 +773,30 @@ def scene_cuts(
     Output: (media_id, frame_idx, hamming, is_cut) for every frame
     with a predecessor (frame 0 has none). Frame indexes are packed
     with the media id into the hash kernel's single long id and
-    unpacked after — indexes must stay < 4096.
+    unpacked after — so ``frame_idx`` MUST lie in [0, 4096) and
+    ``media_id`` must be a non-negative integral: anything else would
+    silently corrupt the unpacked pair and mis-pair frames. The pack
+    expression guards with ``raise_error`` (checked in-expression on
+    the executors — no extra validation pass, raise-don't-return-
+    plausible), so a violating row fails the job loudly.
     """
+    pack = (
+        f"CASE WHEN {idx_col} IS NULL OR {idx_col} < 0"
+        f" OR {idx_col} >= 4096"
+        f" OR cast({idx_col} as bigint) != {idx_col} THEN"
+        f" raise_error(concat('scene_cuts: frame_idx not an integer"
+        f" in [0, 4096): ',"
+        f" coalesce(cast({idx_col} as string), 'NULL')))"
+        f" WHEN {media_col} IS NULL OR {media_col} < 0"
+        f" OR cast({media_col} as bigint) IS NULL"
+        f" OR cast({media_col} as bigint) != {media_col} THEN"
+        f" raise_error(concat('scene_cuts: media id not a non-negative"
+        f" integer: ', coalesce(cast({media_col} as string), 'NULL')))"
+        f" ELSE cast({media_col} as bigint) * 4096"
+        f" + cast({idx_col} as bigint) END"
+    )
     fid = frames.select(
-        (F.col(media_col) * 4096 + F.col(idx_col)).alias("media_id"),
+        F.expr(pack).alias("media_id"),
         F.col(payload_col).alias("payload"),
     )
     hashed = dhash_images(fid).select(

@@ -582,6 +582,7 @@ def hamming_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    exclude_self: bool = True,
 ) -> DataFrame:
     """Binary-quantized ANN: each vector becomes a ``planes``-bit
     hyperplane-sign word, and neighbors rank by Hamming distance — the
@@ -609,6 +610,13 @@ def hamming_topk(
     return fewer than k neighbors (banding recall). Zero-norm and
     non-finite vectors are dead on both sides (FINITE contract — the
     sign of a zero projection would be convention, not geometry).
+
+    ``exclude_self=True`` (default) drops candidates whose corpus id
+    EQUALS the query id — correct when queries are drawn from the
+    corpus id space (the self-match is a degenerate distance-0 hit).
+    When queries carry an INDEPENDENT id namespace, a legitimate
+    neighbor could collide with a query id by accident: pass
+    ``exclude_self=False`` there (ADVICE r10).
     """
     from sales_data_etl_pipeline_spark.operators.dedup import (
         FINITE_VEC,
@@ -644,16 +652,13 @@ def hamming_topk(
             f"stack({bands}, {slices}) AS (band, bkey)",
         )
 
-    cand = (
-        banded(c_words, id_col, "_cw")
-        .join(
-            F.broadcast(banded(q_words, query_id_col, "_qw")),
-            ["band", "bkey"],
-        )
-        .filter(F.col(id_col) != F.col(query_id_col))
-        .select(query_id_col, id_col, "_qw", "_cw")
-        .distinct()
+    cand = banded(c_words, id_col, "_cw").join(
+        F.broadcast(banded(q_words, query_id_col, "_qw")),
+        ["band", "bkey"],
     )
+    if exclude_self:
+        cand = cand.filter(F.col(id_col) != F.col(query_id_col))
+    cand = cand.select(query_id_col, id_col, "_qw", "_cw").distinct()
     scored = cand.withColumn(
         "hamming", F.bit_count(F.col("_qw").bitwiseXOR(F.col("_cw")))
     )
@@ -1714,6 +1719,7 @@ def hamming_rerank_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    exclude_self: bool = True,
 ) -> DataFrame:
     """Two-tier retrieval — the production binary-quantization serving
     shape: tier 1 shortlists ``shortlist`` candidates per query by
@@ -1726,7 +1732,9 @@ def hamming_rerank_topk(
 
     Cosine uses the module's 6dp-round convention; final order
     (cosine DESC, id ASC). Output: (query_id, neighbor_id, cosine,
-    rank ≤ k).
+    rank ≤ k). ``exclude_self`` passes through to the tier-1
+    shortlist (see :func:`hamming_topk` — disable it when query ids
+    are an independent namespace).
     """
     short = hamming_topk(
         corpus,
@@ -1738,6 +1746,7 @@ def hamming_rerank_topk(
         id_col=id_col,
         vec_col=vec_col,
         query_id_col=query_id_col,
+        exclude_self=exclude_self,
     ).select(query_id_col, F.col("neighbor_id").alias("_cid"))
     dot = (
         "aggregate(zip_with(transform(c.{v}, x -> cast(x as double)),"

@@ -636,6 +636,25 @@ def stream_to_jdbc_upsert(
     )
 
 
+def _jdbc_scalar(spark, url: str, sql: str, properties) -> int | None:
+    """Run a 1-row/1-col SQL statement over raw JDBC (driver-side; the
+    foreachBatch callback runs on the driver, so the JVM gateway is
+    available). Returns None for an empty/NULL result."""
+    jvm = spark._sc._jvm
+    props = jvm.java.util.Properties()
+    for k, v in (properties or {}).items():
+        props.setProperty(k, str(v))
+    conn = jvm.java.sql.DriverManager.getConnection(url, props)
+    try:
+        rs = conn.createStatement().executeQuery(sql)
+        if not rs.next():
+            return None
+        val = rs.getLong(1)
+        return None if rs.wasNull() else int(val)
+    finally:
+        conn.close()
+
+
 def jdbc_view_maintain_batch_fn(
     url: str,
     table: str,
@@ -651,14 +670,35 @@ def jdbc_view_maintain_batch_fn(
     inserts (a stream of events has no retractions; CDC streams with
     U/D go through the batch operator).
 
-    Exactly-once discipline: additive deltas are NOT idempotent (the
-    keyed-upsert sink's replay trick doesn't apply — re-adding a
-    delta double-counts), so the view table carries the LAST APPLIED
-    BATCH ID on every row and the maintainer skips any batch ≤ it.
-    The fence travels IN the same single-table overwrite as the data,
-    so there is no window where the delta landed but the fence did
-    not (a separate ledger table would reintroduce it — Derby's
-    DataFrame writer has no cross-table transaction).
+    Durability model — an APPEND-ONLY DELTA LEDGER, never an
+    overwrite: ``table`` holds one ``(group, n_rows, sum_v,
+    batch_id)`` row per (batch, active group); the queryable view is
+    the read-time rollup :func:`read_agg_view`. Each batch's delta is
+    coalesced to ONE partition before the ``mode='append'`` write, so
+    it lands in a single JDBC transaction — the delta rows and the
+    batch-id fence they carry commit atomically or not at all. That
+    closes both crash windows of the overwrite design this replaced
+    (a DROP+CREATE+INSERT is non-atomic: a crash after the drop lost
+    all prior history to the replay's "first batch" branch, and a
+    crash mid-insert left a partial table whose fence suppressed the
+    replay): here a crash mid-write ROLLS BACK (no rows, no fence —
+    the replay re-applies cleanly) and a crash after the commit left
+    the fence in place (the replay is skipped). Exactly-once, not
+    just under clean restart.
+
+    Replay detection: additive deltas are NOT idempotent (re-adding
+    double-counts), so the maintainer skips any ``batch_id ≤
+    max(batch_id)`` already in the ledger — a 1-row driver-side probe,
+    never a ledger scan through Spark.
+
+    Costs at scale: per-batch work is |delta| rows appended —
+    independent of ledger/corpus size; the single-partition append is
+    fine because a micro-batch delta is per-group aggregated (group
+    cardinality, not event volume). The ledger grows one row set per
+    batch; readers pay |ledger| ≈ batches × active groups per rollup
+    — compact offline through the batch operator
+    (``merge.maintain_agg_view``) when that dominates, the same
+    way log-structured tables compact.
 
     ``value_col`` must be exactly additive (integers/cents): the
     incremental sum must equal a from-scratch GROUP BY bit-for-bit,
@@ -688,39 +728,53 @@ def jdbc_view_maintain_batch_fn(
         if not batch_df.columns:
             return
         spark = batch_df.sparkSession
-        delta = batch_df.groupBy(group_col).agg(
-            F.count(F.lit(1)).alias("_dn"), F.sum(value_col).alias("_dv")
-        )
         if target_exists(spark):
-            view = jdbc_src.read_jdbc(spark, url, table, properties=properties)
-            applied = view.agg(F.max("last_batch_id")).first()[0]
+            # Spark's JDBC writer creates columns QUOTED (case-exact);
+            # an unquoted name would upcase and miss (Derby 42X04)
+            applied = _jdbc_scalar(
+                spark,
+                url,
+                f'SELECT MAX("batch_id") FROM {table}',
+                properties,
+            )
             if applied is not None and applied >= batch_id:
-                return  # replayed batch: the fence says it already landed
-            merged = view.join(delta, group_col, "full_outer").select(
-                group_col,
-                (
-                    F.coalesce(F.col("n_rows"), F.lit(0))
-                    + F.coalesce(F.col("_dn"), F.lit(0))
-                ).alias("n_rows"),
-                (
-                    F.coalesce(F.col("sum_v"), F.lit(0))
-                    + F.coalesce(F.col("_dv"), F.lit(0))
-                ).alias("sum_v"),
+                return  # replayed batch: its fence already committed
+        delta = (
+            batch_df.groupBy(group_col)
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum(value_col).alias("sum_v"),
             )
-        else:  # genuine first batch
-            merged = delta.select(
-                group_col,
-                F.col("_dn").alias("n_rows"),
-                F.col("_dv").alias("sum_v"),
-            )
-        materialized = merged.withColumn(
-            "last_batch_id", F.lit(int(batch_id)).cast("long")
-        ).localCheckpoint(eager=True)  # read-overwrite-same-table trap
+            .withColumn("batch_id", F.lit(int(batch_id)).cast("long"))
+            .coalesce(1)  # ONE partition == ONE atomic JDBC transaction
+        )
         jdbc_src.write_jdbc(
-            materialized, url, table, mode="overwrite", properties=properties
+            delta, url, table, mode="append", properties=properties
         )
 
     return apply_batch
+
+
+def read_agg_view(
+    spark: SparkSession,
+    url: str,
+    table: str,
+    group_col: str,
+    *,
+    properties: dict[str, str] | None = None,
+) -> DataFrame:
+    """Materialize the ``(group, n_rows, sum_v)`` rollup from the
+    delta ledger :func:`jdbc_view_maintain_batch_fn` maintains — the
+    read half of the streaming IVM pair. One map-side-combinable
+    aggregation over the ledger scan."""
+    from pyspark.sql import functions as F
+
+    from sales_data_etl_pipeline_spark.sources import jdbc as jdbc_src
+
+    ledger = jdbc_src.read_jdbc(spark, url, table, properties=properties)
+    return ledger.groupBy(group_col).agg(
+        F.sum("n_rows").alias("n_rows"), F.sum("sum_v").alias("sum_v")
+    )
 
 
 def stream_to_view_maintenance(
@@ -735,8 +789,9 @@ def stream_to_view_maintenance(
 ):
     """Continuous streaming IVM sink: maintain a persistent
     ``(group, n_rows, sum_v)`` rollup from an append-only row stream
-    via ``foreachBatch`` (:func:`jdbc_view_maintain_batch_fn`).
-    Returns the StreamingQuery handle."""
+    via the delta-ledger ``foreachBatch``
+    (:func:`jdbc_view_maintain_batch_fn`); read it back with
+    :func:`read_agg_view`. Returns the StreamingQuery handle."""
     return (
         rows.writeStream.outputMode("append")
         .foreachBatch(

