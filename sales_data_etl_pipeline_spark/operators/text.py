@@ -1161,6 +1161,67 @@ def bpe_train_merges(
     return merges
 
 
+def _bpe_adjacent(surv: DataFrame, carry: tuple[str, ...]) -> DataFrame:
+    """(word, *carry, pos, sym) → (word, *carry, k, sym, nxt): densely
+    re-rank positions and attach each symbol's right neighbor — the
+    stream shape both pair counting and the merge pass consume."""
+    wk = Window.partitionBy("word").orderBy("pos")
+    adj = surv.select(
+        "word", *carry, F.row_number().over(wk).alias("k"), "sym"
+    )
+    wk = Window.partitionBy("word").orderBy("k")
+    return adj.withColumn("nxt", F.lead("sym").over(wk))
+
+
+def _bpe_merge_adj(
+    adj: DataFrame, rule: DataFrame, carry: tuple[str, ...]
+) -> DataFrame:
+    """One leftmost-greedy application of a 0/1-row (left_sym,
+    right_sym) rule over an adjacent-symbol stream — the
+    gaps-and-islands kernel shared by TRAINING (the round's trained
+    winner) and APPLICATION/REPLAY (a stored rule, the OOV
+    char-fallback path). A no-rule round is a NO-OP (LEFT join on TRUE
+    against the 0/1-row rule — a cross join would empty the stream);
+    islands of consecutive matching ranks merge at even offsets from
+    each island's start (the exact leftmost fold)."""
+    mt = adj.join(
+        F.broadcast(rule.select("left_sym", "right_sym")),
+        F.lit(True),
+        "left",
+    ).withColumn(
+        "mat",
+        (F.col("sym") == F.col("left_sym"))
+        & (F.col("nxt") == F.col("right_sym")),
+    )
+    wm = Window.partitionBy("word", "mat").orderBy("k")
+    run = mt.withColumn(
+        "grp",
+        F.when(F.col("mat"), F.col("k") - F.row_number().over(wm)),
+    )
+    wg = Window.partitionBy("word", "grp").orderBy("k")
+    mg = run.withColumn(
+        "merged",
+        F.col("mat") & ((F.row_number().over(wg) - 1) % 2 == 0),
+    )
+    wk2 = Window.partitionBy("word").orderBy("k")
+    cons = mg.withColumn(
+        "consumed",
+        F.coalesce(F.lag("merged").over(wk2), F.lit(False)),
+    )
+    return (
+        cons.filter(~F.col("consumed"))
+        .select(
+            "word",
+            *carry,
+            F.col("k").alias("pos"),
+            F.when(
+                F.col("merged"), F.concat("sym", "nxt")
+            ).otherwise(F.col("sym")).alias("sym"),
+        )
+        .localCheckpoint(eager=False)  # cut the per-round window lineage
+    )
+
+
 def _bpe_train_full(
     df: DataFrame,
     *,
@@ -1186,15 +1247,7 @@ def _bpe_train_full(
     )
     out: DataFrame | None = None
     for rank in range(1, n_merges + 1):
-        wk = Window.partitionBy("word").orderBy("pos")
-        adj = surv.select(
-            "word",
-            "wc",
-            F.row_number().over(wk).alias("k"),
-            "sym",
-        )
-        wk = Window.partitionBy("word").orderBy("k")
-        adj = adj.withColumn("nxt", F.lead("sym").over(wk))
+        adj = _bpe_adjacent(surv, ("wc",))
         pairs = (
             adj.filter(F.col("nxt").isNotNull())
             .groupBy("sym", "nxt")
@@ -1216,47 +1269,7 @@ def _bpe_train_full(
             .localCheckpoint(eager=False)  # consumed by output AND the merge
         )
         out = winner if out is None else out.unionByName(winner)
-        # LEFT join on TRUE: with a winner present this IS the cross
-        # join; with none (no pairs left) mat goes NULL -> no merge,
-        # and the symbol stream survives unchanged
-        mt = adj.join(
-            F.broadcast(winner.select("left_sym", "right_sym")),
-            F.lit(True),
-            "left",
-        ).withColumn(
-            "mat",
-            (F.col("sym") == F.col("left_sym"))
-            & (F.col("nxt") == F.col("right_sym")),
-        )
-        # leftmost-greedy: islands of consecutive matching ranks merge
-        # at even offsets from each island's start
-        wm = Window.partitionBy("word", "mat").orderBy("k")
-        run = mt.withColumn(
-            "grp",
-            F.when(F.col("mat"), F.col("k") - F.row_number().over(wm)),
-        )
-        wg = Window.partitionBy("word", "grp").orderBy("k")
-        mg = run.withColumn(
-            "merged",
-            F.col("mat") & ((F.row_number().over(wg) - 1) % 2 == 0),
-        )
-        wk2 = Window.partitionBy("word").orderBy("k")
-        cons = mg.withColumn(
-            "consumed",
-            F.coalesce(F.lag("merged").over(wk2), F.lit(False)),
-        )
-        surv = (
-            cons.filter(~F.col("consumed"))
-            .select(
-                "word",
-                "wc",
-                F.col("k").alias("pos"),
-                F.when(
-                    F.col("merged"), F.concat("sym", "nxt")
-                ).otherwise(F.col("sym")).alias("sym"),
-            )
-            .localCheckpoint(eager=False)  # cut the per-round window lineage
-        )
+        surv = _bpe_merge_adj(adj, winner, ("wc",))
     return out, surv
 
 
@@ -1595,5 +1608,144 @@ def bpe_apply_token_counts_sql(
                CAST(SUM(length(word)) AS BIGINT) AS n_chars_tokenized,
                CAST(SUM(nsym) AS BIGINT) AS n_symbols
         FROM dw JOIN wsym USING (word)
+        GROUP BY doc_id
+    """
+
+
+def bpe_apply_oov_token_counts(
+    train: DataFrame,
+    eval_docs: DataFrame,
+    *,
+    n_merges: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Apply TRAIN-corpus BPE merges to an EVAL corpus that may contain
+    words the training never saw — the production tokenizer shape
+    (:func:`bpe_apply_token_counts` only covers the training corpus by
+    vocabulary lookup; a deployed tokenizer meets new words every
+    batch). The char-fallback is BPE's own: EVERY eval-vocabulary word
+    (in-vocab or OOV) starts as its character stream and REPLAYS the
+    learned rules in merge-rank order, one leftmost-greedy pass per
+    rule — exactly the evolution training applied, so in-vocab words
+    reproduce their trained symbol streams bit-for-bit (pinned by
+    test) and OOV words degrade gracefully toward characters, merging
+    only where a learned rule matches.
+
+    Distributed shape: training cost is :func:`bpe_train_merges`
+    (one corpus tokenize + |vocab|-bounded merge rounds); application
+    adds ``n_merges`` islands passes over the EVAL vocabulary's
+    symbol-position table (|eval vocab| · word-length rows, reducer
+    width one word) and one hash join of the (doc, word) stream
+    against the |eval vocab| symbol counts — the corpus itself never
+    carries symbol rows. The learned rules ride 1-row broadcasts per
+    round (the trained-winner pattern).
+
+    Returns (doc_id, n_words, n_chars_tokenized, n_symbols) over the
+    EVAL set; eval docs whose tokenization is empty drop out.
+    """
+    merges, _ = _bpe_train_full(train, n_merges=n_merges, text_col=text_col)
+    # ≤ n_merges rows; eager so each replay round's filter does not
+    # re-run the whole training lineage
+    merges = merges.localCheckpoint(eager=True)
+    dw = eval_docs.select(
+        id_col,
+        F.explode(F.expr(TOKENIZE.format(col=text_col))).alias("word"),
+    )
+    surv = (
+        dw.select("word")
+        .distinct()
+        .select(
+            "word",
+            F.explode(F.expr("sequence(1, length(word))")).alias("pos"),
+        )
+        .select(
+            "word", "pos", F.expr("substring(word, pos, 1)").alias("sym")
+        )
+    )
+    for rank in range(1, n_merges + 1):
+        rule = merges.filter(F.col("merge_rank") == rank)
+        surv = _bpe_merge_adj(_bpe_adjacent(surv, ()), rule, ())
+    wsym = surv.groupBy("word").agg(F.count(F.lit(1)).alias("_nsym"))
+    return (
+        dw.join(wsym, "word")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum(F.length("word")).alias("n_chars_tokenized"),
+            F.sum("_nsym").alias("n_symbols"),
+        )
+    )
+
+
+def bpe_apply_oov_token_counts_sql(
+    train_rel: str = "documents",
+    eval_rel: str = "documents",
+    *,
+    n_merges: int = 3,
+    text_col: str = "text",
+) -> str:
+    """DuckDB oracle twin of :func:`bpe_apply_oov_token_counts`:
+    training CTEs from :func:`bpe_train_merges_sql` (winners w1..wN),
+    then the same unrolled islands replay over the EVAL vocabulary.
+    ``eval_rel`` may be any relation/subquery with (doc_id, text)."""
+    ctes, _final = bpe_train_merges_sql(
+        train_rel, n_merges=n_merges, text_col=text_col, ctes_only=True
+    )
+    toks = (
+        "list_filter(string_split_regex(lower({col}), '[^a-z0-9]+'),"
+        " x -> x <> '')"
+    ).format(col=text_col)
+    apply_ctes = [
+        f"ev AS (SELECT doc_id, UNNEST({toks}) AS word FROM {eval_rel})",
+        """a0 AS (SELECT word, i AS pos, substr(word, i, 1) AS sym
+               FROM (SELECT DISTINCT word FROM ev),
+                    UNNEST(generate_series(1, length(word))) AS u(i))""",
+    ]
+    prev = "a0"
+    for r in range(1, n_merges + 1):
+        apply_ctes.append(
+            f"""ak{r} AS MATERIALIZED (SELECT word,
+                   row_number() OVER (PARTITION BY word ORDER BY pos) AS k,
+                   sym FROM {prev})"""
+        )
+        apply_ctes.append(
+            f"""aadj{r} AS MATERIALIZED (SELECT *, lead(sym) OVER (
+                   PARTITION BY word ORDER BY k) AS nxt FROM ak{r})"""
+        )
+        apply_ctes.append(
+            f"""amt{r} AS (SELECT a.*, (a.sym = w.l AND a.nxt = w.r2) AS mat
+                   FROM aadj{r} a LEFT JOIN w{r} w ON TRUE)"""
+        )
+        apply_ctes.append(
+            f"""arun{r} AS (SELECT *, CASE WHEN mat THEN
+                   k - row_number() OVER (PARTITION BY word, mat ORDER BY k)
+                   END AS grp FROM amt{r})"""
+        )
+        apply_ctes.append(
+            f"""amg{r} AS (SELECT *, mat AND ((row_number() OVER (
+                   PARTITION BY word, grp ORDER BY k) - 1) % 2 = 0)
+                   AS merged FROM arun{r})"""
+        )
+        apply_ctes.append(
+            f"""ac{r} AS (SELECT *, COALESCE(lag(merged) OVER (
+                   PARTITION BY word ORDER BY k), FALSE) AS consumed
+                   FROM amg{r})"""
+        )
+        apply_ctes.append(
+            f"""a{r} AS MATERIALIZED (SELECT word, k AS pos,
+                   CASE WHEN merged THEN sym || nxt ELSE sym END AS sym
+                   FROM ac{r} WHERE NOT consumed)"""
+        )
+        prev = f"a{r}"
+    joined = ",\n        ".join([ctes] + apply_ctes)
+    return f"""
+        WITH {joined},
+        wsym AS (SELECT word, COUNT(*) AS nsym FROM {prev} GROUP BY word)
+        SELECT doc_id,
+               COUNT(*) AS n_words,
+               CAST(SUM(length(word)) AS BIGINT) AS n_chars_tokenized,
+               CAST(SUM(nsym) AS BIGINT) AS n_symbols
+        FROM ev JOIN wsym USING (word)
         GROUP BY doc_id
     """

@@ -6576,6 +6576,54 @@ ORACLES["text_bpe_apply"] = (
 )
 
 
+# --- round-11: BPE application to unseen text (char-fallback OOV path) -------
+
+
+_OOV_EVAL_SQL = """(SELECT doc_id,
+        CASE WHEN doc_id % 5 = 0
+             THEN text || ' zzzoov' || CAST(doc_id AS VARCHAR)
+             ELSE text END AS text
+    FROM documents)"""
+
+
+def text_bpe_apply_oov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE application to UNSEEN text (``text.bpe_apply_oov_token_
+    counts``): merges train on the document corpus; the eval corpus
+    plants a guaranteed-OOV word (``zzzoov<doc_id>``) into every 5th
+    document. Every eval word — in-vocab or not — starts from
+    characters and replays the learned rules in rank order (the
+    char-fallback a deployed tokenizer needs), so in-vocab words keep
+    their trained symbol streams while planted words merge only where
+    a learned rule happens to match. Oracle: the identical unrolled
+    replay over the same planted eval relation."""
+    docs = _docs(spark, sf_dir)
+    eval_docs = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" zzzoov"),
+                F.col("doc_id").cast("string"),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return text.bpe_apply_oov_token_counts(
+        docs, eval_docs, n_merges=3
+    ).orderBy("doc_id")
+
+
+QUERIES["text_bpe_apply_oov"] = text_bpe_apply_oov
+ORACLES["text_bpe_apply_oov"] = (
+    text.bpe_apply_oov_token_counts_sql(
+        "documents", _OOV_EVAL_SQL, n_merges=3
+    )
+    + " ORDER BY doc_id"
+)
+
+
 def graph_link_prediction_aa(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Adamic–Adar link prediction
     (``dedup.link_prediction_adamic_adar``) on the same
@@ -6693,3 +6741,94 @@ def _shot_reps_oracle(threshold: int = 8) -> str:
 
 
 ORACLES["multimodal_shot_reps"] = _shot_reps_oracle()
+
+
+# --- round-11: Hamming-tier recall evaluation --------------------------------
+
+
+def similarity_recall_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of the binary Hamming tier (``similarity_topk_hamming``)
+    against exact brute-force cosine top-5 (``similarity_topk``), per
+    query in exact ppm — the measured value of the (planes=60,
+    bands=4) dial the r10 binary tier shipped asserting but not
+    measuring. Composes the gated ``similarity.ann_recall`` harness
+    over two already-gated result tables; the oracle nests both proven
+    oracle bodies and re-derives the intersection."""
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 10)
+    truth = similarity.cosine_topk(emb, queries, k=5)
+    approx = similarity_topk_hamming(spark, sf_dir)
+    return similarity.ann_recall(truth, approx).orderBy("query_id")
+
+
+QUERIES["similarity_recall_hamming"] = similarity_recall_hamming
+
+ORACLES["similarity_recall_hamming"] = f"""
+    WITH t AS (SELECT query_id, neighbor_id
+               FROM ({ORACLES['similarity_topk']})),
+    a AS (SELECT query_id, neighbor_id
+          FROM ({ORACLES['similarity_topk_hamming']}))
+    SELECT t.query_id,
+           COUNT(*) AS n_truth,
+           CAST(SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_hits,
+           CAST((SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+                 * 1000000) // COUNT(*) AS BIGINT) AS recall_ppm
+    FROM t LEFT JOIN a
+      ON a.query_id = t.query_id AND a.neighbor_id = t.neighbor_id
+    GROUP BY t.query_id ORDER BY t.query_id
+"""
+
+
+# --- round-11: append-mode deployment gate for streaming MinHash dedup -------
+
+
+def streaming_dedup_minhash_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPEND-mode deployment path of ``streaming_dedup_minhash`` —
+    the same planted near-dup stream through the same single stateful
+    (window, band, sig) aggregation, but emitting ONLY watermark-
+    FINALIZED buckets: after the data batch, Spark's no-data
+    micro-batch advances the event-time watermark to ``max(ts) − 2h``
+    and flushes every window whose end has passed it — the exact
+    subset a production append-mode sink (parquet/Kafka) would have
+    written, deterministically reproducible because the synthetic
+    event time is a pure doc_id function. Windows inside the final
+    2h+1h horizon stay in state and are deliberately absent. Oracle:
+    the complete-mode banding SQL plus the finalization predicate
+    ``win_start + 3600 ≤ max_ts − 7200``."""
+    from sales_data_etl_pipeline_spark.streaming import events as streaming
+
+    stream = streaming.stream_documents(spark, sf_dir)
+    planted = stream.filter(F.col("doc_id") % 10 == 1).select(
+        (F.col("doc_id") + 30000).alias("doc_id"), "text", "ts"
+    ).unionByName(
+        stream.filter(F.col("doc_id") % 20 == 0).select(
+            (F.col("doc_id") + 10000).alias("doc_id"),
+            F.expr(
+                "substring(text, 1, greatest(length(text) - 30, 1))"
+            ).alias("text"),
+            "ts",
+        )
+    )
+    buckets = streaming.minhash_band_buckets(
+        stream.unionByName(planted)
+    )
+    out = streaming.run_stream_to_memory(
+        buckets, "q_stream_minhash_append", output_mode="append"
+    )
+    return (
+        out.filter(F.col("n_docs") >= 2)
+        .orderBy("win_start", "band", "sig")
+    )
+
+
+QUERIES["streaming_dedup_minhash_append"] = streaming_dedup_minhash_append
+
+# the planted ids stay congruent mod 10000 at gate scales, so the
+# stream's max event time equals the base table's
+ORACLES["streaming_dedup_minhash_append"] = f"""
+    SELECT * FROM ({ORACLES['streaming_dedup_minhash']})
+    WHERE win_start + 3600 <=
+          (SELECT MAX((doc_id % 10000) * 60) FROM documents) - 7200
+    ORDER BY win_start, band, sig
+"""

@@ -414,6 +414,11 @@ FUZZED_CORPUS = [
     # round-10 batch 8: BPE application + Adamic-Adar link prediction
     "text_bpe_apply",
     "graph_link_prediction_aa",
+    # round-11: char-fallback BPE application to unseen text (the eval
+    # relation plants OOV words) + recall@5 of the binary Hamming tier
+    # vs brute force (nests two proven oracle bodies)
+    "text_bpe_apply_oov",
+    "similarity_recall_hamming",
 ]
 
 
@@ -572,8 +577,10 @@ def test_every_gated_entry_is_fuzzed_or_excluded():
         # streaming near-dup: its row-wise signature kernel is pinned
         # bit-identical to the FUZZED batch minhash pipeline
         # (tests/test_round10_ops.py), and the stateful-agg harness is
-        # covered by tests/test_streaming.py
+        # covered by tests/test_streaming.py (append twin: same kernel,
+        # same agg — only the emission mode differs, pinned by gate)
         "streaming_dedup_minhash",
+        "streaming_dedup_minhash_append",
         # generator-only sources: no table input to randomize
         "source_synthetic_events",
         "source_synthetic_stream",

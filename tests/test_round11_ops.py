@@ -94,3 +94,59 @@ def test_hamming_topk_exclude_self_flag(spark):
         corpus, queries, k=2, shortlist=4, exclude_self=False
     )
     assert {r.neighbor_id for r in rer.collect()} >= {7}
+
+
+def test_bpe_apply_oov_replay_matches_training_on_vocab(spark):
+    """Rule replay in rank order must reproduce the training
+    evolution bit-for-bit when the eval corpus IS the train corpus —
+    the property that makes char-fallback application correct for
+    in-vocab words too."""
+    from sales_data_etl_pipeline_spark.operators import text
+
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="the theme of the thesis"),
+            Row(doc_id=2, text="these themes are the same theme"),
+            Row(doc_id=3, text="aaa abba banana"),
+        ]
+    )
+    trained = {
+        (r.doc_id, r.n_words, r.n_chars_tokenized, r.n_symbols)
+        for r in text.bpe_apply_token_counts(docs, n_merges=3).collect()
+    }
+    replayed = {
+        (r.doc_id, r.n_words, r.n_chars_tokenized, r.n_symbols)
+        for r in text.bpe_apply_oov_token_counts(
+            docs, docs, n_merges=3
+        ).collect()
+    }
+    assert replayed == trained and len(trained) == 3
+
+
+def test_bpe_apply_oov_char_fallback(spark):
+    """A word absent from training still tokenizes: it starts as
+    characters and merges ONLY where a learned rule matches — here
+    training on 'ababab' repeated learns (a,b) first, so OOV 'abxy'
+    becomes [ab, x, y] (3 symbols) and 'xyzq' stays 4 characters."""
+    from pyspark.sql import functions as SF
+
+    from sales_data_etl_pipeline_spark.operators import text
+
+    train = spark.createDataFrame(
+        [Row(doc_id=i, text="ababab ababab abab") for i in range(5)]
+    )
+    merges = {
+        (r.merge_rank, r.left_sym, r.right_sym)
+        for r in text.bpe_train_merges(train, n_merges=1).collect()
+    }
+    assert merges == {(1, "a", "b")}
+    eval_docs = spark.createDataFrame(
+        [Row(doc_id=100, text="abxy xyzq abab")]
+    )
+    got = text.bpe_apply_oov_token_counts(
+        train, eval_docs, n_merges=1
+    ).collect()
+    assert len(got) == 1
+    r = got[0]
+    # abxy -> [ab,x,y]=3, xyzq -> 4 chars, abab -> [ab,ab]=2
+    assert (r.n_words, r.n_chars_tokenized, r.n_symbols) == (3, 12, 9)

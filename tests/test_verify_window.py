@@ -116,6 +116,8 @@ def test_verify_first_is_derived_from_planner_artifact():
         changed=set(inp["changed"]),
         force_changed=set(inp["force_changed"]),
         promote_stale=set(inp.get("promote_stale", [])),
+        promote_ahead=set(inp.get("promote_ahead", [])),
+        stable_tier=inp.get("stable_tier", False),
         max_round=inp["max_round"],
         use_fingerprints=inp["use_fingerprints"],
         # replay against the RECORDED baseline — a newer fingerprint
@@ -185,3 +187,65 @@ def test_rotation_planner_priorities():
     assert whys["sales_by_employee"].startswith(
         "changed:sales_data_etl_pipeline_spark/plans/analytics.py"
     )
+
+
+def test_rotation_planner_promote_ahead_outranks_changed_tier():
+    """--promote-ahead places a named GREEN entry after never-green but
+    BEFORE the forced/changed tier — the judge-directed headliner
+    refresh a large carry backlog would otherwise displace — and its
+    reason string is an honest promotion, not a changed-code claim."""
+    from tools.rotation_planner import plan
+
+    rows = plan(
+        window=50,
+        force_changed={"dedup_exact"},
+        promote_ahead={"sales_by_employee"},
+    )
+    order = [n for n, _, _ in rows]
+    whys = {n: w for n, w, _ in rows}
+    assert whys["sales_by_employee"].startswith("stale-promoted-ahead")
+    assert whys["dedup_exact"].startswith("forced-changed")
+    assert order.index("sales_by_employee") < order.index("dedup_exact")
+    # ...but never above a never-green entry
+    never = [n for n, w, _ in rows if w == "never-green"]
+    if never:
+        assert order.index(never[-1]) < order.index("sales_by_employee")
+
+
+def test_rotation_planner_stable_tier_rotates_one_representative():
+    """--stable-tier: entries with >=3 consecutive green driver
+    appearances and unchanged fingerprints sink below the stale-green
+    tier, EXCEPT one round-robin representative (the stalest) lifted to
+    the head of the stale tier; forced/changed/drift classification
+    always outranks stability."""
+    from tools.rotation_planner import consecutive_green_counts, plan
+
+    greens = consecutive_green_counts()
+    eligible = {n for n, c in greens.items() if c >= 3}
+    if not eligible:
+        import pytest
+
+        pytest.skip("no entry has 3 green appearances yet")
+    rows = plan(window=50, stable_tier=True)
+    whys = {n: w for n, w, _ in rows}
+    stable = {n for n, w in whys.items() if w.startswith("stable (")}
+    reps = [n for n, w in whys.items() if w.startswith("stable-rotation")]
+    # at most one representative, drawn from the eligible set
+    assert len(reps) <= 1
+    assert stable | set(reps) <= eligible
+    # every plain stale-green entry outranks every stable entry
+    order = [n for n, _, _ in rows]
+    plain = [n for n, w in whys.items() if w.startswith("green r")]
+    if plain and stable:
+        assert max(order.index(n) for n in plain) < min(
+            order.index(n) for n in stable
+        )
+    # a forced entry is NEVER classified stable
+    rows_forced = plan(
+        window=50,
+        stable_tier=True,
+        force_changed=set(list(eligible)[:1]),
+    )
+    forced_name = list(eligible)[0]
+    whys_f = {n: w for n, w, _ in rows_forced}
+    assert whys_f[forced_name].startswith("forced-changed")

@@ -95,6 +95,32 @@ def last_green_rounds(
     return green
 
 
+def consecutive_green_counts(
+    repo: str = REPO, max_round: int | None = None
+) -> dict[str, int]:
+    """entry -> number of distinct rounds with a green driver row SINCE
+    the entry's last non-green row (an entry only gets rows in rounds
+    it sat in the window, so these are its consecutive green driver
+    APPEARANCES — the stable-tier predicate's input)."""
+    green_rounds: dict[str, set[int]] = {}
+    last_red: dict[str, int] = {}
+    for path in sorted(glob.glob(f"{repo}/CORRECTNESS_r*.json")):
+        rnd = int(path.rsplit("_r", 1)[1].split(".")[0])
+        if max_round is not None and rnd > max_round:
+            continue
+        with open(path) as f:
+            rows = json.load(f)
+        for name, v in rows.items():
+            if is_green(v):
+                green_rounds.setdefault(name, set()).add(rnd)
+            else:
+                last_red[name] = max(last_red.get(name, 0), rnd)
+    return {
+        name: len([r for r in rounds if r > last_red.get(name, 0)])
+        for name, rounds in green_rounds.items()
+    }
+
+
 def _rel(path: str) -> str:
     return os.path.relpath(path, REPO) if path.startswith("/") else path
 
@@ -309,11 +335,18 @@ def plan(
     use_fingerprints: bool = True,
     baseline: str | None = None,
     promote_stale: set[str] | None = None,
+    promote_ahead: set[str] | None = None,
+    stable_tier: bool = False,
+    stable_min_greens: int = 3,
 ) -> list[tuple[str, str, bool]]:
     changed = {_rel(c) for c in (changed or set())}
     force_changed = set(force_changed or ())
     promote_stale = set(promote_stale or ())
+    promote_ahead = set(promote_ahead or ())
     green = last_green_rounds(max_round=max_round)
+    greens_run = (
+        consecutive_green_counts(max_round=max_round) if stable_tier else {}
+    )
     analysis = _analyze()
     deps, _local, defining = analysis
     recorded, _src = (
@@ -324,20 +357,46 @@ def plan(
     plan.last_baseline = _src
     current = entry_fingerprints(analysis) if recorded else {}
     rows = []
+    stable_pool: list[tuple[int, str]] = []
     for name in entrymod.queries():
         g = green.get(name)
         # --changed matches the entry's dep set PLUS its defining plans
         # file (coarse in the safe direction: an edited registry file
         # marks all its entries; fingerprints give the precise signal)
         hit = sorted((deps[name] | {defining[name]}) & changed)
+        drifted = bool(
+            recorded.get(name) and recorded[name] != current.get(name)
+        )
         if g is None:
             prio, why = 0, "never-green"
+        elif name in promote_ahead:
+            # an honest "verify these greens before the drift tier" —
+            # recorded as promotion, NOT as a changed-code claim; for
+            # headliners the judge asks to refresh ahead of a carry
+            # backlog that would otherwise displace them again
+            prio, why = 0.5, f"stale-promoted-ahead (green r{g})"
         elif name in force_changed:
             prio, why = 1, f"forced-changed (green r{g})"
         elif hit:
             prio, why = 1, f"changed:{hit[0]} (green r{g})"
-        elif recorded.get(name) and recorded[name] != current.get(name):
+        elif drifted:
             prio, why = 1, f"fingerprint-drift (green r{g})"
+        elif (
+            stable_tier
+            and greens_run.get(name, 0) >= stable_min_greens
+            and name not in promote_stale
+        ):
+            # stable tier: ≥ stable_min_greens consecutive green driver
+            # appearances AND an unchanged fingerprint → rotate into a
+            # low-frequency pool BELOW the stale-green tier; exactly
+            # ONE stable entry per round (the stalest; the round-robin
+            # emerges because verifying it makes it the freshest) is
+            # lifted back to the head of the stale tier
+            prio, why = (
+                3,
+                f"stable ({greens_run[name]} green runs, green r{g})",
+            )
+            stable_pool.append((g, name))
         else:
             prio, why = 2, f"green r{g}"
         # --promote-stale: within the stalest-green tier, named entries
@@ -349,7 +408,13 @@ def plan(
             promoted = 0
         else:
             promoted = 1
-        rows.append((prio, promoted, g if g is not None else -1, name, why))
+        rows.append([prio, promoted, g if g is not None else -1, name, why])
+    if stable_pool:
+        rep = min(stable_pool)[1]
+        for r in rows:
+            if r[3] == rep:
+                r[0], r[1] = 2, 0
+                r[4] = r[4].replace("stable (", "stable-rotation (")
     rows.sort(key=lambda r: (r[0], r[1], r[2], r[3]))
     return [(n, w, i < window) for i, (_, _, _, n, w) in enumerate(rows)]
 
@@ -366,6 +431,22 @@ def main() -> int:
         default=[],
         help="entry names to verify first WITHIN the stalest-green "
         "tier (no changed-code claim)",
+    )
+    ap.add_argument(
+        "--promote-ahead",
+        nargs="*",
+        default=[],
+        help="green entry names to verify AHEAD of the changed/forced "
+        "tier (recorded as promotion, not as a changed-code claim) — "
+        "for judge-directed refreshes a large carry backlog would "
+        "otherwise displace",
+    )
+    ap.add_argument(
+        "--stable-tier",
+        action="store_true",
+        help="rotate entries with >=3 consecutive green driver "
+        "appearances and unchanged fingerprints into a low-frequency "
+        "pool below the stale tier (1 round-robin slot per round)",
     )
     ap.add_argument("--emit-window", action="store_true")
     ap.add_argument("--emit-fingerprints", metavar="PATH", default=None)
@@ -385,6 +466,8 @@ def main() -> int:
         use_fingerprints=not args.no_fingerprints,
         baseline=args.baseline,
         promote_stale=set(args.promote_stale),
+        promote_ahead=set(args.promote_ahead),
+        stable_tier=args.stable_tier,
     )
     for name, why, in_window in result:
         marker = "IN " if in_window else "out"
@@ -397,6 +480,8 @@ def main() -> int:
                 "changed": sorted(args.changed),
                 "force_changed": sorted(args.force_changed),
                 "promote_stale": sorted(args.promote_stale),
+                "promote_ahead": sorted(args.promote_ahead),
+                "stable_tier": args.stable_tier,
                 "use_fingerprints": not args.no_fingerprints,
                 # pin the baseline ACTUALLY diffed against, so replaying
                 # the artifact stays reproducible after the round-close

@@ -30,6 +30,11 @@ sys.path.insert(0, REPO)
 def group_of(reason: str) -> str:
     if reason == "never-green":
         return "never-green (new entries: must not ship unverified)"
+    if reason.startswith("stale-promoted-ahead"):
+        return (
+            "promoted ahead of the changed tier (judge-directed green "
+            "refresh, no changed-code claim)"
+        )
     if reason.startswith("forced") or reason.startswith("changed") or (
         reason.startswith("fingerprint")
     ):
