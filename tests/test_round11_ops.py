@@ -96,6 +96,85 @@ def test_hamming_topk_exclude_self_flag(spark):
     assert {r.neighbor_id for r in rer.collect()} >= {7}
 
 
+def test_streaming_dedup_append_is_complete_filtered_by_watermark(spark):
+    """Append-mode emission must equal the complete-mode result
+    restricted to FINALIZED windows (win_end <= final watermark =
+    max event time - 2h) — the batch-split-invariant contract the
+    append gate's oracle encodes."""
+    from sales_data_etl_pipeline_spark.streaming import events as st
+
+    sf = "/root/testdata/sf0.001"
+    buckets = st.minhash_band_buckets(st.stream_documents(spark, sf))
+    comp = st.run_stream_to_memory(
+        buckets, "r11_inv_complete", output_mode="complete"
+    ).collect()
+    app = st.run_stream_to_memory(
+        buckets, "r11_inv_append", output_mode="append"
+    ).collect()
+    max_ts = (
+        spark.read.parquet(sf + "/documents.parquet")
+        .selectExpr("max(pmod(doc_id, 10000) * 60)")
+        .first()[0]
+    )
+    want = {
+        tuple(r)
+        for r in comp
+        if r.win_start + 3600 <= max_ts - 7200
+    }
+    got = {tuple(r) for r in app}
+    assert got == want and len(want) > 0
+    # and something genuinely stays in state (the horizon tail)
+    assert len(comp) > len(app)
+
+
+def test_streaming_ledger_matches_batch_view_on_random_batches(spark):
+    """The delta-ledger rollup after N randomized micro-batches must
+    equal the from-scratch GROUP BY over everything inserted — the
+    streaming half of merge.maintain_agg_view's exactness contract,
+    here under arbitrary batch boundaries (seeded shuffle/split)."""
+    import random
+
+    from sales_data_etl_pipeline_spark.sources import jdbc as jdbc_src
+    from sales_data_etl_pipeline_spark.streaming import events as st
+
+    rng = random.Random(1107)
+    rows = [
+        Row(grp=f"g{rng.randrange(7)}", v=rng.randrange(-50, 500))
+        for _ in range(400)
+    ]
+    cuts = sorted(rng.sample(range(1, 400), 5))
+    batches = [
+        rows[a:b] for a, b in zip([0] + cuts, cuts + [400]) if rows[a:b]
+    ]
+    url = "jdbc:derby:memory:r11ledger;create=true"
+    props = {"driver": "org.apache.derby.iapi.jdbc.AutoloadedDriver"}
+    fn = st.jdbc_view_maintain_batch_fn(
+        url, "rnd_ledger", "grp", "v", properties=props
+    )
+    for bid, batch in enumerate(batches):
+        fn(spark.createDataFrame(batch), bid)
+        if bid == 2:  # replay mid-stream: fenced, no double count
+            fn(spark.createDataFrame(batch), bid)
+    got = {
+        (r.grp, r.n_rows, r.sum_v)
+        for r in st.read_agg_view(
+            spark, url, "rnd_ledger", "grp", properties=props
+        ).collect()
+    }
+    want = {
+        (r.grp, r.n_rows, r.sum_v)
+        for r in spark.createDataFrame(rows)
+        .groupBy("grp")
+        .agg(F.count(F.lit(1)).alias("n_rows"), F.sum("v").alias("sum_v"))
+        .collect()
+    }
+    assert got == want and len(want) == 7
+    # the ledger is append-only history: one row set per applied batch
+    ledger = jdbc_src.read_jdbc(spark, url, "rnd_ledger", properties=props)
+    n_batches = ledger.select("batch_id").distinct().count()
+    assert n_batches == len(batches)
+
+
 def test_bpe_apply_oov_replay_matches_training_on_vocab(spark):
     """Rule replay in rank order must reproduce the training
     evolution bit-for-bit when the eval corpus IS the train corpus —
