@@ -1640,7 +1640,14 @@ def levenshtein_pairs(
     prefix (md5 block key, so the shuffle carries 32 bytes, never the
     text) and pass the length lower bound ``|len_a − len_b| ≤
     max_dist`` (an edit needs ≥ one op per length unit); only then is
-    the O(cap²) Levenshtein DP paid, per candidate pair.
+    the Levenshtein DP paid, per candidate pair — BANDED at
+    ``max_dist`` via the built-in threshold form (Spark ≥ 3.5
+    ``levenshtein(l, r, threshold)``), so the JVM kernel fills a
+    ``2·max_dist+1``-wide diagonal band and early-outs with −1 the
+    moment the distance provably exceeds the threshold: O(cap·max_dist)
+    per pair instead of O(cap²), with bit-identical accepted distances
+    (the −1 rejects are exactly the rows the old ``≤ max_dist`` filter
+    dropped after a full DP).
 
     Semantics contract: distance is measured on the first ``cap``
     chars of each doc (bounds the DP at 100 TB where docs are
@@ -1688,8 +1695,12 @@ def levenshtein_pairs(
         .filter(
             F.abs(F.col("len_a") - F.col("len_b")) <= max_dist
         )
-        .withColumn("lev_dist", F.levenshtein(F.col("_ta"), F.col("_tb")))
-        .filter(F.col("lev_dist") <= max_dist)
+        .withColumn(
+            "lev_dist", F.levenshtein(F.col("_ta"), F.col("_tb"), max_dist)
+        )
+        # threshold form returns −1 above max_dist — the reject branch
+        # (a plain ``<= max_dist`` would KEEP the −1 rows)
+        .filter(F.col("lev_dist") >= 0)
         .select(
             "doc_a",
             "doc_b",
