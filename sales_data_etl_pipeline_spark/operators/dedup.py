@@ -1451,40 +1451,35 @@ def winnow_fingerprints(
     emit nothing; docs with fewer than ``window`` k-grams emit the
     single min of all their hashes (the truncated final frame).
 
-    Scale shape: the k-gram explode is n_chars rows per doc (the
-    established dup-span family cost), the frame min is ONE window
-    function partitioned by doc — per-doc width is bounded by the doc
-    length contract, no corpus-wide shuffle beyond the doc
-    repartition, and the distinct collapses ~window× selections
-    map-side before it. Output: (id, fp_pos, fp_hash) distinct rows.
+    Scale shape: the hash sequence and every frame min are PER-ROW
+    array kernels (``transform``/``slice``/``array_min`` over the
+    k-gram positions) — no explode, no per-doc window sort, ZERO
+    shuffle before the final distinct (which itself collapses the
+    ~window× duplicate selections map-side). Per-row memory is one
+    n_kgram struct array, bounded by the doc length contract; each
+    k-gram is md5-hashed exactly once. Output: (id, fp_pos, fp_hash)
+    distinct rows.
     """
-    h = (
-        f"cast(conv(substring(md5(substring({text_col}, pos, {kgram})),"
-        f" 1, 15), 16, 10) as bigint)"
+    npos = f"(length({text_col}) - {kgram - 1})"
+    hs = (
+        f"transform(sequence(1, {npos}), p -> struct("
+        f"cast(conv(substring(md5(substring({text_col}, p, {kgram})),"
+        f" 1, 15), 16, 10) as bigint) as h, -p as np))"
     )
-    pos_hashes = (
-        df.filter(F.length(text_col) >= kgram)
-        .select(
-            F.col(id_col),
-            F.col(text_col),
-            (F.length(text_col) - (kgram - 1)).alias("_npos"),
-            F.explode(
-                F.expr(f"sequence(1, length({text_col}) - {kgram - 1})")
-            ).alias("pos"),
-        )
-        .select(id_col, "_npos", "pos", F.expr(h).alias("_h"))
+    # full frames [p-window+1, p] for p in [window, npos]; a doc with
+    # fewer than `window` k-grams contributes the single min of all its
+    # hashes (the truncated final frame). min over struct(h, -pos) is
+    # min-hash with ties to the RIGHTMOST position — the paper's rule.
+    sels = (
+        f"case when size(_hs) >= {window} then "
+        f"array_distinct(transform(sequence({window}, size(_hs)), "
+        f"p -> array_min(slice(_hs, p - {window} + 1, {window})))) "
+        f"else array(array_min(_hs)) end"
     )
-    frame = (
-        Window.partitionBy(id_col)
-        .orderBy("pos")
-        .rowsBetween(-(window - 1), 0)
-    )
-    sel = F.min(
-        F.struct(F.col("_h").alias("h"), (-F.col("pos")).alias("np"))
-    ).over(frame)
     return (
-        pos_hashes.withColumn("_s", sel)
-        .filter((F.col("pos") >= window) | (F.col("pos") == F.col("_npos")))
+        df.filter(F.length(text_col) >= kgram)
+        .select(F.col(id_col), F.expr(hs).alias("_hs"))
+        .select(id_col, F.explode(F.expr(sels)).alias("_s"))
         .select(
             id_col,
             (-F.col("_s.np")).alias("fp_pos"),
