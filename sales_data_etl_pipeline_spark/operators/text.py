@@ -1132,12 +1132,16 @@ def bpe_train_merges(
 
     Distributed shape: the only corpus-sized work is ONE tokenize +
     word count (map-side combinable); every merge round then runs over
-    the VOCABULARY's symbol-position table — |vocab| · word-length
-    rows, shrinking as merges land — as two window passes partitioned
-    by word (nothing wider than one word ever sits in a reducer) plus
-    a 1-row winner aggregate broadcast back. A production 32k-merge
-    run is this same loop; the gate unrolls ``n_merges`` rounds so a
-    SQL oracle can reproduce the training bit-for-bit.
+    the VOCABULARY as one row per word carrying its symbol ARRAY —
+    pair counting explodes adjacent pairs into a map-side-combined
+    sum, and the merge itself is a PER-ROW left fold
+    (``_BPE_MERGE_FOLD``): no window, no per-round shuffle beyond the
+    pair count, nothing wider than one word's symbols in any operator.
+    A production 32k-merge run is this same loop; the gate unrolls
+    ``n_merges`` rounds so a SQL oracle can reproduce the training
+    bit-for-bit (the oracle keeps the gaps-and-islands window
+    formulation — DuckDB's ``reduce`` lacks a list accumulator — and
+    the fold provably lands the same even-offset merges).
 
     Exact-semantics details (all cross-engine deterministic):
 
@@ -1161,64 +1165,57 @@ def bpe_train_merges(
     return merges
 
 
-def _bpe_adjacent(surv: DataFrame, carry: tuple[str, ...]) -> DataFrame:
-    """(word, *carry, pos, sym) → (word, *carry, k, sym, nxt): densely
-    re-rank positions and attach each symbol's right neighbor — the
-    stream shape both pair counting and the merge pass consume."""
-    wk = Window.partitionBy("word").orderBy("pos")
-    adj = surv.select(
-        "word", *carry, F.row_number().over(wk).alias("k"), "sym"
-    )
-    wk = Window.partitionBy("word").orderBy("k")
-    return adj.withColumn("nxt", F.lead("sym").over(wk))
+#: Adjacent symbol pairs of a per-word symbol ARRAY — the pair-count
+#: input. Guarded against 1-symbol words (Spark's ``sequence(1, 0)``
+#: would DESCEND, not empty).
+_BPE_ADJ_PAIRS = (
+    "case when size(syms) < 2 then array() else "
+    "transform(sequence(1, size(syms) - 1), "
+    "i -> struct(element_at(syms, i) as sym, "
+    "element_at(syms, i + 1) as nxt)) end"
+)
+
+#: One leftmost-greedy application of a 0/1-row (left_sym, right_sym)
+#: rule over a per-word symbol array — the kernel shared by TRAINING
+#: (the round's trained winner) and APPLICATION/REPLAY (a stored rule,
+#: the OOV char-fallback path). A plain left fold IS the published
+#: semantics: append each symbol, and when the accumulator's last
+#: element is ``left_sym`` and the incoming one is ``right_sym``,
+#: replace them with the merged symbol. A freshly merged symbol can
+#: never re-match inside the same pass (as left it would need
+#: ``l‖r = l``, as right ``l‖r = r`` — both impossible for non-empty
+#: syms), so the fold lands merges at exactly the even offsets of each
+#: match run — bit-identical to the oracle's gaps-and-islands
+#: formulation, which exists only because SQL windows cannot fold.
+#: A no-rule round (NULL left_sym off the 0/1-row LEFT join) is a
+#: NO-OP. ``try_element_at`` keeps the empty-accumulator probe legal
+#: under ANSI.
+_BPE_MERGE_FOLD = (
+    "case when left_sym is null then syms else "
+    "aggregate(syms, cast(array() as array<string>), (acc, x) -> "
+    "case when try_element_at(acc, -1) = left_sym and x = right_sym "
+    "then concat(slice(acc, 1, size(acc) - 1), "
+    "array(concat(left_sym, right_sym))) "
+    "else concat(acc, array(x)) end) end"
+)
 
 
-def _bpe_merge_adj(
-    adj: DataFrame, rule: DataFrame, carry: tuple[str, ...]
+def _bpe_merge_syms(
+    surv: DataFrame, rule: DataFrame, carry: tuple[str, ...]
 ) -> DataFrame:
-    """One leftmost-greedy application of a 0/1-row (left_sym,
-    right_sym) rule over an adjacent-symbol stream — the
-    gaps-and-islands kernel shared by TRAINING (the round's trained
-    winner) and APPLICATION/REPLAY (a stored rule, the OOV
-    char-fallback path). A no-rule round is a NO-OP (LEFT join on TRUE
-    against the 0/1-row rule — a cross join would empty the stream);
-    islands of consecutive matching ranks merge at even offsets from
-    each island's start (the exact leftmost fold)."""
-    mt = adj.join(
-        F.broadcast(rule.select("left_sym", "right_sym")),
-        F.lit(True),
-        "left",
-    ).withColumn(
-        "mat",
-        (F.col("sym") == F.col("left_sym"))
-        & (F.col("nxt") == F.col("right_sym")),
-    )
-    wm = Window.partitionBy("word", "mat").orderBy("k")
-    run = mt.withColumn(
-        "grp",
-        F.when(F.col("mat"), F.col("k") - F.row_number().over(wm)),
-    )
-    wg = Window.partitionBy("word", "grp").orderBy("k")
-    mg = run.withColumn(
-        "merged",
-        F.col("mat") & ((F.row_number().over(wg) - 1) % 2 == 0),
-    )
-    wk2 = Window.partitionBy("word").orderBy("k")
-    cons = mg.withColumn(
-        "consumed",
-        F.coalesce(F.lag("merged").over(wk2), F.lit(False)),
-    )
+    """Apply one 0/1-row merge rule to the (word, *carry, syms)
+    vocabulary table: broadcast the rule onto every row (LEFT join on
+    TRUE — a cross join would empty the stream on a no-winner round)
+    and run the per-row fold. No shuffle, no window: one projection
+    over |vocab| rows."""
     return (
-        cons.filter(~F.col("consumed"))
-        .select(
-            "word",
-            *carry,
-            F.col("k").alias("pos"),
-            F.when(
-                F.col("merged"), F.concat("sym", "nxt")
-            ).otherwise(F.col("sym")).alias("sym"),
+        surv.join(
+            F.broadcast(rule.select("left_sym", "right_sym")),
+            F.lit(True),
+            "left",
         )
-        .localCheckpoint(eager=False)  # cut the per-round window lineage
+        .select("word", *carry, F.expr(_BPE_MERGE_FOLD).alias("syms"))
+        .localCheckpoint(eager=False)  # cut the per-round lineage
     )
 
 
@@ -1228,10 +1225,10 @@ def _bpe_train_full(
     n_merges: int,
     text_col: str,
 ) -> tuple[DataFrame, DataFrame]:
-    """(merge rules, final per-word symbol stream) — the shared body of
-    :func:`bpe_train_merges` (rules only) and
+    """(merge rules, final (word, wc, syms) vocabulary table) — the
+    shared body of :func:`bpe_train_merges` (rules only) and
     :func:`bpe_apply_token_counts` (rules applied back to the corpus).
-    A no-winner round is a NO-OP on the symbol stream (LEFT join
+    A no-winner round is a NO-OP on the symbol arrays (LEFT join
     against the 0/1-row winner — a cross join would empty it), so
     applying to a single-char vocabulary returns it unchanged."""
     toks = df.select(
@@ -1241,16 +1238,18 @@ def _bpe_train_full(
     surv = words.select(
         "word",
         "wc",
-        F.explode(F.expr("sequence(1, length(word))")).alias("pos"),
-    ).select(
-        "word", "wc", "pos", F.expr("substring(word, pos, 1)").alias("sym")
+        F.expr(
+            "transform(sequence(1, length(word)), "
+            "p -> substring(word, p, 1))"
+        ).alias("syms"),
     )
     out: DataFrame | None = None
     for rank in range(1, n_merges + 1):
-        adj = _bpe_adjacent(surv, ("wc",))
         pairs = (
-            adj.filter(F.col("nxt").isNotNull())
-            .groupBy("sym", "nxt")
+            surv.select("wc", F.explode(F.expr(_BPE_ADJ_PAIRS)).alias("pr"))
+            .groupBy(
+                F.col("pr.sym").alias("sym"), F.col("pr.nxt").alias("nxt")
+            )
             .agg(F.sum("wc").alias("cnt"))
         )
         winner = (
@@ -1269,7 +1268,7 @@ def _bpe_train_full(
             .localCheckpoint(eager=False)  # consumed by output AND the merge
         )
         out = winner if out is None else out.unionByName(winner)
-        surv = _bpe_merge_adj(adj, winner, ("wc",))
+        surv = _bpe_merge_syms(surv, winner, ("wc",))
     return out, surv
 
 
@@ -1567,9 +1566,7 @@ def bpe_apply_token_counts(
     whose tokenization is empty drop out (no words to count).
     """
     _, final_surv = _bpe_train_full(df, n_merges=n_merges, text_col=text_col)
-    wsym = final_surv.groupBy("word").agg(
-        F.count(F.lit(1)).alias("_nsym")
-    )
+    wsym = final_surv.select("word", F.size("syms").alias("_nsym"))
     dw = df.select(
         id_col,
         F.explode(F.expr(TOKENIZE.format(col=text_col))).alias("word"),
@@ -1634,9 +1631,9 @@ def bpe_apply_oov_token_counts(
 
     Distributed shape: training cost is :func:`bpe_train_merges`
     (one corpus tokenize + |vocab|-bounded merge rounds); application
-    adds ``n_merges`` islands passes over the EVAL vocabulary's
-    symbol-position table (|eval vocab| · word-length rows, reducer
-    width one word) and one hash join of the (doc, word) stream
+    adds ``n_merges`` PER-ROW fold projections over the EVAL
+    vocabulary (one row per word carrying its symbol array — no
+    shuffle, no window) and one hash join of the (doc, word) stream
     against the |eval vocab| symbol counts — the corpus itself never
     carries symbol rows. The learned rules ride 1-row broadcasts per
     round (the trained-winner pattern).
@@ -1657,16 +1654,16 @@ def bpe_apply_oov_token_counts(
         .distinct()
         .select(
             "word",
-            F.explode(F.expr("sequence(1, length(word))")).alias("pos"),
-        )
-        .select(
-            "word", "pos", F.expr("substring(word, pos, 1)").alias("sym")
+            F.expr(
+                "transform(sequence(1, length(word)), "
+                "p -> substring(word, p, 1))"
+            ).alias("syms"),
         )
     )
     for rank in range(1, n_merges + 1):
         rule = merges.filter(F.col("merge_rank") == rank)
-        surv = _bpe_merge_adj(_bpe_adjacent(surv, ()), rule, ())
-    wsym = surv.groupBy("word").agg(F.count(F.lit(1)).alias("_nsym"))
+        surv = _bpe_merge_syms(surv, rule, ())
+    wsym = surv.select("word", F.size("syms").alias("_nsym"))
     return (
         dw.join(wsym, "word")
         .groupBy(id_col)
