@@ -1501,6 +1501,48 @@ def winnow_fingerprints(
     )
 
 
+def _winnow_fp_hashes(
+    df: DataFrame,
+    *,
+    kgram: int = 8,
+    window: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Distinct (id, fp_hash) winnowing selections WITHOUT positions —
+    the :func:`winnow_pairs` feed. The selected hash VALUE per frame is
+    position-independent (the rightmost-min tie rule only picks which
+    position carries an equal hash), so pairing can skip the struct
+    tie-break machinery entirely: the frame mins run over a PRIMITIVE
+    bigint array (``least`` over O(1) lookups, no struct compare, no
+    struct allocation) and the (id, pos, hash)→(id, hash) re-distinct
+    shuffle that ``winnow_fingerprints().select(id, fp_hash)
+    .distinct()`` would pay is gone — one distinct total, fed map-side
+    collapsed. Same md5-derived 60-bit hashes as the positional form.
+    """
+    npos = f"(length({text_col}) - {kgram - 1})"
+    hs = (
+        f"transform(sequence(1, {npos}), p -> "
+        f"cast(conv(substring(md5(substring({text_col}, p, {kgram})),"
+        f" 1, 15), 16, 10) as bigint))"
+    )
+    frame_terms = ", ".join(
+        f"element_at(_hs, p - {i})" for i in range(window)
+    )
+    sels = (
+        f"case when size(_hs) >= {window} then "
+        f"transform(sequence({window}, size(_hs)), "
+        f"p -> least({frame_terms})) "
+        f"else array(array_min(_hs)) end"
+    )
+    return (
+        df.filter(F.length(text_col) >= kgram)
+        .select(F.col(id_col), F.expr(hs).alias("_hs"))
+        .select(id_col, F.explode(F.expr(sels)).alias("fp_hash"))
+        .distinct()
+    )
+
+
 def winnow_pairs(
     df: DataFrame,
     *,
@@ -1532,9 +1574,9 @@ def winnow_pairs(
     fingerprint universe — both engines truncate identically on
     non-negative ints.
     """
-    fpd = winnow_fingerprints(
+    fpd = _winnow_fp_hashes(
         df, kgram=kgram, window=window, id_col=id_col, text_col=text_col
-    ).select(id_col, "fp_hash").distinct()
+    )
     df_ok = (
         fpd.groupBy("fp_hash")
         .agg(F.count(F.lit(1)).alias("_df"))
