@@ -1453,22 +1453,27 @@ def winnow_fingerprints(
 
     Scale shape: the hash sequence and every frame min are PER-ROW
     array kernels (``transform`` + ``least`` over O(1) element
-    lookups) — no per-doc window sort, no shuffle of the raw k-gram
-    hash stream. The exploded frame mins repeat up to ``window``×
-    consecutively and collapse MAP-SIDE in the final distinct, so
-    only ~n/window unique selections cross the wire, vs the full
-    n_chars rows a window-function formulation shuffles BEFORE
-    selecting (measured sf0.1, steady: this form 3.96s; the window
-    form 3.11s locally but 4× the shuffled bytes — the window form's
-    local edge inverts on a real cluster). ``array_distinct`` over
-    the struct selections is deliberately ABSENT: its non-primitive
-    path is quadratic pairwise equality and alone cost 2× wall
-    (9.2s → 4.7s measured); per-frame ``slice`` allocation cost the
-    rest (4.4s → 3.96s with ``least`` over ``element_at``). Per-row
-    memory is one n_kgram struct array, bounded by the doc length
-    contract; each k-gram is md5-hashed exactly once. Output:
-    (id, fp_pos, fp_hash) distinct rows.
+    lookups) — no per-doc window sort, no shuffle of the k-gram hash
+    stream (a window formulation ships n_chars hash rows, ~20× the
+    raw text bytes; here only the raw docs move). The docs are
+    repartitioned by id first — the shingles/multimodal convention:
+    document parquet arrives in a handful of input splits, far fewer
+    than the cores this compute-bound kernel wants, and WITHOUT it the
+    entire md5+fold pipeline runs inside the scan stage on those few
+    cores (measured 0.35s → 4s on the single-split sf0.1 gate file).
+    The exploded frame mins repeat up to ``window``× consecutively and
+    collapse MAP-SIDE in the final distinct, so only ~n/window unique
+    selections reach that shuffle. ``array_distinct`` over the struct
+    selections is deliberately ABSENT: its non-primitive path is
+    quadratic pairwise equality and alone cost 2× wall (9.2s → 4.7s
+    measured); per-frame ``slice`` allocation cost the rest
+    (4.4s → 3.96s with ``least`` over ``element_at``). Per-row memory
+    is one n_kgram struct array, bounded by the doc length contract;
+    each k-gram is md5-hashed exactly once. Output: (id, fp_pos,
+    fp_hash) distinct rows.
     """
+    sc = df.sparkSession.sparkContext
+    df = df.repartition(sc.defaultParallelism, id_col)
     npos = f"(length({text_col}) - {kgram - 1})"
     hs = (
         f"transform(sequence(1, {npos}), p -> struct("
@@ -1518,8 +1523,11 @@ def _winnow_fp_hashes(
     struct allocation) and the (id, pos, hash)→(id, hash) re-distinct
     shuffle that ``winnow_fingerprints().select(id, fp_hash)
     .distinct()`` would pay is gone — one distinct total, fed map-side
-    collapsed. Same md5-derived 60-bit hashes as the positional form.
+    collapsed. Same md5-derived 60-bit hashes as the positional form,
+    same repartition-by-id split of the few-input-split scan.
     """
+    sc = df.sparkSession.sparkContext
+    df = df.repartition(sc.defaultParallelism, id_col)
     npos = f"(length({text_col}) - {kgram - 1})"
     hs = (
         f"transform(sequence(1, {npos}), p -> "
