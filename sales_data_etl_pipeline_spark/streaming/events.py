@@ -214,8 +214,15 @@ def minhash_band_buckets(
     are excluded — same contract as the batch kernels. Output:
     (win_start BIGINT epoch-seconds, band, sig, first_id, n_docs).
     """
+    # A file-source micro-batch arrives with one partition per input
+    # file; a single-file burst would run the whole md5+mixer kernel on
+    # one core (the same scan-parallelism trap the batch shingle path
+    # repartitions out of, dedup.py). repartition is STATELESS — legal
+    # ahead of the one stateful agg — and the shuffle moves raw text
+    # once, before it fans out to K hash mins and band rows.
+    sc = docs.sparkSession.sparkContext
     sigs = rowwise_band_signatures(
-        docs,
+        docs.repartition(sc.defaultParallelism, "doc_id"),
         num_hashes=num_hashes,
         bands=bands,
         n=n,
