@@ -1734,6 +1734,16 @@ def levenshtein_pairs(
         .select("_blk")
     )
     t = t.join(ok, "_blk")
+    # Distribute the DP: the probe side of the block self-join otherwise
+    # inherits the SCAN's partitioning (one partition per input file —
+    # the winnowing lesson), and Catalyst pushes the levenshtein
+    # predicate into the join condition, so the banded DP for every
+    # length-plausible candidate pair ran on one core (measured 4.3 s
+    # for 1060 pairs at sf0.1; 0.9 s after). Hash-partitioning on the
+    # block key is also the 100 TB shape: blocks co-locate, no full-
+    # corpus broadcast.
+    sc = t.sparkSession.sparkContext
+    t = t.repartition(sc.defaultParallelism, "_blk")
     a = t.select(
         F.col("_blk"),
         F.col("_id").alias("doc_a"),
