@@ -423,3 +423,64 @@ def test_incremental_minhash_verify_join_matches_sets(spark):
     }
     assert got_join == got_sets
     assert got_join
+
+
+# --- banded Levenshtein: threshold form ≡ full DP + filter ------------------
+
+_lev_texts = st.lists(
+    st.tuples(
+        st.sampled_from(["aaaa", "abab", "bbbb"]),          # shared prefix
+        st.text(alphabet="ab", min_size=0, max_size=12),    # suffix
+    ),
+    min_size=2,
+    max_size=10,
+)
+
+
+def _lev_ref(a: str, b: str) -> int:
+    """Reference full-DP Levenshtein (no band, no early-out)."""
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(
+                min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+            )
+        prev = cur
+    return prev[-1]
+
+
+@given(data=_lev_texts, max_dist=st.integers(1, 6))
+@SET
+def test_levenshtein_pairs_banded_dp_matches_full_dp(spark, data, max_dist):
+    """The 3-arg threshold kernel must accept EXACTLY the pairs a full
+    DP + ``<= max_dist`` filter accepts, with identical distances and
+    trunc-div sim_ppm — the equivalence the banded rewrite claims
+    (−1 rejects ≡ the rows the old post-DP filter dropped). Blocking
+    (4-char prefix) and the length lower bound are reproduced in the
+    reference so only the DP itself is under test."""
+    from sales_data_etl_pipeline_spark.operators import dedup
+
+    docs = [(i, p + s) for i, (p, s) in enumerate(data)]
+    got = {
+        (r.doc_a, r.doc_b): (r.lev_dist, r.sim_ppm)
+        for r in dedup.levenshtein_pairs(
+            spark.createDataFrame(docs, "doc_id long, text string"),
+            prefix_len=4,
+            max_dist=max_dist,
+            cap=600,
+            max_block=50,
+        ).collect()
+    }
+    want = {}
+    for ia, ta in docs:
+        for ib, tb in docs:
+            if ia >= ib or ta[:4] != tb[:4]:
+                continue
+            if abs(len(ta) - len(tb)) > max_dist:
+                continue
+            d = _lev_ref(ta, tb)
+            if d <= max_dist:
+                m = max(len(ta), len(tb))
+                want[(ia, ib)] = (d, (m - d) * 1_000_000 // m)
+    assert got == want
