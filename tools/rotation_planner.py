@@ -426,6 +426,16 @@ def main() -> int:
     ap.add_argument("--changed", nargs="*", default=[])
     ap.add_argument("--force-changed", nargs="*", default=[])
     ap.add_argument(
+        "--force-changed-file",
+        metavar="PATH",
+        default=None,
+        help="file with one entry name per line (blank lines and "
+        "#-comments skipped), unioned into --force-changed — the "
+        "round-close carry list is committed as such a file "
+        "(tools/r12_force_list.txt) so the next round's window plan "
+        "references it instead of retyping the names",
+    )
+    ap.add_argument(
         "--promote-stale",
         nargs="*",
         default=[],
@@ -458,10 +468,18 @@ def main() -> int:
         "(default: newest committed entry_fingerprints_r*.json)",
     )
     args = ap.parse_args()
+    force = set(args.force_changed)
+    if args.force_changed_file:
+        with open(args.force_changed_file) as f:
+            force |= {
+                ln.strip()
+                for ln in f
+                if ln.strip() and not ln.lstrip().startswith("#")
+            }
     result = plan(
         args.window,
         set(args.changed),
-        set(args.force_changed),
+        force,
         args.max_round,
         use_fingerprints=not args.no_fingerprints,
         baseline=args.baseline,
@@ -478,7 +496,9 @@ def main() -> int:
                 "window": args.window,
                 "max_round": args.max_round,
                 "changed": sorted(args.changed),
-                "force_changed": sorted(args.force_changed),
+                # the UNION including --force-changed-file names, so
+                # the artifact replays without the file
+                "force_changed": sorted(force),
                 "promote_stale": sorted(args.promote_stale),
                 "promote_ahead": sorted(args.promote_ahead),
                 "stable_tier": args.stable_tier,
