@@ -484,3 +484,38 @@ def test_levenshtein_pairs_banded_dp_matches_full_dp(spark, data, max_dist):
                 m = max(len(ta), len(tb))
                 want[(ia, ib)] = (d, (m - d) * 1_000_000 // m)
     assert got == want
+
+
+# --- winnowing: hash-only twin ≡ positional form's hash projection ----------
+
+_winnow_docs = st.lists(
+    st.text(alphabet="abcd ", min_size=0, max_size=40),
+    min_size=1,
+    max_size=8,
+)
+
+
+@given(texts=_winnow_docs, window=st.integers(2, 5))
+@SET
+def test_winnow_hash_twin_matches_positional_projection(spark, texts, window):
+    """``_winnow_fp_hashes`` (the primitive-array winnow_pairs feed)
+    must select exactly the hash set of the positional form — the
+    position-independence claim the pairs-path optimization rests on:
+    the rightmost-min tie rule only picks WHICH position carries an
+    equal hash, never which hash value a frame selects. Random texts
+    over a tiny alphabet force hash ties and truncated final frames."""
+    from sales_data_etl_pipeline_spark.operators import dedup
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    kw = dict(kgram=4, window=window)
+    positional = (
+        dedup.winnow_fingerprints(docs, **kw)
+        .select("doc_id", "fp_hash")
+        .distinct()
+    )
+    twin = dedup._winnow_fp_hashes(docs, **kw)
+    assert sorted(map(tuple, twin.collect())) == sorted(
+        map(tuple, positional.collect())
+    )
