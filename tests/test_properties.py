@@ -519,3 +519,95 @@ def test_winnow_hash_twin_matches_positional_projection(spark, texts, window):
     assert sorted(map(tuple, twin.collect())) == sorted(
         map(tuple, positional.collect())
     )
+
+
+# --- triangle counts: degree-ordered orientation ≡ brute force --------------
+
+_edges = st.lists(
+    st.tuples(st.integers(0, 9), st.integers(0, 9)).filter(
+        lambda e: e[0] != e[1]
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+@given(edges=_edges)
+@SET
+def test_triangle_counts_match_brute_force_on_random_graphs(spark, edges):
+    """The degree-ordered wedge-close must count exactly the triangles a
+    brute-force node-triple enumeration finds, per node, with explicit
+    0 rows for triangle-free nodes that have edges — across random
+    multigraph inputs (duplicate and reversed pairs collapse to one
+    undirected edge; the operator's contract is a PAIR LIST, which
+    near-dup emitters produce deduped but symmetric callers may not)."""
+    from pyspark.sql import Row
+
+    from sales_data_etl_pipeline_spark.operators import dedup
+
+    und = {tuple(sorted(e)) for e in edges}
+    pairs = spark.createDataFrame(
+        [Row(id_a=a, id_b=b) for a, b in sorted(und)]
+    )
+    got = {
+        r.node: r.n_triangles
+        for r in dedup.triangle_counts(pairs).collect()
+    }
+    nodes = sorted({n for e in und for n in e})
+    adj = {n: {b for a, b in und if a == n} | {a for a, b in und if b == n}
+           for n in nodes}
+    want = {
+        n: sum(
+            1
+            for a in adj[n]
+            for b in adj[n]
+            if a < b and tuple(sorted((a, b))) in und
+        )
+        for n in nodes
+    }
+    assert got == want
+
+
+# --- interval-overlap join: bucket blocking ≡ brute force --------------------
+
+_ivals = st.lists(
+    st.tuples(st.integers(0, 500), st.integers(0, 200)),  # (start, span)
+    min_size=1,
+    max_size=12,
+)
+
+
+@given(lefts=_ivals, rights=_ivals, bucket=st.sampled_from([60, 100, 128]))
+@SET
+def test_interval_overlap_join_matches_brute_force(spark, lefts, rights, bucket):
+    """Bucket blocking must reproduce the exact predicate's result —
+    closed left × half-open right, ``l_start < r_end AND l_end >=
+    r_start``, overlap = min(ends) − max(starts) — for random interval
+    sets and bucket sizes below/above the typical span (multi-bucket
+    spans exercise the distinct that collapses double matches; empty
+    right intervals are dropped by contract)."""
+    from pyspark.sql import Row
+
+    from sales_data_etl_pipeline_spark.operators import temporal
+
+    left = spark.createDataFrame(
+        [Row(sid=i, l_start=s, l_end=s + d) for i, (s, d) in enumerate(lefts)]
+    )
+    right = spark.createDataFrame(
+        [Row(wid=i, r_start=s, r_end=s + d) for i, (s, d) in enumerate(rights)]
+    )
+    got = {
+        (r.sid, r.wid): r.overlap_s
+        for r in temporal.interval_overlap_join(
+            left, right, bucket_seconds=bucket
+        ).collect()
+    }
+    want = {}
+    for i, (ls, ld) in enumerate(lefts):
+        for j, (rs, rd) in enumerate(rights):
+            le, re_ = ls + ld, rs + rd
+            if re_ <= rs:  # empty right interval: dropped by contract
+                continue
+            if ls < re_ and le >= rs:
+                want[(i, j)] = min(le, re_) - max(ls, rs)
+    assert got == want
