@@ -40,7 +40,12 @@ def asof_join(
     ``on`` key — ``backward`` (default): latest right with
     ``right.ts <= left.ts``; ``forward``: earliest right with
     ``right.ts >= left.ts``. Ties: the right row sorts first, so an
-    equal-timestamp right row IS matched in both directions.
+    equal-timestamp right row IS matched in both directions. Among
+    MULTIPLE right rows at the winning timestamp the match is the
+    lexicographically GREATEST carried struct (``right_cols`` order) —
+    a stated deterministic rule: without the struct tie-break the
+    window order within the tie group is partition-order dependent and
+    the matched row could differ run to run.
 
     Same single-shuffle tagged-union formulation either way — forward
     just reverses the carry order of the window (``ts desc``), no extra
@@ -71,11 +76,14 @@ def asof_join(
     r_tag = r_tag.withColumn("_l", F.col("_l").cast(l_tag.schema["_l"].dataType))
     unioned = l_tag.unionByName(r_tag.select(*l_tag.columns))
     # right rows (side=0) sort before left rows at equal ts → inclusive
-    # match in both directions; forward carries in reverse-ts order
+    # match in both directions; forward carries in reverse-ts order.
+    # _r as the final key makes the tie group among equal-timestamp
+    # right rows deterministic (last() carries the struct-max); left
+    # rows all have _r NULL so the key is inert across sides.
     ts_order = F.col("_ts").asc() if direction == "backward" else F.col("_ts").desc()
     w = (
         Window.partitionBy("_k")
-        .orderBy(ts_order, F.col("_side").asc())
+        .orderBy(ts_order, F.col("_side").asc(), F.col("_r").asc())
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     carried = unioned.withColumn("_last_r", F.last("_r", ignorenulls=True).over(w))

@@ -611,3 +611,67 @@ def test_interval_overlap_join_matches_brute_force(spark, lefts, rights, bucket)
             if ls < re_ and le >= rs:
                 want[(i, j)] = min(le, re_) - max(ls, rs)
     assert got == want
+
+
+# --- as-of join: tagged-union window ≡ reference model -----------------------
+
+_asof_left = st.lists(
+    st.tuples(st.integers(1, 3), st.integers(0, 20)),   # (key, ts)
+    min_size=1,
+    max_size=12,
+)
+_asof_right = st.lists(
+    st.tuples(
+        st.integers(1, 3),                               # key
+        st.integers(0, 20),                              # ts (dups likely)
+        st.text(alphabet="xyz", min_size=1, max_size=2),  # tag
+    ),
+    min_size=0,
+    max_size=12,
+)
+
+
+@given(lefts=_asof_left, rights=_asof_right,
+       direction=st.sampled_from(["backward", "forward"]))
+@SET
+def test_asof_join_matches_reference_with_duplicate_timestamps(
+    spark, lefts, rights, direction
+):
+    """Both directions must match a sequential reference — latest right
+    at-or-before (earliest at-or-after), inclusive on equal timestamps,
+    and among MULTIPLE right rows at the winning timestamp the
+    lexicographically greatest carried struct wins (the documented
+    deterministic tie rule; without the struct key in the window order
+    the tie group is partition-order dependent). Duplicate right
+    timestamps per key are the generator's common case on purpose."""
+    from pyspark.sql import Row
+
+    from sales_data_etl_pipeline_spark.operators import temporal
+
+    left = spark.createDataFrame(
+        [Row(eid=i, k=k, ts=float(t)) for i, (k, t) in enumerate(lefts)]
+    )
+    right = spark.createDataFrame(
+        [Row(k=k, ts=float(t), tag=g) for k, t, g in rights],
+        "k long, ts double, tag string",
+    )
+    got = {
+        r.eid: r.tag_matched
+        for r in temporal.asof_join(
+            left, right, on="k", right_cols=["tag"], direction=direction
+        ).collect()
+    }
+    want = {}
+    for i, (k, t) in enumerate(lefts):
+        if direction == "backward":
+            cand = [(rt, g) for rk, rt, g in rights if rk == k and rt <= t]
+            best_ts = max((rt for rt, _ in cand), default=None)
+        else:
+            cand = [(rt, g) for rk, rt, g in rights if rk == k and rt >= t]
+            best_ts = min((rt for rt, _ in cand), default=None)
+        if best_ts is None:
+            want[i] = None
+        else:
+            # struct is (tag, _rts); _rts ties → max tag wins
+            want[i] = max(g for rt, g in cand if rt == best_ts)
+    assert got == want
