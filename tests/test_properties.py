@@ -675,3 +675,42 @@ def test_asof_join_matches_reference_with_duplicate_timestamps(
             # struct is (tag, _rts); _rts ties → max tag wins
             want[i] = max(g for rt, g in cand if rt == best_ts)
     assert got == want
+
+
+# --- k-core: iterative peeling ≡ reference fixed point ------------------------
+
+
+@given(edges=_edges, k=st.integers(2, 4))
+@SET
+def test_kcore_matches_reference_peeling(spark, edges, k):
+    """The distributed peel must converge to exactly the reference
+    k-core (sequential peel-to-fixed-point), with each survivor's
+    degree counted INSIDE the core — across random graphs including
+    ones whose k-core is empty (every node peeled) and cascades that
+    peel one node per round."""
+    from pyspark.sql import Row
+
+    from sales_data_etl_pipeline_spark.operators import dedup
+
+    und = {tuple(sorted(e)) for e in edges}
+    pairs = spark.createDataFrame(
+        [Row(id_a=a, id_b=b) for a, b in sorted(und)]
+    )
+    got = {
+        r.doc_id: r.core_degree
+        for r in dedup.kcore_decompose(
+            pairs, k=k, max_iterations=30
+        ).collect()
+    }
+    alive = {n for e in und for n in e}
+    while True:
+        deg = {n: 0 for n in alive}
+        for a, b in und:
+            if a in alive and b in alive:
+                deg[a] += 1
+                deg[b] += 1
+        drop = {n for n in alive if deg[n] < k}
+        if not drop:
+            break
+        alive -= drop
+    assert got == {n: deg[n] for n in alive}
