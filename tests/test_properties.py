@@ -714,3 +714,43 @@ def test_kcore_matches_reference_peeling(spark, edges, k):
             break
         alive -= drop
     assert got == {n: deg[n] for n in alive}
+
+
+# --- connected components: min-label propagation ≡ union-find reference ------
+
+
+@given(edges=_edges)
+@SET
+def test_connected_components_match_union_find(spark, edges):
+    """Min-label propagation must assign every node the minimum doc id
+    reachable through the pair graph — exactly a union-find reference's
+    components — on random graphs (chains, forests, multi-component)."""
+    from pyspark.sql import Row
+
+    from sales_data_etl_pipeline_spark.operators import dedup
+
+    und = {tuple(sorted(e)) for e in edges}
+    pairs = spark.createDataFrame(
+        [Row(id_a=a, id_b=b) for a, b in sorted(und)]
+    )
+    got = {
+        r.doc_id: r.component
+        for r in dedup.connected_components(
+            pairs, max_iterations=40
+        ).collect()
+    }
+    parent = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in und:
+        parent[find(a)] = find(b)
+    roots = {}
+    for n in {x for e in und for x in e}:
+        roots.setdefault(find(n), []).append(n)
+    want = {n: min(mem) for mem in roots.values() for n in mem}
+    assert got == want
