@@ -92,6 +92,36 @@ def shingles(text_col: str = "text", n: int = 3) -> Column:
     return F.expr(_shingle_expr(toks, n))
 
 
+def fan_out(df: DataFrame, *cols: str) -> DataFrame:
+    """Hash-distribute ``df`` on ``cols`` ahead of a compute-bound,
+    shuffle-free kernel — the scan-parallelism fix for inputs that
+    arrive as a handful of parquet splits (far fewer than the cores a
+    kernel like md5+fold winnowing or the banded Levenshtein DP wants).
+
+    Two properties the hard-coded ``repartition(defaultParallelism,
+    key)`` it replaces lacked: the fan-out width is the session's
+    ``spark.sql.shuffle.partitions`` (one tunable knob per deployment,
+    and — because ``repartition`` is called WITHOUT an explicit count —
+    AQE remains free to coalesce the exchange), and the shuffle is
+    SKIPPED when the input already carries at least that many
+    partitions (a wide scan at cluster scale needs no extra fan-out;
+    forcing one would re-shuffle the full raw-text bytes for nothing).
+    Streaming inputs always take the repartition: their partition
+    count is per-micro-batch and unknowable at plan time, and the
+    single-file-burst trap is exactly the case to guard.
+    """
+    if not df.isStreaming:
+        try:
+            target = int(
+                df.sparkSession.conf.get("spark.sql.shuffle.partitions")
+            )
+        except (TypeError, ValueError):  # e.g. "auto" on vendor builds
+            target = df.sparkSession.sparkContext.defaultParallelism
+        if df.rdd.getNumPartitions() >= target:
+            return df
+    return df.repartition(*[F.col(c) for c in cols])
+
+
 def exact_dedup(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Exact dedup: keep the smallest doc_id per identical text (md5 key).
 
@@ -111,13 +141,12 @@ def shingle_sets(df: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame
 
     Tokenizes ONCE into a column before shingling — inlining the regex
     split inside the transform lambda re-splits per shingle position
-    (measured ~10× slower). Repartitions by doc_id first: document
-    parquet files arrive in a handful of input splits, far fewer than the
-    cores available for this compute-bound explode.
+    (measured ~10× slower). Fans out by doc_id first (:func:`fan_out`):
+    document parquet files arrive in a handful of input splits, far
+    fewer than the cores available for this compute-bound explode.
     """
-    sc = df.sparkSession.sparkContext
     return (
-        df.repartition(sc.defaultParallelism, "doc_id")
+        fan_out(df, "doc_id")
         .select("doc_id", F.expr(TOKENIZE.format(col=text_col)).alias("_toks"))
         .select(
             "doc_id",
@@ -1456,11 +1485,19 @@ def winnow_fingerprints(
     lookups) — no per-doc window sort, no shuffle of the k-gram hash
     stream (a window formulation ships n_chars hash rows, ~20× the
     raw text bytes; here only the raw docs move). The docs are
-    repartitioned by id first — the shingles/multimodal convention:
-    document parquet arrives in a handful of input splits, far fewer
-    than the cores this compute-bound kernel wants, and WITHOUT it the
-    entire md5+fold pipeline runs inside the scan stage on those few
-    cores (measured 0.35s → 4s on the single-split sf0.1 gate file).
+    fanned out by id first (:func:`fan_out`): document parquet arrives
+    in a handful of input splits, far fewer than the cores this
+    compute-bound kernel wants, and WITHOUT it the entire md5+fold
+    pipeline runs inside the scan stage on those few cores (measured
+    0.35s → 4s on the single-split sf0.1 gate file). Small-input
+    trade-off, adjudicated r11: ISOLATED at sf0.1 the fan-out took the
+    fingerprint gate 4.5 → 1.1s, while IN-SUITE (warm single-split
+    gate file, one core already saturated by nothing else) the same
+    exchange moved it 0.35 → 0.65s — at gate scale the exchange costs
+    more than the one-core scan it parallelizes, and the trade inverts
+    at any real fan-in. Both numbers are recorded so the in-suite
+    delta is not re-litigated; the convention is sized for the 100 TB
+    shape, not the 6 MB gate file.
     The exploded frame mins repeat up to ``window``× consecutively and
     collapse MAP-SIDE in the final distinct, so only ~n/window unique
     selections reach that shuffle. ``array_distinct`` over the struct
@@ -1472,8 +1509,7 @@ def winnow_fingerprints(
     each k-gram is md5-hashed exactly once. Output: (id, fp_pos,
     fp_hash) distinct rows.
     """
-    sc = df.sparkSession.sparkContext
-    df = df.repartition(sc.defaultParallelism, id_col)
+    df = fan_out(df, id_col)
     npos = f"(length({text_col}) - {kgram - 1})"
     hs = (
         f"transform(sequence(1, {npos}), p -> struct("
@@ -1524,10 +1560,9 @@ def _winnow_fp_hashes(
     shuffle that ``winnow_fingerprints().select(id, fp_hash)
     .distinct()`` would pay is gone — one distinct total, fed map-side
     collapsed. Same md5-derived 60-bit hashes as the positional form,
-    same repartition-by-id split of the few-input-split scan.
+    same :func:`fan_out` split of the few-input-split scan.
     """
-    sc = df.sparkSession.sparkContext
-    df = df.repartition(sc.defaultParallelism, id_col)
+    df = fan_out(df, id_col)
     npos = f"(length({text_col}) - {kgram - 1})"
     hs = (
         f"transform(sequence(1, {npos}), p -> "
@@ -1742,8 +1777,7 @@ def levenshtein_pairs(
     # for 1060 pairs at sf0.1; 0.9 s after). Hash-partitioning on the
     # block key is also the 100 TB shape: blocks co-locate, no full-
     # corpus broadcast.
-    sc = t.sparkSession.sparkContext
-    t = t.repartition(sc.defaultParallelism, "_blk")
+    t = fan_out(t, "_blk")
     a = t.select(
         F.col("_blk"),
         F.col("_id").alias("doc_a"),

@@ -45,7 +45,13 @@ def asof_join(
     lexicographically GREATEST carried struct (``right_cols`` order) —
     a stated deterministic rule: without the struct tie-break the
     window order within the tie group is partition-order dependent and
-    the matched row could differ run to run.
+    the matched row could differ run to run. Two consequences callers
+    should know: the rule is sensitive to the ``right_cols`` ORDER
+    (the struct compares field by field in the order passed, so
+    reordering ``right_cols`` can change which tied row wins), and it
+    deliberately diverges from pandas ``merge_asof`` — which keeps the
+    LAST right row in input order, a notion with no stable meaning for
+    a distributed shuffle — in favor of an input-order-free rule.
 
     Same single-shuffle tagged-union formulation either way — forward
     just reverses the carry order of the window (``ts desc``), no extra

@@ -64,13 +64,30 @@ def _is_spark_table_output(loc: str) -> bool:
     return True
 
 
-def overwrite_table(df: DataFrame, name: str, *, bucket_by: tuple[int, str] | None = None) -> None:
+def overwrite_table(
+    df: DataFrame,
+    name: str,
+    *,
+    bucket_by: tuple[int, str] | None = None,
+    files_per_bucket: int = 1,
+) -> None:
     """DROP+CREATE semantics (reference S5/S6, ``load-data/l_*.py:71-119``).
 
     The reference drops + recreates the Postgres table then inserts row by
     row with ON CONFLICT DO NOTHING; since ET already deduped, that is
     exactly ``mode('overwrite').saveAsTable`` (SURVEY.md §7.4 item 8).
     ``bucket_by=(n, key)`` co-locates future joins on ``key``.
+
+    ``files_per_bucket`` (k, default 1) sets the bucket-aligned write
+    parallelism: the pre-write shuffle targets k·n partitions, so the
+    write runs k·n tasks and each bucket lands as AT MOST k files —
+    alignment survives any multiple because partition ids and bucket
+    ids share one hash family (bucket = murmur3(key) mod n, partition
+    = murmur3(key) mod k·n, and (h mod k·n) mod n == h mod n), so each
+    write task still holds exactly one bucket. k=1 gives the minimal
+    file count for small dimension tables; a large fact table raises k
+    to keep per-task write volume and per-file size bounded instead of
+    serializing the write into n oversized files.
 
     Stale-location guard: with the default session-scoped catalog the
     table REGISTRATION dies with the session while its warehouse
@@ -112,11 +129,15 @@ def overwrite_table(df: DataFrame, name: str, *, bucket_by: tuple[int, str] | No
         # the write: bucketBy otherwise emits one file per (task, bucket)
         # pair — measured 1024 files for an 8.3 MB 32-bucket table here,
         # and tasks×buckets (millions of files) on a large cluster.
-        # repartition(n, key) uses the same Murmur3 hash family as bucket
-        # assignment, so each write task holds exactly one bucket and the
-        # table lands as one file per bucket.
+        # repartition(k·n, key) uses the same Murmur3 hash family as
+        # bucket assignment, so each write task holds exactly one bucket
+        # and the table lands as ≤ files_per_bucket files per bucket.
+        if files_per_bucket < 1:
+            raise ValueError(
+                f"files_per_bucket must be >= 1, got {files_per_bucket}"
+            )
         n, key = bucket_by
-        df = df.repartition(n, key)
+        df = df.repartition(n * files_per_bucket, key)
     writer = df.write.mode("overwrite").format("parquet")
     if bucket_by:
         n, key = bucket_by

@@ -217,12 +217,16 @@ def minhash_band_buckets(
     # A file-source micro-batch arrives with one partition per input
     # file; a single-file burst would run the whole md5+mixer kernel on
     # one core (the same scan-parallelism trap the batch shingle path
-    # repartitions out of, dedup.py). repartition is STATELESS — legal
+    # fans out of, dedup.fan_out). The repartition is STATELESS — legal
     # ahead of the one stateful agg — and the shuffle moves raw text
-    # once, before it fans out to K hash mins and band rows.
-    sc = docs.sparkSession.sparkContext
+    # once, before it fans out to K hash mins and band rows; fan_out
+    # sizes it at spark.sql.shuffle.partitions (streaming input always
+    # takes the exchange: micro-batch parallelism is unknowable at
+    # plan time).
+    from sales_data_etl_pipeline_spark.operators.dedup import fan_out
+
     sigs = rowwise_band_signatures(
-        docs.repartition(sc.defaultParallelism, "doc_id"),
+        fan_out(docs, "doc_id"),
         num_hashes=num_hashes,
         bands=bands,
         n=n,
@@ -703,9 +707,10 @@ def jdbc_view_maintain_batch_fn(
     fine because a micro-batch delta is per-group aggregated (group
     cardinality, not event volume). The ledger grows one row set per
     batch; readers pay |ledger| ≈ batches × active groups per rollup
-    — compact offline through the batch operator
-    (``merge.maintain_agg_view``) when that dominates, the same
-    way log-structured tables compact.
+    — fold it back to one row per group with
+    :func:`compact_agg_ledger` when that dominates, the same way
+    log-structured tables compact (fence-preserving, crash-safe,
+    run with the maintainer quiesced).
 
     ``value_col`` must be exactly additive (integers/cents): the
     incremental sum must equal a from-scratch GROUP BY bit-for-bit,
@@ -782,6 +787,100 @@ def read_agg_view(
     return ledger.groupBy(group_col).agg(
         F.sum("n_rows").alias("n_rows"), F.sum("sum_v").alias("sum_v")
     )
+
+
+def compact_agg_ledger(
+    spark: SparkSession,
+    url: str,
+    table: str,
+    group_col: str,
+    *,
+    properties: dict[str, str] | None = None,
+) -> int:
+    """Fold the delta ledger :func:`jdbc_view_maintain_batch_fn` grows
+    into one row per group — the compaction half of the streaming IVM
+    pair, run offline the way log-structured tables compact. Without
+    it the ledger holds one row set per batch and readers pay
+    |batches × active groups| per :func:`read_agg_view` rollup; after
+    it they pay |groups|, and the stream keeps appending as before.
+
+    Exactly-once is PRESERVED across compaction: the compacted rows
+    carry ``batch_id = max(batch_id)`` of the ledger they replace, so
+    the maintainer's replay fence (skip any ``batch_id ≤ max``) keeps
+    rejecting already-applied batches and keeps accepting new ones.
+
+    Crash safety — same bar as the sink it maintains: the rollup is
+    first written (distributed, through Spark) to a STAGING table
+    ``<table>_stage``; the ledger is then replaced by a three-step
+    metadata-only swap (RENAME ledger→old, RENAME stage→ledger, DROP
+    old) inside ONE transaction — Derby DDL is transactional, so a
+    crash anywhere before the commit rolls the whole swap back and
+    the uncompacted ledger is still there; a crash before the swap
+    leaves only a stale staging table the next run overwrites. No
+    rollup row ever moves through the driver.
+
+    Single-maintainer contract (documented, and cheaply enforced):
+    compaction must not race the streaming sink. The fence is probed
+    before the rollup and re-probed after the staging write; if a
+    batch landed in between, the run aborts with ``RuntimeError``
+    BEFORE the swap and the ledger is untouched. ``table`` must be a
+    simple (unqualified) name — RENAME targets are unqualified.
+
+    Returns the number of ledger rows the compaction removed.
+    """
+    from sales_data_etl_pipeline_spark.sources import jdbc as jdbc_src
+
+    fence = _jdbc_scalar(
+        spark, url, f'SELECT MAX("batch_id") FROM {table}', properties
+    )
+    if fence is None:
+        return 0  # empty ledger: nothing to fold
+    n_before = _jdbc_scalar(
+        spark, url, f"SELECT COUNT(*) FROM {table}", properties
+    )
+    stage = f"{table}_stage"
+    ledger = jdbc_src.read_jdbc(spark, url, table, properties=properties)
+    rollup = (
+        ledger.filter(F.col("batch_id") <= fence)
+        .groupBy(group_col)
+        .agg(F.sum("n_rows").alias("n_rows"), F.sum("sum_v").alias("sum_v"))
+        .withColumn("batch_id", F.lit(int(fence)).cast("long"))
+    )
+    jdbc_src.write_jdbc(
+        rollup, url, stage, mode="overwrite", properties=properties
+    )
+    refence = _jdbc_scalar(
+        spark, url, f'SELECT MAX("batch_id") FROM {table}', properties
+    )
+    if refence != fence:
+        raise RuntimeError(
+            f"ledger {table} advanced during compaction "
+            f"(fence {fence} -> {refence}); aborting before the swap — "
+            "run compaction with the maintainer quiesced"
+        )
+    n_after = _jdbc_scalar(
+        spark, url, f"SELECT COUNT(*) FROM {stage}", properties
+    )
+    # the swap: three DDL statements, one transaction, zero data moved
+    jvm = spark._sc._jvm
+    props = jvm.java.util.Properties()
+    for k, v in (properties or {}).items():
+        props.setProperty(k, str(v))
+    conn = jvm.java.sql.DriverManager.getConnection(url, props)
+    try:
+        conn.setAutoCommit(False)
+        st = conn.createStatement()
+        old = f"{table}_pre_compact"
+        st.executeUpdate(f"RENAME TABLE {table} TO {old}")
+        st.executeUpdate(f"RENAME TABLE {stage} TO {table}")
+        st.executeUpdate(f"DROP TABLE {old}")
+        conn.commit()
+    except Exception:
+        conn.rollback()
+        raise
+    finally:
+        conn.close()
+    return int(n_before or 0) - int(n_after or 0)
 
 
 def stream_to_view_maintenance(

@@ -100,18 +100,79 @@ def test_clustered_write_enables_rowgroup_skipping(spark, tmp_path):
     assert len(touched) == 1
 
 
+def _bucket_ids(loc):
+    """bucket id per part-file, parsed from the bucketed-file naming
+    scheme ``part-<task>-<uuid>_<bucket>.c000...``."""
+    import os
+
+    out = []
+    for f in os.listdir(loc):
+        if not f.startswith("part-"):
+            continue
+        m = re.search(r"_(\d{5})\.", f)
+        assert m, f"unrecognized bucketed part-file name: {f}"
+        out.append(int(m.group(1)))
+    return out
+
+
 def test_bucketed_write_emits_one_file_per_bucket(spark, bucketed):
     """The write path must align partitioning with the bucket function:
     without the pre-write repartition, bucketBy emits one file per
     (task, bucket) pair — tasks x buckets files (measured 1024 files for
-    an 8.3 MB 32-bucket table; millions on a 1000-executor cluster)."""
+    an 8.3 MB 32-bucket table; millions on a 1000-executor cluster).
+    Aligned means each part-file carries a DISTINCT bucket id — an
+    empty bucket legitimately writes no file, so the file count is
+    bounded by, not equal to, the bucket count."""
     import os
     from urllib.parse import urlparse
 
     wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
     for tbl, buckets in (("li_bucketed", 8), ("ord_bucketed", 8)):
-        loc = os.path.join(wh, tbl)
-        files = [f for f in os.listdir(loc) if f.startswith("part-")]
-        assert len(files) == buckets, (
-            f"{tbl}: {len(files)} files for {buckets} buckets"
+        ids = _bucket_ids(os.path.join(wh, tbl))
+        assert 0 < len(ids) <= buckets, (
+            f"{tbl}: {len(ids)} files for {buckets} buckets"
+        )
+        assert len(set(ids)) == len(ids), (
+            f"{tbl}: bucket written by more than one task: {sorted(ids)}"
+        )
+        assert all(0 <= b < buckets for b in ids)
+
+
+def test_bucketed_write_files_per_bucket_multiple(spark):
+    """files_per_bucket=k keeps bucket alignment at k·n write tasks:
+    every part-file still holds exactly one bucket (≤ k files carry
+    each bucket id), so a large table widens write parallelism without
+    exploding into (task × bucket) files."""
+    import os
+    from urllib.parse import urlparse
+
+    t = load_testdata(spark, SF_DIR, ("lineitem",))
+    overwrite_table(
+        t["lineitem"],
+        "li_bucketed_k2",
+        bucket_by=(4, "l_orderkey"),
+        files_per_bucket=2,
+    )
+    try:
+        wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+        ids = _bucket_ids(os.path.join(wh, "li_bucketed_k2"))
+        assert 0 < len(ids) <= 8
+        from collections import Counter
+
+        assert all(c <= 2 for c in Counter(ids).values()), Counter(ids)
+        assert all(0 <= b < 4 for b in ids)
+        # the table itself is intact and bucket-join capable
+        assert spark.table("li_bucketed_k2").count() == t["lineitem"].count()
+    finally:
+        spark.sql("DROP TABLE IF EXISTS li_bucketed_k2")
+
+
+def test_bucketed_write_rejects_bad_files_per_bucket(spark):
+    t = load_testdata(spark, SF_DIR, ("lineitem",))
+    with pytest.raises(ValueError, match="files_per_bucket"):
+        overwrite_table(
+            t["lineitem"],
+            "li_bucketed_bad",
+            bucket_by=(4, "l_orderkey"),
+            files_per_bucket=0,
         )

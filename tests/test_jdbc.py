@@ -351,3 +351,140 @@ def test_streaming_view_maintenance_crash_keeps_history(
             spark, url, "ledger", "grp", properties=_props()
         ).collect()
     } == after
+
+
+def _view(spark, url, table="ledger", group="grp"):
+    from sales_data_etl_pipeline_spark.streaming import events as streaming
+
+    return {
+        (r[0], r.n_rows, r.sum_v)
+        for r in streaming.read_agg_view(
+            spark, url, table, group, properties=_props()
+        ).collect()
+    }
+
+
+def test_ledger_compaction_preserves_rollup_and_fence(spark, tmp_path):
+    """compact_agg_ledger must fold the ledger to one row per group
+    with the rollup BIT-IDENTICAL before/after, and must preserve the
+    exactly-once fence: replays at-or-below the pre-compaction max
+    batch_id stay rejected, new batches still apply."""
+    from sales_data_etl_pipeline_spark.streaming import events as streaming
+
+    url = _url(tmp_path, "compact")
+    fn = streaming.jdbc_view_maintain_batch_fn(
+        url, "ledger", "grp", "v", properties=_props()
+    )
+    for b in range(5):
+        fn(
+            spark.createDataFrame(
+                [Row(grp="a", v=10 + b), Row(grp="b", v=b)]
+                + ([Row(grp="c", v=100)] if b == 2 else [])
+            ),
+            b,
+        )
+    before = _view(spark, url)
+    ledger_rows = jdbc.read_jdbc(
+        spark, url, "ledger", properties=_props()
+    ).count()
+    assert ledger_rows == 11  # 5 batches x 2 groups + 1
+    removed = streaming.compact_agg_ledger(
+        spark, url, "ledger", "grp", properties=_props()
+    )
+    assert removed == 11 - 3
+    compacted = jdbc.read_jdbc(spark, url, "ledger", properties=_props())
+    assert compacted.count() == 3  # one row per group
+    assert {r.batch_id for r in compacted.collect()} == {4}  # the fence
+    assert _view(spark, url) == before
+    # fence preserved: replaying batch 4 is a no-op
+    fn(spark.createDataFrame([Row(grp="a", v=999)]), 4)
+    assert _view(spark, url) == before
+    # ...and batch 5 still applies
+    fn(spark.createDataFrame([Row(grp="a", v=1)]), 5)
+    got = dict((g, (n, s)) for g, n, s in _view(spark, url))
+    want = dict((g, (n, s)) for g, n, s in before)
+    assert got["a"] == (want["a"][0] + 1, want["a"][1] + 1)
+    assert got["b"] == want["b"] and got["c"] == want["c"]
+    # compacting the already-compact ledger folds the one extra batch
+    assert streaming.compact_agg_ledger(
+        spark, url, "ledger", "grp", properties=_props()
+    ) == 1
+
+
+def test_ledger_compaction_crash_keeps_ledger(spark, tmp_path, monkeypatch):
+    """A crash during the staging write must leave the uncompacted
+    ledger fully intact (the swap never started); the retry then
+    completes normally."""
+    from sales_data_etl_pipeline_spark.sources import jdbc as jdbc_src
+    from sales_data_etl_pipeline_spark.streaming import events as streaming
+
+    url = _url(tmp_path, "compactcrash")
+    fn = streaming.jdbc_view_maintain_batch_fn(
+        url, "ledger", "grp", "v", properties=_props()
+    )
+    for b in range(3):
+        fn(spark.createDataFrame([Row(grp="a", v=1), Row(grp="b", v=2)]), b)
+    before = _view(spark, url)
+
+    real_write = jdbc_src.write_jdbc
+
+    def boom(*a, **kw):
+        raise RuntimeError("crash mid-stage-write")
+
+    monkeypatch.setattr(jdbc_src, "write_jdbc", boom)
+    with pytest.raises(RuntimeError, match="crash mid-stage-write"):
+        streaming.compact_agg_ledger(
+            spark, url, "ledger", "grp", properties=_props()
+        )
+    monkeypatch.setattr(jdbc_src, "write_jdbc", real_write)
+    # ledger untouched: same rollup, same row count, fence intact
+    assert _view(spark, url) == before
+    assert (
+        jdbc.read_jdbc(spark, url, "ledger", properties=_props()).count() == 6
+    )
+    assert streaming.compact_agg_ledger(
+        spark, url, "ledger", "grp", properties=_props()
+    ) == 4
+    assert _view(spark, url) == before
+
+
+def test_ledger_compaction_aborts_if_maintainer_races(
+    spark, tmp_path, monkeypatch
+):
+    """If a batch lands between the fence probe and the swap, the
+    compaction must abort BEFORE replacing the ledger — otherwise the
+    swap would silently drop the new batch's rows."""
+    from sales_data_etl_pipeline_spark.sources import jdbc as jdbc_src
+    from sales_data_etl_pipeline_spark.streaming import events as streaming
+
+    url = _url(tmp_path, "compactrace")
+    fn = streaming.jdbc_view_maintain_batch_fn(
+        url, "ledger", "grp", "v", properties=_props()
+    )
+    for b in range(2):
+        fn(spark.createDataFrame([Row(grp="a", v=5)]), b)
+
+    real_write = jdbc_src.write_jdbc
+
+    def racing_write(df, url_, table_, **kw):
+        real_write(df, url_, table_, **kw)
+        if table_.endswith("_stage"):
+            # a maintainer batch sneaks in right after the staging write
+            monkeypatch.setattr(jdbc_src, "write_jdbc", real_write)
+            fn(spark.createDataFrame([Row(grp="z", v=7)]), 2)
+
+    monkeypatch.setattr(jdbc_src, "write_jdbc", racing_write)
+    with pytest.raises(RuntimeError, match="advanced during compaction"):
+        streaming.compact_agg_ledger(
+            spark, url, "ledger", "grp", properties=_props()
+        )
+    # nothing lost: the racing batch and the full history are all there
+    assert _view(spark, url) == {("a", 2, 10), ("z", 1, 7)}
+    # a quiesced retry now folds everything
+    streaming.compact_agg_ledger(
+        spark, url, "ledger", "grp", properties=_props()
+    )
+    assert _view(spark, url) == {("a", 2, 10), ("z", 1, 7)}
+    assert (
+        jdbc.read_jdbc(spark, url, "ledger", properties=_props()).count() == 2
+    )
