@@ -100,26 +100,34 @@ def fan_out(df: DataFrame, *cols: str) -> DataFrame:
 
     Two properties the hard-coded ``repartition(defaultParallelism,
     key)`` it replaces lacked: the fan-out width is the session's
-    ``spark.sql.shuffle.partitions`` (one tunable knob per deployment,
-    and — because ``repartition`` is called WITHOUT an explicit count —
-    AQE remains free to coalesce the exchange), and the shuffle is
-    SKIPPED when the input already carries at least that many
-    partitions (a wide scan at cluster scale needs no extra fan-out;
-    forcing one would re-shuffle the full raw-text bytes for nothing).
-    Streaming inputs always take the repartition: their partition
-    count is per-micro-batch and unknowable at plan time, and the
-    single-file-burst trap is exactly the case to guard.
+    ``spark.sql.shuffle.partitions`` (one tunable knob per deployment),
+    and the shuffle is SKIPPED when the input already carries at least
+    that many partitions (a wide scan at cluster scale needs no extra
+    fan-out; forcing one would re-shuffle the full raw-text bytes for
+    nothing). Streaming inputs always take the repartition: their
+    partition count is per-micro-batch and unknowable at plan time,
+    and the single-file-burst trap is exactly the case to guard.
+
+    The count is passed EXPLICITLY (``REPARTITION_BY_NUM``), never the
+    count-free ``repartition(cols)`` form: AQE coalesces the count-free
+    exchange by BYTE size (64 MB advisory target), and these kernels
+    are compute-bound on a ~20×+ expansion of their input bytes —
+    byte-sizing is exactly the wrong heuristic. Measured when a
+    count-free draft shipped: AQE folded the 6 MB winnowing fan-out
+    back to ONE partition and the gate went 2.38 → 8.46 s (levenshtein
+    0.89 → 4.54 s, triangles 1.93 → 5.57 s) — the very one-core trap
+    the repartition exists to break. Caught by the re-measure-before-
+    close rule; the explicit count restores the r11 numbers.
     """
-    if not df.isStreaming:
-        try:
-            target = int(
-                df.sparkSession.conf.get("spark.sql.shuffle.partitions")
-            )
-        except (TypeError, ValueError):  # e.g. "auto" on vendor builds
-            target = df.sparkSession.sparkContext.defaultParallelism
-        if df.rdd.getNumPartitions() >= target:
-            return df
-    return df.repartition(*[F.col(c) for c in cols])
+    try:
+        target = int(
+            df.sparkSession.conf.get("spark.sql.shuffle.partitions")
+        )
+    except (TypeError, ValueError):  # e.g. "auto" on vendor builds
+        target = df.sparkSession.sparkContext.defaultParallelism
+    if not df.isStreaming and df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target, *[F.col(c) for c in cols])
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text") -> DataFrame:

@@ -243,19 +243,21 @@ def test_levenshtein_dp_is_banded_and_distributed(spark):
     """The edit-distance verify must (a) run the BANDED threshold DP —
     the 3-arg ``levenshtein(l, r, Some(max_dist))`` JVM kernel, never
     the full O(n²) 2-arg form — and (b) hash-distribute the capped
-    texts on the block key before the block self-join (fan_out: a
-    count-free REPARTITION_BY_COL sized by spark.sql.shuffle.partitions
-    and AQE-coalescible, not a hard-coded REPARTITION_BY_NUM):
-    Catalyst pushes the DP into the join condition, and without the
-    explicit repartition the probe side inherits the scan's
-    one-partition-per-file layout, serializing every DP onto one core
-    (measured 4.3 s → 0.9 s at sf0.1)."""
+    texts on the block key before the block self-join (fan_out: an
+    EXPLICIT-count REPARTITION_BY_NUM sized by
+    spark.sql.shuffle.partitions — the count-free REPARTITION_BY_COL
+    form is AQE-byte-coalescible and measurably collapsed these
+    compute-bound kernels back to one partition): Catalyst pushes the
+    DP into the join condition, and without the explicit repartition
+    the probe side inherits the scan's one-partition-per-file layout,
+    serializing every DP onto one core (measured 4.3 s → 0.9 s at
+    sf0.1)."""
     from sales_data_etl_pipeline_spark.plans import llm_demo
 
     plan = _plan(llm_demo.dedup_levenshtein(spark, SF_DIR))
     assert re.search(r"levenshtein\([^)]*Some\(\d+\)\)", plan), plan
     assert "hashpartitioning(_blk" in plan
-    assert "REPARTITION_BY_COL" in plan
+    assert "REPARTITION_BY_NUM" in plan
     assert "CartesianProduct" not in plan
 
 
@@ -292,9 +294,11 @@ def test_streaming_signature_kernel_is_layout_invariant(spark):
 def test_fan_out_respects_conf_and_skips_wide_inputs(spark):
     """fan_out (the r11-ADVICE fix for four hard-coded
     repartition(defaultParallelism, key) call sites) must (a) size the
-    exchange from spark.sql.shuffle.partitions — a count-free
-    REPARTITION_BY_COL Catalyst/AQE may coalesce — and (b) skip the
-    shuffle entirely when the input already carries at least that many
+    exchange from spark.sql.shuffle.partitions with an EXPLICIT count
+    (REPARTITION_BY_NUM): the count-free form is AQE-byte-coalescible,
+    and AQE measurably folded the 6 MB compute-bound winnowing fan-out
+    back to one partition (2.38 → 8.46 s); and (b) skip the shuffle
+    entirely when the input already carries at least that many
     partitions, so a wide cluster-scale scan never pays a raw-text
     re-shuffle for fan-out it doesn't need."""
     from pyspark.sql import functions as F
@@ -308,7 +312,10 @@ def test_fan_out_respects_conf_and_skips_wide_inputs(spark):
     fanned = fan_out(narrow, "doc_id")
     assert fanned is not narrow
     plan = fanned._jdf.queryExecution().executedPlan().toString()
-    assert "REPARTITION_BY_COL" in plan and "REPARTITION_BY_NUM" not in plan
+    assert "REPARTITION_BY_NUM" in plan
+    # the explicit count survives AQE: the executed exchange holds the
+    # full configured width, not a byte-coalesced collapse
+    assert fanned.rdd.getNumPartitions() == target
     assert fanned.count() == 1000
     wide = spark.range(1000).select(F.col("id").alias("doc_id")).repartition(
         target + 4, "doc_id"
