@@ -1,0 +1,82 @@
+"""Deterministic lifecycle for ``localCheckpoint`` storage blocks.
+
+Iterative operators (k-core peeling, connected components, PageRank,
+label propagation) cut their per-round lineage with ``localCheckpoint``
+— necessary, or the unresolved plan doubles per round — but Spark only
+frees those MEMORY_AND_DISK blocks when the JVM-side RDD reference is
+garbage collected AND the async ContextCleaner gets around to the
+unpersist. Under a long suite (149 bench queries) or repeated runs of
+one iterative query, superseded round blocks pile up faster than two
+garbage collectors drain them; the storage-memory eviction churn shows
+up as multi-second ``jvmGcTime`` stragglers (the r11 ``graph_kcore``
+[2.53, 12.06] band, reproduced ISOLATED by ``tools/variance_probe.py``
+at 4.72× with 5.6 s stage GC on the slow pass and 0 on the fast ones).
+
+:func:`release` frees a checkpoint's blocks the moment the loop
+supersedes it, bounding an N-round operator's storage residue to ~2
+rounds instead of N (plus the edge table). At cluster scale the same
+discipline bounds executor storage memory: a 30-round peel on 100 TB
+would otherwise hold 30 copies of the node table in block storage.
+
+Contract: pass the EXACT DataFrame returned by ``localCheckpoint``
+(its analyzed plan is the ``LogicalRDD`` wrapping the persisted RDD —
+a derived ``select``/``filter`` is not it, and :func:`release` raises
+rather than silently unpersisting nothing). After release the blocks
+are gone and the lineage is already truncated, so any plan still
+reading them fails loudly with CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND —
+misuse is an error, never a silent recompute. Releasing upstream
+checkpoints does NOT reduce the fault tolerance of a downstream
+eager checkpoint: local checkpoints can never recompute from lineage
+anyway, so only the blocks the returned plan actually reads matter.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+_lineage_warn_silenced = False
+
+
+def _silence_lineage_warning(spark) -> None:
+    """``RDD.unpersist`` on a locally-checkpointed RDD logs a one-line
+    WARN ("lineage has been truncated and cannot be recomputed") every
+    call. Here that is the DESIGN — deterministic release of blocks the
+    plan will never read again — so the warning is pure noise storming
+    the stderr tail the driver captures (the r7 silencing convention:
+    keep the tail as signal for the next REAL warning). Demoted once
+    per JVM, on the concrete RDD class whose instance logger emits it.
+    """
+    global _lineage_warn_silenced
+    if _lineage_warn_silenced:
+        return
+    jvm = spark.sparkContext._jvm
+    for cls in (
+        "org.apache.spark.rdd.MapPartitionsRDD",
+        "org.apache.spark.rdd.ParallelCollectionRDD",
+    ):
+        jvm.org.apache.logging.log4j.core.config.Configurator.setLevel(
+            cls, jvm.org.apache.logging.log4j.Level.ERROR
+        )
+    _lineage_warn_silenced = True
+
+
+def release(*dfs: DataFrame | None) -> None:
+    """Unpersist the storage blocks behind DataFrames returned by
+    ``localCheckpoint``. ``None`` entries are skipped (loop-carried
+    "previous round" slots start empty). Non-blocking: the removal is
+    async, which is fine — the point is that it is REQUESTED at
+    supersession time instead of after two garbage-collector passes.
+    """
+    for df in dfs:
+        if df is None:
+            continue
+        _silence_lineage_warning(df.sparkSession)
+        plan = df._jdf.queryExecution().analyzed()
+        if plan.getClass().getSimpleName() != "LogicalRDD":
+            raise ValueError(
+                "release() takes the exact DataFrame returned by "
+                "localCheckpoint (analyzed plan = LogicalRDD), got "
+                f"{plan.getClass().getSimpleName()} — release the "
+                "checkpointed frame itself, not a derived projection"
+            )
+        plan.rdd().unpersist(False)

@@ -27,6 +27,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Observation, Window
 from pyspark.sql import functions as F
 
+from sales_data_etl_pipeline_spark.operators import ckpt
 from sales_data_etl_pipeline_spark.operators.text import TOKENIZE
 
 #: MinHash mixer constants: h_k(sid) = ((2k+1)·sid + (3k+7)) mod P.
@@ -790,6 +791,7 @@ def connected_components(
         .withColumn("component", F.col("node"))
     )
     last_changed = 0
+    prev_ckpt: DataFrame | None = None
     # max_iterations propagation rounds PLUS one confirmation round: a
     # graph whose diameter is exactly max_iterations converges ON the
     # final budgeted round (changed > 0 yet already at the fixed point),
@@ -828,11 +830,17 @@ def connected_components(
             .select("node", "component")
             .localCheckpoint(eager=True)  # cut lineage + run the observed job
         )
-        labels = updated
+        # prior round's label blocks were consumed by the eager
+        # checkpoint job above — release at supersession (ckpt module
+        # doc: bounds block residue to ~2 rounds instead of N)
+        ckpt.release(prev_ckpt)
+        prev_ckpt = labels = updated
         last_changed = obs.get["changed"]
         if not last_changed:
             break
+    ckpt.release(edges)  # labels are materialized; edges done either way
     if last_changed:
+        ckpt.release(prev_ckpt)
         raise RuntimeError(
             f"connected_components did not converge in {max_iterations} "
             f"iterations plus the confirmation round ({last_changed} labels "
@@ -1434,6 +1442,7 @@ def pagerank(
     ranks = nodes.crossJoin(F.broadcast(n_nodes)).select(
         "node", "deg", "_n", F.expr("1000000000L div _n").alias("rank_ppb")
     )
+    prev_ckpt: DataFrame | None = None
     for _ in range(iterations):
         shares = ranks.select(
             F.col("node").alias("src"),
@@ -1457,10 +1466,16 @@ def pagerank(
             # ranks is referenced TWICE next iteration (shares + the
             # left join), so without this cut the unresolved plan
             # doubles per loop — fine at 3 iterations, pathological at
-            # 30. Lazy checkpoint: no extra job, just a lineage truncation
-            # point materialized by the next action.
-            .localCheckpoint(eager=False)
+            # 30. Eager so the superseded round's blocks can be
+            # RELEASED here instead of lingering until two garbage
+            # collectors drain them (ckpt module doc) — block residue
+            # stays ~2 rounds regardless of `iterations`.
+            .localCheckpoint(eager=True)
         )
+        ckpt.release(prev_ckpt)
+        prev_ckpt = ranks
+    if prev_ckpt is not None:  # iterations=0 still reads edges lazily
+        ckpt.release(edges)  # final ranks are materialized; edges done
     return ranks.select(F.col("node").alias("doc_id"), "rank_ppb")
 
 
@@ -1705,6 +1720,7 @@ def label_propagation(
         edges.select("src").distinct()
         .select(F.col("src").alias("node"), F.col("src").alias("label"))
     )
+    prev_ckpt: DataFrame | None = None
     for _ in range(iterations):
         nb = edges.join(
             labels, edges["dst"] == labels["node"]
@@ -1719,8 +1735,15 @@ def label_propagation(
                 ).alias("_m")
             )
             .select(F.col("src").alias("node"), F.col("_m.label").alias("label"))
-            .localCheckpoint(eager=False)
+            # eager so the superseded round's blocks can be RELEASED
+            # at supersession (ckpt module doc) — residue stays ~2
+            # rounds of the label table regardless of `iterations`
+            .localCheckpoint(eager=True)
         )
+        ckpt.release(prev_ckpt)
+        prev_ckpt = labels
+    if prev_ckpt is not None:  # iterations=0 still reads edges lazily
+        ckpt.release(edges)  # final labels are materialized; edges done
     return labels.select(F.col("node").alias("doc_id"), "label")
 
 
@@ -1934,11 +1957,12 @@ def kcore_decompose(
         # lineage (at minhash-LSH cost) from scratch
         .localCheckpoint(eager=False)
     )
-    alive = (
+    alive_ckpt = (
         edges.select(F.col("u").alias("node"))
         .distinct()
         .localCheckpoint(eager=False)
     )
+    alive = alive_ckpt
     prev = alive.count()
     for _ in range(max_iterations + 1):
         live = edges.join(alive.withColumnRenamed("node", "u"), "u").join(
@@ -1952,9 +1976,17 @@ def kcore_decompose(
             .localCheckpoint(eager=True)  # cut lineage + run observed job
         )
         n = obs.get["n"]
+        # the prior round's alive blocks were consumed by the eager
+        # checkpoint job above; release at supersession so an N-round
+        # peel holds ~2 rounds of blocks, not N (ckpt module doc —
+        # the r11 graph_kcore [2.53, 12.06] GC-straggler band)
+        ckpt.release(alive_ckpt)
+        alive_ckpt = survivors
         if n == prev:
+            ckpt.release(edges)  # result is materialized; edges done
             return survivors.select(F.col("u").alias("doc_id"), "core_degree")
         alive, prev = survivors.select(F.col("u").alias("node")), n
+    ckpt.release(edges, alive_ckpt)
     raise RuntimeError(
         f"kcore_decompose did not converge in {max_iterations} peeling "
         "rounds plus the confirmation round: the peel cascade is deeper "
