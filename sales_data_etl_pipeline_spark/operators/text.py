@@ -16,6 +16,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from sales_data_etl_pipeline_spark.operators import ckpt
+
 #: Tokenization convention shared with the DuckDB oracles: lowercase,
 #: split on non-alphanumeric runs, drop empties.
 TOKENIZE = "filter(split(lower({col}), '[^a-z0-9]+'), x -> x != '')"
@@ -1161,7 +1163,17 @@ def bpe_train_merges(
     Returns (merge_rank, left_sym, right_sym, pair_count) for rounds
     1..n_merges.
     """
-    merges, _ = _bpe_train_full(df, n_merges=n_merges, text_col=text_col)
+    track: list[DataFrame] = []
+    merges, _ = _bpe_train_full(
+        df, n_merges=n_merges, text_col=text_col, track=track
+    )
+    if merges is None:  # n_merges=0: nothing trained, nothing persisted
+        return merges
+    # ≤ n_merges rows; eager-copy the rules, then free every per-round
+    # winner/vocabulary block set the training loop persisted — the
+    # returned frame reads only its own blocks (ckpt module doc)
+    merges = merges.localCheckpoint(eager=True)
+    ckpt.release(*track)
     return merges
 
 
@@ -1224,13 +1236,21 @@ def _bpe_train_full(
     *,
     n_merges: int,
     text_col: str,
+    track: list[DataFrame] | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """(merge rules, final (word, wc, syms) vocabulary table) — the
     shared body of :func:`bpe_train_merges` (rules only) and
     :func:`bpe_apply_token_counts` (rules applied back to the corpus).
     A no-winner round is a NO-OP on the symbol arrays (LEFT join
     against the 0/1-row winner — a cross join would empty it), so
-    applying to a single-char vocabulary returns it unchanged."""
+    applying to a single-char vocabulary returns it unchanged.
+
+    ``track``, when given, collects every per-round checkpointed frame
+    (winner and merged-vocabulary tables) so the caller can
+    :func:`~sales_data_etl_pipeline_spark.operators.ckpt.release` the
+    superseded rounds once the frame it actually needs is materialized
+    — without it a 32k-merge production run holds 32k vocabulary-table
+    block sets until two garbage collectors drain them."""
     toks = df.select(
         F.explode(F.expr(TOKENIZE.format(col=text_col))).alias("word")
     )
@@ -1269,6 +1289,8 @@ def _bpe_train_full(
         )
         out = winner if out is None else out.unionByName(winner)
         surv = _bpe_merge_syms(surv, winner, ("wc",))
+        if track is not None:
+            track.extend((winner, surv))
     return out, surv
 
 
@@ -1565,7 +1587,16 @@ def bpe_apply_token_counts(
     Returns (doc_id, n_words, n_chars_tokenized, n_symbols). Docs
     whose tokenization is empty drop out (no words to count).
     """
-    _, final_surv = _bpe_train_full(df, n_merges=n_merges, text_col=text_col)
+    track: list[DataFrame] = []
+    _, final_surv = _bpe_train_full(
+        df, n_merges=n_merges, text_col=text_col, track=track
+    )
+    if track:
+        # materialize the merged vocabulary once (the job the caller's
+        # action would have run anyway), then free every superseded
+        # round's blocks — the output join below reads only final_surv
+        final_surv.count()
+        ckpt.release(*(f for f in track if f is not final_surv))
     wsym = final_surv.select("word", F.size("syms").alias("_nsym"))
     dw = df.select(
         id_col,
@@ -1641,10 +1672,15 @@ def bpe_apply_oov_token_counts(
     Returns (doc_id, n_words, n_chars_tokenized, n_symbols) over the
     EVAL set; eval docs whose tokenization is empty drop out.
     """
-    merges, _ = _bpe_train_full(train, n_merges=n_merges, text_col=text_col)
+    track: list[DataFrame] = []
+    merges, _ = _bpe_train_full(
+        train, n_merges=n_merges, text_col=text_col, track=track
+    )
     # ≤ n_merges rows; eager so each replay round's filter does not
-    # re-run the whole training lineage
+    # re-run the whole training lineage — and once the rules are
+    # copied, every train-side round block set is releasable
     merges = merges.localCheckpoint(eager=True)
+    ckpt.release(*track)
     dw = eval_docs.select(
         id_col,
         F.explode(F.expr(TOKENIZE.format(col=text_col))).alias("word"),
@@ -1660,9 +1696,16 @@ def bpe_apply_oov_token_counts(
             ).alias("syms"),
         )
     )
+    replay: list[DataFrame] = []
     for rank in range(1, n_merges + 1):
         rule = merges.filter(F.col("merge_rank") == rank)
         surv = _bpe_merge_syms(surv, rule, ())
+        replay.append(surv)
+    if len(replay) > 1:
+        # materialize the final replayed vocabulary once, then free the
+        # superseded replay rounds (one eval-vocab block set per rule)
+        surv.count()
+        ckpt.release(*replay[:-1])
     wsym = surv.select("word", F.size("syms").alias("_nsym"))
     return (
         dw.join(wsym, "word")

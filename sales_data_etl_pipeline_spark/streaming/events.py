@@ -20,6 +20,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from sales_data_etl_pipeline_spark.operators import ckpt
+
 def _events_raw_schema(ts_type: T.DataType) -> T.StructType:
     """events schema with ``ts`` in whatever physical type the driver's
     parquet currently carries (readStream needs an explicit schema)."""
@@ -619,9 +621,16 @@ def jdbc_upsert_batch_fn(
         else:  # genuine first batch: nothing to merge with yet
             merged = batch_df
         materialized = merged.localCheckpoint(eager=True)
-        jdbc_src.write_jdbc(
-            materialized, url, table, mode="overwrite", properties=properties
-        )
+        try:
+            jdbc_src.write_jdbc(
+                materialized, url, table, mode="overwrite",
+                properties=properties,
+            )
+        finally:
+            # one checkpoint per micro-batch: a long-running stream
+            # would otherwise leak a table-sized block set per batch
+            # until two garbage collectors drain it (ckpt module doc)
+            ckpt.release(materialized)
 
     return apply_batch
 
