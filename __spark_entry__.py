@@ -40,12 +40,26 @@ def entry(spark: SparkSession) -> DataFrame:
 # tools/rotation_planner.py --max-round 11
 # --baseline tools/entry_fingerprints_r11.json
 # --force-changed-file tools/r12_force_list.txt --stable-tier
-# --window 74.
+# --window 74 --hold-back clean_normalize_chain clean_keys_chain
+# similarity_recall_hamming12.
 # Composition:
-# (1) ZERO never-green: no new gate entries this round (verdict #1's
-#     freeze, second round running). The one new operator
-#     (streaming.compact_agg_ledger, verdict #6) ships pytest-pinned
-#     without a gate slot, exactly as the verdict allowed.
+# (1) ZERO never-green IN the window: no new entry takes a slot this
+#     round (verdict #1's freeze, second round running). The one new
+#     operator (streaming.compact_agg_ledger, verdict #6) ships
+#     pytest-pinned without a gate slot, exactly as the verdict
+#     allowed. The r11 verdict's OTHER structural ask (#5, registry
+#     consolidation: the 11 clean_* micro-gates folded into the
+#     clean_et_chain/clean_normalize_chain/clean_keys_chain
+#     compositions, registry 202→193) lands this round with its two
+#     new composition gates HELD BACK to the absolute end of the
+#     ordering (--hold-back, planner-pinned) so consolidation costs
+#     the carry tier nothing: they gate at r13 as ordinary
+#     never-green entries (or this round if the driver widens the
+#     window past the whole backlog), with judge-local oracle runs
+#     as interim evidence. Verdict #7's second Hamming-recall curve
+#     point (similarity_recall_hamming12, the bands=12 serving dial)
+#     ships the same way: implemented + oracle-checked now, held
+#     back, zero carry-tier cost.
 # (2) 74 forced-changed — the ENTIRE committed carry list
 #     (tools/r12_force_list.txt, the exact r10→r11 fingerprint diff
 #     minus the r11 window), in stalest-first order (greens r9

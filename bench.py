@@ -37,9 +37,8 @@ HEADLINE = [
     "top5_employees",
     "sales_by_period",
     "clean_et_chain",
-    "clean_dedup_keep_first",
-    "clean_group_median_impute",
-    "clean_date_cascade",
+    "clean_normalize_chain",
+    "clean_keys_chain",
     "text_token_stats",
     "text_quality_score",
     "dedup_exact",
@@ -195,6 +194,7 @@ HEADLINE = [
     # round-11
     "text_bpe_apply_oov",
     "similarity_recall_hamming",
+    "similarity_recall_hamming12",
     "streaming_dedup_minhash_append",
 ]
 

@@ -23,178 +23,98 @@ def _lineitem(spark, sf_dir) -> DataFrame:
     return load_testdata(spark, sf_dir, ("lineitem",))["lineitem"]
 
 
-# --- W1: keep-first dedup ---------------------------------------------------
+# --- P2/P3/P4/P5/P7: dimension-normalization chain ---------------------------
+# r12 consolidation (r11 verdict #5): the former micro-gates
+# clean_fill_constant, clean_canonical_name, clean_fill_missing_name,
+# clean_coerce_numeric and clean_clamp_range fold into this ONE
+# composition — the reference's et_empregados/et_produtos dimension-
+# cleaning shape (load → constant fill → canonical rewrite → missing-
+# name fill → numeric coercion → range clamp) run as one lazy plan.
+# Each constituent operator keeps its own unit tests in
+# tests/test_cleaning.py; the gate verifies the composed semantics.
 
 
-def clean_dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """First lineitem of every order, in l_linenumber order (W1)."""
-    li = _lineitem(spark, sf_dir).select(
-        "l_orderkey", "l_linenumber", "l_partkey", "l_quantity"
-    )
-    # composite order: l_linenumber alone ties within an order in this
-    # dataset; (l_linenumber, l_partkey, l_quantity) is unique per key.
-    return cleaning.dedup_keep_first(
-        li, ["l_orderkey"], ["l_linenumber", "l_partkey", "l_quantity"]
-    )
-
-
-# --- W3: duplicate-key detection -------------------------------------------
-
-
-def clean_duplicate_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Orders with more than one lineitem (W3 duplicate-key report)."""
-    li = _lineitem(spark, sf_dir)
-    return cleaning.duplicate_keys(li, ["l_orderkey"]).orderBy("l_orderkey")
-
-
-# --- P2: constant fill ------------------------------------------------------
-
-
-def clean_fill_constant(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """NULL-injected o_orderpriority → 'Desconhecida' (P2)."""
-    orders = load_testdata(spark, sf_dir, ("orders",))["orders"]
-    dirty = orders.select(
-        "o_orderkey",
-        F.when(F.col("o_orderkey") % 5 == 0, F.lit(None))
-        .otherwise(F.col("o_orderpriority"))
-        .alias("prioridade"),
-    )
-    return cleaning.fill_constant(dirty, "prioridade", "Desconhecida")
-
-
-# --- P3: canonical name rewrite ---------------------------------------------
-
-
-def clean_canonical_name(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """p_name unconditionally rewritten to 'Produto {p_partkey}' (P3)."""
-    part = load_testdata(spark, sf_dir, ("part",))["part"]
-    return cleaning.canonical_name(
-        part.select("p_partkey", "p_name"), "p_name", "Produto", "p_partkey"
-    )
-
-
-# --- P4: missing-name fill --------------------------------------------------
-
-
-def clean_fill_missing_name(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Blank-injected s_name → 'Funcionário {s_suppkey}' (P4)."""
-    sup = load_testdata(spark, sf_dir, ("supplier",))["supplier"]
-    dirty = sup.select(
-        "s_suppkey",
-        F.when(F.col("s_suppkey") % 7 == 0, F.lit("  "))
-        .otherwise(F.col("s_name"))
-        .alias("nome"),
-    )
-    return cleaning.fill_missing_name(dirty, "nome", "Funcionário", "s_suppkey")
-
-
-# --- P5: numeric coercion ---------------------------------------------------
-
-
-def clean_coerce_numeric(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """'N/A'-polluted string column → double with NULL on failure (P5)."""
+def clean_normalize_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Five §2.2 projection cleaners composed on ONE customer scan
+    (P2 constant fill, P4 missing-name fill, P3 canonical rewrite,
+    P5 numeric coercion, P7 range clamp). All five are per-row
+    projections, so the composed plan is a single WholeStageCodegen
+    over one parquet scan — zero shuffles, the shape the reference
+    runs eagerly stage by stage (``et_empregados.py``/
+    ``et_produtos.py``)."""
     cust = load_testdata(spark, sf_dir, ("customer",))["customer"]
     dirty = cust.select(
         "c_custkey",
+        F.when(F.col("c_custkey") % 5 == 0, F.lit(None))
+        .otherwise(F.col("c_mktsegment"))
+        .alias("segmento"),
+        F.when(F.col("c_custkey") % 7 == 0, F.lit("  "))
+        .otherwise(F.col("c_name"))
+        .alias("nome"),
+        # the driver customer table carries no address column; the
+        # canonical rewrite (P3) is UNCONDITIONAL, so the pre-image is
+        # immaterial — a NULL placeholder exercises it identically
+        F.lit(None).cast("string").alias("endereco"),
         F.when(F.col("c_custkey") % 10 == 0, F.lit("N/A"))
         .otherwise(F.col("c_nationkey").cast("string"))
         .alias("raw"),
-    )
-    return dirty.select("c_custkey", coerce_numeric("raw").alias("valor"))
-
-
-# --- P6: derived column -----------------------------------------------------
-
-
-def clean_derived_total(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """NULL-injected valor_total re-derived as quantidade × valor_unitario (P6)."""
-    li = _lineitem(spark, sf_dir)
-    dirty = li.select(
-        "l_orderkey",
-        "l_linenumber",
-        F.col("l_quantity").alias("quantidade"),
-        (F.col("l_extendedprice") / F.col("l_quantity")).alias("valor_unitario"),
-        F.when(F.col("l_orderkey") % 7 == 0, F.lit(None))
-        .otherwise(F.col("l_extendedprice"))
-        .alias("valor_total"),
-    )
-    return cleaning.derive_if_null(
-        dirty, "valor_total", F.col("quantidade") * F.col("valor_unitario")
-    )
-
-
-# --- P7: range clamp --------------------------------------------------------
-
-
-def clean_clamp_range(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """c_acctbal clamped to [0, 5000] with adjustment flag (P7)."""
-    cust = load_testdata(spark, sf_dir, ("customer",))["customer"]
-    return cleaning.clamp_range(
-        cust.select("c_custkey", "c_acctbal"),
         "c_acctbal",
-        0.0,
-        5000.0,
-        flag_col="ajustado",
+    )
+    df = cleaning.fill_constant(dirty, "segmento", "Desconhecida")
+    df = cleaning.fill_missing_name(df, "nome", "Cliente", "c_custkey")
+    df = cleaning.canonical_name(df, "endereco", "Endereco", "c_custkey")
+    df = df.withColumn("valor", coerce_numeric("raw")).drop("raw")
+    df = cleaning.clamp_range(
+        df, "c_acctbal", 0.0, 5000.0, flag_col="ajustado"
+    )
+    return df.select(
+        "c_custkey", "segmento", "nome", "endereco", "valor",
+        "c_acctbal", "ajustado",
     )
 
 
-# --- A6/A7/A10: grouped median imputation ----------------------------------
+# --- W2/W3: key-repair chain -------------------------------------------------
+# r12 consolidation: the former micro-gates clean_duplicate_keys (W3)
+# and clean_sequential_ids (W2) fold into one detect→repair→annotate
+# composition. (W1 keep-first dedup, P6 derived column, A6–A10 median
+# imputations and the F7 date cascade live in clean_et_chain.)
 
 
-def clean_group_median_impute(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """NULL-injected p_retailprice → median per p_type, global fallback,
-    with flag + method audit columns (A6/A7/A10)."""
-    part = load_testdata(spark, sf_dir, ("part",))["part"]
-    dirty = part.select(
-        "p_partkey",
-        "p_type",
-        F.when(F.col("p_partkey") % 10 == 0, F.lit(None))
-        .otherwise(F.col("p_retailprice"))
-        .alias("preco"),
-    )
-    return cleaning.fill_group_median(
-        dirty,
-        "preco",
-        "p_type",
-        flag_col="preco_imputado",
-        method_col="metodo",
-        round_digits=2,
-    ).select("p_partkey", "p_type", "preco", "preco_imputado", "metodo")
-
-
-# --- A8/A9/F7: date cascade -------------------------------------------------
-
-
-def clean_date_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """NULL-injected ship dates → per-supplier median date, global median,
-    pinned fallback (A8/A9/F7)."""
-    li = _lineitem(spark, sf_dir)
-    dirty = li.select(
-        "l_orderkey",
-        "l_linenumber",
-        "l_suppkey",
-        F.when(F.col("l_orderkey") % 13 == 0, F.lit(None))
-        .otherwise(F.col("l_shipdate").cast("date"))
-        .alias("data"),
-    )
-    return cleaning.fill_date_cascade(
-        dirty, "data", "l_suppkey", fallback_date="2000-01-01"
-    )
-
-
-# --- W2: sequential ID backfill ---------------------------------------------
-
-
-def clean_sequential_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """NULL-injected s_suppkey backfilled max+1, max+2… in s_name order (W2)."""
+def clean_keys_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key repair as the reference runs it, composed: inject NULL ids
+    (s_suppkey % 9) and COLLIDING ids (% 11 → all become 1), detect the
+    collisions with the W3 duplicate-key report, backfill the NULLs
+    max+1, max+2… in name order (W2), and annotate every surviving row
+    with whether its id was in conflict. One supplier scan feeding two
+    consumers (the dup-key aggregate and the repair branch) — the
+    aggregate side is a map-side-combinable count, the repair side is
+    the W2 single-scalar-max broadcast."""
     sup = load_testdata(spark, sf_dir, ("supplier",))["supplier"]
     dirty = sup.select(
         F.when(F.col("s_suppkey") % 9 == 0, F.lit(None))
+        .when(F.col("s_suppkey") % 11 == 0, F.lit(1))
         .otherwise(F.col("s_suppkey"))
         .alias("id_empregado"),
         F.col("s_name").alias("nome"),
     )
-    return cleaning.backfill_sequential_ids(dirty, "id_empregado", "nome")
+    report = (
+        cleaning.duplicate_keys(dirty, ["id_empregado"])
+        .filter(F.col("id_empregado").isNotNull())
+        .select(F.col("id_empregado").alias("_dup_id"))
+    )
+    repaired = cleaning.backfill_sequential_ids(dirty, "id_empregado", "nome")
+    return (
+        repaired.join(
+            F.broadcast(report),
+            repaired.id_empregado == F.col("_dup_id"),
+            "left",
+        )
+        .select(
+            "id_empregado",
+            "nome",
+            F.col("_dup_id").isNotNull().alias("conflito"),
+        )
+    )
 
 
 # --- composed ET chain (the §3.2 shape at testdata scale) -------------------
@@ -265,19 +185,15 @@ def clean_et_chain(
     )
 
 
+# r12 consolidation (r11 verdict #5): the registry carries THREE
+# composition gates instead of eleven micro-gates + one chain — same
+# operator coverage (W1/P6/A6-A10/F7 in clean_et_chain, P2-P5/P7 in
+# clean_normalize_chain, W2/W3 in clean_keys_chain), each constituent
+# still unit-tested in tests/test_cleaning.py.
 QUERIES = {
     "clean_et_chain": clean_et_chain,
-    "clean_dedup_keep_first": clean_dedup_keep_first,
-    "clean_duplicate_keys": clean_duplicate_keys,
-    "clean_fill_constant": clean_fill_constant,
-    "clean_canonical_name": clean_canonical_name,
-    "clean_fill_missing_name": clean_fill_missing_name,
-    "clean_coerce_numeric": clean_coerce_numeric,
-    "clean_derived_total": clean_derived_total,
-    "clean_clamp_range": clean_clamp_range,
-    "clean_group_median_impute": clean_group_median_impute,
-    "clean_date_cascade": clean_date_cascade,
-    "clean_sequential_ids": clean_sequential_ids,
+    "clean_normalize_chain": clean_normalize_chain,
+    "clean_keys_chain": clean_keys_chain,
 }
 
 
@@ -334,117 +250,50 @@ ORACLES = {
                data_imputada, metodo_imputacao
         FROM unitfix
     """,
-    "clean_dedup_keep_first": """
-        SELECT l_orderkey, l_linenumber, l_partkey, l_quantity
-        FROM lineitem
-        QUALIFY row_number() OVER (
-            PARTITION BY l_orderkey
-            ORDER BY l_linenumber, l_partkey, l_quantity) = 1
-    """,
-    "clean_duplicate_keys": """
-        SELECT l_orderkey, COUNT(*) AS n_occurrences
-        FROM lineitem GROUP BY l_orderkey HAVING COUNT(*) > 1
-        ORDER BY l_orderkey
-    """,
-    "clean_fill_constant": """
-        SELECT o_orderkey,
-               COALESCE(CASE WHEN o_orderkey % 5 = 0 THEN NULL ELSE o_orderpriority END,
-                        'Desconhecida') AS prioridade
-        FROM orders
-    """,
-    "clean_canonical_name": """
-        SELECT p_partkey, 'Produto ' || CAST(p_partkey AS VARCHAR) AS p_name
-        FROM part
-    """,
-    "clean_fill_missing_name": """
-        SELECT s_suppkey,
-               CASE WHEN s_suppkey % 7 = 0
-                    THEN 'Funcionário ' || CAST(s_suppkey AS VARCHAR)
-                    ELSE s_name END AS nome
-        FROM supplier
-    """,
-    "clean_coerce_numeric": """
+    "clean_normalize_chain": """
+        WITH dirty AS (
+            SELECT c_custkey,
+                   CASE WHEN c_custkey % 5 = 0 THEN NULL
+                        ELSE c_mktsegment END AS segmento,
+                   CASE WHEN c_custkey % 7 = 0 THEN '  '
+                        ELSE c_name END AS nome,
+                   CASE WHEN c_custkey % 10 = 0 THEN 'N/A'
+                        ELSE CAST(c_nationkey AS VARCHAR) END AS raw,
+                   c_acctbal
+            FROM customer)
         SELECT c_custkey,
-               TRY_CAST(CASE WHEN c_custkey % 10 = 0 THEN 'N/A'
-                             ELSE CAST(c_nationkey AS VARCHAR) END AS DOUBLE) AS valor
-        FROM customer
-    """,
-    "clean_derived_total": """
-        SELECT l_orderkey, l_linenumber,
-               l_quantity AS quantidade,
-               l_extendedprice / l_quantity AS valor_unitario,
-               CASE WHEN l_orderkey % 7 = 0
-                    THEN l_quantity * (l_extendedprice / l_quantity)
-                    ELSE l_extendedprice END AS valor_total
-        FROM lineitem
-    """,
-    "clean_clamp_range": """
-        SELECT c_custkey,
+               CASE WHEN segmento IS NULL OR trim(segmento) = ''
+                    THEN 'Desconhecida' ELSE segmento END AS segmento,
+               CASE WHEN nome IS NULL OR trim(nome) = ''
+                    THEN 'Cliente ' || CAST(c_custkey AS VARCHAR)
+                    ELSE nome END AS nome,
+               'Endereco ' || CAST(c_custkey AS VARCHAR) AS endereco,
+               TRY_CAST(raw AS DOUBLE) AS valor,
                GREATEST(LEAST(c_acctbal, 5000.0), 0.0) AS c_acctbal,
                (c_acctbal < 0.0 OR c_acctbal > 5000.0) AS ajustado
-        FROM customer
+        FROM dirty
     """,
-    "clean_group_median_impute": """
+    "clean_keys_chain": """
         WITH dirty AS (
-            SELECT p_partkey, p_type,
-                   CASE WHEN p_partkey % 10 = 0 THEN NULL ELSE p_retailprice END AS preco
-            FROM part
-        ),
-        grp AS (SELECT p_type, median(preco) AS grp_med FROM dirty GROUP BY p_type),
-        globl AS (SELECT median(preco) AS glob_med FROM dirty)
-        SELECT d.p_partkey, d.p_type,
-               CASE WHEN d.preco IS NULL
-                    THEN ROUND(COALESCE(g.grp_med, gl.glob_med), 2)
-                    ELSE d.preco END AS preco,
-               (d.preco IS NULL AND COALESCE(g.grp_med, gl.glob_med) IS NOT NULL)
-                   AS preco_imputado,
-               CASE WHEN d.preco IS NULL THEN
-                    CASE WHEN g.grp_med IS NOT NULL THEN 'mediana_grupo'
-                         WHEN gl.glob_med IS NOT NULL THEN 'mediana_global' END
-               END AS metodo
-        FROM dirty d LEFT JOIN grp g USING (p_type) CROSS JOIN globl gl
-    """,
-    "clean_date_cascade": """
-        WITH dirty AS (
-            SELECT l_orderkey, l_linenumber, l_suppkey,
-                   CASE WHEN l_orderkey % 13 = 0 THEN NULL
-                        ELSE CAST(l_shipdate AS DATE) END AS data
-            FROM lineitem
-        ),
-        grp AS (
-            SELECT l_suppkey,
-                   median(date_diff('day', DATE '1970-01-01', data)) AS grp_days
-            FROM dirty WHERE data IS NOT NULL GROUP BY l_suppkey
-        ),
-        globl AS (
-            SELECT median(date_diff('day', DATE '1970-01-01', data)) AS glob_days
-            FROM dirty WHERE data IS NOT NULL
-        )
-        SELECT d.l_orderkey, d.l_linenumber, d.l_suppkey,
-               CASE WHEN d.data IS NULL THEN
-                    COALESCE(DATE '1970-01-01' + CAST(floor(g.grp_days) AS INT),
-                             DATE '1970-01-01' + CAST(floor(gl.glob_days) AS INT),
-                             DATE '2000-01-01')
-               ELSE d.data END AS data,
-               (d.data IS NULL) AS data_imputada,
-               CASE WHEN d.data IS NULL THEN
-                    CASE WHEN g.grp_days IS NOT NULL THEN 'mediana_empregado'
-                         WHEN gl.glob_days IS NOT NULL THEN 'mediana_global'
-                         ELSE 'data_atual' END
-               END AS metodo_imputacao
-        FROM dirty d LEFT JOIN grp g USING (l_suppkey) CROSS JOIN globl gl
-    """,
-    "clean_sequential_ids": """
-        WITH dirty AS (
-            SELECT CASE WHEN s_suppkey % 9 = 0 THEN NULL ELSE s_suppkey END
-                       AS id_empregado,
+            SELECT CASE WHEN s_suppkey % 9 = 0 THEN NULL
+                        WHEN s_suppkey % 11 = 0 THEN 1
+                        ELSE s_suppkey END AS id_empregado,
                    s_name AS nome
-            FROM supplier
-        ),
-        mx AS (SELECT COALESCE(MAX(id_empregado), 0) AS m FROM dirty)
-        SELECT id_empregado, nome FROM dirty WHERE id_empregado IS NOT NULL
-        UNION ALL
-        SELECT mx.m + row_number() OVER (ORDER BY nome) AS id_empregado, nome
-        FROM dirty, mx WHERE id_empregado IS NULL
+            FROM supplier),
+        mx AS (SELECT COALESCE(MAX(id_empregado), 0) AS m FROM dirty),
+        repaired AS (
+            SELECT id_empregado, nome FROM dirty
+            WHERE id_empregado IS NOT NULL
+            UNION ALL
+            SELECT mx.m + row_number() OVER (ORDER BY nome) AS id_empregado,
+                   nome
+            FROM dirty, mx WHERE id_empregado IS NULL),
+        dups AS (
+            SELECT id_empregado AS dup_id FROM dirty
+            WHERE id_empregado IS NOT NULL
+            GROUP BY 1 HAVING COUNT(*) > 1)
+        SELECT r.id_empregado, r.nome,
+               (d.dup_id IS NOT NULL) AS conflito
+        FROM repaired r LEFT JOIN dups d ON r.id_empregado = d.dup_id
     """,
 }

@@ -6780,6 +6780,47 @@ ORACLES["similarity_recall_hamming"] = f"""
 """
 
 
+# --- round-12: second point of the Hamming recall curve (r11 verdict #7) ----
+
+
+def similarity_recall_hamming12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of the binary Hamming tier at its SERVING dial —
+    (planes=60, bands=12, 5-bit slices) — against exact brute-force
+    cosine top-5, per query in exact ppm. Driver-anchors the second
+    point of the LSH recall curve the r11 round measured locally
+    (0.04 @ 4 bands, the gate's near-dup tripwire dial; 0.24/0.30/0.32
+    @ 10/12/15 bands, the serving end users dial toward): more,
+    narrower bands → more candidate collisions → higher recall at
+    higher candidate cost. Reuses ``similarity.ann_recall`` verbatim
+    over the same query set as every other ANN gate (r11 verdict #7)."""
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 10)
+    truth = similarity.cosine_topk(emb, queries, k=5)
+    approx = similarity.hamming_topk(
+        emb, queries, k=5, planes=60, bands=12, dim=64
+    )
+    return similarity.ann_recall(truth, approx).orderBy("query_id")
+
+
+QUERIES["similarity_recall_hamming12"] = similarity_recall_hamming12
+
+ORACLES["similarity_recall_hamming12"] = f"""
+    WITH t AS (SELECT query_id, neighbor_id
+               FROM ({ORACLES['similarity_topk']})),
+    a AS (SELECT query_id, neighbor_id
+          FROM ({_ann_hamming_oracle(bands=12)}))
+    SELECT t.query_id,
+           COUNT(*) AS n_truth,
+           CAST(SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_hits,
+           CAST((SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+                 * 1000000) // COUNT(*) AS BIGINT) AS recall_ppm
+    FROM t LEFT JOIN a
+      ON a.query_id = t.query_id AND a.neighbor_id = t.neighbor_id
+    GROUP BY t.query_id ORDER BY t.query_id
+"""
+
+
 # --- round-11: append-mode deployment gate for streaming MinHash dedup -------
 
 

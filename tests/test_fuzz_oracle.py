@@ -419,6 +419,7 @@ FUZZED_CORPUS = [
     # vs brute force (nests two proven oracle bodies)
     "text_bpe_apply_oov",
     "similarity_recall_hamming",
+    "similarity_recall_hamming12",
 ]
 
 
@@ -465,17 +466,11 @@ FUZZED_MORE = [
     "sales_monthly_growth",
     "top_products_per_brand",
     "sales_pareto_share",
-    "clean_dedup_keep_first",
-    "clean_duplicate_keys",
-    "clean_fill_constant",
-    "clean_canonical_name",
-    "clean_fill_missing_name",
-    "clean_coerce_numeric",
-    "clean_derived_total",
-    "clean_clamp_range",
-    "clean_group_median_impute",
-    "clean_date_cascade",
-    "clean_sequential_ids",
+    # r12 consolidation: the eleven clean_* micro-gates folded into the
+    # clean_normalize_chain / clean_keys_chain / clean_et_chain
+    # compositions (operators keep their unit tests in test_cleaning.py)
+    "clean_normalize_chain",
+    "clean_keys_chain",
     "clean_fuzzy_supplier_match",
     "quality_checks",
     "stats_profile",

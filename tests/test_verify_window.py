@@ -117,6 +117,7 @@ def test_verify_first_is_derived_from_planner_artifact():
         force_changed=set(inp["force_changed"]),
         promote_stale=set(inp.get("promote_stale", [])),
         promote_ahead=set(inp.get("promote_ahead", [])),
+        hold_back=set(inp.get("hold_back", [])),
         stable_tier=inp.get("stable_tier", False),
         max_round=inp["max_round"],
         use_fingerprints=inp["use_fingerprints"],
@@ -249,3 +250,24 @@ def test_rotation_planner_stable_tier_rotates_one_representative():
     forced_name = list(eligible)[0]
     whys_f = {n: w for n, w, _ in rows_forced}
     assert whys_f[forced_name].startswith("forced-changed")
+
+
+def test_rotation_planner_hold_back_sinks_below_everything():
+    """--hold-back places named entries at the absolute END of the
+    ordering — even a never-green entry — so a new gate can land
+    mid-freeze without displacing a forced/carry window slot. The
+    reason string states the never-green status honestly."""
+    from tools.rotation_planner import plan
+
+    held = {"clean_normalize_chain", "clean_keys_chain"}
+    rows = plan(window=50, stable_tier=True, hold_back=held)
+    order = [n for n, _, _ in rows]
+    whys = {n: w for n, w, _ in rows}
+    assert set(order[-len(held):]) == held
+    for name in held:
+        assert whys[name].startswith("held-back")
+    # without hold-back the same entries are never-green — the top tier
+    rows_free = plan(window=50, stable_tier=True)
+    whys_free = {n: w for n, w, _ in rows_free}
+    for name in held:
+        assert whys_free[name] == "never-green"

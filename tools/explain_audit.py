@@ -35,9 +35,8 @@ CARTESIAN_OK = {
     "dedup_ngram_jaccard",
     "similarity_topk",
     "similarity_topk_ivf",
-    "clean_group_median_impute",
-    "clean_date_cascade",
-    "clean_sequential_ids",
+    # 1-row global-MAX broadcast inside backfill_sequential_ids (W2)
+    "clean_keys_chain",
     # 1-row global-average-balance broadcast (scalar-subquery pattern);
     # the BroadcastNestedLoopJoin carries exactly one build-side row
     "q22_dormant_customers",

