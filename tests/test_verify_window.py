@@ -222,7 +222,12 @@ def test_rotation_planner_stable_tier_rotates_one_representative():
     from tools.rotation_planner import consecutive_green_counts, plan
 
     greens = consecutive_green_counts()
-    eligible = {n for n, c in greens.items() if c >= 3}
+    # history may hold rows for entries the registry no longer carries
+    # (the r12 consolidation removed 11 micro-gates) — eligibility is
+    # live-registry entries only, matching the planner's own iteration
+    eligible = {n for n, c in greens.items() if c >= 3} & set(
+        entrymod.queries()
+    )
     if not eligible:
         import pytest
 
@@ -242,12 +247,12 @@ def test_rotation_planner_stable_tier_rotates_one_representative():
             order.index(n) for n in stable
         )
     # a forced entry is NEVER classified stable
+    forced_name = sorted(eligible)[0]
     rows_forced = plan(
         window=50,
         stable_tier=True,
-        force_changed=set(list(eligible)[:1]),
+        force_changed={forced_name},
     )
-    forced_name = list(eligible)[0]
     whys_f = {n: w for n, w, _ in rows_forced}
     assert whys_f[forced_name].startswith("forced-changed")
 

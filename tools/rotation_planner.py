@@ -496,9 +496,9 @@ def main() -> int:
     if args.force_changed_file:
         with open(args.force_changed_file) as f:
             force |= {
-                ln.strip()
+                name
                 for ln in f
-                if ln.strip() and not ln.lstrip().startswith("#")
+                if (name := ln.split("#", 1)[0].strip())
             }
     result = plan(
         args.window,
