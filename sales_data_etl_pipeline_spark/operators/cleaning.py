@@ -306,25 +306,40 @@ def fill_date_cascade(
 
 
 def backfill_sequential_ids(
-    df: DataFrame, id_col: str, order_col: str
+    df: DataFrame, id_col: str, order_col: str, *, distributed: bool = False
 ) -> DataFrame:
     """W2 — NULL ids become ``max_id+1, max_id+2, …`` in ``order_col`` order
     (reference ``et_empregados.py:243-292``).
 
     The max is a 1-row broadcast; row_number runs only over the NULL-id
-    slice. Note: the window over the null slice is a single partition —
-    fine for dimension tables (the only place the reference needs it);
-    a 100 TB fact backfill would switch to ``zipWithIndex``-style
-    per-partition offsets.
+    slice. Default mode ranks that slice with a single-partition window
+    — the cheapest plan for dimension tables (the only place the
+    reference needs it: no extra action, no range shuffle).
+    ``distributed=True`` is the 100 TB fact-backfill mode: the slice
+    ranks via :func:`rank.distributed_row_number` (range-partition →
+    |partitions|-row offsets job → partition-local window), so no
+    single reducer ever holds the whole NULL slice. Same output by
+    construction when ``order_col`` is unique within the slice —
+    pinned by ``tests/test_cleaning.py``.
     """
     max_id = df.agg(F.coalesce(F.max(id_col), F.lit(0)).alias("_max_id"))
-    w = Window.orderBy(F.col(order_col).asc())
-    nulls = (
-        df.filter(F.col(id_col).isNull())
-        .crossJoin(F.broadcast(max_id))
-        .withColumn(id_col, F.col("_max_id") + F.row_number().over(w))
-        .drop("_max_id")
+    nulls_base = df.filter(F.col(id_col).isNull()).crossJoin(
+        F.broadcast(max_id)
     )
+    if distributed:
+        from sales_data_etl_pipeline_spark.operators import rank
+
+        ranked, _n = rank.distributed_row_number(
+            nulls_base, [F.col(order_col).asc()], rank_col="_seq"
+        )
+        nulls = ranked.withColumn(
+            id_col, F.col("_max_id") + F.col("_seq")
+        ).drop("_max_id", "_seq")
+    else:
+        w = Window.orderBy(F.col(order_col).asc())
+        nulls = nulls_base.withColumn(
+            id_col, F.col("_max_id") + F.row_number().over(w)
+        ).drop("_max_id")
     return df.filter(F.col(id_col).isNotNull()).unionByName(nulls)
 
 

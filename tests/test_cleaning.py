@@ -92,6 +92,36 @@ def test_backfill_sequential_ids(spark):
     assert [r.id for r in out] == [10, 11, 7, 12]
 
 
+def test_backfill_sequential_ids_distributed_matches_window(spark):
+    """distributed=True (range-partitioned offsets, no single-partition
+    window over the NULL slice — the 100 TB fact-backfill mode) must
+    assign bit-identical ids to the default single-window mode on a
+    unique order key, including an all-NULL-ids input and an empty one."""
+    import random
+
+    rng = random.Random(7)
+    rows = [
+        (rng.choice([None, 100 + i]), f"k{i:04d}") for i in range(500)
+    ]
+    df = spark.createDataFrame(rows, "id long, ord string")
+    a = cleaning.backfill_sequential_ids(df, "id", "ord")
+    b = cleaning.backfill_sequential_ids(df, "id", "ord", distributed=True)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+    all_null = df.select(F.lit(None).cast("long").alias("id"), "ord")
+    a2 = cleaning.backfill_sequential_ids(all_null, "id", "ord")
+    b2 = cleaning.backfill_sequential_ids(
+        all_null, "id", "ord", distributed=True
+    )
+    assert sorted(map(tuple, a2.collect())) == sorted(map(tuple, b2.collect()))
+    empty = df.filter(F.lit(False))
+    assert (
+        cleaning.backfill_sequential_ids(
+            empty, "id", "ord", distributed=True
+        ).count()
+        == 0
+    )
+
+
 def test_clamp_range_flags(spark):
     df = spark.createDataFrame([(10,), (30,), (90,), (None,)], "v int")
     out = cleaning.clamp_range(df, "v", 18, 70, flag_col="adj").collect()
