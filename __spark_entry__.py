@@ -60,23 +60,26 @@ def entry(spark: SparkSession) -> DataFrame:
 #     point (similarity_recall_hamming12, the bands=12 serving dial)
 #     ships the same way: implemented + oracle-checked now, held
 #     back, zero carry-tier cost.
-# (2) 74 forced-changed — the ENTIRE committed carry list
-#     (tools/r12_force_list.txt, the exact r10→r11 fingerprint diff
-#     minus the r11 window), in stalest-first order (greens r9
-#     before r10). _VERIFY_FIRST is emitted at 74 names as a hedge:
-#     if the driver grants the §7.10 window widening the whole carry
-#     drains this round; if it stays at 50, the head-50 is
-#     bit-identical to a --window 50 plan (in-tier order is
-#     green-round-then-name) and 24 carry to r13.
-# (3) 23 fingerprint-drift OUT-of-window (all green r11): this
-#     round's judge/advisor-directed code changes (fan_out replacing
-#     the four hard-coded repartition sites — r11 ADVICE, the ledger
-#     compaction operator — verdict #6, files_per_bucket — r11
-#     ADVICE) touched dedup/events/parquet dep closures. They queue
-#     directly behind the forced tier with judge-local oracle
-#     evidence from this round's sweep, and head the r13 force list
-#     (tools/r13_force_list.txt) together with the ≤24 displaced
-#     forced entries: 47 total, one window.
+# (2) 2 fingerprint-drift + 72 forced-changed. The forced tier is
+#     the committed carry list (tools/r12_force_list.txt, the exact
+#     r10→r11 fingerprint diff minus the r11 window) in stalest-first
+#     order (greens r9 before r10); the 2 drift entries
+#     (clean_fuzzy_supplier_match green r5, clean_et_chain green r7)
+#     were re-flagged mid-round by the distributed-backfill commit to
+#     operators/cleaning.py and rank ahead on their older greens —
+#     the planner re-verifying changed code first is the policy, so
+#     they take the 2 head slots honestly and the carry tail
+#     (text_trigram_backoff, text_winnow_fingerprints) heads the r13
+#     force list instead. _VERIFY_FIRST is emitted at 74 names as a
+#     hedge: if the driver grants the §7.10 window widening, all 72
+#     in-window forced names drain this round; at 50, the head-50 is
+#     a bit-identical prefix of a --window 50 plan and the remainder
+#     carries to r13.
+# (3) The rest of this round's drift queues OUT-of-window with
+#     judge-local oracle evidence (194/194 closing sweep + targeted
+#     re-checks after every later commit) and fills the r13 force
+#     list (tools/r13_force_list.txt — 64 names if the driver window
+#     was 50, the 40 w74-tagged ones if it verified all 74).
 # --stable-tier holds (r10 verdict #2 policy): ≥3 consecutive green
 # driver appearances + unchanged fingerprint → low-frequency pool,
 # one round-robin representative per round.
@@ -89,6 +92,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # from the recorded inputs reproduces the artifact.
 _VERIFY_FIRST = [
     # changed since last green row
+    "clean_fuzzy_supplier_match",
+    "clean_et_chain",
     "dedup_embedding_cosine",
     "dedup_embedding_lsh",
     "dedup_incremental_containment",
@@ -161,8 +166,6 @@ _VERIFY_FIRST = [
     "text_bpe_train",
     "text_dup_span_removal",
     "text_perplexity_buckets",
-    "text_trigram_backoff",
-    "text_winnow_fingerprints",
 ]
 
 
