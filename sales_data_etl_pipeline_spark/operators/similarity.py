@@ -904,8 +904,22 @@ def cosine_range_join(
         "sqrt(aggregate(transform({side}.{v}, x -> cast(x as double)),"
         " 0D, (acc, x) -> acc + x * x))"
     )
+    try:
+        width = int(
+            left.sparkSession.conf.get("spark.sql.shuffle.partitions")
+        )
+    except (TypeError, ValueError):  # e.g. "auto" on vendor builds
+        width = left.sparkSession.sparkContext.defaultParallelism
     return (
         candidates.join(l_live.alias("l"), "left_id")
+        # pin the verify stage's width: the exact-cosine fold below is
+        # compute-dense on byte-light rows, and AQE's 64 MB advisory
+        # coalescing folded it onto ONE task at gate scale (measured:
+        # 1.9 s of knn_graph's 3.0 s on a single core). An explicit
+        # count (REPARTITION_BY_NUM) is AQE-coalesce-proof, and because
+        # it hash-partitions on the SECOND join's key the join reuses
+        # the exchange — no extra shuffle, just a pinned width.
+        .repartition(width, F.col("right_id"))
         .join(r_live.alias("r"), "right_id")
         .withColumn(
             "cosine",
