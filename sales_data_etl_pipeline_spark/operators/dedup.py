@@ -93,6 +93,16 @@ def shingles(text_col: str = "text", n: int = 3) -> Column:
     return F.expr(_shingle_expr(toks, n))
 
 
+def shuffle_width(df: DataFrame) -> int:
+    """The deployment's shuffle-parallelism knob:
+    ``spark.sql.shuffle.partitions``, falling back to
+    ``defaultParallelism`` on non-numeric vendor values ("auto")."""
+    try:
+        return int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):
+        return df.sparkSession.sparkContext.defaultParallelism
+
+
 def fan_out(df: DataFrame, *cols: str) -> DataFrame:
     """Hash-distribute ``df`` on ``cols`` ahead of a compute-bound,
     shuffle-free kernel — the scan-parallelism fix for inputs that
@@ -120,12 +130,7 @@ def fan_out(df: DataFrame, *cols: str) -> DataFrame:
     the repartition exists to break. Caught by the re-measure-before-
     close rule; the explicit count restores the r11 numbers.
     """
-    try:
-        target = int(
-            df.sparkSession.conf.get("spark.sql.shuffle.partitions")
-        )
-    except (TypeError, ValueError):  # e.g. "auto" on vendor builds
-        target = df.sparkSession.sparkContext.defaultParallelism
+    target = shuffle_width(df)
     if not df.isStreaming and df.rdd.getNumPartitions() >= target:
         return df
     return df.repartition(target, *[F.col(c) for c in cols])
@@ -731,6 +736,13 @@ def embedding_lsh_pairs(
     ea, eb = emb.alias("a"), emb.alias("b")
     return (
         candidates.join(ea, F.col("id_a") == F.col(f"a.{id_col}"))
+        # pin the verify stage's width (the similarity.cosine_range_join
+        # convention): the exact-cosine fold is compute-dense on
+        # byte-light rows and AQE's byte-sized coalescing folded it onto
+        # one task (width_audit flagged a 1-task, ~1 s stage here). The
+        # explicit count is AQE-proof and the second join reuses the
+        # exchange — pinned width, no extra shuffle.
+        .repartition(shuffle_width(emb), F.col("id_b"))
         .join(eb, F.col("id_b") == F.col(f"b.{id_col}"))
         .withColumn(
             "cosine",

@@ -904,12 +904,9 @@ def cosine_range_join(
         "sqrt(aggregate(transform({side}.{v}, x -> cast(x as double)),"
         " 0D, (acc, x) -> acc + x * x))"
     )
-    try:
-        width = int(
-            left.sparkSession.conf.get("spark.sql.shuffle.partitions")
-        )
-    except (TypeError, ValueError):  # e.g. "auto" on vendor builds
-        width = left.sparkSession.sparkContext.defaultParallelism
+    from sales_data_etl_pipeline_spark.operators.dedup import shuffle_width
+
+    width = shuffle_width(left)
     return (
         candidates.join(l_live.alias("l"), "left_id")
         # pin the verify stage's width: the exact-cosine fold below is

@@ -1,0 +1,120 @@
+"""Runtime stage-width audit: find compute-dense stages AQE collapsed.
+
+``explain_audit.py`` checks PLANS (pushdown, cartesians, codegen);
+what it cannot see is Adaptive Query Execution's runtime coalescing,
+which sizes post-shuffle stages by BYTES (64 MB advisory target). A
+stage that is byte-light but compute-dense — an exact-cosine fold over
+candidate pairs, an md5 kernel over short rows — gets folded onto one
+task and serializes onto one core. That is invisible in the plan and
+in total-bytes metrics; it only shows up as a stage with ``tasks ≈ 1``
+and a large ``executorRunTime``.
+
+This audit runs every query once (after one untimed warmup pass of the
+first query to absorb session fixed cost), reads the completed-stage
+metrics off the Spark UI REST API, and flags stages where
+
+    tasks <= flag_tasks  AND  executorRunTime_ms >= flag_run_ms
+
+The r12 example this tool generalizes: ``similarity_knn_graph`` spent
+1.9 s of a 3.0 s wall in a 1-task verify stage; pinning the stage's
+width with an explicit-count repartition on the join key (AQE never
+coalesces REPARTITION_BY_NUM) recovered it to 2.1 s. Scan stages are
+exempt (their width is input-split count, already governed by
+``fan_out``); so are sub-threshold stages (a 100 ms single-task stage
+is a result collection, not a bottleneck).
+
+Usage::
+
+    python tools/width_audit.py [--flag-tasks 2] [--flag-run-ms 800]
+        [--sf-dir DIR] [query ...]        # no names = full bench set
+
+Prints one JSON document {query: [flagged stages]}; exit 1 if anything
+flagged, else 0 — suitable as a round-close gate next to explain_audit.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+import urllib.request
+
+sys.path.insert(0, "/root/repo")
+
+import __spark_entry__ as entrymod
+from sales_data_etl_pipeline_spark.session import get_spark
+
+
+def stages_since(spark, t0_ms: float) -> list[dict]:
+    app_id = spark.sparkContext.applicationId
+    url = (
+        f"http://localhost:4040/api/v1/applications/{app_id}"
+        "/stages?status=COMPLETE"
+    )
+    with urllib.request.urlopen(url, timeout=10) as r:
+        stages = json.load(r)
+    out = []
+    for s in stages:
+        sub = s.get("submissionTime")
+        if not sub:
+            continue
+        ts = time.mktime(time.strptime(sub[:19], "%Y-%m-%dT%H:%M:%S")) * 1000
+        if ts < t0_ms - 1000:
+            continue
+        out.append(
+            {
+                "stage": s["stageId"],
+                "tasks": s.get("numCompleteTasks") or 0,
+                "executorRunTime_ms": s.get("executorRunTime") or 0,
+                "shuffleReadBytes": s.get("shuffleReadBytes") or 0,
+                "inputBytes": s.get("inputBytes") or 0,
+            }
+        )
+    return out
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("queries", nargs="*")
+    ap.add_argument("--flag-tasks", type=int, default=2)
+    ap.add_argument("--flag-run-ms", type=int, default=800)
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
+    args = ap.parse_args()
+
+    spark = get_spark(
+        "width_audit",
+        extra_conf={
+            "spark.ui.enabled": "true",
+            "spark.ui.showConsoleProgress": "false",
+        },
+    )
+    from bench import HEADLINE
+
+    qs = entrymod.queries()
+    names = args.queries or [n for n in HEADLINE if n in qs]
+    next(iter(qs.values()))(spark, args.sf_dir).count()  # session warmup
+    flagged: dict[str, list[dict]] = {}
+    for name in names:
+        t0 = time.time()
+        qs[name](spark, args.sf_dir).count()
+        hits = [
+            s
+            for s in stages_since(spark, t0 * 1000)
+            # scan stages (inputBytes > 0, no shuffle read) are governed
+            # by fan_out / split sizing, not AQE coalescing — skip them
+            if s["tasks"] <= args.flag_tasks
+            and s["executorRunTime_ms"] >= args.flag_run_ms
+            and not (s["inputBytes"] > 0 and s["shuffleReadBytes"] == 0)
+        ]
+        if hits:
+            flagged[name] = sorted(
+                hits, key=lambda s: -s["executorRunTime_ms"]
+            )
+            print(f"FLAG {name}: {hits}", file=sys.stderr, flush=True)
+    print(json.dumps(flagged, indent=1))
+    return 1 if flagged else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
