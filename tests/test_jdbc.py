@@ -131,7 +131,15 @@ def test_streaming_foreachbatch_jdbc_upsert(spark, tmp_path):
     fn = streaming.jdbc_upsert_batch_fn(
         url, "user_totals", "user_id", properties=_props()
     )
-    fn(back.localCheckpoint(eager=True), 999)
+    replay = back.localCheckpoint(eager=True)
+    n0 = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+    fn(replay, 999)
+    # the sink's per-batch checkpoint must be RELEASED after the write
+    # (operators/ckpt.py) — a long-running stream otherwise leaks one
+    # table-sized block set per micro-batch
+    assert (
+        spark.sparkContext._jsc.sc().getPersistentRDDs().size() == n0
+    )
     again = jdbc.read_jdbc(spark, url, "user_totals", properties=_props())
     got2 = {
         (r.user_id, r.n_events, round(r.total_value, 2))
