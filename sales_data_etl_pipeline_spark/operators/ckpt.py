@@ -32,32 +32,45 @@ anyway, so only the blocks the returned plan actually reads matter.
 
 from __future__ import annotations
 
+import contextlib
+
 from pyspark.sql import DataFrame
 
-_lineage_warn_silenced = False
+#: The two concrete RDD classes whose instance loggers emit the
+#: per-unpersist lineage-truncation WARN.
+_RDD_LOGGER_CLASSES = (
+    "org.apache.spark.rdd.MapPartitionsRDD",
+    "org.apache.spark.rdd.ParallelCollectionRDD",
+)
 
 
-def _silence_lineage_warning(spark) -> None:
+@contextlib.contextmanager
+def _lineage_warning_silenced(spark):
     """``RDD.unpersist`` on a locally-checkpointed RDD logs a one-line
     WARN ("lineage has been truncated and cannot be recomputed") every
     call. Here that is the DESIGN — deterministic release of blocks the
     plan will never read again — so the warning is pure noise storming
     the stderr tail the driver captures (the r7 silencing convention:
-    keep the tail as signal for the next REAL warning). Demoted once
-    per JVM, on the concrete RDD class whose instance logger emits it.
+    keep the tail as signal for the next REAL warning). Demoted only
+    for the duration of the unpersist calls, then restored to the prior
+    effective level — a genuine WARN from those RDD classes outside the
+    release window still reaches the log (the session-wide demotion the
+    r12 form used would have hidden it forever).
     """
-    global _lineage_warn_silenced
-    if _lineage_warn_silenced:
-        return
     jvm = spark.sparkContext._jvm
-    for cls in (
-        "org.apache.spark.rdd.MapPartitionsRDD",
-        "org.apache.spark.rdd.ParallelCollectionRDD",
-    ):
-        jvm.org.apache.logging.log4j.core.config.Configurator.setLevel(
-            cls, jvm.org.apache.logging.log4j.Level.ERROR
-        )
-    _lineage_warn_silenced = True
+    configurator = jvm.org.apache.logging.log4j.core.config.Configurator
+    log_manager = jvm.org.apache.logging.log4j.LogManager
+    # log4j2 core Loggers always report an effective level (inherited
+    # from root when no explicit config exists), so restoring to it
+    # preserves observable behavior even though it pins a LoggerConfig
+    prior = [log_manager.getLogger(c).getLevel() for c in _RDD_LOGGER_CLASSES]
+    for cls in _RDD_LOGGER_CLASSES:
+        configurator.setLevel(cls, jvm.org.apache.logging.log4j.Level.ERROR)
+    try:
+        yield
+    finally:
+        for cls, lvl in zip(_RDD_LOGGER_CLASSES, prior):
+            configurator.setLevel(cls, lvl)
 
 
 def release(*dfs: DataFrame | None) -> None:
@@ -67,10 +80,10 @@ def release(*dfs: DataFrame | None) -> None:
     async, which is fine — the point is that it is REQUESTED at
     supersession time instead of after two garbage-collector passes.
     """
+    plans = []
     for df in dfs:
         if df is None:
             continue
-        _silence_lineage_warning(df.sparkSession)
         plan = df._jdf.queryExecution().analyzed()
         if plan.getClass().getSimpleName() != "LogicalRDD":
             raise ValueError(
@@ -79,4 +92,9 @@ def release(*dfs: DataFrame | None) -> None:
                 f"{plan.getClass().getSimpleName()} — release the "
                 "checkpointed frame itself, not a derived projection"
             )
-        plan.rdd().unpersist(False)
+        plans.append((df.sparkSession, plan))
+    if not plans:
+        return
+    with _lineage_warning_silenced(plans[0][0]):
+        for _, plan in plans:
+            plan.rdd().unpersist(False)

@@ -320,7 +320,12 @@ def backfill_sequential_ids(
     |partitions|-row offsets job → partition-local window), so no
     single reducer ever holds the whole NULL slice. Same output by
     construction when ``order_col`` is unique within the slice —
-    pinned by ``tests/test_cleaning.py``.
+    pinned by ``tests/test_cleaning.py``. Distributed mode retains one
+    NULL-slice-sized ``localCheckpoint`` block set for the session
+    (the range-partition pin the returned plan reads — see
+    :func:`rank.distributed_row_number`'s block-retention note); a
+    backfill is once-per-load, so the residue is one slice, not a
+    per-round accumulation.
     """
     max_id = df.agg(F.coalesce(F.max(id_col), F.lit(0)).alias("_max_id"))
     nulls_base = df.filter(F.col(id_col).isNull()).crossJoin(

@@ -129,6 +129,14 @@ def fan_out(df: DataFrame, *cols: str) -> DataFrame:
     0.89 → 4.54 s, triangles 1.93 → 5.57 s) — the very one-core trap
     the repartition exists to break. Caught by the re-measure-before-
     close rule; the explicit count restores the r11 numbers.
+
+    The width probe (``df.rdd.getNumPartitions()``) converts the plan
+    to an RDD on the Python side — deliberate and acceptable: it is
+    PLAN-TIME analyzer work only (no job runs), happens once per
+    operator CONSTRUCTION (never per row or per batch), and the answer
+    depends on the exact input plan, so caching it on the Python
+    DataFrame object would trade a nil measured cost for a staleness
+    hazard when callers rebuild plans over changed inputs.
     """
     target = shuffle_width(df)
     if not df.isStreaming and df.rdd.getNumPartitions() >= target:
@@ -786,6 +794,13 @@ def connected_components(
     clustering is worse than an error the caller can retry with a
     bigger budget.
     """
+    if max_iterations < 0:
+        # a negative budget would skip every round, leave the returned
+        # labels reading the released edge checkpoint, and mask the
+        # misuse via release(prev_ckpt=None) — fail loudly at entry
+        raise ValueError(
+            f"max_iterations must be >= 0, got {max_iterations}"
+        )
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .unionByName(

@@ -35,6 +35,17 @@ def distributed_row_number(
 
     Returns ``(df + rank_col, total_row_count)`` — the count falls out
     of the offsets job for free.
+
+    Block retention: the internal lazy ``localCheckpoint`` that pins
+    the range partitioning is materialized by the offsets job and STAYS
+    persisted for the session — the returned plan reads those blocks,
+    so they cannot be released here (releasing them would make every
+    later read fail with block-not-found by the ckpt-module contract).
+    The residue is ONE block set sized to the ranked slice per call;
+    callers that rank repeatedly in one session and need the storage
+    back can ``localCheckpoint(eager=True)`` the materialized RESULT
+    and release this function's input — the same copy-then-free move
+    ``bpe_train_merges`` uses.
     """
     sc = df.sparkSession.sparkContext
     d = (

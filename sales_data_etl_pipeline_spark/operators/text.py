@@ -1167,8 +1167,6 @@ def bpe_train_merges(
     merges, _ = _bpe_train_full(
         df, n_merges=n_merges, text_col=text_col, track=track
     )
-    if merges is None:  # n_merges=0: nothing trained, nothing persisted
-        return merges
     # ≤ n_merges rows; eager-copy the rules, then free every per-round
     # winner/vocabulary block set the training loop persisted — the
     # returned frame reads only its own blocks (ckpt module doc)
@@ -1291,6 +1289,15 @@ def _bpe_train_full(
         surv = _bpe_merge_syms(surv, winner, ("wc",))
         if track is not None:
             track.extend((winner, surv))
+    if out is None:
+        # n_merges=0: zero training rounds — an EMPTY rules frame with
+        # the trained schema, so every caller (rules path, OOV replay)
+        # keeps its `-> DataFrame` contract on the degenerate input
+        out = df.sparkSession.createDataFrame(
+            [],
+            "merge_rank int, left_sym string, right_sym string, "
+            "pair_count bigint",
+        )
     return out, surv
 
 

@@ -9,6 +9,8 @@ graph operators leave no block residue beyond their returned result.
 
 from __future__ import annotations
 
+import time
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -28,7 +30,18 @@ def test_release_frees_blocks(spark):
     ckpt.release(ck)
     assert _n_persistent(spark) == base
     # released blocks are gone and lineage is truncated: reading the
-    # frame again must FAIL (misuse detected), never silently recompute
+    # frame again must FAIL (misuse detected), never silently recompute.
+    # release() requests removal NON-blocking, so poll the storage view
+    # until the blocks are actually dropped before asserting — a fast
+    # re-read racing the async removal could still find them
+    deadline = time.monotonic() + 30
+    while time.monotonic() < deadline:
+        infos = spark.sparkContext._jsc.sc().getRDDStorageInfo()
+        if all(info.numCachedPartitions() == 0 for info in infos):
+            break
+        time.sleep(0.05)
+    else:
+        pytest.fail("released blocks never dropped from block storage")
     with pytest.raises(Exception):
         ck.count()
 

@@ -496,3 +496,66 @@ def test_ledger_compaction_aborts_if_maintainer_races(
     assert (
         jdbc.read_jdbc(spark, url, "ledger", properties=_props()).count() == 2
     )
+
+
+def test_ledger_compaction_mid_stream_cycle(spark, tmp_path):
+    """The full production cycle on ONE streaming checkpoint:
+    stream-append → compact_agg_ledger → MORE stream-append (the
+    restarted query's foreachBatch batch ids continue past the
+    compacted fence, which ``batch_id = max(fence)`` preserves) →
+    read_agg_view equals the from-scratch batch GROUP BY over
+    everything streamed. The two per-half pins, combined."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from sales_data_etl_pipeline_spark.streaming import events as streaming
+
+    url = _url(tmp_path, "cycle")
+    src = tmp_path / "cycle_src"
+    src.mkdir()
+    ckpt_dir = str(tmp_path / "cycle_ckpt")
+
+    def land_file(name: str, grps: list[str], vs: list[int]) -> None:
+        # single parquet FILES (not df.write directories): the file
+        # stream source does not descend into non-partition subdirs
+        pq.write_table(
+            pa.table(
+                {"grp": pa.array(grps), "v": pa.array(vs, type=pa.int64())}
+            ),
+            str(src / name),
+        )
+
+    def run_stream():
+        stream = (
+            spark.readStream.format("parquet")
+            .schema("grp string, v bigint")
+            .option("maxFilesPerTrigger", 1)  # one micro-batch per file
+            .load(str(src))
+        )
+        q = streaming.stream_to_view_maintenance(
+            stream, url, "ledger", "grp", "v", ckpt_dir, properties=_props()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    land_file("f0.parquet", ["a", "b"], [10, 1])
+    land_file("f1.parquet", ["a"], [2])
+    run_stream()
+    assert _view(spark, url) == {("a", 2, 12), ("b", 1, 1)}
+    ledger = jdbc.read_jdbc(spark, url, "ledger", properties=_props())
+    fence = ledger.agg(F.max("batch_id")).first()[0]
+    assert ledger.count() == 3  # 2 micro-batches: (a,b) then (a)
+    removed = streaming.compact_agg_ledger(
+        spark, url, "ledger", "grp", properties=_props()
+    )
+    assert removed == 1  # the two a-rows folded to one
+    compacted = jdbc.read_jdbc(spark, url, "ledger", properties=_props())
+    assert {r.batch_id for r in compacted.collect()} == {fence}
+    assert _view(spark, url) == {("a", 2, 12), ("b", 1, 1)}
+    # more data arrives; SAME checkpoint — the restarted query resumes
+    # numbering above the fence, so its batches apply exactly once
+    land_file("f2.parquet", ["a", "c"], [5, 7])
+    run_stream()
+    assert _view(spark, url) == {("a", 3, 17), ("b", 1, 1), ("c", 1, 7)}

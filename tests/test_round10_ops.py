@@ -1130,6 +1130,30 @@ def test_bpe_train_single_char_vocab_ends_early(spark):
     assert text_ops.bpe_train_merges(docs, n_merges=3).count() == 0
 
 
+def test_bpe_train_zero_merges_returns_empty_typed_frame(spark):
+    """n_merges=0 honours the `-> DataFrame` contract: an EMPTY rules
+    frame with the trained schema (never None), and the OOV-replay
+    entry point degrades to pure character tokenization on it."""
+    from sales_data_etl_pipeline_spark.operators import text as text_ops
+
+    docs = spark.createDataFrame([Row(doc_id=1, text="ab ab cd")])
+    rules = text_ops.bpe_train_merges(docs, n_merges=0)
+    assert rules.count() == 0
+    assert [f.name for f in rules.schema.fields] == [
+        "merge_rank",
+        "left_sym",
+        "right_sym",
+        "pair_count",
+    ]
+    # zero rules applied = every symbol stays a character
+    got = text_ops.bpe_apply_oov_token_counts(
+        docs, docs, n_merges=0
+    ).collect()
+    assert [(r.n_words, r.n_chars_tokenized, r.n_symbols) for r in got] == [
+        (3, 6, 6)
+    ]
+
+
 def test_link_prediction_path_and_hub_cap(spark):
     """Path a-b-c predicts (a, c) at jaccard 1.0 (1 common / (1+1-1));
     the clique edge itself is never predicted; a hub over max_degree

@@ -35,6 +35,7 @@ flagged, else 0 — suitable as a round-close gate next to explain_audit.
 from __future__ import annotations
 
 import argparse
+import calendar
 import json
 import sys
 import time
@@ -59,7 +60,11 @@ def stages_since(spark, t0_ms: float) -> list[dict]:
         sub = s.get("submissionTime")
         if not sub:
             continue
-        ts = time.mktime(time.strptime(sub[:19], "%Y-%m-%dT%H:%M:%S")) * 1000
+        # submissionTime is GMT ("...T10:11:12.000GMT") — timegm, not
+        # mktime: mktime reads the struct as LOCAL time, which on a
+        # non-UTC host shifts every stage by the UTC offset and makes
+        # the ts<t0 filter misattribute stages across queries
+        ts = calendar.timegm(time.strptime(sub[:19], "%Y-%m-%dT%H:%M:%S")) * 1000
         if ts < t0_ms - 1000:
             continue
         out.append(
