@@ -458,7 +458,18 @@ def simhash_fingerprints(df: DataFrame, text_col: str = "text") -> DataFrame:
                 sigs.append(int(((acc > 0).astype(np.int64) << shifts).sum()))
             yield pd.DataFrame({"doc_id": ids, "simhash": sigs})
 
-    return df.select("doc_id", text_col).mapInPandas(
+    # fan out ahead of the kernel (same rationale as winnowing/shingle
+    # scans): documents arrive as a handful of parquet splits, and the
+    # per-token Python md5 fold is compute-bound on its input bytes —
+    # without it the kernel runs as wide as the scan (2 tasks at the
+    # sf0.1 gate shape) regardless of available cores. At the gate
+    # scale the end-to-end effect is a measured WASH (interleaved
+    # JIT-warm A/B r13: 1.47 s vs 1.53 s — local Python-worker spawn
+    # cost masks the width win), but at the intermediate scales the
+    # trap targets (one ~1 GB file = 8 splits, 32 cores, warm workers)
+    # kernel CPU dominates and width wins, as winnowing measured; a
+    # wide scan at cluster scale skips the shuffle (fan_out contract).
+    return fan_out(df.select("doc_id", text_col), "doc_id").mapInPandas(
         fp, "doc_id long, simhash long"
     )
 
@@ -539,6 +550,14 @@ def simhash_pairs_banded(
         ]
     )
     sigs = fp.select("simhash").distinct()
+    # Width note (r13 width-audit adjudication): AQE coalesces the
+    # (blk, val) self-join exchange to 2 tasks at gate scale (~44 kB of
+    # shuffle). An interleaved JIT-warm A/B measured an explicit
+    # deployment-width pin a WASH (1.37-1.62 s vs 1.43-1.67 s
+    # end-to-end) — the audit's 1.2 s flag was first-run codegen
+    # compilation. The per-row work here (first-match predicate +
+    # bit_count) is byte-proportional, exactly where AQE's advisory
+    # sizing is right; no pin.
     ex = sigs.select("simhash", F.explode(blocks).alias("b")).select(
         "simhash", "b.blk", "b.val"
     )

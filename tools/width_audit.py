@@ -94,13 +94,42 @@ def main() -> int:
             "spark.ui.showConsoleProgress": "false",
         },
     )
+    # same benign-storm silencing bench.py applies (straggler tasks of
+    # freed localCheckpoint'd jobs reporting to unregistered
+    # accumulators ERROR-storm DAGScheduler) — keep this tool's output
+    # readable: the flag lines and the summary JSON are the signal
+    jvm = spark.sparkContext._jvm
+    for logger, level in (
+        ("org.apache.spark.scheduler.DAGScheduler", "FATAL"),
+        ("org.apache.spark.scheduler.TaskSetManager", "FATAL"),
+        ("org.apache.spark.util.AccumulatorContext", "ERROR"),
+    ):
+        jvm.org.apache.logging.log4j.core.config.Configurator.setLevel(
+            logger, getattr(jvm.org.apache.logging.log4j.Level, level)
+        )
     from bench import HEADLINE
+
+    # Adjudicated narrow stages: flags measured and PROVEN optimal
+    # report as notes (NOTE lines), not failures — scoped by a
+    # shuffle-read ceiling so a future stage in the same query reading
+    # real data volume still flags. Currently empty: the r13 flag wave
+    # (graph_label_propagation, dedup_simhash, events_session_funnel)
+    # was adjudicated as FIRST-RUN CODEGEN COMPILATION, not width —
+    # interleaved JIT-warm A/Bs measured every proposed width pin a
+    # wash or a 2× LOSS — and the per-query warm-up run below now
+    # removes that false-flag class at the source.
+    adjudicated: dict[str, int] = {}
 
     qs = entrymod.queries()
     names = args.queries or [n for n in HEADLINE if n in qs]
     next(iter(qs.values()))(spark, args.sf_dir).count()  # session warmup
     flagged: dict[str, list[dict]] = {}
     for name in names:
+        # run once un-timed: whole-stage-codegen compilation of this
+        # query's unique operator shapes lands in the FIRST run and
+        # inflates small stages past the flag threshold (the r13 false
+        # flags); the audit profiles the warm second run
+        qs[name](spark, args.sf_dir).count()
         t0 = time.time()
         qs[name](spark, args.sf_dir).count()
         hits = [
@@ -112,6 +141,17 @@ def main() -> int:
             and s["executorRunTime_ms"] >= args.flag_run_ms
             and not (s["inputBytes"] > 0 and s["shuffleReadBytes"] == 0)
         ]
+        ceiling = adjudicated.get(name)
+        if ceiling is not None:
+            noted = [s for s in hits if s["shuffleReadBytes"] < ceiling]
+            hits = [s for s in hits if s["shuffleReadBytes"] >= ceiling]
+            for s in noted:
+                print(
+                    f"NOTE {name}: narrow stage adjudicated optimal "
+                    f"(see header) {s}",
+                    file=sys.stderr,
+                    flush=True,
+                )
         if hits:
             flagged[name] = sorted(
                 hits, key=lambda s: -s["executorRunTime_ms"]
