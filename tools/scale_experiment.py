@@ -124,6 +124,17 @@ SOAK_QUERIES = (
     # tokenized once; the model stays 1024 rows)
     "similarity_topk_hamming",
     "corpus_dsir_weights",
+    # round-13 additions (SURVEY §7.14 item 3): the banded families the
+    # soak did not yet cover — SimHash multi-index banding, winnowing
+    # fingerprint dedup, prefix-blocked banded-Levenshtein, and
+    # random-hyperplane embedding LSH. Under the id-offset replica the
+    # copies carry IDENTICAL text/vectors, so the pair OUTPUT explodes
+    # ~C(copies,2)-fold per duplicated item — exactly the output-bound
+    # regime is_superlinear() credits via output_ratio.
+    "dedup_simhash",
+    "dedup_winnowing",
+    "dedup_levenshtein",
+    "dedup_embedding_lsh",
 )
 #: only the corpus tables the soak queries scan get replicated
 SOAK_TABLES = {"documents": ("doc_id", 1_000_000), "embeddings": ("vec_id", 1_000_000)}
@@ -200,7 +211,10 @@ def _soak_prepared(spark) -> dict:
 
 def soak() -> None:
     """Run the dedup/ANN stack at ~sf10 and append slopes + an
-    explanation column to SCALE_EXPERIMENT.json."""
+    explanation column to SCALE_EXPERIMENT.json. Positional names
+    select a subset (incremental re-measure after a round's additions);
+    results MERGE into the existing ``soak100`` section so unselected
+    rows survive — same convention as the 10× path."""
     import __spark_entry__ as entrymod
 
     spark = get_spark(
@@ -208,9 +222,11 @@ def soak() -> None:
     )
     build_soak_replica(spark)
     qs = entrymod.queries()
+    selected = [a for a in sys.argv[1:] if not a.startswith("-")]
+    run_list = selected or SOAK_QUERIES
     rows: dict[str, dict] = {}
     try:
-        for name in SOAK_QUERIES:
+        for name in run_list:
             fn = qs[name]
             rec: dict = {}
             for label, sf_dir, reps in (("sf0.1", SRC, 2), ("sf10x", SOAK_DST, 2)):
@@ -235,37 +251,37 @@ def soak() -> None:
             )
             rows[name] = rec
             print(json.dumps({name: rec}), flush=True)
-        # --- prepared-base incremental: the amortized daily-ingest form.
-        # The one-time save_minhash_base cost is reported separately
-        # (t_prepare_*); the per-batch row times ONLY the match against
-        # the stored bucketed artifacts — the number a daily pipeline
-        # actually pays per batch.
-        rows["dedup_incremental_prepared_batch"] = _soak_prepared(spark)
-        print(
-            json.dumps(
-                {
-                    "dedup_incremental_prepared_batch": rows[
-                        "dedup_incremental_prepared_batch"
-                    ]
-                }
-            ),
-            flush=True,
-        )
+        if not selected:
+            # --- prepared-base incremental: the amortized daily-ingest
+            # form. The one-time save_minhash_base cost is reported
+            # separately (t_prepare_*); the per-batch row times ONLY the
+            # match against the stored bucketed artifacts — the number a
+            # daily pipeline actually pays per batch.
+            rows["dedup_incremental_prepared_batch"] = _soak_prepared(spark)
+            print(
+                json.dumps(
+                    {
+                        "dedup_incremental_prepared_batch": rows[
+                            "dedup_incremental_prepared_batch"
+                        ]
+                    }
+                ),
+                flush=True,
+            )
     finally:
         shutil.rmtree(SOAK_DST, ignore_errors=True)
     path = "/root/repo/SCALE_EXPERIMENT.json"
     with open(path) as f:
         rec_all = json.load(f)
-    rec_all["soak100"] = {
-        "design": (
-            f"{SOAK_COPIES} id-offset copies of sf0.1 documents/embeddings"
-            " (~sf10); spill/memory probe beyond the 10x point"
-        ),
-        "queries": rows,
-    }
+    soak_doc = rec_all.setdefault("soak100", {})
+    soak_doc["design"] = (
+        f"{SOAK_COPIES} id-offset copies of sf0.1 documents/embeddings"
+        " (~sf10); spill/memory probe beyond the 10x point"
+    )
+    soak_doc.setdefault("queries", {}).update(rows)
     with open(path, "w") as f:
         json.dump(rec_all, f, indent=1)
-    print(f"appended soak100 ({len(rows)} queries) to SCALE_EXPERIMENT.json")
+    print(f"merged {len(rows)} soak100 queries into SCALE_EXPERIMENT.json")
 
 
 def main() -> None:
