@@ -80,58 +80,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # asserts this list equals its first `window` names AND that replanning
 # from the recorded inputs reproduces the artifact.
 _VERIFY_FIRST = [
-    # never-green (new entries: must not ship unverified)
-    "clean_keys_chain",
-    "clean_normalize_chain",
-    "similarity_recall_hamming12",
     # changed since last green row
-    "corpus_shuffle_deterministic",
-    "events_rfm_segmentation",
-    "events_user_value_deciles",
-    "graph_label_propagation",
-    "graph_link_prediction",
-    "graph_link_prediction_aa",
-    "graph_triangle_count",
-    "multimodal_audio_stats",
-    "multimodal_phash_pairs",
-    "multimodal_scene_cuts",
-    "multimodal_shot_reps",
-    "similarity_knn_graph",
-    "similarity_range_join",
-    "similarity_range_topk",
-    "similarity_recall_eval",
-    "similarity_topk_hamming",
-    "similarity_topk_hamming_rerank",
-    "similarity_topk_ivf_trained",
-    "similarity_topk_ivfpq_residual",
-    "source_xml_roundtrip",
-    "streaming_dedup_minhash",
-    "streaming_session_funnel",
-    "table_zorder_layout",
-    "text_bpe_apply",
-    "text_bpe_token_count",
-    "text_bpe_train",
-    "text_dup_span_removal",
-    "text_perplexity_buckets",
-    "text_trigram_backoff",
-    "text_winnow_fingerprints",
-    "corpus_decontaminate",
-    "corpus_dedup_pipeline",
-    "corpus_domain_mixture",
-    "corpus_hash_split",
-    "corpus_mixture_epochs",
-    "corpus_ngram_counts",
-    "corpus_pack_sequences",
-    "corpus_prep_pipeline",
-    "corpus_quality_resample",
-    "corpus_stratified_sample",
-    "corpus_temperature_mixture",
-    "corpus_token_shards",
-    "dedup_cluster_representatives",
-    "dedup_clusters",
-    "dedup_containment",
-    "dedup_exact",
-    "dedup_incremental",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
     "embedding_kmeans_assign",
@@ -198,6 +147,57 @@ _VERIFY_FIRST = [
     "streaming_user_totals",
     "streaming_windowed_counts",
     "text_unigram_logprob",
+    # stalest-green rotation
+    "events_cohort_retention",
+    "events_anomaly_iqr",
+    "events_sessionization",
+    "events_windowed_distinct_users",
+    "q13_customer_distribution",
+    "q17_small_quantity_revenue",
+    "q1_pricing_summary",
+    "q3_unshipped_orders",
+    "q5_local_supplier_volume",
+    "sales_pareto_share",
+    "source_synthetic_events",
+    "stats_approx_sketches",
+    "events_top_per_day",
+    "q10_returned_items",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q16_supplier_part_counts",
+    "q18_large_orders",
+    "q19_disjunctive_revenue",
+    "q20_excess_shippers",
+    "q21_sole_late_shipper",
+    "q22_dormant_customers",
+    "q2_min_balance_supplier",
+    "q4_priority_late_ship",
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_profit",
+    "events_hourly_heatmap",
+    "events_rolling_active_users",
+    "events_user_lifetime_stats",
+    "q11_important_parts",
+    "q12_late_priority_split",
+    "embedding_pq_encode",
+    "events_salted_join",
+    "source_orc_roundtrip",
+    "embedding_matryoshka",
+    "sales_cube",
+    "table_cdc_apply",
+    "table_snapshot_changelog",
+    "table_snapshot_diff",
+    "table_view_maintain",
+    "multimodal_dhash",
+    "stats_correlation",
+    "clean_keys_chain",
+    "clean_normalize_chain",
+    "graph_label_propagation",
+    "graph_link_prediction",
+    "graph_link_prediction_aa",
+    "graph_triangle_count",
 ]
 
 

@@ -27,6 +27,12 @@ def test_release_frees_blocks(spark):
         eager=True
     )
     assert _n_persistent(spark) == base + 1
+    # capture THIS checkpoint's RDD id before release so the poll below
+    # is scoped to it — requiring a globally empty block store would
+    # spin on unrelated session residue (e.g. rank.py's documented
+    # retained ranked-slice blocks) or any persisted frame another test
+    # left behind
+    rdd_id = ck._jdf.queryExecution().analyzed().rdd().id()
     ckpt.release(ck)
     assert _n_persistent(spark) == base
     # released blocks are gone and lineage is truncated: reading the
@@ -37,7 +43,11 @@ def test_release_frees_blocks(spark):
     deadline = time.monotonic() + 30
     while time.monotonic() < deadline:
         infos = spark.sparkContext._jsc.sc().getRDDStorageInfo()
-        if all(info.numCachedPartitions() == 0 for info in infos):
+        if all(
+            info.numCachedPartitions() == 0
+            for info in infos
+            if info.id() == rdd_id
+        ):
             break
         time.sleep(0.05)
     else:

@@ -261,18 +261,26 @@ def test_rotation_planner_hold_back_sinks_below_everything():
     """--hold-back places named entries at the absolute END of the
     ordering — even a never-green entry — so a new gate can land
     mid-freeze without displacing a forced/carry window slot. The
-    reason string states the never-green status honestly."""
+    reason string states the never-green status honestly.
+
+    Pinned to ``max_round=12``: the two named entries gated green in
+    the driver's round-13 run, so at the live default they classify
+    "green r13" the moment CORRECTNESS_r13.json lands (the r13 judge
+    reproduced exactly that failure). CORRECTNESS_r01–r12 are committed
+    and immutable, and neither entry holds a green row there, so the
+    never-green expectation is hermetic at this pin — no future driver
+    artifact can flip it."""
     from tools.rotation_planner import plan
 
     held = {"clean_normalize_chain", "clean_keys_chain"}
-    rows = plan(window=50, stable_tier=True, hold_back=held)
+    rows = plan(window=50, stable_tier=True, hold_back=held, max_round=12)
     order = [n for n, _, _ in rows]
     whys = {n: w for n, w, _ in rows}
     assert set(order[-len(held):]) == held
     for name in held:
         assert whys[name].startswith("held-back")
     # without hold-back the same entries are never-green — the top tier
-    rows_free = plan(window=50, stable_tier=True)
+    rows_free = plan(window=50, stable_tier=True, max_round=12)
     whys_free = {n: w for n, w, _ in rows_free}
     for name in held:
         assert whys_free[name] == "never-green"

@@ -217,13 +217,29 @@ def soak() -> None:
     rows survive — same convention as the 10× path."""
     import __spark_entry__ as entrymod
 
+    qs = entrymod.queries()
+    selected = [a for a in sys.argv[1:] if not a.startswith("-")]
+    run_list = selected or SOAK_QUERIES
+    # fail fast on typo'd names BEFORE spending the time/disk to
+    # materialize the ~sf10 replica (a KeyError mid-loop would also
+    # drop the earlier names' rows — the merge happens after the loop)
+    unknown = sorted(set(run_list) - set(qs))
+    if unknown:
+        sys.exit(
+            "soak: unknown query names (not in __spark_entry__."
+            f"queries()): {unknown}"
+        )
+    for name in selected:
+        if name not in SOAK_QUERIES:
+            print(
+                f"soak: WARNING {name!r} is outside SOAK_QUERIES — "
+                "measuring anyway, but it has no curated soak design",
+                flush=True,
+            )
     spark = get_spark(
         "scale-soak", extra_conf={"spark.ui.showConsoleProgress": "false"}
     )
     build_soak_replica(spark)
-    qs = entrymod.queries()
-    selected = [a for a in sys.argv[1:] if not a.startswith("-")]
-    run_list = selected or SOAK_QUERIES
     rows: dict[str, dict] = {}
     try:
         for name in run_list:
