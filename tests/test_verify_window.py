@@ -167,6 +167,29 @@ def test_scale_flag_means_superlinear():
     assert refired == [], refired
 
 
+def test_soak_fails_fast_on_unknown_query_names(monkeypatch):
+    """soak()'s subset path must reject a typo'd name BEFORE building
+    the ~sf10 replica — a KeyError mid-loop would also lose the rows
+    already measured for earlier names (the merge into
+    SCALE_EXPERIMENT.json happens after the loop). r13 ADVICE."""
+    import sys as _sys
+
+    import pytest
+
+    from tools import scale_experiment as se
+
+    def _must_not_run(*a, **k):  # replica build is the expensive step
+        raise AssertionError("build_soak_replica ran before validation")
+
+    monkeypatch.setattr(se, "build_soak_replica", _must_not_run)
+    monkeypatch.setattr(se, "get_spark", _must_not_run)
+    monkeypatch.setattr(
+        _sys, "argv", ["scale_experiment.py", "no_such_query_entry"]
+    )
+    with pytest.raises(SystemExit, match="no_such_query_entry"):
+        se.soak()
+
+
 def test_rotation_planner_priorities():
     """The planner must put never-green entries first, changed files
     second, and stale greens last — and fill exactly the window."""

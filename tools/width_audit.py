@@ -112,13 +112,24 @@ def main() -> int:
     # Adjudicated narrow stages: flags measured and PROVEN optimal
     # report as notes (NOTE lines), not failures — scoped by a
     # shuffle-read ceiling so a future stage in the same query reading
-    # real data volume still flags. Currently empty: the r13 flag wave
+    # real data volume still flags. The r13 flag wave
     # (graph_label_propagation, dedup_simhash, events_session_funnel)
     # was adjudicated as FIRST-RUN CODEGEN COMPILATION, not width —
     # interleaved JIT-warm A/Bs measured every proposed width pin a
-    # wash or a 2× LOSS — and the per-query warm-up run below now
-    # removes that false-flag class at the source.
-    adjudicated: dict[str, int] = {}
+    # wash or a 2× LOSS — and the per-query warm-up run below removed
+    # that class at the source for two of the three. dedup_simhash's
+    # (blk,val) self-join stage still crosses the heuristic WARM
+    # (893 ms / 2 tasks / 168 kB shuffle read at sf0.1, reproduced in
+    # two r14 audit runs), so the codegen explanation was incomplete
+    # for it; a FRESH r14 interleaved JIT-warm A/B (5 alternations,
+    # AQE-coalesce disabled via 16k advisory as the width pin) measured
+    # current [2.09, 2.46] s vs pinned [1.88, 2.39] s end-to-end —
+    # overlapping bands, a wash, same verdict as r13. The stage is
+    # byte-proportional pair-kernel CPU (first-match predicate +
+    # bit_count), exactly where AQE's advisory sizing is right. Ceiling
+    # 1 MB: ~6× the adjudicated stage's read, so a future simhash stage
+    # coalescing over real data volume still flags.
+    adjudicated: dict[str, int] = {"dedup_simhash": 1_000_000}
 
     qs = entrymod.queries()
     names = args.queries or [n for n in HEADLINE if n in qs]
