@@ -129,7 +129,17 @@ def main() -> int:
     # bit_count), exactly where AQE's advisory sizing is right. Ceiling
     # 1 MB: ~6× the adjudicated stage's read, so a future simhash stage
     # coalescing over real data volume still flags.
-    adjudicated: dict[str, int] = {"dedup_simhash": 1_000_000}
+    # events_session_funnel's single-task stage (848 ms / 1.8 MB read)
+    # flags INTERMITTENTLY on warm runs (it sat under the threshold in
+    # the same-day targeted run); the r13 interleaved A/B measured its
+    # explicit width pin 2× SLOWER (0.59 s vs 0.24 s) and the r14
+    # re-confirm (5 alternations, 16k-advisory proxy) a wash-to-slight-
+    # loss: current [0.64, 0.98] s vs pinned [0.65, 0.78] s. Ceiling
+    # 4 MB (~2.2× the stage's read at sf0.1).
+    adjudicated: dict[str, int] = {
+        "dedup_simhash": 1_000_000,
+        "events_session_funnel": 4_000_000,
+    }
 
     qs = entrymod.queries()
     names = args.queries or [n for n in HEADLINE if n in qs]
