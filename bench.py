@@ -59,6 +59,7 @@ HEADLINE = [
     "events_salted_agg",
     "dedup_simhash",
     "events_value_quantiles",
+    "events_value_quantiles_grouped",
     "events_json_props",
     "events_sliding_agg",
     "stats_length_histogram",

@@ -1812,6 +1812,62 @@ ORACLES["events_value_quantiles"] = """
 """
 
 
+def events_value_quantiles_grouped(
+    spark: SparkSession, sf_dir: str, accuracy: int = 100_000
+) -> DataFrame:
+    """Per-group APPROXIMATE quantiles (p25/p50/p75/p90 of value per
+    event_type) via ``percentile_approx`` — the 100 TB config twin of
+    :func:`events_value_quantiles`. Exact grouped percentiles buffer
+    every group value (per-group memory is O(group size) — fine until
+    group cardinality × group size explodes); the Greenwald–Khanna
+    sketch behind ``percentile_approx`` bounds per-group state at
+    O(accuracy) with rank error ≤ group_size/accuracy, which is the
+    right trade when a hot event_type holds billions of rows.
+
+    Oracle note (why this gate can still hash-match DuckDB's
+    ``quantile_disc``): GK can only discard a sample when the invariant
+    gap bound 2·N/accuracy admits it, so for N < accuracy/2 the sketch
+    provably retains EVERY value and the query is exact — and Spark's
+    exact-regime rank convention matches ``quantile_disc`` (verified
+    empirically on odd/even/tied/singleton sets). Gate-scale groups are
+    ~2,000 rows at sf0.01 (50× margin) and the fuzz generators cap at
+    600 events, so the driver's value-hash compare is deterministic.
+    The compressed regime (group size > accuracy) is pinned separately
+    by ``tests/test_quantiles_approx.py``: |rank(approx) − target rank|
+    ≤ ε·N against the exact twin, the error contract a 100 TB
+    deployment actually relies on. Both quantile styles return actual
+    column elements (no interpolation), so no rounding composite is
+    needed — unlike the exact twin's quantile_cont path.
+    """
+    ev = _events(spark, sf_dir)
+    qs = {"p25": 0.25, "p50": 0.5, "p75": 0.75, "p90": 0.9}
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            *[
+                F.expr(
+                    f"percentile_approx(value, {q}, {accuracy})"
+                ).alias(name)
+                for name, q in qs.items()
+            ],
+        )
+        .orderBy("event_type")
+    )
+
+
+QUERIES["events_value_quantiles_grouped"] = events_value_quantiles_grouped
+ORACLES["events_value_quantiles_grouped"] = """
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           quantile_disc(value, 0.25) AS p25,
+           quantile_disc(value, 0.5) AS p50,
+           quantile_disc(value, 0.75) AS p75,
+           quantile_disc(value, 0.9) AS p90
+    FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
 # --- data-quality expectations (operators/quality.py) -----------------------
 
 _DQ_PREDICATES = {

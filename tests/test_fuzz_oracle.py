@@ -86,6 +86,10 @@ FUZZED = [
     "table_zorder_layout",
     # round-10 batch 5: count-min-sketch heavy hitters on random streams
     "events_heavy_hitters_cms",
+    # round-14 (hold-back landing): grouped approx quantiles — the fuzz
+    # events cap at 600 rows, far inside the GK exact regime
+    # (2·N/accuracy < 1), so quantile_disc is a deterministic oracle
+    "events_value_quantiles_grouped",
 ]
 
 
