@@ -1,0 +1,37 @@
+"""tools/bench_compare.py — the dual-baseline mover report the r13
+verdict requires (r13's driver run carries a uniform ~10% context
+shift, so single-baseline deltas under- and over-flag)."""
+
+from __future__ import annotations
+
+import json
+
+from tools.bench_compare import DEFAULT_BASELINES, load_queries, movers
+
+
+def test_movers_flags_both_directions_and_sorts_by_ratio():
+    base = {"a": 1.0, "b": 1.0, "c": 1.0, "only_base": 9.9}
+    cand = {"a": 1.5, "b": 0.5, "c": 1.1, "only_cand": 0.1}
+    out = movers(cand, base, threshold=1.3)
+    # common-key movers only, sorted most-slowed first; 1.1x is in-band
+    assert [(n, r) for n, _, _, r in out] == [("a", 1.5), ("b", 0.5)]
+
+
+def test_movers_skips_zero_baselines():
+    assert movers({"a": 1.0}, {"a": 0.0}, threshold=1.3) == []
+
+
+def test_default_baselines_resolve_from_git(tmp_path):
+    """The pinned r12/r13 revisions must keep resolving to per-query
+    detail (the comparison breaks silently if history is rewritten)."""
+    for spec in DEFAULT_BASELINES:
+        name, _, rev = spec.partition("=")
+        total, qs = load_queries(rev)
+        assert total > 0 and len(qs) >= 149, (name, total, len(qs))
+
+
+def test_load_queries_reads_plain_files(tmp_path):
+    p = tmp_path / "b.json"
+    p.write_text(json.dumps({"value": 2.5, "queries": {"q": 1.25}}))
+    total, qs = load_queries(str(p))
+    assert total == 2.5 and qs == {"q": 1.25}
