@@ -551,14 +551,18 @@ def simhash_pairs_banded(
         ]
     )
     sigs = fp.select("simhash").distinct()
-    # Width note (r13 width-audit adjudication): AQE coalesces the
+    # Width note (r13 adjudication, refined r14): AQE coalesces the
     # (blk, val) self-join exchange to 2 tasks at gate scale (~44 kB of
-    # shuffle). An interleaved JIT-warm A/B measured an explicit
-    # deployment-width pin a WASH (1.37-1.62 s vs 1.43-1.67 s
-    # end-to-end) — the audit's 1.2 s flag was first-run codegen
-    # compilation. The per-row work here (first-match predicate +
-    # bit_count) is byte-proportional, exactly where AQE's advisory
-    # sizing is right; no pin.
+    # shuffle; 168 kB at sf0.1). Interleaved JIT-warm A/Bs measured an
+    # explicit deployment-width pin a WASH twice — r13: 1.37-1.62 s vs
+    # 1.43-1.67 s; r14 (16k-advisory proxy, 5 alternations): 2.09-2.46
+    # vs 1.88-2.39 s. The r13 note blamed first-run codegen for the
+    # audit flag; r14 showed the stage crosses the 800 ms heuristic on
+    # WARM runs too, so the flag is real but the pin is not a win: the
+    # per-row work (first-match predicate + bit_count) is
+    # byte-proportional, exactly where AQE's advisory sizing is right.
+    # No pin; the audit carries this stage in its adjudicated map with
+    # a 1 MB shuffle-read ceiling (tools/width_audit.py).
     ex = sigs.select("simhash", F.explode(blocks).alias("b")).select(
         "simhash", "b.blk", "b.val"
     )
