@@ -35,6 +35,57 @@ def observed(df: DataFrame, name: str) -> tuple[DataFrame, Observation]:
     return df.observe(obs, F.count(F.lit(1)).alias("n_rows")), obs
 
 
+#: Latest cap-drop summary FRAME per operator site (the banded dedup /
+#: link-prediction hot-group caps — see observe_cap_drops). Refreshed
+#: on every operator call; plans are immutable, so a stored frame stays
+#: valid however late it is queried.
+_cap_summaries: dict[str, DataFrame] = {}
+
+
+def observe_cap_drops(
+    df: DataFrame, site: str, dropped, dropped_rows
+) -> DataFrame:
+    """Register a ``(dropped_groups, dropped_rows)`` summary for the
+    frequency frame feeding a hot-group cap filter, and return ``df``
+    unchanged. This closes the one blind spot the 100× soak surfaced
+    (r13): the max_df / max_block / max_shingle_df / max_degree caps
+    are the documented bounded-reducer guards, but on a degenerate
+    corpus they can exclude 100 % of groups with no signal of how much
+    was dropped. ``dropped`` is the cap predicate over the frequency
+    frame's columns; ``dropped_rows`` the per-group row weight (its
+    frequency column).
+
+    Deliberately LAZY, not ``Dataset.observe``: the summary is a plain
+    1-row aggregate plan stored under ``site``; nothing runs unless
+    :func:`cap_drop_metrics` is called, which then pays one on-demand
+    aggregation job. The zero-extra-cost CollectMetrics ride-along was
+    built first and measured UNRELIABLE in exactly the degenerate
+    cases this exists for (r14 probes): an explicit-broadcast side
+    that materializes empty loses the metrics row to AQE's empty-stage
+    replan, and an operator-internal lazy ``localCheckpoint`` resolves
+    the observation to a spurious zero row — a counter that silently
+    under-reports on the all-duplicates corpus is worse than one that
+    costs a job when queried.
+    """
+    _cap_summaries[site] = df.agg(
+        F.coalesce(F.sum(F.when(dropped, 1)), F.lit(0)).alias(
+            "dropped_groups"
+        ),
+        F.coalesce(F.sum(F.when(dropped, dropped_rows)), F.lit(0)).alias(
+            "dropped_rows"
+        ),
+    )
+    return df
+
+
+def cap_drop_metrics(site: str) -> dict:
+    """Drop counts of the LATEST operator call that registered
+    ``site`` — runs the registered 1-row summary aggregate (one job
+    over the operator's frequency subtree; any upstream
+    ``localCheckpoint`` the operator took is reused by lineage)."""
+    return _cap_summaries[site].collect()[0].asDict()
+
+
 @contextmanager
 def timed_step(name: str):
     """Reference-style step timing (``pipeline.py:50-69``)."""

@@ -43,6 +43,16 @@ _RDD_LOGGER_CLASSES = (
     "org.apache.spark.rdd.ParallelCollectionRDD",
 )
 
+#: Reentrancy depth for _lineage_warning_silenced. Only the OUTERMOST
+#: context captures and restores logger levels: a nested entry would
+#: otherwise snapshot the already-demoted ERROR as the "prior" level
+#: and its exit would pin the RDD loggers at ERROR permanently —
+#: silently reinstating the session-wide suppression this context was
+#: written to remove. Same-thread nesting only (Spark driver-side
+#: release calls are single-threaded here); a lock is deliberately not
+#: taken around the py4j calls.
+_silence_depth = 0
+
 
 @contextlib.contextmanager
 def _lineage_warning_silenced(spark):
@@ -57,6 +67,16 @@ def _lineage_warning_silenced(spark):
     release window still reaches the log (the session-wide demotion the
     r12 form used would have hidden it forever).
     """
+    global _silence_depth
+    _silence_depth += 1
+    if _silence_depth > 1:
+        # already silenced by an enclosing release(): capturing levels
+        # here would snapshot ERROR as "prior" and re-pin it on exit
+        try:
+            yield
+        finally:
+            _silence_depth -= 1
+        return
     jvm = spark.sparkContext._jvm
     configurator = jvm.org.apache.logging.log4j.core.config.Configurator
     log_manager = jvm.org.apache.logging.log4j.LogManager
@@ -71,6 +91,7 @@ def _lineage_warning_silenced(spark):
     finally:
         for cls, lvl in zip(_RDD_LOGGER_CLASSES, prior):
             configurator.setLevel(cls, lvl)
+        _silence_depth -= 1
 
 
 def release(*dfs: DataFrame | None) -> None:

@@ -27,6 +27,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Observation, Window
 from pyspark.sql import functions as F
 
+from sales_data_etl_pipeline_spark import catalog
 from sales_data_etl_pipeline_spark.operators import ckpt
 from sales_data_etl_pipeline_spark.operators.text import TOKENIZE
 
@@ -339,7 +340,7 @@ def minhash_lsh_pairs(
     # scale this is a stage-boundary write to reliable storage.
     sh = shingle_sets(df, text_col, n)
     if max_shingle_df is not None:
-        sh = _drop_hot_shingles(sh, max_shingle_df)
+        sh = _drop_hot_shingles(sh, max_shingle_df, site="minhash_lsh:shingle_df")
     ids = sh.select(
         "doc_id", "sh", F.expr(hash_id_expr("sh", MINHASH_P)).alias("sid")
     )
@@ -550,14 +551,18 @@ def simhash_pairs_banded(
         ]
     )
     sigs = fp.select("simhash").distinct()
-    # Width note (r13 width-audit adjudication): AQE coalesces the
+    # Width note (r13 adjudication, refined r14): AQE coalesces the
     # (blk, val) self-join exchange to 2 tasks at gate scale (~44 kB of
-    # shuffle). An interleaved JIT-warm A/B measured an explicit
-    # deployment-width pin a WASH (1.37-1.62 s vs 1.43-1.67 s
-    # end-to-end) — the audit's 1.2 s flag was first-run codegen
-    # compilation. The per-row work here (first-match predicate +
-    # bit_count) is byte-proportional, exactly where AQE's advisory
-    # sizing is right; no pin.
+    # shuffle; 168 kB at sf0.1). Interleaved JIT-warm A/Bs measured an
+    # explicit deployment-width pin a WASH twice — r13: 1.37-1.62 s vs
+    # 1.43-1.67 s; r14 (16k-advisory proxy, 5 alternations): 2.09-2.46
+    # vs 1.88-2.39 s. The r13 note blamed first-run codegen for the
+    # audit flag; r14 showed the stage crosses the 800 ms heuristic on
+    # WARM runs too, so the flag is real but the pin is not a win: the
+    # per-row work (first-match predicate + bit_count) is
+    # byte-proportional, exactly where AQE's advisory sizing is right.
+    # No pin; the audit carries this stage in its adjudicated map with
+    # a 1 MB shuffle-read ceiling (tools/width_audit.py).
     ex = sigs.select("simhash", F.explode(blocks).alias("b")).select(
         "simhash", "b.blk", "b.val"
     )
@@ -1205,7 +1210,9 @@ def minhash_lsh_incremental_prepared(
     )
 
 
-def _drop_hot_shingles(sh: DataFrame, max_shingle_df: float) -> DataFrame:
+def _drop_hot_shingles(
+    sh: DataFrame, max_shingle_df: float, site: str = "shingle_df"
+) -> DataFrame:
     """Stop-shingle cap: remove shingles whose document frequency
     exceeds ``max_shingle_df`` (a FRACTION of documents) — standard
     near-dup practice; a boilerplate shingle otherwise concentrates
@@ -1213,13 +1220,23 @@ def _drop_hot_shingles(sh: DataFrame, max_shingle_df: float) -> DataFrame:
     The hot set is tiny by construction (≤ avg-shingles-per-doc / f
     shingles can exceed document frequency f), so the removal is a
     broadcast anti-join: the corpus-side shingle table never shuffles.
+
+    How much the cap excluded is registered per ``site`` as a
+    ``catalog.observe_cap_drops`` summary over this same frequency
+    aggregate (r13 §7.14 #4: the 100× soak showed these caps silently
+    excluding 100 % of groups on an all-duplicates corpus) — lazy,
+    computed only when ``catalog.cap_drop_metrics(site)`` is asked.
     """
     n_docs = sh.agg(F.count_distinct("doc_id").alias("_nd"))
-    hot = (
+    freq = (
         sh.groupBy("sh")
         .agg(F.count(F.lit(1)).alias("_df"))
         .crossJoin(F.broadcast(n_docs))
-        .filter(F.col("_df") > F.col("_nd") * F.lit(max_shingle_df))
+    )
+    is_hot = F.col("_df") > F.col("_nd") * F.lit(max_shingle_df)
+    hot = (
+        catalog.observe_cap_drops(freq, site, is_hot, F.col("_df"))
+        .filter(is_hot)
         .select("sh")
     )
     return sh.join(F.broadcast(hot), "sh", "left_anti")
@@ -1260,7 +1277,7 @@ def containment_pairs(
     # write to reliable storage (same move as minhash_lsh_pairs).
     sh = shingle_sets(df, text_col, n)
     if max_shingle_df is not None:
-        sh = _drop_hot_shingles(sh, max_shingle_df)
+        sh = _drop_hot_shingles(sh, max_shingle_df, site="containment:shingle_df")
     sh = sh.localCheckpoint(eager=False)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     a, b = sh.alias("a"), sh.alias("b")
@@ -1329,7 +1346,7 @@ def minhash_containment_pairs(
     """
     sh = shingle_sets(df, text_col, n)
     if max_shingle_df is not None:
-        sh = _drop_hot_shingles(sh, max_shingle_df)
+        sh = _drop_hot_shingles(sh, max_shingle_df, site="minhash_containment:shingle_df")
     # one materialization for the signature aggregate + the two
     # candidate-side intersection joins (same move as containment_pairs)
     sh = sh.localCheckpoint(eager=False)
@@ -1419,7 +1436,7 @@ def containment_incremental(
     """
     sh_base = shingle_sets(base, text_col, n)
     if max_shingle_df is not None:
-        sh_base = _drop_hot_shingles(sh_base, max_shingle_df)
+        sh_base = _drop_hot_shingles(sh_base, max_shingle_df, site="containment_incremental:shingle_df")
     sh_inc = shingle_sets(incoming, text_col, n).localCheckpoint(eager=False)
     sizes_inc = sh_inc.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz_inc"))
     inter = (
@@ -1689,9 +1706,15 @@ def winnow_pairs(
     fpd = _winnow_fp_hashes(
         df, kgram=kgram, window=window, id_col=id_col, text_col=text_col
     )
+    # the kept set feeds the join; the registered cap-drop summary
+    # shares this frequency aggregate's plan (computed on demand only)
     df_ok = (
-        fpd.groupBy("fp_hash")
-        .agg(F.count(F.lit(1)).alias("_df"))
+        catalog.observe_cap_drops(
+            fpd.groupBy("fp_hash").agg(F.count(F.lit(1)).alias("_df")),
+            "winnowing:max_df",
+            F.col("_df") > max_df,
+            F.col("_df"),
+        )
         .filter(F.col("_df") <= max_df)
         .select("fp_hash")
     )
@@ -1840,8 +1863,12 @@ def levenshtein_pairs(
         F.length(F.substring(F.col(text_col), 1, cap)).alias("_len"),
     )
     ok = (
-        t.groupBy("_blk")
-        .agg(F.count(F.lit(1)).alias("_n"))
+        catalog.observe_cap_drops(
+            t.groupBy("_blk").agg(F.count(F.lit(1)).alias("_n")),
+            "levenshtein:max_block",
+            F.col("_n") > max_block,
+            F.col("_n"),
+        )
         .filter(F.col("_n") <= max_block)
         .select("_blk")
     )
@@ -2079,7 +2106,12 @@ def link_prediction_jaccard(
         # consumed by degrees, wedge build, and the non-edge anti-join
         .localCheckpoint(eager=False)
     )
-    deg = edges.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+    deg = catalog.observe_cap_drops(
+        edges.groupBy("u").agg(F.count(F.lit(1)).alias("deg")),
+        "link_prediction:max_degree",
+        F.col("deg") > max_degree,
+        F.col("deg"),
+    )
     centers_ok = deg.filter(F.col("deg") <= max_degree).select("u")
     wedge_src = edges.join(centers_ok, "u")
     w1 = wedge_src.select(F.col("u").alias("c"), F.col("v").alias("a"))
@@ -2145,7 +2177,12 @@ def link_prediction_adamic_adar(
         .distinct()
         .localCheckpoint(eager=False)
     )
-    deg = edges.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+    deg = catalog.observe_cap_drops(
+        edges.groupBy("u").agg(F.count(F.lit(1)).alias("deg")),
+        "link_prediction_aa:max_degree",
+        F.col("deg") > max_degree,  # degree-1 exclusion is by design,
+        F.col("deg"),               # only the HUB cap is counted
+    )
     centers = deg.filter(
         (F.col("deg") >= 2) & (F.col("deg") <= max_degree)
     ).select(

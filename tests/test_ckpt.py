@@ -68,6 +68,26 @@ def test_release_skips_none(spark):
     ckpt.release(None)  # loop-carried "previous round" slot starts empty
 
 
+def test_lineage_silence_is_reentrant(spark):
+    """Nested _lineage_warning_silenced contexts must restore the
+    PRE-silence logger level on full unwind — a naive nested capture
+    would snapshot the demoted ERROR as 'prior' and pin the RDD
+    loggers at ERROR permanently (r13 ADVICE)."""
+    jvm = spark.sparkContext._jvm
+    log_manager = jvm.org.apache.logging.log4j.LogManager
+    cls = ckpt._RDD_LOGGER_CLASSES[0]
+    before = log_manager.getLogger(cls).getLevel().toString()
+    error = jvm.org.apache.logging.log4j.Level.ERROR.toString()
+    with ckpt._lineage_warning_silenced(spark):
+        assert log_manager.getLogger(cls).getLevel().toString() == error
+        with ckpt._lineage_warning_silenced(spark):
+            assert log_manager.getLogger(cls).getLevel().toString() == error
+        # inner exit must NOT restore early or re-pin ERROR as prior
+        assert log_manager.getLogger(cls).getLevel().toString() == error
+    assert log_manager.getLogger(cls).getLevel().toString() == before
+    assert ckpt._silence_depth == 0
+
+
 def test_iterative_graph_ops_leave_bounded_residue(spark):
     """kcore / connected_components / pagerank / label_propagation each
     release every superseded round's checkpoint and the edge table; the
