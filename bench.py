@@ -60,6 +60,7 @@ HEADLINE = [
     "dedup_simhash",
     "events_value_quantiles",
     "events_value_quantiles_grouped",
+    "events_value_quantiles_grouped_compressed",
     "events_json_props",
     "events_sliding_agg",
     "stats_length_histogram",

@@ -1867,6 +1867,132 @@ ORACLES["events_value_quantiles_grouped"] = """
     FROM events GROUP BY event_type ORDER BY event_type
 """
 
+# exact rational forms of the quantile fractions, so the target rank
+# ceil(q*N) is computed in INTEGER arithmetic (float q*N rounds the
+# wrong way when q*N is a near-integer — e.g. 0.9*10 = 9.000000000000002
+# would ceil to 10 and mis-flag a tiny exact-regime group)
+_GK_QS = {"p25": (1, 4), "p50": (1, 2), "p75": (3, 4), "p90": (9, 10)}
+
+
+def events_value_quantiles_grouped_compressed(
+    spark: SparkSession, sf_dir: str, accuracy: int = 100
+) -> DataFrame:
+    """Driver-checked error contract of the COMPRESSED GK regime — the
+    companion gate :func:`events_value_quantiles_grouped` cannot reach:
+    at the gate's accuracy=100,000 every sf0.01 group (~2,000 rows)
+    stays in the provably-exact regime, so the sketch's actual
+    approximation path ships driver-unverified. Here accuracy=100
+    forces compression (N ≈ 2,000 ≫ accuracy/2 = 50) and the query
+    emits, per event_type and quantile, whether ``percentile_approx``'s
+    result honors the documented Greenwald–Khanna contract: the
+    returned value is an actual column element whose 1-based rank
+    interval [count(<v)+1, count(<=v)] intersects
+    [⌊(q−ε)·N⌋, ⌈(q+ε)·N⌉], ε = 1/accuracy (the floor/ceil form is the
+    contract as stated by the SQL function docs; the tighter ε·N-from-
+    ⌈q·N⌉ reading is violated by real small compressed groups — a
+    188-row group at sf0.001 returns p90 three ranks out).
+
+    **Metamorphic oracle** (sanctioned r14-verdict #5 route): DuckDB
+    cannot reproduce GK's compressed-regime choices, so the oracle pins
+    the INVARIANT, not the values — it emits the same (event_type,
+    n_events) rows with every ``*_ok`` column literally TRUE. The
+    driver's value-hash therefore matches iff every group/quantile
+    satisfies the rank bound on real data; a sketch regression flips a
+    boolean and the gate goes red. The raw-value agreement of the
+    sibling gate plus this bound check together cover both regimes.
+    ``tests/test_quantiles_approx.py`` pins the same bound standalone
+    at 30,000 rows.
+
+    Scale shape: one partial-aggregatable groupBy builds the sketches
+    (O(accuracy) state per group — the whole point at 100 TB), then the
+    tiny per-group result broadcasts back onto the fact scan for a
+    second partial-aggregatable pass that counts ranks. Two scans of
+    events, zero wide shuffles beyond the two group-bys; this is the
+    validation harness for the production operator above, run at
+    deployment time on a sample, not per-query.
+    """
+    ev = (
+        _events(spark, sf_dir)
+        .select("event_type", "value")
+        .where(F.col("value").isNotNull())
+    )
+    approx = ev.groupBy("event_type").agg(
+        *[
+            F.expr(f"percentile_approx(value, {n}/{d}, {accuracy})").alias(
+                f"_{name}"
+            )
+            for name, (n, d) in _GK_QS.items()
+        ],
+    )
+    joined = ev.join(F.broadcast(approx), "event_type")
+    counted = joined.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        *[
+            agg
+            for name in _GK_QS
+            for agg in (
+                F.sum(
+                    (F.col("value") < F.col(f"_{name}")).cast("long")
+                ).alias(f"_{name}_lt"),
+                F.sum(
+                    (F.col("value") <= F.col(f"_{name}")).cast("long")
+                ).alias(f"_{name}_le"),
+            )
+        ],
+    )
+
+    return (
+        counted.select(
+            "event_type",
+            "n_events",
+            *[
+                _gk_bound_ok(name, n, d, accuracy)
+                for name, (n, d) in _GK_QS.items()
+            ],
+        )
+        .orderBy("event_type")
+    )
+
+
+def _gk_bound_ok(name: str, num: int, den: int, accuracy: int):
+    """Boolean column pinning ``percentile_approx``'s DOCUMENTED
+    contract (SQL fn docs / ApproximatePercentile): with relative error
+    ε = 1/accuracy, the returned value's 1-based rank over the group's
+    ``n_events`` non-null values lies in [⌊(p−ε)·N⌋, ⌈(p+ε)·N⌉]. The
+    value's rank INTERVAL under ties is [_{name}_lt + 1, _{name}_le];
+    the check is that this interval is non-empty (an empty interval
+    means the value is not a column element, which GK forbids) and
+    intersects the contract window. All arithmetic is integer — p−ε =
+    (num·accuracy − den)/(den·accuracy) — because float p·N rounds the
+    wrong way on near-integer products (0.9·10 = 9.000000000000002) and
+    a ±1-rank error exceeds ε·N on small groups. Module level so
+    ``tests/test_quantiles_approx.py`` can prove the gate has teeth on
+    fabricated out-of-bound intervals."""
+    lo = F.col(f"_{name}_lt") + F.lit(1)
+    hi = F.col(f"_{name}_le")  # hi < lo iff v is not a column element
+    big_den = den * accuracy
+    lo_num = num * accuracy - den  # (p - eps) * big_den
+    hi_num = num * accuracy + den  # (p + eps) * big_den
+    lo_bound = F.expr(f"(n_events * {lo_num}) div {big_den}")
+    hi_bound = F.expr(
+        f"(n_events * {hi_num} + {big_den} - 1) div {big_den}"
+    )
+    return (
+        (hi >= lo) & (hi >= lo_bound) & (lo <= hi_bound)
+    ).alias(f"{name}_ok")
+
+
+QUERIES["events_value_quantiles_grouped_compressed"] = (
+    events_value_quantiles_grouped_compressed
+)
+ORACLES["events_value_quantiles_grouped_compressed"] = """
+    SELECT event_type,
+           COUNT(value) AS n_events,
+           true AS p25_ok, true AS p50_ok, true AS p75_ok, true AS p90_ok
+    FROM events WHERE value IS NOT NULL
+    GROUP BY event_type ORDER BY event_type
+"""
+
 
 # --- data-quality expectations (operators/quality.py) -----------------------
 

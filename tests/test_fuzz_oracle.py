@@ -90,6 +90,11 @@ FUZZED = [
     # events cap at 600 rows, far inside the GK exact regime
     # (2·N/accuracy < 1), so quantile_disc is a deterministic oracle
     "events_value_quantiles_grouped",
+    # round-15 (hold-back landing): compressed-regime GK bound gate —
+    # the metamorphic all-TRUE oracle holds on ANY data by the GK
+    # guarantee (fuzz groups <=600 rows straddle both regimes at
+    # accuracy=100; the bound check is regime-independent)
+    "events_value_quantiles_grouped_compressed",
 ]
 
 

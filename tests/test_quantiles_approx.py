@@ -22,7 +22,9 @@ import numpy as np
 import pandas as pd
 
 from sales_data_etl_pipeline_spark.plans.llm_demo import (
+    _gk_bound_ok,
     events_value_quantiles_grouped,
+    events_value_quantiles_grouped_compressed,
 )
 
 QS = {"p25": 0.25, "p50": 0.5, "p75": 0.75, "p90": 0.9}
@@ -82,6 +84,60 @@ def test_compressed_regime_honors_gk_rank_bound(spark, tmp_path):
             f"{name}: rank interval [{lo},{hi}] vs target {target} "
             f"exceeds eps*N={eps_n}"
         )
+
+
+def test_compressed_gate_all_ok_on_forced_compression(spark, tmp_path):
+    """The driver-gate form of the bound check: accuracy=100 on a
+    30k-row group (compression certain) must emit TRUE for every
+    quantile — the exact rows the metamorphic DuckDB oracle pins."""
+    rng = np.random.default_rng(14)
+    vals = rng.lognormal(mean=3.0, sigma=1.2, size=30_000).round(4)
+    sf_dir = _write_events(tmp_path, {"hot": vals, "tiny": vals[:7]})
+    rows = {
+        r["event_type"]: r.asDict()
+        for r in events_value_quantiles_grouped_compressed(
+            spark, sf_dir
+        ).collect()
+    }
+    assert rows["hot"]["n_events"] == 30_000
+    assert rows["tiny"]["n_events"] == 7  # exact-regime group: also TRUE
+    for et, row in rows.items():
+        for name in QS:
+            assert row[f"{name}_ok"] is True, (et, name, row)
+
+
+def test_gk_bound_ok_has_teeth(spark):
+    """The gate's boolean must flip on fabricated violations: a rank
+    interval outside the documented window [⌊(p−ε)N⌋, ⌈(p+ε)N⌉], and an
+    empty interval (the checked value not being a column element). Also
+    pins the integer window arithmetic on the 0.9·10 float-trap group
+    size. p90 at accuracy=100, n=1000 -> window [890, 910]."""
+    df = spark.createDataFrame(
+        [
+            # (case, n_events, _p90_lt, _p90_le)
+            ("inside", 1000, 890, 910),     # [891,910] within window
+            ("edge_overlap", 1000, 905, 912),  # lo 906 <= 910 -> TRUE
+            ("above_window", 1000, 911, 930),  # lo 912 > 910 -> FALSE
+            ("below_window", 1000, 850, 889),  # hi 889 < 890 -> FALSE
+            ("not_element", 1000, 900, 900),   # hi < lo -> FALSE
+            ("float_trap", 10, 8, 9),  # n=10 window [8,10]; [9,9] TRUE
+        ],
+        "case string, n_events long, _p90_lt long, _p90_le long",
+    )
+    got = {
+        r["case"]: r["p90_ok"]
+        for r in df.select(
+            "case", _gk_bound_ok("p90", 9, 10, 100)
+        ).collect()
+    }
+    assert got == {
+        "inside": True,
+        "edge_overlap": True,
+        "above_window": False,
+        "below_window": False,
+        "not_element": False,
+        "float_trap": True,
+    }
 
 
 def test_exact_regime_equals_discrete_quantile(spark, tmp_path):
