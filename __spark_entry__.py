@@ -35,102 +35,64 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # The driver verifies only the FIRST 50 queries() entries per round
 # (CORRECTNESS_r{N}.json) — SURVEY §7.10's ~80-wide request is still
-# pending a driver answer. The round-13 window is DERIVED, executing
-# the round-12 verdict's #1 ask (finish the carry drain; freeze held):
-# tools/rotation_planner.py --max-round 12
-# --baseline tools/entry_fingerprints_r12.json
-# --force-changed-file tools/r13_force_list.txt --stable-tier
-# --window 116 --emit-window
+# pending a driver answer. The round-15 window is DERIVED, executing
+# the round-14 verdict in order (#1 drain the carry to zero, #2 merge
+# r15-staging, #4 start the stale-green refresh via headliner
+# promotion, #5 gate the compressed GK regime via hold-back):
+# tools/rotation_planner.py --max-round 14
+# --baseline tools/entry_fingerprints_r14.json
+# --force-changed-file tools/r15_force_list.txt --stable-tier
+# --promote-ahead sales_by_employee average_ticket_by_product
+#   sales_by_category top5_employees sales_by_period
+# --hold-back events_value_quantiles_grouped_compressed
+# --window 107 --emit-window
 # Composition:
-# (1) The 3 held-back never-green gates (clean_keys_chain,
-#     clean_normalize_chain, similarity_recall_hamming12) rank
-#     top-of-window automatically, exactly as the r12 verdict ordered
-#     ("do NOT hold them back again"). No other new entry exists: the
-#     surface freeze holds for the third round running (r12 verdict
-#     #2) — round 13 shipped only fixes the verdict itself mandated
-#     (#4 bpe degenerate input, #5 fan_out probe docstring, the five
-#     ADVICE items) plus the verdict-#6 IVM cycle pytest.
-# (2) The forced tier is the committed carry list
-#     (tools/r13_force_list.txt, 64 names: post-r12 code on pre-r12
-#     driver rows) in stalest-first order, INTERLEAVED with the
-#     4 old-green fingerprint-drift entries this round's mandated
-#     edits re-flagged (corpus_shuffle_deterministic,
-#     events_rfm_segmentation, events_user_value_deciles green r9;
-#     table_zorder_layout green r10 — all reach rank.py through their
-#     dep closures, which verdict #5/ADVICE touched). The planner
-#     re-verifying changed code first is the committed policy the r12
-#     verdict endorsed, so they take their slots honestly and 4 carry
-#     names shift past the head-50 into the r14 remainder.
-# (3) _VERIFY_FIRST is emitted at 116 names — the FULL tier-0+1 block
-#     (3 never-green + 64 forced + 49 drift, where the 45 drift names
-#     greened r12 rank last) — as the widening hedge: at the driver's
-#     window 50 the head-50 is a bit-identical prefix of a
-#     --window 50 plan (3 never-green + 47 forced/drift) and the
-#     66-name remainder carries to r14 (tools/r14_force_list.txt at
-#     round close); if the driver grants §7.10, up to the whole
-#     backlog drains this round.
+# (1) events_value_quantiles_grouped (the r14 hold-back landing,
+#     never-green) heads the window — the verdict's mandatory tier-1
+#     slot; --hold-back is NOT passed for it, per the r15 force-list
+#     header.
+# (2) The 5 reference-analytics headliners (green r11) ride
+#     --promote-ahead per verdict #4 ("the reference-parity surface
+#     should never be the stalest thing in the registry") — recorded
+#     as promotion, not as a changed-code claim.
+# (3) The forced tier is the committed 16-name carry tail
+#     (tools/r15_force_list.txt), then the fingerprint-drift tier from
+#     the verdict-#2 r15-staging merge (catalog.py/ckpt.py/dedup.py:
+#     ckpt.py alone sits in 101 entries' dep closures, so the drift is
+#     85 names — wider than the 39 the r14 plan measured at the r13
+#     baseline). Changed-code-first is the committed policy: the
+#     driver's head-50 drains 1 never-green + 5 promoted + 16 carry +
+#     the 28 stalest drift names; the 57-name drift tail carries to
+#     r16 (tools/r16_force_list.txt at round close).
+# (4) _VERIFY_FIRST is emitted at 107 names — the FULL tier-0+1 block
+#     — as the widening hedge: at window 50 the head-50 is a
+#     bit-identical prefix of a --window 50 plan; if the driver grants
+#     §7.10, up to the whole drift backlog drains this round.
+# (5) The NEW compressed-regime GK gate
+#     (events_value_quantiles_grouped_compressed) rides the sanctioned
+#     hold-back route at the absolute END of the ordering (verdict #5:
+#     "a second entry with accuracy=100 registered via hold-back") —
+#     it displaces no carry/drift slot and gates at r16's window head.
 # --stable-tier holds (r10 verdict #2 policy): ≥3 consecutive green
 # driver appearances + unchanged fingerprint → low-frequency pool,
 # one round-robin representative per round.
-# The drift baseline is tools/entry_fingerprints_r12.json, emitted at
-# the round-12 closing tree; the window artifact PINS it
+# The drift baseline is tools/entry_fingerprints_r14.json, emitted at
+# the round-14 closing tree; the window artifact PINS it
 # (inputs.fingerprint_baseline) so the replay test stays reproducible
-# after entry_fingerprints_r13.json lands. tools/verify_window.json
+# after entry_fingerprints_r15.json lands. tools/verify_window.json
 # records the planner inputs + full ordering; tests/test_verify_window.py
 # asserts this list equals its first `window` names AND that replanning
 # from the recorded inputs reproduces the artifact.
 _VERIFY_FIRST = [
+    # never-green (new entries: must not ship unverified)
+    "events_value_quantiles_grouped",
+    # promoted ahead of the changed tier (judge-directed green refresh, no changed-code claim)
+    "average_ticket_by_product",
+    "sales_by_category",
+    "sales_by_employee",
+    "sales_by_period",
+    "top5_employees",
     # changed since last green row
-    "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
-    "embedding_kmeans_assign",
-    "similarity_recall_hamming",
-    "source_csv_roundtrip",
-    "source_jsonl_roundtrip",
-    "streaming_dedup_minhash_append",
-    "text_bigram_logprob",
-    "text_bpe_apply_oov",
-    "text_char_diversity",
-    "text_dup_span_stats",
-    "text_fingerprint",
-    "text_gopher_quality",
-    "text_language_id",
-    "text_paragraph_dedup",
-    "text_quality_score",
-    "text_repetition",
-    "text_sentence_stats",
-    "text_term_frequencies",
-    "text_tfidf_top_terms",
-    "text_token_stats",
-    "clean_et_chain",
-    "clean_fuzzy_supplier_match",
-    "corpus_bloom_membership",
-    "corpus_chunk_documents",
-    "corpus_curriculum_order",
-    "corpus_domain_cap",
-    "corpus_dsir_weights",
-    "dedup_embedding_cosine",
-    "dedup_embedding_lsh",
-    "dedup_incremental_containment",
-    "dedup_incremental_join",
-    "dedup_incremental_prepared",
-    "dedup_levenshtein",
-    "dedup_minhash_containment",
-    "dedup_semantic",
-    "dedup_simhash",
-    "dedup_winnowing",
-    "embedding_kmeans_train",
-    "embedding_knn_label",
-    "embedding_pca_power",
-    "events_asof_join",
-    "events_asof_join_forward",
-    "events_attribution_linear",
-    "events_funnel",
-    "events_heavy_hitters_cms",
-    "events_interval_join",
-    "events_markov_transitions",
-    "events_range_count",
-    "events_session_funnel",
     "events_top_paths",
     "graph_kcore",
     "graph_pagerank",
@@ -147,57 +109,91 @@ _VERIFY_FIRST = [
     "streaming_user_totals",
     "streaming_windowed_counts",
     "text_unigram_logprob",
-    # stalest-green rotation
-    "events_cohort_retention",
-    "events_anomaly_iqr",
-    "events_sessionization",
-    "events_windowed_distinct_users",
-    "q13_customer_distribution",
-    "q17_small_quantity_revenue",
-    "q1_pricing_summary",
-    "q3_unshipped_orders",
-    "q5_local_supplier_volume",
-    "sales_pareto_share",
-    "source_synthetic_events",
-    "stats_approx_sketches",
-    "events_top_per_day",
-    "q10_returned_items",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q16_supplier_part_counts",
-    "q18_large_orders",
-    "q19_disjunctive_revenue",
-    "q20_excess_shippers",
-    "q21_sole_late_shipper",
-    "q22_dormant_customers",
-    "q2_min_balance_supplier",
-    "q4_priority_late_ship",
-    "q6_forecast_revenue",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q9_product_profit",
-    "events_hourly_heatmap",
-    "events_rolling_active_users",
-    "events_user_lifetime_stats",
-    "q11_important_parts",
-    "q12_late_priority_split",
-    "embedding_pq_encode",
-    "events_salted_join",
-    "source_orc_roundtrip",
-    "embedding_matryoshka",
-    "sales_cube",
-    "table_cdc_apply",
-    "table_snapshot_changelog",
-    "table_snapshot_diff",
-    "table_view_maintain",
-    "multimodal_dhash",
-    "stats_correlation",
-    "clean_keys_chain",
-    "clean_normalize_chain",
+    "corpus_decontaminate",
+    "corpus_dedup_pipeline",
+    "corpus_domain_mixture",
+    "corpus_hash_split",
+    "corpus_mixture_epochs",
+    "corpus_ngram_counts",
+    "corpus_pack_sequences",
+    "corpus_prep_pipeline",
+    "corpus_quality_resample",
+    "corpus_stratified_sample",
+    "corpus_temperature_mixture",
+    "corpus_token_shards",
+    "dedup_cluster_representatives",
+    "dedup_clusters",
+    "dedup_containment",
+    "dedup_exact",
+    "dedup_incremental",
     "graph_label_propagation",
     "graph_link_prediction",
     "graph_link_prediction_aa",
     "graph_triangle_count",
+    "similarity_knn_graph",
+    "similarity_range_join",
+    "similarity_range_topk",
+    "similarity_recall_eval",
+    "similarity_recall_hamming12",
+    "similarity_topk_hamming",
+    "similarity_topk_hamming_rerank",
+    "similarity_topk_ivf_trained",
+    "similarity_topk_ivfpq_residual",
+    "streaming_dedup_minhash",
+    "streaming_session_funnel",
+    "text_bpe_apply",
+    "text_bpe_token_count",
+    "text_bpe_train",
+    "text_dup_span_removal",
+    "text_perplexity_buckets",
+    "text_trigram_backoff",
+    "text_winnow_fingerprints",
+    "corpus_bloom_membership",
+    "corpus_chunk_documents",
+    "corpus_curriculum_order",
+    "corpus_domain_cap",
+    "corpus_dsir_weights",
+    "dedup_embedding_cosine",
+    "dedup_embedding_lsh",
+    "dedup_incremental_containment",
+    "dedup_incremental_join",
+    "dedup_incremental_prepared",
+    "dedup_levenshtein",
+    "dedup_minhash_containment",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_semantic",
+    "dedup_simhash",
+    "dedup_winnowing",
+    "embedding_kmeans_assign",
+    "embedding_kmeans_train",
+    "embedding_knn_label",
+    "embedding_pca_power",
+    "events_asof_join",
+    "events_asof_join_forward",
+    "events_attribution_linear",
+    "events_funnel",
+    "events_heavy_hitters_cms",
+    "events_interval_join",
+    "events_markov_transitions",
+    "events_range_count",
+    "events_session_funnel",
+    "similarity_recall_hamming",
+    "streaming_dedup_minhash_append",
+    "text_bigram_logprob",
+    "text_bpe_apply_oov",
+    "text_char_diversity",
+    "text_dup_span_stats",
+    "text_fingerprint",
+    "text_gopher_quality",
+    "text_language_id",
+    "text_paragraph_dedup",
+    "text_quality_score",
+    "text_repetition",
+    "text_sentence_stats",
+    "text_term_frequencies",
+    "text_tfidf_top_terms",
+    "text_token_stats",
 ]
 
 

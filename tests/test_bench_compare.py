@@ -6,6 +6,8 @@ from __future__ import annotations
 
 import json
 
+import pytest
+
 from tools.bench_compare import DEFAULT_BASELINES, load_queries, movers
 
 
@@ -35,3 +37,13 @@ def test_load_queries_reads_plain_files(tmp_path):
     p.write_text(json.dumps({"value": 2.5, "queries": {"q": 1.25}}))
     total, qs = load_queries(str(p))
     assert total == 2.5 and qs == {"q": 1.25}
+
+
+def test_load_queries_slashed_git_revision(tmp_path):
+    """A git revision containing '/' (origin/main style) must route to
+    git, and a missing .json path must error as a FILE — the old
+    '/'-substring heuristic got both wrong (r14 ADVICE)."""
+    total, qs = load_queries("heads/main")
+    assert total > 0 and len(qs) >= 149
+    with pytest.raises(FileNotFoundError):
+        load_queries(str(tmp_path / "missing.json"))

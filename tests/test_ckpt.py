@@ -33,6 +33,16 @@ def test_release_frees_blocks(spark):
     # retained ranked-slice blocks) or any persisted frame another test
     # left behind
     rdd_id = ck._jdf.queryExecution().analyzed().rdd().id()
+    # the poll below filters getRDDStorageInfo() by this id, which is
+    # vacuously true if the analyzed().rdd() convention ever stops
+    # matching the persisted storage id (e.g. across a Spark upgrade) —
+    # so first assert the captured id IS a currently-cached RDD, making
+    # a convention drift fail loudly here instead of passing vacuously
+    # (r14 ADVICE)
+    assert any(
+        info.id() == rdd_id and info.numCachedPartitions() > 0
+        for info in spark.sparkContext._jsc.sc().getRDDStorageInfo()
+    ), f"captured rdd_id {rdd_id} is not a cached RDD - convention drift"
     ckpt.release(ck)
     assert _n_persistent(spark) == base
     # released blocks are gone and lineage is truncated: reading the

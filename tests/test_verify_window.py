@@ -91,6 +91,16 @@ def test_out_of_window_entries_scan_no_timestamp_tables(spark):
     # hold_back at the next round's replan and rides argument (1).
     with open("/root/repo/tools/verify_window.json") as f:
         held_back = set(json.load(f)["inputs"].get("hold_back", []))
+    # Bound the exemption (r14 ADVICE): the hold-back route is for AT
+    # MOST a couple of sanctioned mid-freeze landings per round, and a
+    # held-back entry must genuinely sit OUTSIDE the emitted window —
+    # if either stops holding, the exemption is being stretched into a
+    # standing bypass of this invariant and someone must re-argue it
+    # here rather than silently ride it.
+    assert len(held_back) <= 2, sorted(held_back)
+    assert not held_back & set(entrymod._VERIFY_FIRST), sorted(
+        held_back & set(entrymod._VERIFY_FIRST)
+    )
     offenders = []
     for name in names[50:]:
         if name in post_ntz_green:  # argument (1): r5-verified post-NTZ

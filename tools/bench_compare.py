@@ -32,8 +32,16 @@ DEFAULT_BASELINES = ["r12=2e6ef8d", "r13=11315bc"]
 
 
 def load_queries(spec: str) -> tuple[float, dict[str, float]]:
-    """spec is a path, or a git revision to read BENCH_LOCAL.json at."""
-    if "/" in spec or spec.endswith(".json"):
+    """spec is a path, or a git revision to read BENCH_LOCAL.json at.
+
+    Disambiguation (r14 ADVICE): an existing file wins, then anything
+    ``.json``-suffixed is treated as a path (so a missing data file
+    errors as a file, not as a git rev), and everything else goes to
+    git — which accepts slashed revisions like ``origin/main`` that
+    the old '/'-substring heuristic misread as filenames."""
+    import os
+
+    if os.path.exists(spec) or spec.endswith(".json"):
         with open(spec) as f:
             doc = json.load(f)
     else:
