@@ -396,11 +396,36 @@ def main() -> None:
     timings, runs = _time_queries(
         spark, qs, sf_dir, passes=n_steady, jit_passes=n_warmup
     )
-    total = round(sum(timings.values()), 4)
+
+    def _totals():
+        total = round(sum(min(v) for v in runs.values()), 4)
+        qmean = {k: round(sum(v) / len(v), 4) for k, v in runs.items()}
+        total_mean = round(sum(qmean.values()), 4)
+        spread = round(total_mean / total - 1, 4) if total else 0.0
+        return total, qmean, total_mean, spread
+
+    total, qmean, total_mean, spread = _totals()
+    # Unstable-box guard (r14 verdict #3a): with only 2 steady passes, a
+    # contended run inflates even the per-query MIN — the r14 driver box
+    # produced a 155.8s outlier (spread 0.27) bracketed by 132.3/134.7s
+    # stable runs on the identical tree. When the spread says the run is
+    # noisy (> 0.15), buy up to two EXTRA steady passes (queries are
+    # fully warm, so each costs ~one steady-pass wall) and fold them
+    # into the per-query minima so `value` converges back toward the
+    # engine's actual noise floor instead of anchoring a round-over-
+    # round comparison on box contention.
+    extra_passes = 0
+    while spread > 0.15 and extra_passes < 2:
+        more, _more_runs = _time_queries(
+            spark, qs, sf_dir, passes=1, jit_passes=0
+        )
+        for k, v in more.items():
+            runs[k].append(v)
+        extra_passes += 1
+        total, qmean, total_mean, spread = _totals()
+    timings = {k: round(min(v), 4) for k, v in runs.items()}
+    n_steady += extra_passes
     wall = round(time.perf_counter() - t_all0, 4)
-    qmean = {k: round(sum(v) / len(v), 4) for k, v in runs.items()}
-    total_mean = round(sum(qmean.values()), 4)
-    spread = round(total_mean / total - 1, 4) if total else 0.0
 
     approx, _ = _time_queries(
         spark, _approx_twins(), sf_dir, passes=1, jit_passes=1
@@ -437,6 +462,9 @@ def main() -> None:
         "n_passes": n_passes,
         "n_warmup": n_warmup,
         "n_steady": n_steady,
+        # >0 iff the unstable-box guard bought extra steady passes
+        # (spread > 0.15 after the standard two)
+        "n_extra_steady": extra_passes,
         "unit": "sec",
         "queries": timings,
         "queries_mean": qmean,
