@@ -1924,7 +1924,14 @@ def events_value_quantiles_grouped_compressed(
             for name, (n, d) in _GK_QS.items()
         ],
     )
-    joined = ev.join(F.broadcast(approx), "event_type")
+    # NULL event_type is a GROUP under plain GROUP BY semantics; a
+    # bare equi-join back onto the fact would silently drop it (the
+    # same class as the salted-agg rewrite pinned by
+    # test_events_family_parity_on_null_fields) — join null-safe
+    joined = ev.join(
+        F.broadcast(approx),
+        ev["event_type"].eqNullSafe(approx["event_type"]),
+    ).drop(approx["event_type"])
     counted = joined.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_events"),
         *[
