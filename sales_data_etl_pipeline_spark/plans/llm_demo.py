@@ -1927,11 +1927,14 @@ def events_value_quantiles_grouped_compressed(
     # NULL event_type is a GROUP under plain GROUP BY semantics; a
     # bare equi-join back onto the fact would silently drop it (the
     # same class as the salted-agg rewrite pinned by
-    # test_events_family_parity_on_null_fields) — join null-safe
+    # test_events_family_parity_on_null_fields) — join null-safe. The
+    # sketch side's key is RENAMED first: approx derives from ev, so a
+    # two-sided column reference is self-join-ambiguous (Spark resolves
+    # it but warns "trivially true equals predicate" per construction).
     joined = ev.join(
-        F.broadcast(approx),
-        ev["event_type"].eqNullSafe(approx["event_type"]),
-    ).drop(approx["event_type"])
+        F.broadcast(approx.withColumnRenamed("event_type", "_et")),
+        F.col("event_type").eqNullSafe(F.col("_et")),
+    ).drop("_et")
     counted = joined.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_events"),
         *[
