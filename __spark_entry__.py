@@ -35,108 +35,50 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # The driver verifies only the FIRST 50 queries() entries per round
 # (CORRECTNESS_r{N}.json) — SURVEY §7.10's ~80-wide request is still
-# pending a driver answer. The round-15 window is DERIVED, executing
-# the round-14 verdict in order (#1 drain the carry to zero, #2 merge
-# r15-staging, #4 start the stale-green refresh via headliner
-# promotion, #5 gate the compressed GK regime via hold-back):
-# tools/rotation_planner.py --max-round 14
-# --baseline tools/entry_fingerprints_r14.json
-# --force-changed-file tools/r15_force_list.txt --stable-tier
-# --promote-ahead sales_by_employee average_ticket_by_product
-#   sales_by_category top5_employees sales_by_period
-# --hold-back events_value_quantiles_grouped_compressed
-# --window 107 --emit-window
+# pending a driver answer. The round-16 window is DERIVED, executing
+# the round-15 verdict #1 verbatim (gate the r15-staging drift tail
+# plus the never-driver-green compressed-GK gate at the window head):
+# tools/rotation_planner.py --max-round 15
+# --baseline tools/entry_fingerprints_r15.json
+# --force-changed-file tools/r16_force_list.txt --stable-tier
+# --window 58 --emit-window
 # Composition:
-# (1) events_value_quantiles_grouped (the r14 hold-back landing,
-#     never-green) heads the window — the verdict's mandatory tier-1
-#     slot; --hold-back is NOT passed for it, per the r15 force-list
-#     header.
-# (2) The 5 reference-analytics headliners (green r11) ride
-#     --promote-ahead per verdict #4 ("the reference-parity surface
-#     should never be the stalest thing in the registry") — recorded
-#     as promotion, not as a changed-code claim.
-# (3) The forced tier is the committed 16-name carry tail
-#     (tools/r15_force_list.txt), then the fingerprint-drift tier from
-#     the verdict-#2 r15-staging merge (catalog.py/ckpt.py/dedup.py:
-#     ckpt.py alone sits in 101 entries' dep closures, so the drift is
-#     85 names — wider than the 39 the r14 plan measured at the r13
-#     baseline). Changed-code-first is the committed policy: the
-#     driver's head-50 drains 1 never-green + 5 promoted + 16 carry +
-#     the 28 stalest drift names; the 57-name drift tail carries to
-#     r16 (tools/r16_force_list.txt at round close).
-# (4) _VERIFY_FIRST is emitted at 107 names — the FULL tier-0+1 block
-#     — as the widening hedge: at window 50 the head-50 is a
-#     bit-identical prefix of a --window 50 plan; if the driver grants
-#     §7.10, up to the whole drift backlog drains this round.
-# (5) The NEW compressed-regime GK gate
-#     (events_value_quantiles_grouped_compressed) rides the sanctioned
-#     hold-back route at the absolute END of the ordering (verdict #5:
-#     "a second entry with accuracy=100 registered via hold-back") —
-#     it displaces no carry/drift slot and gates at r16's window head.
+# (1) events_value_quantiles_grouped_compressed (the r15 hold-back
+#     landing, never-green) heads the window — the verdict's mandatory
+#     tier-1 slot; NO --hold-back is passed this round, per both the
+#     r16 force-list header and verdict #1.
+# (2) The forced tier is exactly the committed 57-name drift tail of
+#     the r15-staging merge (tools/r16_force_list.txt — every name
+#     oracle-green twice locally at the r15 closing tree; their code
+#     changed via the catalog.py/ckpt.py/dedup.py dep closures). The
+#     replan at the r15 baseline shows ZERO additional fingerprint
+#     drift: the tree is clean, so forced = the whole changed tier.
+# (3) The driver's head-50 drains 1 never-green + the 49 stalest drift
+#     names; the 8-name remainder (the text_* tail, green r14) carries
+#     to r17 as tools/r17_force_list.txt, after which the ≤r9
+#     stale-green burn-down begins (SURVEY §7.19: r17–r18 consume the
+#     55-entry tail stalest-first; no live entry's last driver row
+#     predates r7 by the r18 close).
+# (4) _VERIFY_FIRST is emitted at 58 names — the FULL tier-0+1 block —
+#     as the widening hedge: at window 50 the head-50 is a
+#     bit-identical prefix of a --window 50 plan; if the driver widens,
+#     the whole drift backlog drains this round and r17 is pure
+#     stale-tier.
 # --stable-tier holds (r10 verdict #2 policy): ≥3 consecutive green
 # driver appearances + unchanged fingerprint → low-frequency pool,
-# one round-robin representative per round.
-# The drift baseline is tools/entry_fingerprints_r14.json, emitted at
-# the round-14 closing tree; the window artifact PINS it
+# one round-robin representative per round (this round:
+# events_cohort_retention, but it sits below the window at 58).
+# The drift baseline is tools/entry_fingerprints_r15.json, emitted at
+# the round-15 closing tree; the window artifact PINS it
 # (inputs.fingerprint_baseline) so the replay test stays reproducible
-# after entry_fingerprints_r15.json lands. tools/verify_window.json
+# after entry_fingerprints_r16.json lands. tools/verify_window.json
 # records the planner inputs + full ordering; tests/test_verify_window.py
 # asserts this list equals its first `window` names AND that replanning
 # from the recorded inputs reproduces the artifact.
 _VERIFY_FIRST = [
     # never-green (new entries: must not ship unverified)
-    "events_value_quantiles_grouped",
-    # promoted ahead of the changed tier (judge-directed green refresh, no changed-code claim)
-    "average_ticket_by_product",
-    "sales_by_category",
-    "sales_by_employee",
-    "sales_by_period",
-    "top5_employees",
+    "events_value_quantiles_grouped_compressed",
     # changed since last green row
-    "events_top_paths",
-    "graph_kcore",
-    "graph_pagerank",
-    "similarity_topk",
-    "similarity_topk_ivf",
-    "similarity_topk_ivfpq",
-    "similarity_topk_lsh",
-    "similarity_topk_pq",
-    "source_synthetic_stream",
-    "streaming_dedup",
-    "streaming_enriched_counts",
-    "streaming_session_counts",
-    "streaming_stream_join",
-    "streaming_user_totals",
-    "streaming_windowed_counts",
-    "text_unigram_logprob",
-    "corpus_decontaminate",
-    "corpus_dedup_pipeline",
-    "corpus_domain_mixture",
-    "corpus_hash_split",
-    "corpus_mixture_epochs",
-    "corpus_ngram_counts",
-    "corpus_pack_sequences",
-    "corpus_prep_pipeline",
-    "corpus_quality_resample",
-    "corpus_stratified_sample",
-    "corpus_temperature_mixture",
-    "corpus_token_shards",
-    "dedup_cluster_representatives",
-    "dedup_clusters",
-    "dedup_containment",
-    "dedup_exact",
-    "dedup_incremental",
-    "graph_label_propagation",
-    "graph_link_prediction",
-    "graph_link_prediction_aa",
-    "graph_triangle_count",
-    "similarity_knn_graph",
-    "similarity_range_join",
-    "similarity_range_topk",
-    "similarity_recall_eval",
-    "similarity_recall_hamming12",
-    "similarity_topk_hamming",
-    "similarity_topk_hamming_rerank",
     "similarity_topk_ivf_trained",
     "similarity_topk_ivfpq_residual",
     "streaming_dedup_minhash",
