@@ -405,6 +405,13 @@ def main() -> None:
         return total, qmean, total_mean, spread
 
     total, qmean, total_mean, spread = _totals()
+    # The 2-steady-pass floor BEFORE the guard adds samples. The guard
+    # gives noisy runs up to 4 steady samples while stable runs keep 2,
+    # so the extended min carries a small systematic downward bias in
+    # exactly the rounds flagged noisy (r15 ADVICE); recording the
+    # same-sample-count floor alongside lets a round-over-round compare
+    # pick matching sample counts instead of re-deriving them.
+    total_min2 = total
     # Unstable-box guard (r14 verdict #3a): with only 2 steady passes, a
     # contended run inflates even the per-query MIN — the r14 driver box
     # produced a 155.8s outlier (spread 0.27) bracketed by 132.3/134.7s
@@ -465,6 +472,10 @@ def main() -> None:
         # >0 iff the unstable-box guard bought extra steady passes
         # (spread > 0.15 after the standard two)
         "n_extra_steady": extra_passes,
+        # min over the FIRST 2 steady passes only — equals `value`
+        # when n_extra_steady == 0; the bias-free comparator when the
+        # guard extended a noisy run's sample count
+        "value_min2": total_min2,
         "unit": "sec",
         "queries": timings,
         "queries_mean": qmean,

@@ -42,8 +42,33 @@ def test_load_queries_reads_plain_files(tmp_path):
 def test_load_queries_slashed_git_revision(tmp_path):
     """A git revision containing '/' (origin/main style) must route to
     git, and a missing .json path must error as a FILE — the old
-    '/'-substring heuristic got both wrong (r14 ADVICE)."""
-    total, qs = load_queries("heads/main")
-    assert total > 0 and len(qs) >= 149
+    '/'-substring heuristic got both wrong (r14 ADVICE). The file-
+    routing half needs no repo state; the git half resolves whatever
+    slashed head ref exists and skips on detached-HEAD/renamed-branch
+    checkouts instead of failing on a hard 'heads/main' dependency
+    (r15 ADVICE)."""
     with pytest.raises(FileNotFoundError):
         load_queries(str(tmp_path / "missing.json"))
+    import subprocess
+
+    from tools.bench_compare import REPO
+
+    rev = next(
+        (
+            r
+            for r in ("heads/main", "heads/master")
+            if subprocess.run(
+                ["git", "-C", REPO, "rev-parse", "--verify", "-q", r],
+                capture_output=True,
+            ).returncode
+            == 0
+        ),
+        None,
+    )
+    if rev is None:
+        pytest.skip("no slashed head ref resolves (detached HEAD?)")
+    total, qs = load_queries(rev)
+    # loose content pin: the branch tip's BENCH_LOCAL.json just has to
+    # parse into a non-empty detail map (the >=149 count only holds on
+    # the pinned DEFAULT_BASELINES revisions, asserted above)
+    assert total > 0 and qs
