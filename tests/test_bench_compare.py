@@ -72,3 +72,43 @@ def test_load_queries_slashed_git_revision(tmp_path):
     # parse into a non-empty detail map (the >=149 count only holds on
     # the pinned DEFAULT_BASELINES revisions, asserted above)
     assert total > 0 and qs
+
+
+def test_load_queries_guard_extended_run_uses_min2(tmp_path, capsys):
+    """A run where the unstable-box guard bought extra steady passes
+    must report its sample-count-matched floor (value_min2) as the
+    total, not the extended min's biased-low value (r15 ADVICE)."""
+    p = tmp_path / "noisy.json"
+    p.write_text(
+        json.dumps(
+            {
+                "value": 120.0,
+                "value_min2": 125.0,
+                "n_extra_steady": 2,
+                "queries": {"q": 1.0},
+            }
+        )
+    )
+    total, qs = load_queries(str(p))
+    assert total == 125.0 and qs == {"q": 1.0}
+    assert "value_min2" in capsys.readouterr().out
+
+    # pre-r16 artifact: no value_min2 recorded -> keep value, warn
+    p2 = tmp_path / "old_noisy.json"
+    p2.write_text(
+        json.dumps({"value": 120.0, "n_extra_steady": 1, "queries": {}})
+    )
+    total2, _ = load_queries(str(p2))
+    assert total2 == 120.0
+    assert "biased low" in capsys.readouterr().out
+
+    # stable run: untouched, silent
+    p3 = tmp_path / "stable.json"
+    p3.write_text(
+        json.dumps(
+            {"value": 110.0, "n_extra_steady": 0, "queries": {"q": 2.0}}
+        )
+    )
+    total3, _ = load_queries(str(p3))
+    assert total3 == 110.0
+    assert capsys.readouterr().out == ""
