@@ -1468,6 +1468,7 @@ def pagerank(
     iterations: int = 3,
     id_a: str = "id_a",
     id_b: str = "id_b",
+    ckpt_every: int = 8,
 ) -> DataFrame:
     """Fixed-iteration PageRank over an undirected pair graph (e.g. the
     near-dup candidate graph: a high-rank document is a hub quoted/
@@ -1483,30 +1484,65 @@ def pagerank(
         share(u) = r(u) / deg(u)                (per-edge, int div)
         r'(v)    = 150_000_000 / N  +  (85 · Σ share) / 100
 
-    Each iteration is one shuffle (groupBy dst) against the cached edge
-    table; ``iterations`` is fixed (the analytics use-case wants a
-    centrality SCORE, not convergence detection — for components /
-    convergence, ``connected_components`` already exists with its
-    observe()-driven loop). At 100 TB the edge table partitions by dst
-    and the rank join is co-partitioned; no adjacency lists, no
-    collect. Output: (doc_id, rank_ppb) for every node in the graph.
+    Each iteration is ONE shuffle — the share sum's groupBy(dst) —
+    against the edge table, which is hash-partitioned on ``src`` once
+    at build (repartition + in-partition dedup, one exchange total):
+    the per-iteration share join arrives co-partitioned on ``src``,
+    and the rank-update join's base is the STATIC (node, deg, N) table
+    — partitioned on ``node`` ≡ the incoming sums' ``dst`` hash — so
+    neither join moves the graph again. ``iterations`` is fixed (the
+    analytics use-case wants a centrality SCORE, not convergence
+    detection — for components / convergence,
+    ``connected_components`` already exists with its observe()-driven
+    loop). No adjacency lists, no collect. Output: (doc_id, rank_ppb)
+    for every node in the graph.
+
+    Because the update joins the STATIC base (not the previous ranks),
+    each round references the prior ranks exactly ONCE (the share
+    pass), so the plan grows linearly, not exponentially — the
+    per-round eager checkpoint the doubled-reference form needed
+    (r15 and earlier) is replaced by a ``ckpt_every`` CADENCE cut
+    (plan depth and un-releasable block residue both bounded by the
+    cadence; a 30-round production run cuts every 8 rounds instead of
+    paying a materialization round trip per round — at the sf0.1 gate
+    this took the operator from 31 scheduled jobs to ~8).
     """
+    width = shuffle_width(pairs)
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .unionByName(
             pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
         )
-        .distinct()
-        .localCheckpoint(eager=False)
+        # hash(src) co-locates equal (src, dst) rows, so the dedup
+        # aggregate reuses this ONE exchange (ClusteredDistribution on
+        # a key subset) and every later src-keyed join reads the
+        # checkpoint pre-partitioned. EAGER on purpose: this table is
+        # read by MULTIPLE concurrent AQE stages of the unrolled loop
+        # (share join + broadcast builds), and first-materialization
+        # of a LAZY local checkpoint from two concurrent stages
+        # deadlocks ABBA on Spark's global RDDCheckpointData lock vs
+        # the RDD monitor (hit live at r16: broadcast-exchange thread
+        # in doCheckpoint vs dag-scheduler in getCacheLocs) — any
+        # checkpoint with concurrent consumers must be materialized
+        # before the action that shares it.
+        .repartition(width, "src")
+        .dropDuplicates()
+        .localCheckpoint(eager=True)
     )
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-    nodes = deg.select(F.col("src").alias("node"), "deg")
-    n_nodes = nodes.agg(F.count(F.lit(1)).alias("_n"))
-    ranks = nodes.crossJoin(F.broadcast(n_nodes)).select(
-        "node", "deg", "_n", F.expr("1000000000L div _n").alias("rank_ppb")
+    n_nodes = deg.agg(F.count(F.lit(1)).alias("_n"))
+    base = (
+        deg.select(F.col("src").alias("node"), "deg")
+        .crossJoin(F.broadcast(n_nodes))
+        # static (node, deg, _n) table; eager for the same
+        # concurrent-consumer reason as edges
+        .localCheckpoint(eager=True)
     )
-    prev_ckpt: DataFrame | None = None
-    for _ in range(iterations):
+    ranks = base.select(
+        "node", "deg", F.expr("1000000000L div _n").alias("rank_ppb")
+    )
+    cadence: DataFrame | None = None
+    for i in range(1, iterations + 1):
         shares = ranks.select(
             F.col("node").alias("src"),
             F.expr("rank_ppb div deg").alias("_share"),
@@ -1516,29 +1552,24 @@ def pagerank(
             .groupBy("dst")
             .agg(F.sum("_share").alias("_in"))
         )
-        ranks = (
-            ranks.join(incoming, ranks.node == incoming.dst, "left")
-            .select(
-                "node",
-                "deg",
-                "_n",
-                F.expr(
-                    "150000000L div _n + (85L * coalesce(_in, 0L)) div 100L"
-                ).alias("rank_ppb"),
-            )
-            # ranks is referenced TWICE next iteration (shares + the
-            # left join), so without this cut the unresolved plan
-            # doubles per loop — fine at 3 iterations, pathological at
-            # 30. Eager so the superseded round's blocks can be
-            # RELEASED here instead of lingering until two garbage
-            # collectors drain them (ckpt module doc) — block residue
-            # stays ~2 rounds regardless of `iterations`.
-            .localCheckpoint(eager=True)
+        ranks = base.join(
+            incoming, base.node == incoming.dst, "left"
+        ).select(
+            "node",
+            "deg",
+            F.expr(
+                "150000000L div _n + (85L * coalesce(_in, 0L)) div 100L"
+            ).alias("rank_ppb"),
         )
-        ckpt.release(prev_ckpt)
-        prev_ckpt = ranks
-    if prev_ckpt is not None:  # iterations=0 still reads edges lazily
-        ckpt.release(edges)  # final ranks are materialized; edges done
+        if i % ckpt_every == 0 and i < iterations:
+            ranks = ranks.localCheckpoint(eager=True)
+            ckpt.release(cadence)
+            cadence = ranks
+    if iterations > 0:
+        # materialize the final ranks once, then free the loop's
+        # working tables — the returned frame reads only its own blocks
+        ranks = ranks.localCheckpoint(eager=True)
+        ckpt.release(edges, base, cadence)
     return ranks.select(F.col("node").alias("doc_id"), "rank_ppb")
 
 
@@ -1720,7 +1751,10 @@ def winnow_pairs(
     )
     capped = fpd.join(df_ok, "fp_hash").localCheckpoint(
         eager=False
-    )  # consumed 3× (sizes + both join sides)
+    )  # consumed 3× (sizes + both join sides); exchange reuse does
+    # NOT cover all three references in the full pairing plan (r16
+    # probe: dropping this cut re-ran the md5 kernel — task count
+    # 73 → 135 — for zero wall gain), so the cut stays
     sizes = capped.groupBy(id_col).agg(F.count(F.lit(1)).alias("nfp"))
     a = capped.select(F.col(id_col).alias("doc_a"), "fp_hash")
     b = capped.select(F.col(id_col).alias("doc_b"), "fp_hash")
@@ -1759,6 +1793,7 @@ def label_propagation(
     iterations: int = 2,
     id_a: str = "id_a",
     id_b: str = "id_b",
+    ckpt_every: int = 8,
 ) -> DataFrame:
     """Synchronous label-propagation communities (Raghavan et al. 2007,
     arXiv:0709.2938) over an undirected pair list — the cheap
@@ -1778,19 +1813,32 @@ def label_propagation(
     Scale shape: per iteration ONE join of the edge list against the
     label table (both keyed shuffles) + one (node, label) count with
     map-side combine + one per-node min — reducer width bounded by
-    degree, same as pagerank's share pass; labels localCheckpoint per
-    iteration (the pagerank lineage discipline — the table is consumed
-    by the next round's join).
+    degree, same as pagerank's share pass; labels localCheckpoint on
+    the ``ckpt_every`` cadence (the pagerank lineage discipline —
+    plan depth and block residue bounded by the cadence, no per-round
+    materialization round trip).
     """
     fwd = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
     rev = pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
-    edges = fwd.union(rev).distinct().localCheckpoint(eager=False)
+    # EAGER: the unrolled loop's edge-side join stages are mutually
+    # independent, so AQE materializes them CONCURRENTLY — and
+    # concurrent first-materialization of a lazy local checkpoint
+    # deadlocks ABBA on the global RDDCheckpointData lock vs the RDD
+    # monitor (hit live at r16 in pagerank's twin of this table)
+    edges = fwd.union(rev).distinct().localCheckpoint(eager=True)
     labels = (
         edges.select("src").distinct()
         .select(F.col("src").alias("node"), F.col("src").alias("label"))
     )
-    prev_ckpt: DataFrame | None = None
-    for _ in range(iterations):
+    # each round references the prior labels exactly ONCE (the
+    # neighbor join), so the plan grows linearly and the former
+    # per-round eager checkpoint (a full materialization round trip
+    # per iteration) is replaced by a ``ckpt_every`` cadence cut —
+    # the whole fixed-iteration unroll runs as ONE action whose
+    # independent stages AQE materializes concurrently (r16; the
+    # pagerank discipline)
+    cadence: DataFrame | None = None
+    for i in range(1, iterations + 1):
         nb = edges.join(
             labels, edges["dst"] == labels["node"]
         ).select("src", "label")
@@ -1804,15 +1852,15 @@ def label_propagation(
                 ).alias("_m")
             )
             .select(F.col("src").alias("node"), F.col("_m.label").alias("label"))
-            # eager so the superseded round's blocks can be RELEASED
-            # at supersession (ckpt module doc) — residue stays ~2
-            # rounds of the label table regardless of `iterations`
-            .localCheckpoint(eager=True)
         )
-        ckpt.release(prev_ckpt)
-        prev_ckpt = labels
-    if prev_ckpt is not None:  # iterations=0 still reads edges lazily
-        ckpt.release(edges)  # final labels are materialized; edges done
+        if i % ckpt_every == 0 and i < iterations:
+            labels = labels.localCheckpoint(eager=True)
+            ckpt.release(cadence)
+            cadence = labels
+    if iterations > 0:
+        # materialize the final labels once, then free the loop tables
+        labels = labels.localCheckpoint(eager=True)
+        ckpt.release(edges, cadence)
     return labels.select(F.col("node").alias("doc_id"), "label")
 
 
@@ -1951,21 +1999,22 @@ def triangle_counts(
             pairs.select(F.col(id_b).alias("u"), F.col(id_a).alias("v"))
         )
         .distinct()
-        # consumed by degree agg + orientation + wedge close (3×)
-        .localCheckpoint(eager=False)
+        # consumed by degree agg + orientation + wedge close + the
+        # node roster (4×) — all INSIDE one action, so the distinct's
+        # exchange is computed once and reused (AQE stage reuse /
+        # ReuseExchange); the lazy localCheckpoint this used to carry
+        # serialized those stage materializations at CONSTRUCTION time
+        # (r16: one toRdd per checkpoint ran the upstream stages
+        # back-to-back before the real action could parallelize them)
     )
     deg = edges.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
     ranked = edges.join(deg, "u").join(
         deg.select(F.col("u").alias("v"), F.col("deg").alias("deg_v")), "v"
     )
-    oriented = (
-        ranked.filter(
-            (F.col("deg") < F.col("deg_v"))
-            | ((F.col("deg") == F.col("deg_v")) & (F.col("u") < F.col("v")))
-        )
-        .select("u", "v")
-        .localCheckpoint(eager=False)
-    )
+    oriented = ranked.filter(
+        (F.col("deg") < F.col("deg_v"))
+        | ((F.col("deg") == F.col("deg_v")) & (F.col("u") < F.col("v")))
+    ).select("u", "v")
     w1 = oriented.select(F.col("u").alias("apex"), F.col("v").alias("b"))
     w2 = oriented.select(F.col("u").alias("apex"), F.col("v").alias("c"))
     wedges = w1.join(w2, "apex").filter(F.col("b") < F.col("c"))

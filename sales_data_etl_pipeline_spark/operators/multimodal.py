@@ -755,6 +755,7 @@ def scene_cuts(
     idx_col: str = "frame_idx",
     payload_col: str = "payload",
     threshold: int = 8,
+    keep_first: bool = False,
 ) -> DataFrame:
     """Video scene-cut detection from perceptual frame fingerprints:
     dHash every frame (the REAL raster kernel — parse, sample, gradient
@@ -771,7 +772,12 @@ def scene_cuts(
     :func:`phash_pairs_banded`, bit-identical in DuckDB.
 
     Output: (media_id, frame_idx, hamming, is_cut) for every frame
-    with a predecessor (frame 0 has none). Frame indexes are packed
+    with a predecessor (frame 0 has none). With ``keep_first=True``
+    the predecessor-less first frames stay in the output with
+    ``hamming`` NULL and ``is_cut`` false — the full-roster form
+    :func:`shot_representatives` consumes, so the (expensive) decode
+    pipeline under ``frames`` is referenced exactly once instead of
+    re-running for a separate roster branch. Frame indexes are packed
     with the media id into the hash kernel's single long id and
     unpacked after — so ``frame_idx`` MUST lie in [0, 4096) and
     ``media_id`` must be a non-negative integral: anything else would
@@ -812,16 +818,19 @@ def scene_cuts(
         f" + bit_count({half.format(c='_prev', off=9)}"
         f" ^ {half.format(c='dhash', off=9)})"
     )
-    return (
-        hashed.withColumn("_prev", F.lag("dhash").over(w))
-        .filter(F.col("_prev").isNotNull())
-        .withColumn("hamming", F.expr(ham))
-        .select(
-            media_col,
-            idx_col,
-            "hamming",
-            (F.col("hamming") > threshold).alias("is_cut"),
-        )
+    lagged = hashed.withColumn("_prev", F.lag("dhash").over(w))
+    if not keep_first:
+        lagged = lagged.filter(F.col("_prev").isNotNull())
+    is_cut = F.col("hamming") > threshold
+    if keep_first:
+        # first frames carry a NULL hamming; they open a shot, they
+        # are not a cut
+        is_cut = F.coalesce(is_cut, F.lit(False))
+    return lagged.withColumn("hamming", F.expr(ham)).select(
+        media_col,
+        idx_col,
+        "hamming",
+        is_cut.alias("is_cut"),
     )
 
 
@@ -840,32 +849,38 @@ def shot_representatives(
     30 near-identical neighbors" reduction a video training pipeline
     feeds to the expensive vision encoder.
 
-    Composition: the scene-cut lag window (hash + compare), a second
+    Composition: the scene-cut lag window in its full-roster form
+    (``keep_first=True`` — first frames ride along with ``is_cut``
+    false, so the expensive decode pipeline under ``frames`` is
+    referenced exactly ONCE; the former roster reconstruction via
+    anti-join + union re-ran the hash kernel per branch — 3 decode
+    passes and 0 reused exchanges in the r15 plan), a second
     running-sum window on the SAME (media, frame) partitioning —
     Spark reuses the sort — and one grouped min/count. Reducer width
     stays a single video's frames throughout.
 
     Output: (media_id, shot_idx ≥ 0, rep_frame_idx, n_frames).
     """
-    cuts = scene_cuts(
-        frames,
-        media_col=media_col,
-        idx_col=idx_col,
-        payload_col=payload_col,
-        threshold=threshold,
-    ).select(media_col, idx_col, F.col("is_cut").cast("long").alias("_cut"))
-    first = frames.select(
-        media_col, idx_col, F.lit(0).alias("_cut")
-    ).join(
-        cuts.select(media_col, idx_col), [media_col, idx_col], "left_anti"
-    )
-    w = (
-        Window.partitionBy(media_col)
-        .orderBy(idx_col)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    numbered = first.unionByName(cuts).withColumn(
-        "shot_idx", F.sum("_cut").over(w)
+    numbered = (
+        scene_cuts(
+            frames,
+            media_col=media_col,
+            idx_col=idx_col,
+            payload_col=payload_col,
+            threshold=threshold,
+            keep_first=True,
+        )
+        .select(
+            media_col, idx_col, F.col("is_cut").cast("long").alias("_cut")
+        )
+        .withColumn(
+            "shot_idx",
+            F.sum("_cut").over(
+                Window.partitionBy(media_col)
+                .orderBy(idx_col)
+                .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
     )
     return (
         numbered.groupBy(media_col, "shot_idx")

@@ -381,18 +381,37 @@ def run_stream_to_memory(
 ) -> DataFrame:
     """Drive a (bounded) stream to completion through a memory sink and
     return the result table. For tests/smoke: ``processAllAvailable``
-    makes the run synchronous."""
-    q = (
-        agg.writeStream.outputMode(output_mode)
-        .format("memory")
-        .queryName(query_name)
-        .start()
-    )
+    makes the run synchronous.
+
+    In COMPLETE mode the post-data no-data micro-batch is skipped
+    (``spark.sql.streaming.noDataMicroBatches.enabled=false`` scoped to
+    the query run): that batch exists to advance the event-time
+    watermark so APPEND/UPDATE sinks can finalize/evict — complete mode
+    re-emits the full aggregation state every trigger and never evicts,
+    so the extra batch re-runs every stateful partition for an
+    identical table. Measured at the sf0.1 gate: one full micro-batch
+    round (~1.3 s of state-store round-trips) for zero output change.
+    Append/update runs keep the batch — their FINALIZATION depends on
+    the watermark advancing past the data batch's max event time."""
+    spark = agg.sparkSession
+    nodata_key = "spark.sql.streaming.noDataMicroBatches.enabled"
+    prior = spark.conf.get(nodata_key, "true")
+    if output_mode == "complete":
+        spark.conf.set(nodata_key, "false")
     try:
-        q.processAllAvailable()
+        q = (
+            agg.writeStream.outputMode(output_mode)
+            .format("memory")
+            .queryName(query_name)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     finally:
-        q.stop()
-    return agg.sparkSession.table(query_name)
+        spark.conf.set(nodata_key, prior)
+    return spark.table(query_name)
 
 
 def stream_to_parquet(
