@@ -2000,12 +2000,20 @@ def triangle_counts(
         )
         .distinct()
         # consumed by degree agg + orientation + wedge close + the
-        # node roster (4×) — all INSIDE one action, so the distinct's
-        # exchange is computed once and reused (AQE stage reuse /
-        # ReuseExchange); the lazy localCheckpoint this used to carry
-        # serialized those stage materializations at CONSTRUCTION time
-        # (r16: one toRdd per checkpoint ran the upstream stages
-        # back-to-back before the real action could parallelize them)
+        # node roster (4×): Catalyst prunes each reference
+        # differently, so the distinct's exchange never canonicalizes
+        # equal across them and exchange reuse does NOT fire (r16
+        # probe: dropping this cut inlined the upstream pair build 4×
+        # — 192 scan nodes, 249 tasks). EAGER, not lazy: the four
+        # consumer stages are mutually independent, and concurrent
+        # first-materialization of a lazy local checkpoint deadlocks
+        # ABBA on the global RDDCheckpointData lock vs the RDD
+        # monitor (hit live at r16 in pagerank's twin table). The
+        # `oriented` table below stays UN-checkpointed — its two
+        # wedge references recompute one cheap narrow join over these
+        # materialized blocks, which beats a second serialized
+        # materialization round trip (15 → ~11 scheduled jobs).
+        .localCheckpoint(eager=True)
     )
     deg = edges.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
     ranked = edges.join(deg, "u").join(

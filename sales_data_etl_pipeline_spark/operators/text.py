@@ -298,11 +298,7 @@ def tf_idf_top_terms(
     )
     tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     n_docs = df.count()
-    # document frequency folds FROM the per-doc counts — each (doc,
-    # term) row is one distinct doc by construction, so this replaces
-    # a second corpus explode + two-phase countDistinct with a count
-    # over the (much smaller) tf table (guide §2.3, r16)
-    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    dfreq = toks.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
     from pyspark.sql import Window
 
     scored = tf.join(F.broadcast(dfreq), "term").withColumn(
@@ -332,20 +328,16 @@ def unigram_logprob(df: DataFrame, text_col: str = "text") -> DataFrame:
     the aggregation is integer arithmetic — immune to float summation
     order, which differs between Spark's partial aggs and the oracle.
 
-    Shape: ONE explode → per-doc term counts (one shuffle, map-side
-    combined); the corpus term table folds FROM the per-doc counts —
-    the corpus is tokenized exactly once (guide §2.3; the r15 form ran
-    the explode twice, a second full corpus pass at 100 TB for a table
-    derivable from the first) → per-term surprisal broadcast back
-    (vocab ≪ corpus; use a shuffle join instead if vocab outgrows
-    broadcast) → per-doc integer sum. Docs with zero tokens drop out
-    (both engines).
+    Shape: explode → per-doc and corpus term counts (one shuffle each,
+    map-side combined) → per-term surprisal broadcast back (vocab ≪
+    corpus; use a shuffle join instead if vocab outgrows broadcast) →
+    per-doc integer sum. Docs with zero tokens drop out (both engines).
     """
     toks = df.select(
         "doc_id", F.explode(F.expr(TOKENIZE.format(col=text_col))).alias("term")
     )
     tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    ctf = tf.groupBy("term").agg(F.sum("tf").alias("ctf"))
+    ctf = toks.groupBy("term").agg(F.count(F.lit(1)).alias("ctf"))
     # total tokens = sum over the (tiny) term table, NOT a count() on the
     # exploded corpus — that separate action would be a second full scan
     # of every document at 100 TB; this is a 1-row broadcast instead
@@ -622,16 +614,18 @@ def bigram_logprob(df: DataFrame, text_col: str = "text") -> DataFrame:
     integer (``floor(-log2(p)·1e6 + 0.5)``) BEFORE the per-doc sum, so
     aggregation is integer arithmetic in both engines.
 
-    Shape at 100 TB: ONE bigram explode → per-doc counts (one shuffle,
-    map-side combined); the corpus bigram table C(a,b) folds FROM the
-    per-doc counts and the prefix total C(a,·) folds from C(a,b) — the
-    corpus is tokenized and exploded exactly once (the r15 form ran
-    the explode twice, once per count; at 100 TB that is a second full
-    corpus pass for a table derivable from the first — guide §2.3,
-    aggregate before you shuffle). The surprisal table joins back on
-    (a, b) with a plain shuffle join — bigram vocabulary grows with
-    corpus size, so no broadcast here (unlike the unigram path). Docs
-    with < 2 tokens drop out (both engines).
+    Shape at 100 TB: bigram explode → per-doc and corpus bigram counts
+    (one shuffle each, map-side combined); the prefix total C(a,·)
+    folds FROM the corpus bigram table (no second corpus pass); the
+    surprisal table joins back on (a, b) with a plain shuffle join —
+    bigram vocabulary grows with corpus size, so no broadcast here
+    (unlike the unigram path). Docs with < 2 tokens drop out (both
+    engines). (r16 probe: deriving C(a,b) from the per-doc table does
+    NOT remove the second explode — Catalyst prunes the two
+    references differently, so the exchange never canonicalizes equal
+    and reuse cannot fire — and it shuffles (doc,a,b)-grained partials
+    where this form shuffles (a,b) partials; measured plan-identical
+    scan count, reverted.)
     """
     pairs = (
         df.select("doc_id", tokens(text_col).alias("_t"))
@@ -648,7 +642,7 @@ def bigram_logprob(df: DataFrame, text_col: str = "text") -> DataFrame:
         .select("doc_id", F.col("_bg.a").alias("a"), F.col("_bg.b").alias("b"))
     )
     bf = pairs.groupBy("doc_id", "a", "b").agg(F.count(F.lit(1)).alias("bf"))
-    c2 = bf.groupBy("a", "b").agg(F.sum("bf").alias("c2"))
+    c2 = pairs.groupBy("a", "b").agg(F.count(F.lit(1)).alias("c2"))
     c1 = c2.groupBy("a").agg(F.sum("c2").alias("c1"))
     lp = c2.join(c1, "a").select(
         "a",
