@@ -76,58 +76,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # asserts this list equals its first `window` names AND that replanning
 # from the recorded inputs reproduces the artifact.
 _VERIFY_FIRST = [
-    # never-green (new entries: must not ship unverified)
-    "events_value_quantiles_grouped_compressed",
     # changed since last green row
-    "similarity_topk_ivf_trained",
-    "similarity_topk_ivfpq_residual",
-    "streaming_dedup_minhash",
-    "streaming_session_funnel",
-    "text_bpe_apply",
-    "text_bpe_token_count",
-    "text_bpe_train",
-    "text_dup_span_removal",
-    "text_perplexity_buckets",
-    "text_trigram_backoff",
-    "text_winnow_fingerprints",
-    "corpus_bloom_membership",
-    "corpus_chunk_documents",
-    "corpus_curriculum_order",
-    "corpus_domain_cap",
-    "corpus_dsir_weights",
-    "dedup_embedding_cosine",
-    "dedup_embedding_lsh",
-    "dedup_incremental_containment",
-    "dedup_incremental_join",
-    "dedup_incremental_prepared",
-    "dedup_levenshtein",
-    "dedup_minhash_containment",
-    "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
-    "dedup_semantic",
-    "dedup_simhash",
-    "dedup_winnowing",
-    "embedding_kmeans_assign",
-    "embedding_kmeans_train",
-    "embedding_knn_label",
-    "embedding_pca_power",
-    "events_asof_join",
-    "events_asof_join_forward",
-    "events_attribution_linear",
-    "events_funnel",
-    "events_heavy_hitters_cms",
-    "events_interval_join",
-    "events_markov_transitions",
-    "events_range_count",
-    "events_session_funnel",
-    "similarity_recall_hamming",
-    "streaming_dedup_minhash_append",
-    "text_bigram_logprob",
-    "text_bpe_apply_oov",
-    "text_char_diversity",
-    "text_dup_span_stats",
-    "text_fingerprint",
-    "text_gopher_quality",
+    "multimodal_scene_cuts",
+    "multimodal_shot_reps",
     "text_language_id",
     "text_paragraph_dedup",
     "text_quality_score",
@@ -136,6 +87,47 @@ _VERIFY_FIRST = [
     "text_term_frequencies",
     "text_tfidf_top_terms",
     "text_token_stats",
+    "graph_label_propagation",
+    "graph_pagerank",
+    "graph_triangle_count",
+    "streaming_enriched_counts",
+    "streaming_session_counts",
+    "streaming_windowed_counts",
+    # stalest-green rotation
+    "events_cohort_retention",
+    "events_anomaly_iqr",
+    "events_sessionization",
+    "events_windowed_distinct_users",
+    "q13_customer_distribution",
+    "q17_small_quantity_revenue",
+    "q1_pricing_summary",
+    "q3_unshipped_orders",
+    "q5_local_supplier_volume",
+    "sales_pareto_share",
+    "source_synthetic_events",
+    "stats_approx_sketches",
+    "events_top_per_day",
+    "q10_returned_items",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q16_supplier_part_counts",
+    "q18_large_orders",
+    "q19_disjunctive_revenue",
+    "q20_excess_shippers",
+    "q21_sole_late_shipper",
+    "q22_dormant_customers",
+    "q2_min_balance_supplier",
+    "q4_priority_late_ship",
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_profit",
+    "events_hourly_heatmap",
+    "events_rolling_active_users",
+    "events_user_lifetime_stats",
+    "q11_important_parts",
+    "q12_late_priority_split",
+    "embedding_pq_encode",
 ]
 
 
