@@ -288,18 +288,47 @@ def _sf_of(sf_dir: str) -> float | None:
         return None
 
 
-def _time_queries(spark, qs, sf_dir, *, passes, jit_passes=1):
+def _time_queries(spark, qs, sf_dir, *, passes, jit_passes=1, job_counts=None):
     """min-of-steady-passes per query (pass 0..jit_passes-1 discarded:
-    first execution of a plan pays whole-stage-codegen JIT)."""
+    first execution of a plan pays whole-stage-codegen JIT).
+
+    ``job_counts`` (r16 verdict item 2, additions-only): when a dict is
+    passed, each query of the FINAL pass runs under a job group and its
+    scheduled-job/task counts are recorded there via the status tracker
+    — so a flat 8-vs-32-core ratio in the driver's scaling probe reads
+    as "honors cores but fixed-per-job-overhead-bound" (~7.7 jobs/query
+    at sf0.1) instead of "env ignored". The group is set BEFORE the
+    timer starts and counts are fetched AFTER the timer stops; the
+    timed region is unchanged."""
     import gc
 
+    sc = spark.sparkContext
+    tracker = sc.statusTracker() if job_counts is not None else None
     best: dict[str, float] = {}
     runs: dict[str, list[float]] = {}
     for p in range(jit_passes + passes):
+        final_pass = p == jit_passes + passes - 1
         for name, fn in qs.items():
+            if tracker is not None:
+                group = f"bench:{name}:{p}"
+                sc.setJobGroup(group, name)
             t0 = time.perf_counter()
             fn(spark, sf_dir).count()
             elapsed = round(time.perf_counter() - t0, 4)
+            if tracker is not None:
+                sc.setJobGroup(None, None)
+                if final_pass:
+                    job_ids = tracker.getJobIdsForGroup(group)
+                    jobs, tasks = len(job_ids), 0
+                    for jid in job_ids:
+                        info = tracker.getJobInfo(jid)
+                        if info is None:
+                            continue
+                        for sid in info.stageIds:
+                            sinfo = tracker.getStageInfo(sid)
+                            if sinfo is not None and sinfo.numCompletedTasks > 0:
+                                tasks += sinfo.numTasks
+                    job_counts[name] = {"jobs": jobs, "tasks": tasks}
             if p >= jit_passes:
                 best[name] = min(best.get(name, elapsed), elapsed)
                 runs.setdefault(name, []).append(elapsed)
@@ -393,8 +422,10 @@ def main() -> None:
     # than the spread is machine noise, not a plan change.
     n_warmup, n_steady = 2, 2
     t_all0 = time.perf_counter()
+    job_counts: dict[str, dict[str, int]] = {}
     timings, runs = _time_queries(
-        spark, qs, sf_dir, passes=n_steady, jit_passes=n_warmup
+        spark, qs, sf_dir, passes=n_steady, jit_passes=n_warmup,
+        job_counts=job_counts,
     )
 
     def _totals():
@@ -486,6 +517,18 @@ def main() -> None:
         "queries_minmax": {
             k: [round(min(v), 4), round(max(v), 4)] for k, v in runs.items()
         },
+        # scaling-contract fields (r16 verdict item 2): the session IS
+        # built from $SPARK_GRAFT_CPUS (session.py master=local[cpus]);
+        # these record what the run actually got, and the per-query
+        # scheduled-job/task counts explain a flat core-count ratio
+        # (fixed per-job scheduler latency, ~35-150 ms/job, dominates
+        # at sf0.1 — see tools/profile_queries.py).
+        "cpus": spark.sparkContext.defaultParallelism,
+        "default_parallelism": spark.sparkContext.defaultParallelism,
+        "master": spark.sparkContext.master,
+        "queries_jobs": job_counts,
+        "jobs_total": sum(v["jobs"] for v in job_counts.values()),
+        "tasks_total": sum(v["tasks"] for v in job_counts.values()),
         "approx_twins": approx,
         # dedup_incremental_prepared's headline row includes the
         # once-per-corpus prepare (gate contract); this is the
@@ -520,6 +563,12 @@ def main() -> None:
         "n_queries": len(timings),
         "n_passes": n_passes,
         "noise_spread": spread,
+        # scaling-contract summary (r16 verdict item 2): cpus actually
+        # granted + total scheduled jobs — the flat 8-vs-32 ratio is
+        # fixed per-job latency x jobs_total, not an ignored env var
+        "cpus": spark.sparkContext.defaultParallelism,
+        "master": spark.sparkContext.master,
+        "jobs_total": sum(v["jobs"] for v in job_counts.values()),
         "ref5_total_sec": round(
             sum(timings[k] for k in ref5 if k in timings), 4
         ),

@@ -1565,11 +1565,13 @@ def pagerank(
             ranks = ranks.localCheckpoint(eager=True)
             ckpt.release(cadence)
             cadence = ranks
-    if iterations > 0:
-        # materialize the final ranks once, then free the loop's
-        # working tables — the returned frame reads only its own blocks
-        ranks = ranks.localCheckpoint(eager=True)
-        ckpt.release(edges, base, cadence)
+    # materialize the final ranks once, then free the loop's working
+    # tables — the returned frame reads only its own blocks. Runs on
+    # iterations=0 too: edges/base are built EAGERLY above, so gating
+    # this on iterations>0 permanently leaked their block sets on the
+    # zero-round path (r16 ADVICE).
+    ranks = ranks.localCheckpoint(eager=True)
+    ckpt.release(edges, base, cadence)
     return ranks.select(F.col("node").alias("doc_id"), "rank_ppb")
 
 
@@ -1857,10 +1859,12 @@ def label_propagation(
             labels = labels.localCheckpoint(eager=True)
             ckpt.release(cadence)
             cadence = labels
-    if iterations > 0:
-        # materialize the final labels once, then free the loop tables
-        labels = labels.localCheckpoint(eager=True)
-        ckpt.release(edges, cadence)
+    # materialize the final labels once, then free the loop tables.
+    # Runs on iterations=0 too: edges is built EAGERLY above, so gating
+    # this on iterations>0 leaked its block set on the zero-round path
+    # (r16 ADVICE; pagerank's twin fix).
+    labels = labels.localCheckpoint(eager=True)
+    ckpt.release(edges, cadence)
     return labels.select(F.col("node").alias("doc_id"), "label")
 
 

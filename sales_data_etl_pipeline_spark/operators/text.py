@@ -1665,6 +1665,15 @@ def bpe_apply_token_counts_sql(
     """
 
 
+#: Replay folds stacked per checkpointed batch on the OOV apply path —
+#: bounds the projection-chain expression depth at O(fold_batch) so a
+#: 32k-rule production replay builds 500 bounded plans instead of one
+#: 32k-projection expression tree (analyzer/optimizer time and codegen
+#: size are superlinear in expression depth). Gate-scale replays
+#: (n_merges ≤ the batch) never checkpoint — plan unchanged.
+_BPE_FOLD_BATCH = 64
+
+
 def bpe_apply_oov_token_counts(
     train: DataFrame,
     eval_docs: DataFrame,
@@ -1672,6 +1681,7 @@ def bpe_apply_oov_token_counts(
     n_merges: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    fold_batch: int = _BPE_FOLD_BATCH,
 ) -> DataFrame:
     """Apply TRAIN-corpus BPE merges to an EVAL corpus that may contain
     words the training never saw — the production tokenizer shape
@@ -1724,13 +1734,24 @@ def bpe_apply_oov_token_counts(
     # optimizer into the output join's plan: no per-round broadcast
     # join, no per-round lineage cut, no extra jobs (r16; the former
     # checkpoint-per-rule replay cost one block set + one job per
-    # rule). A 32k-rule production replay would batch the folds into
-    # checkpointed groups to bound expression depth; at gate scale the
-    # stack is n_merges deep.
-    for _rank, left_sym, right_sym, _cnt in rules:
+    # rule). Every ``fold_batch`` folds the stack is cut with an EAGER
+    # localCheckpoint (r16 verdict item 6): expression depth stays
+    # O(fold_batch) — a 32k-rule replay is 500 bounded plans, one job
+    # each over the |eval vocab| table, instead of a single 32k-deep
+    # expression tree the analyzer/codegen choke on. EAGER because the
+    # single-consumer chain makes lazy legal but eager also releases
+    # the superseded batch immediately (block residue ~1 batch, not
+    # n_merges/fold_batch). Gate-scale replays (n_merges ≤ fold_batch)
+    # never hit the cut — identical plan, zero extra jobs.
+    prev_cut: DataFrame | None = None
+    for i, (_rank, left_sym, right_sym, _cnt) in enumerate(rules, 1):
         surv = surv.select(
             "word", F.expr(_bpe_fold_expr(left_sym, right_sym)).alias("syms")
         )
+        if i % fold_batch == 0 and i < len(rules):
+            surv = surv.localCheckpoint(eager=True)
+            ckpt.release(prev_cut)
+            prev_cut = surv
     wsym = surv.select("word", F.size("syms").alias("_nsym"))
     return (
         dw.join(wsym, "word")

@@ -376,12 +376,51 @@ def dedup_within_watermark(
     )
 
 
+def _ephemeral_checkpoint_dir(query_name: str) -> str | None:
+    """Fresh single-run checkpoint directory for the memory-sink gate
+    runs, placed on a RAM-backed filesystem when one exists.
+
+    The gate's checkpoint is EPHEMERAL BY CONSTRUCTION — each run
+    starts a brand-new query (offsets from scratch, state from empty)
+    and the directory is deleted in the caller's ``finally`` — so its
+    physical medium is not a durability property: tmpfs for throwaway
+    WAL/state-delta files is exactly what it is for, while production
+    streams use :func:`stream_to_parquet` /
+    :func:`stream_to_jdbc_upsert`, which take a caller-provided
+    DURABLE checkpoint path and are untouched by this. Measured at the
+    sf0.1 gates (interleaved A/B, 3 cycles, /tmp=ext4 vs /dev/shm):
+    windowed_counts 1.44→1.33 s, dedup_minhash 2.67→2.55 s, append
+    3.50→3.40 s mean — the offset/commit/state-delta file round-trips
+    are a real but minor slice of the per-micro-batch floor (the
+    dominant term is per-state-partition commit machinery, which
+    tracks the deployment-sized shuffle-partition count and is left
+    alone; a RocksDB-provider probe LOST 0.1-0.6 s/gate at gate-scale
+    state and is rejected in OPTIMIZATION_r17.md).
+
+    Override with ``SPARK_GRAFT_STREAM_CKPT_BASE``; returns None (let
+    Spark manage a temp checkpoint under java.io.tmpdir) when neither
+    the override nor /dev/shm exists."""
+    import tempfile
+
+    base = os.environ.get("SPARK_GRAFT_STREAM_CKPT_BASE") or (
+        "/dev/shm" if os.path.isdir("/dev/shm") else None
+    )
+    if base is None:
+        return None
+    return tempfile.mkdtemp(prefix=f"stream_ckpt_{query_name}_", dir=base)
+
+
 def run_stream_to_memory(
     agg: DataFrame, query_name: str, *, output_mode: str = "complete"
 ) -> DataFrame:
     """Drive a (bounded) stream to completion through a memory sink and
     return the result table. For tests/smoke: ``processAllAvailable``
-    makes the run synchronous.
+    makes the run synchronous. NOT concurrency-safe: the no-data-batch
+    conf below is session-global for the duration of the run, so a
+    concurrent append/update query started on the same session inside
+    that window would lose its watermark-finalizing no-data batches —
+    fine for the single-threaded gate/smoke helper this is (r16
+    ADVICE note).
 
     In COMPLETE mode the post-data no-data micro-batch is skipped
     (``spark.sql.streaming.noDataMicroBatches.enabled=false`` scoped to
@@ -392,25 +431,37 @@ def run_stream_to_memory(
     identical table. Measured at the sf0.1 gate: one full micro-batch
     round (~1.3 s of state-store round-trips) for zero output change.
     Append/update runs keep the batch — their FINALIZATION depends on
-    the watermark advancing past the data batch's max event time."""
+    the watermark advancing past the data batch's max event time.
+
+    The run's checkpoint is an explicit fresh-per-run directory on a
+    RAM-backed filesystem when available
+    (:func:`_ephemeral_checkpoint_dir`) — never reused across runs, so
+    every invocation still computes from the parquet input."""
+    import shutil
+
     spark = agg.sparkSession
     nodata_key = "spark.sql.streaming.noDataMicroBatches.enabled"
     prior = spark.conf.get(nodata_key, "true")
     if output_mode == "complete":
         spark.conf.set(nodata_key, "false")
+    ckpt_dir = _ephemeral_checkpoint_dir(query_name)
     try:
-        q = (
+        writer = (
             agg.writeStream.outputMode(output_mode)
             .format("memory")
             .queryName(query_name)
-            .start()
         )
+        if ckpt_dir is not None:
+            writer = writer.option("checkpointLocation", ckpt_dir)
+        q = writer.start()
         try:
             q.processAllAvailable()
         finally:
             q.stop()
     finally:
         spark.conf.set(nodata_key, prior)
+        if ckpt_dir is not None:
+            shutil.rmtree(ckpt_dir, ignore_errors=True)
     return spark.table(query_name)
 
 

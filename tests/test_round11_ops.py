@@ -229,3 +229,37 @@ def test_bpe_apply_oov_char_fallback(spark):
     r = got[0]
     # abxy -> [ab,x,y]=3, xyzq -> 4 chars, abab -> [ab,ab]=2
     assert (r.n_words, r.n_chars_tokenized, r.n_symbols) == (3, 12, 9)
+
+
+def test_bpe_apply_oov_fold_batch_parity(spark):
+    """The fold-batch checkpoint cut (bounds replay expression depth at
+    O(fold_batch)) is a pure plan restructure: with n_merges > the
+    batch, every (doc, counts) row must be identical to the unbatched
+    replay. fold_batch=2 over 5 merges forces two mid-stack cuts."""
+    from sales_data_etl_pipeline_spark.operators import text
+
+    train = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="the theme of the thesis theme themes"),
+            Row(doc_id=2, text="these themes are the same theme thesis"),
+            Row(doc_id=3, text="aaa abba banana bananas cabana"),
+        ]
+    )
+    eval_docs = spark.createDataFrame(
+        [
+            Row(doc_id=100, text="theme park thesis bananas"),
+            Row(doc_id=101, text="zzzz these abba"),
+        ]
+    )
+
+    def counts(fold_batch):
+        return {
+            (r.doc_id, r.n_words, r.n_chars_tokenized, r.n_symbols)
+            for r in text.bpe_apply_oov_token_counts(
+                train, eval_docs, n_merges=5, fold_batch=fold_batch
+            ).collect()
+        }
+
+    unbatched = counts(fold_batch=1000)  # no cut fires
+    batched = counts(fold_batch=2)  # cuts after rules 2 and 4
+    assert batched == unbatched and len(unbatched) == 2
