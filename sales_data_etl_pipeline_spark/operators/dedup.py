@@ -806,11 +806,14 @@ def connected_components(
     round every node adopts the smallest label among itself and its
     neighbours, so labels cross ONE edge per round — convergence is
     O(graph diameter) rounds (tiny for typical dedup graphs, whose dup
-    clusters are near-cliques). Each round is ONE job — a shuffle on
-    node id whose convergence count rides along as an ``observe()``
-    metric, so the driver never runs a separate action to decide
-    termination. This is the pairs→clusters step real dedup needs:
-    survivors are one doc per component, not pair-wise greedy drops.
+    clusters are near-cliques). Self-loops folded into the edge table
+    make each round ONE join + ONE aggregation referencing the prior
+    labels exactly once, so rounds chain linearly and run TWO per
+    scheduled action; convergence rides along as an ``observe()``
+    metric (Σ component — monotone-decreasing, so sum equality IS
+    fixed-point equality), never a separate action. This is the
+    pairs→clusters step real dedup needs: survivors are one doc per
+    component, not pair-wise greedy drops.
 
     If the graph has NOT converged after ``max_iterations`` rounds
     (a chain of near-dups longer than the budget), this RAISES rather
@@ -825,77 +828,107 @@ def connected_components(
         raise ValueError(
             f"max_iterations must be >= 0, got {max_iterations}"
         )
+    sym = pairs.select(
+        F.col(id_a).alias("src"), F.col(id_b).alias("dst")
+    ).unionByName(
+        pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
+    )
+    # SELF-LOOPS folded into the edge table (r17): with (v, v) present,
+    # a round's update is min(component over neighbours ∪ self) — ONE
+    # join + ONE aggregation, and the previous labels are referenced
+    # exactly ONCE per round. The r16 form referenced them twice
+    # (neighbour-min join + update left-join with least/coalesce —
+    # identical arithmetic: least(self, min-neighbours) = min over
+    # self ∪ neighbours), which forced a materialization round trip
+    # EVERY round; single-reference rounds chain linearly, so TWO
+    # rounds run per checkpoint action (the r16-verdict stride-2,
+    # sound only because nothing is double-referenced). The distinct's
+    # exchange width is left to AQE — localCheckpoint loses
+    # outputPartitioning under AQE (r16), so pinning hash(dst) here
+    # cannot save the per-round join exchange anyway (probed r17:
+    # repartition(width, "dst")+dropDuplicates raised tasks 119→209
+    # for identical semantics). EAGER: the pair-job's stages consume
+    # this table concurrently, and lazy first-materialization from
+    # concurrent stages deadlocks ABBA on the RDDCheckpointData lock
+    # (r16, pagerank's twin).
     edges = (
-        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
-        .unionByName(
-            pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
+        sym.unionByName(
+            sym.select(F.col("src").alias("src"), F.col("src").alias("dst"))
         )
         .distinct()
-        # materialize ONCE: every iteration joins edges AND runs a
-        # convergence-count action — without this cut, each round
-        # re-derives the pair lineage (at minhash-LSH cost) from scratch
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=True)
     )
     labels = (
         edges.select(F.col("src").alias("node"))
         .distinct()
         .withColumn("component", F.col("node"))
     )
-    last_changed = 0
-    prev_ckpt: DataFrame | None = None
+    # Convergence metric: labels only ever DECREASE (min-propagation),
+    # so Σ component strictly decreases until the fixed point and
+    # sum-equality between consecutive rounds IS label-set equality —
+    # no comparison against the old labels needed (what forced the r16
+    # second reference). Decimal(38,0) sum: ANSI mode would throw on a
+    # bigint overflow at extreme node-count × id-magnitude; the
+    # coalesce makes the empty graph observe 0 instead of NULL.
+    def _label_sum(obs_col: str = "component"):
+        return F.coalesce(
+            F.sum(F.col(obs_col).cast("decimal(38,0)")),
+            F.lit(0).cast("decimal(38,0)"),
+        ).alias("s")
+
+    obs0 = Observation()
+    labels = labels.observe(obs0, _label_sum())
+
+    def step(lbl: DataFrame, obs: Observation) -> DataFrame:
+        return (
+            edges.join(lbl, edges.dst == lbl.node)
+            .groupBy("src")
+            .agg(F.min("component").alias("component"))
+            .observe(obs, _label_sum())
+            .select(F.col("src").alias("node"), "component")
+        )
+
     # max_iterations propagation rounds PLUS one confirmation round: a
     # graph whose diameter is exactly max_iterations converges ON the
-    # final budgeted round (changed > 0 yet already at the fixed point),
-    # so raising on that round's count would reject a correct result —
-    # the effective budget would be max_iterations-1 (r9 ADVICE). The
-    # extra round either observes changed == 0 (true convergence) or
-    # proves propagation is genuinely unfinished.
-    for _ in range(max_iterations + 1):
-        neighbour_min = (
-            edges.join(labels, edges.dst == labels.node)
-            .groupBy("src")
-            .agg(F.min("component").alias("_nbr_min"))
-        )
-        # Labels only ever decrease (min-propagation), so "changed" is
-        # just new < old — computed inline during the update join and
-        # collected via observe() on the SAME job that materializes the
-        # eager checkpoint. One action per round (the round-2 form ran a
-        # second join+count action purely for convergence detection —
-        # per-round latency, not data, dominated this operator's cost).
-        obs = Observation()
-        updated = (
-            labels.join(neighbour_min, labels.node == neighbour_min.src, "left")
-            .select(
-                "node",
-                F.col("component").alias("_old"),
-                F.least(
-                    F.col("component"), F.coalesce("_nbr_min", F.col("component"))
-                ).alias("component"),
-            )
-            .observe(
-                obs,
-                F.sum((F.col("component") < F.col("_old")).cast("long")).alias(
-                    "changed"
-                ),
-            )
-            .select("node", "component")
-            .localCheckpoint(eager=True)  # cut lineage + run the observed job
-        )
-        # prior round's label blocks were consumed by the eager
-        # checkpoint job above — release at supersession (ckpt module
-        # doc: bounds block residue to ~2 rounds instead of N)
+    # final budgeted round, so raising on that round would reject a
+    # correct result (r9 ADVICE). Rounds run in PAIRS per action; the
+    # first pair's job also fires obs0 (the initial sum rides the
+    # round-1 join's scan of the init labels — no separate action).
+    # When round i converges mid-pair, round i+1 recomputes the
+    # identical fixed point (monotone ⇒ harmless, at most one spare
+    # round — the r16-verdict trade). A round BEYOND the budget may
+    # never rescue an unconverged run: its equality is not consulted,
+    # preserving the r16 raise semantics exactly.
+    budget = max_iterations + 1
+    prev_ckpt: DataFrame | None = None
+    rounds = 0
+    s_prev = None
+    converged = False
+    while not converged and rounds < budget:
+        obs_a, obs_b = Observation(), Observation()
+        updated = step(step(labels, obs_a), obs_b).localCheckpoint(
+            eager=True
+        )  # ONE action runs both rounds
+        # prior labels' blocks were consumed by the pair job above —
+        # release at supersession (ckpt module doc: residue ~2 rounds)
         ckpt.release(prev_ckpt)
         prev_ckpt = labels = updated
-        last_changed = obs.get["changed"]
-        if not last_changed:
-            break
+        if s_prev is None:
+            s_prev = obs0.get["s"]
+        s_a, s_b = obs_a.get["s"], obs_b.get["s"]
+        if s_a == s_prev:
+            converged = True  # round rounds+1 confirmed the fixed point
+        elif rounds + 2 <= budget and s_b == s_a:
+            converged = True  # round rounds+2, still within budget
+        rounds += 2
+        s_prev = s_b
     ckpt.release(edges)  # labels are materialized; edges done either way
-    if last_changed:
+    if not converged:
         ckpt.release(prev_ckpt)
         raise RuntimeError(
             f"connected_components did not converge in {max_iterations} "
-            f"iterations plus the confirmation round ({last_changed} labels "
-            "still changing): the pair graph's diameter exceeds the budget "
+            "iterations plus the confirmation round (labels still "
+            "changing): the pair graph's diameter exceeds the budget "
             "— retry with a larger max_iterations (propagation crosses one "
             "edge per round)"
         )
@@ -2062,13 +2095,24 @@ def kcore_decompose(
     gate the same way triangle counts are, but with a global fixed
     point instead of a local census).
 
-    Iterative peeling: drop every node whose degree among STILL-ALIVE
-    nodes is < k, recompute, repeat — each round is one degree
-    aggregation over the alive-restricted edge list (two hash joins on
-    node id + one map-side-combinable count), with the survivor count
-    riding the round's own materializing job as an ``observe()``
-    metric, never a second action. The alive set shrinks monotonically,
-    so count-equality between rounds IS set-equality — the fixed point.
+    Iterative DELTA peeling (r17; the Matula–Beck sequential peel
+    turned synchronous): the carried state is (node, core_degree) —
+    degree among still-alive nodes. Each round drops the rows whose
+    stored degree is < k and DECREMENTS the survivors by their edge
+    count into exactly that just-peeled set, rather than recomputing
+    degrees over the full alive-restricted edge list (the r16 shape:
+    two alive-joins + a count over ALL live edges, every round). The
+    per-round aggregation therefore runs over the edges incident to
+    the peeled layer only — after round one a thin cascade layer, not
+    the whole graph (guide §2.3: shuffle the delta, not the corpus) —
+    and the peeled side is small enough that AQE broadcast-converts
+    its join at runtime, leaving one narrow pass over the edge table
+    per round. Peel sets are identical round-for-round to the
+    recompute form: survivors' decremented degree equals their degree
+    among remaining alive nodes by induction. The survivor count rides
+    the round's own materializing job as an ``observe()`` metric,
+    never a second action; the alive set shrinks monotonically, so
+    count-equality between rounds IS set-equality — the fixed point.
     Convergence needs at most as many rounds as the longest peel
     cascade (tiny on near-dup graphs, whose cores are near-cliques);
     like :func:`connected_components`, an unconverged budget RAISES
@@ -2086,41 +2130,60 @@ def kcore_decompose(
             pairs.select(F.col(id_b).alias("u"), F.col(id_a).alias("v"))
         )
         .distinct()
-        # consumed twice per round (both-endpoint alive joins) across
-        # every round — without the cut each round re-derives the pair
-        # lineage (at minhash-LSH cost) from scratch
+        # consumed once per round (the decrement join) across every
+        # round — without the cut each round re-derives the pair
+        # lineage (at minhash-LSH cost) from scratch. LAZY is safe
+        # here (unlike the pagerank/cc loop tables): its FIRST
+        # materialization happens inside the single-threaded initial
+        # core-table checkpoint job below, so no concurrent stage can
+        # race the RDDCheckpointData lock; every later reader sees
+        # already-materialized blocks.
         .localCheckpoint(eager=False)
     )
-    alive_ckpt = (
-        edges.select(F.col("u").alias("node"))
-        .distinct()
-        .localCheckpoint(eager=False)
+    obs0 = Observation()
+    core = (
+        edges.groupBy("u")
+        .agg(F.count(F.lit(1)).alias("core_degree"))
+        .observe(obs0, F.count(F.lit(1)).alias("n"))
+        # eager: materializes edges (serially, see above) and the
+        # initial degree table in ONE job that also carries the
+        # initial alive count — the r16 shape paid a separate
+        # alive.count() action for it
+        .localCheckpoint(eager=True)
     )
-    alive = alive_ckpt
-    prev = alive.count()
+    prev = obs0.get["n"]
     for _ in range(max_iterations + 1):
-        live = edges.join(alive.withColumnRenamed("node", "u"), "u").join(
-            alive.select(F.col("node").alias("v")), "v"
+        peeled = core.filter(F.col("core_degree") < k)
+        dec = (
+            edges.join(peeled.select(F.col("u").alias("v")), "v")
+            .groupBy("u")
+            .agg(F.count(F.lit(1)).alias("_dec"))
         )
-        deg = live.groupBy("u").agg(F.count(F.lit(1)).alias("core_degree"))
         obs = Observation()
         survivors = (
-            deg.filter(F.col("core_degree") >= k)
+            core.filter(F.col("core_degree") >= k)
+            .join(dec, "u", "left")
+            .select(
+                "u",
+                (
+                    F.col("core_degree") - F.coalesce("_dec", F.lit(0))
+                ).alias("core_degree"),
+            )
             .observe(obs, F.count(F.lit(1)).alias("n"))
             .localCheckpoint(eager=True)  # cut lineage + run observed job
         )
         n = obs.get["n"]
-        # the prior round's alive blocks were consumed by the eager
+        # the prior round's core blocks were consumed by the eager
         # checkpoint job above; release at supersession so an N-round
         # peel holds ~2 rounds of blocks, not N (ckpt module doc —
         # the r11 graph_kcore [2.53, 12.06] GC-straggler band)
-        ckpt.release(alive_ckpt)
-        alive_ckpt = survivors
+        ckpt.release(core)
+        core = survivors
         if n == prev:
             ckpt.release(edges)  # result is materialized; edges done
             return survivors.select(F.col("u").alias("doc_id"), "core_degree")
-        alive, prev = survivors.select(F.col("u").alias("node")), n
-    ckpt.release(edges, alive_ckpt)
+        prev = n
+    ckpt.release(edges, core)
     raise RuntimeError(
         f"kcore_decompose did not converge in {max_iterations} peeling "
         "rounds plus the confirmation round: the peel cascade is deeper "
