@@ -348,7 +348,7 @@ def minhash_lsh_pairs(
     if verify == "sets":
         per_doc_aggs.append(F.collect_list("sh").alias("_shset"))
     per_doc = (
-        ids.groupBy("doc_id").agg(*per_doc_aggs).localCheckpoint(eager=False)
+        ids.groupBy("doc_id").agg(*per_doc_aggs).localCheckpoint(eager=True)
     )
     band_sig = _band_signatures_df(per_doc, num_hashes, bands)
     a, b = band_sig.alias("a"), band_sig.alias("b")
@@ -525,7 +525,7 @@ def simhash_pairs_banded(
     # Pin the fingerprint table: four plan branches below (distinct
     # signatures, two membership sides, the hamming-0 self-join) would
     # each recompute the explode×32 + double groupBy otherwise.
-    fp = simhash_fingerprints(df, text_col).localCheckpoint(eager=False)
+    fp = simhash_fingerprints(df, text_col).localCheckpoint(eager=True)
     # Hot-bucket guard (VERDICT r2): near-dup clusters put MANY docs with
     # the IDENTICAL fingerprint into the same (blk, val) buckets, and the
     # doc-level equi-join re-quadratices inside them. Band over DISTINCT
@@ -1025,8 +1025,8 @@ def minhash_lsh_incremental(
     def band_sig(pd: DataFrame) -> DataFrame:
         return _band_signatures_df(pd, num_hashes, bands)
 
-    base_pd = per_doc(sh_base).localCheckpoint(eager=False)
-    inc_pd = per_doc(sh_inc).localCheckpoint(eager=False)
+    base_pd = per_doc(sh_base).localCheckpoint(eager=True)
+    inc_pd = per_doc(sh_inc).localCheckpoint(eager=True)
     candidates = (
         band_sig(base_pd)
         .select(
@@ -1193,7 +1193,7 @@ def minhash_lsh_incremental_prepared(
     inc_pd = (
         ids_inc.groupBy("doc_id")
         .agg(*_minhash_aggs(num_hashes), F.count(F.lit(1)).alias("sz"))
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=True)
     )
     candidates = (
         base_bs.select(F.col("doc_id").alias("base_id"), "band", "sig")
@@ -1311,7 +1311,7 @@ def containment_pairs(
     sh = shingle_sets(df, text_col, n)
     if max_shingle_df is not None:
         sh = _drop_hot_shingles(sh, max_shingle_df, site="containment:shingle_df")
-    sh = sh.localCheckpoint(eager=False)
+    sh = sh.localCheckpoint(eager=True)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
@@ -1382,7 +1382,7 @@ def minhash_containment_pairs(
         sh = _drop_hot_shingles(sh, max_shingle_df, site="minhash_containment:shingle_df")
     # one materialization for the signature aggregate + the two
     # candidate-side intersection joins (same move as containment_pairs)
-    sh = sh.localCheckpoint(eager=False)
+    sh = sh.localCheckpoint(eager=True)
     ids = sh.select(
         "doc_id", F.expr(hash_id_expr("sh", MINHASH_P)).alias("sid")
     )
@@ -1470,7 +1470,7 @@ def containment_incremental(
     sh_base = shingle_sets(base, text_col, n)
     if max_shingle_df is not None:
         sh_base = _drop_hot_shingles(sh_base, max_shingle_df, site="containment_incremental:shingle_df")
-    sh_inc = shingle_sets(incoming, text_col, n).localCheckpoint(eager=False)
+    sh_inc = shingle_sets(incoming, text_col, n).localCheckpoint(eager=True)
     sizes_inc = sh_inc.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz_inc"))
     inter = (
         sh_base.select(F.col("doc_id").alias("base_id"), "sh")
@@ -1785,7 +1785,7 @@ def winnow_pairs(
         .select("fp_hash")
     )
     capped = fpd.join(df_ok, "fp_hash").localCheckpoint(
-        eager=False
+        eager=True
     )  # consumed 3× (sizes + both join sides); exchange reuse does
     # NOT cover all three references in the full pairing plan (r16
     # probe: dropping this cut re-ran the md5 kernel — task count
@@ -2228,7 +2228,10 @@ def link_prediction_jaccard(
         )
         .distinct()
         # consumed by degrees, wedge build, and the non-edge anti-join
-        .localCheckpoint(eager=False)
+        # — mutually independent stages of ONE action, so EAGER (lazy
+        # first-materialization from concurrent stages deadlocks ABBA
+        # on the RDDCheckpointData lock; r16, hit live in pagerank)
+        .localCheckpoint(eager=True)
     )
     deg = catalog.observe_cap_drops(
         edges.groupBy("u").agg(F.count(F.lit(1)).alias("deg")),
@@ -2299,7 +2302,8 @@ def link_prediction_adamic_adar(
             pairs.select(F.col(id_b).alias("u"), F.col(id_a).alias("v"))
         )
         .distinct()
-        .localCheckpoint(eager=False)
+        # EAGER: same concurrent-consumer exposure as the jaccard twin
+        .localCheckpoint(eager=True)
     )
     deg = catalog.observe_cap_drops(
         edges.groupBy("u").agg(F.count(F.lit(1)).alias("deg")),

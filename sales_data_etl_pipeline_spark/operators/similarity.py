@@ -1557,7 +1557,7 @@ def semantic_dedup(
                 " (acc, x) -> acc + x)"
             ),
         )
-        .localCheckpoint(eager=False)  # consumed 3× below (a, b, out)
+        .localCheckpoint(eager=True)  # consumed 3× below (a, b, out)
     )
     a = assigned.select(
         F.col("_vid").alias("_aid"),
