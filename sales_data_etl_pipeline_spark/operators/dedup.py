@@ -1013,20 +1013,37 @@ def minhash_lsh_incremental(
     sh_base = shingle_sets(base, text_col, n)
     sh_inc = shingle_sets(incoming, text_col, n)
 
-    def per_doc(sh: DataFrame) -> DataFrame:
-        ids = sh.select(
-            "doc_id", "sh", F.expr(hash_id_expr("sh", MINHASH_P)).alias("sid")
-        )
-        aggs = [*_minhash_aggs(num_hashes), F.count(F.lit(1)).alias("sz")]
-        if verify == "sets":
-            aggs.append(F.collect_list("sh").alias("_shset"))
-        return ids.groupBy("doc_id").agg(*aggs)
-
     def band_sig(pd: DataFrame) -> DataFrame:
         return _band_signatures_df(pd, num_hashes, bands)
 
-    base_pd = per_doc(sh_base).localCheckpoint(eager=True)
-    inc_pd = per_doc(sh_inc).localCheckpoint(eager=True)
+    # ONE per-doc aggregation over base ∪ incoming (r17): both sides'
+    # shingle streams share a single groupBy exchange and a single
+    # eager checkpoint instead of one of each per side — same shuffled
+    # bytes, half the shuffle rounds/materialization jobs (guide §2.4).
+    # Grouping key includes the side tag: base and incoming are
+    # distinct corpora whose doc_ids may collide, so grouping by
+    # doc_id alone would merge unrelated documents.
+    aggs = [*_minhash_aggs(num_hashes), F.count(F.lit(1)).alias("sz")]
+    if verify == "sets":
+        aggs.append(F.collect_list("sh").alias("_shset"))
+    tagged = sh_base.withColumn("_is_base", F.lit(True)).unionByName(
+        sh_inc.withColumn("_is_base", F.lit(False))
+    )
+    pd_all = (
+        tagged.select(
+            "doc_id",
+            "_is_base",
+            "sh",
+            F.expr(hash_id_expr("sh", MINHASH_P)).alias("sid"),
+        )
+        .groupBy("doc_id", "_is_base")
+        .agg(*aggs)
+        # EAGER: consumed by both band builds and both verify sides —
+        # concurrent stages of one action (the r16 ABBA rule)
+        .localCheckpoint(eager=True)
+    )
+    base_pd = pd_all.filter(F.col("_is_base")).drop("_is_base")
+    inc_pd = pd_all.filter(~F.col("_is_base")).drop("_is_base")
     candidates = (
         band_sig(base_pd)
         .select(
