@@ -76,9 +76,16 @@ def entry(spark: SparkSession) -> DataFrame:
 # asserts this list equals its first `window` names AND that replanning
 # from the recorded inputs reproduces the artifact.
 _VERIFY_FIRST = [
-    # changed since last green row
+    # promoted ahead of the changed tier (judge-directed green refresh, no changed-code claim)
     "multimodal_scene_cuts",
     "multimodal_shot_reps",
+    "graph_label_propagation",
+    "graph_pagerank",
+    "graph_triangle_count",
+    "streaming_enriched_counts",
+    "streaming_session_counts",
+    "streaming_windowed_counts",
+    # changed since last green row
     "text_language_id",
     "text_paragraph_dedup",
     "text_quality_score",
@@ -87,47 +94,40 @@ _VERIFY_FIRST = [
     "text_term_frequencies",
     "text_tfidf_top_terms",
     "text_token_stats",
-    "graph_label_propagation",
-    "graph_pagerank",
-    "graph_triangle_count",
-    "streaming_enriched_counts",
-    "streaming_session_counts",
-    "streaming_windowed_counts",
-    # stalest-green rotation
-    "events_cohort_retention",
-    "events_anomaly_iqr",
-    "events_sessionization",
-    "events_windowed_distinct_users",
-    "q13_customer_distribution",
-    "q17_small_quantity_revenue",
-    "q1_pricing_summary",
-    "q3_unshipped_orders",
-    "q5_local_supplier_volume",
-    "sales_pareto_share",
-    "source_synthetic_events",
-    "stats_approx_sketches",
-    "events_top_per_day",
-    "q10_returned_items",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q16_supplier_part_counts",
-    "q18_large_orders",
-    "q19_disjunctive_revenue",
-    "q20_excess_shippers",
-    "q21_sole_late_shipper",
-    "q22_dormant_customers",
-    "q2_min_balance_supplier",
-    "q4_priority_late_ship",
-    "q6_forecast_revenue",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q9_product_profit",
-    "events_hourly_heatmap",
-    "events_rolling_active_users",
-    "events_user_lifetime_stats",
-    "q11_important_parts",
-    "q12_late_priority_split",
-    "embedding_pq_encode",
+    "corpus_decontaminate",
+    "corpus_dedup_pipeline",
+    "corpus_domain_mixture",
+    "corpus_hash_split",
+    "corpus_mixture_epochs",
+    "corpus_ngram_counts",
+    "corpus_pack_sequences",
+    "corpus_prep_pipeline",
+    "corpus_quality_resample",
+    "corpus_stratified_sample",
+    "corpus_temperature_mixture",
+    "corpus_token_shards",
+    "dedup_cluster_representatives",
+    "dedup_clusters",
+    "dedup_containment",
+    "dedup_exact",
+    "dedup_incremental",
+    "events_top_paths",
+    "graph_kcore",
+    "graph_link_prediction",
+    "graph_link_prediction_aa",
+    "similarity_knn_graph",
+    "similarity_range_join",
+    "similarity_range_topk",
+    "similarity_recall_eval",
+    "similarity_recall_hamming12",
+    "similarity_topk",
+    "similarity_topk_hamming",
+    "similarity_topk_hamming_rerank",
+    "similarity_topk_ivf",
+    "similarity_topk_ivfpq",
+    "similarity_topk_lsh",
+    "similarity_topk_pq",
+    "source_synthetic_stream",
 ]
 
 
