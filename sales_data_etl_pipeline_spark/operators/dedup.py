@@ -810,8 +810,9 @@ def connected_components(
     make each round ONE join + ONE aggregation referencing the prior
     labels exactly once, so rounds chain linearly and run TWO per
     scheduled action; convergence rides along as an ``observe()``
-    metric (Σ component — monotone-decreasing, so sum equality IS
-    fixed-point equality), never a separate action. This is the
+    metric (the changed count, recovered type-agnostically from the
+    self-loop row, which carries each node's old label through the
+    join), never a separate action. This is the
     pairs→clusters step real dedup needs: survivors are one doc per
     component, not pair-wise greedy drops.
 
@@ -863,47 +864,68 @@ def connected_components(
         .distinct()
         .withColumn("component", F.col("node"))
     )
-    # Convergence metric: labels only ever DECREASE (min-propagation),
-    # so Σ component strictly decreases until the fixed point and
-    # sum-equality between consecutive rounds IS label-set equality —
-    # no comparison against the old labels needed (what forced the r16
-    # second reference). Decimal(38,0) sum: ANSI mode would throw on a
-    # bigint overflow at extreme node-count × id-magnitude; the
-    # coalesce makes the empty graph observe 0 instead of NULL.
-    def _label_sum(obs_col: str = "component"):
-        return F.coalesce(
-            F.sum(F.col(obs_col).cast("decimal(38,0)")),
-            F.lit(0).cast("decimal(38,0)"),
-        ).alias("s")
-
-    obs0 = Observation()
-    labels = labels.observe(obs0, _label_sum())
-
+    # Convergence metric: the SELF-LOOP row (src, src) joins each
+    # node's OWN current label, so the round's aggregation can compute
+    # both the new label (min over all joined rows) and the OLD one
+    # (the value carried by the dst = src row) in one pass — the
+    # changed count then rides an ``observe()`` on the same aggregate,
+    # with no second reference to the old labels (what forced the r16
+    # materialization round trip) and no assumption about the id TYPE
+    # (an earlier r17 draft summed numeric labels, which threw
+    # CAST_INVALID_INPUT on string doc ids — caught by
+    # test_ckpt/test_fuzz_oracle). new ≤ old always (the min includes
+    # self), so ``new < old`` is exactly "changed"; the coalesce makes
+    # the empty graph observe 0 instead of NULL.
     def step(lbl: DataFrame, obs: Observation) -> DataFrame:
         return (
             edges.join(lbl, edges.dst == lbl.node)
             .groupBy("src")
-            .agg(F.min("component").alias("component"))
-            .observe(obs, _label_sum())
+            .agg(
+                F.min("component").alias("component"),
+                F.min(
+                    F.when(F.col("dst") == F.col("src"), F.col("component"))
+                ).alias("_old"),
+            )
+            .observe(
+                obs,
+                F.coalesce(
+                    F.sum(
+                        (F.col("component") < F.col("_old")).cast("long")
+                    ),
+                    F.lit(0),
+                ).alias("changed"),
+            )
             .select(F.col("src").alias("node"), "component")
         )
 
     # max_iterations propagation rounds PLUS one confirmation round: a
     # graph whose diameter is exactly max_iterations converges ON the
     # final budgeted round, so raising on that round would reject a
-    # correct result (r9 ADVICE). Rounds run in PAIRS per action; the
-    # first pair's job also fires obs0 (the initial sum rides the
-    # round-1 join's scan of the init labels — no separate action).
+    # correct result (r9 ADVICE). Rounds run in PAIRS per action.
     # When round i converges mid-pair, round i+1 recomputes the
     # identical fixed point (monotone ⇒ harmless, at most one spare
     # round — the r16-verdict trade). A round BEYOND the budget may
-    # never rescue an unconverged run: its equality is not consulted,
-    # preserving the r16 raise semantics exactly.
+    # never rescue an unconverged run: its changed-count is not
+    # consulted, preserving the r16 raise semantics exactly.
     budget = max_iterations + 1
     prev_ckpt: DataFrame | None = None
     rounds = 0
-    s_prev = None
     converged = False
+
+    def _changed(obs: Observation) -> int:
+        try:
+            return obs.get["changed"]
+        except Exception:
+            # an all-empty pair plan can run ZERO tasks (AQE collapses
+            # empty relations), so the metrics accumulator never fires
+            # and the observation row is absent — confirm the graph
+            # really is empty (one take over the materialized edge
+            # blocks, only on this error path) and report converged;
+            # any other cause must surface
+            if not edges.take(1):
+                return 0
+            raise
+
     while not converged and rounds < budget:
         obs_a, obs_b = Observation(), Observation()
         updated = step(step(labels, obs_a), obs_b).localCheckpoint(
@@ -913,15 +935,11 @@ def connected_components(
         # release at supersession (ckpt module doc: residue ~2 rounds)
         ckpt.release(prev_ckpt)
         prev_ckpt = labels = updated
-        if s_prev is None:
-            s_prev = obs0.get["s"]
-        s_a, s_b = obs_a.get["s"], obs_b.get["s"]
-        if s_a == s_prev:
+        if _changed(obs_a) == 0:
             converged = True  # round rounds+1 confirmed the fixed point
-        elif rounds + 2 <= budget and s_b == s_a:
+        elif rounds + 2 <= budget and _changed(obs_b) == 0:
             converged = True  # round rounds+2, still within budget
         rounds += 2
-        s_prev = s_b
     ckpt.release(edges)  # labels are materialized; edges done either way
     if not converged:
         ckpt.release(prev_ckpt)
