@@ -28,6 +28,33 @@ def test_connected_components_converges_at_exact_diameter(spark):
     assert {r.component for r in got} == {0}
 
 
+def test_connected_components_pair_batched_round_semantics(spark):
+    """The r17 two-rounds-per-action batching must preserve the exact
+    budget semantics at every pair boundary: convergence observed on
+    the first OR second round of a pair counts iff that round is
+    within max_iterations + 1; a speculative round beyond the budget
+    never rescues an unconverged run; max_iterations=0 still runs the
+    single confirmation round."""
+    chain4 = spark.createDataFrame(
+        [Row(id_a=i, id_b=i + 1) for i in range(4)]  # diameter 4
+    )
+    # needs rounds 1-4 to propagate + round 5 to confirm: budget 4 OK
+    got = dedup.connected_components(chain4, max_iterations=4).collect()
+    assert {r.component for r in got} == {0} and len(got) == 5
+    # budget 3 (confirmation round 4 still observes change) must raise
+    # even though the pair job has already computed round 5's labels
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup.connected_components(chain4, max_iterations=3).collect()
+    # max_iterations=0: one confirmation round only - a single edge is
+    # unconverged (round 1 changes a label) and must raise
+    one = spark.createDataFrame([Row(id_a=1, id_b=2)])
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup.connected_components(one, max_iterations=0).collect()
+    # ... while an edgeless graph passes trivially at the same budget
+    empty = spark.createDataFrame([], "id_a long, id_b long")
+    assert dedup.connected_components(empty, max_iterations=0).collect() == []
+
+
 def test_pq_adc_empty_codebook_short_circuits_without_aqe(spark):
     """An empty / all-non-finite codebook must return the
     schema-correct empty result WITHOUT building the query-side plan:
